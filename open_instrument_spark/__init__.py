@@ -1,0 +1,31 @@
+"""open_instrument_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of dparrish/open-instrument.
+
+The reference system (see /root/reference, SURVEY.md) is a distributed
+time-series metrics store: labeled series of (timestamp, double|string)
+samples, queried with per-stream mutations (rate, delta, resample) and
+cross-stream windowed aggregations (sum/avg/min/max/median grouped by
+label), plus retention/downsampling policies.
+
+This package re-expresses those semantics Spark-first:
+
+- the storage engine (WAL, indexed blocks, hash ring) is replaced by
+  Parquet + Catalyst (predicate pushdown, row-group stats, partition
+  pruning give the same data-skipping the reference hand-rolled);
+- every query operator is a declarative DataFrame transformation so the
+  optimizer — not hand-written iterators — picks the physical plan;
+- the only Python-side kernels are the two grid-resampling operators
+  (linear interpolation), which Spark has no built-in for; they run as
+  Arrow-batched grouped-map Pandas UDFs.
+
+Layout:
+  functions/   column-level expression builders (series key, matchers)
+  operators/   query operators (select, mutate, aggregate, retention, llm)
+  sources/     table loading + batch ingest
+  streaming/   Structured Streaming ingest
+  plans/       GetRequest-shaped high-level query API
+"""
+
+from open_instrument_spark.session import get_spark, prepare  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,118 @@
+"""Canonical data model: the ``points`` DataFrame.
+
+Reference mapping (SURVEY.md §1): the reference's unit of storage is a
+``ValueStream`` — a ``StreamVariable`` (path-like ``name`` + label map,
+``lib/openinstrument.proto:13-22``) plus repeated ``Value``s
+(``timestamp_ms``, ``double_value | string_value``,
+``lib/openinstrument.proto:72-80``). Instead of nested streams we keep ONE
+flat, columnar points table; a "stream" is just a group key. This is the
+Spark-native choice: flat rows give Parquet min/max pruning, column
+projection and whole-stage codegen for free, and a stream-shaped result is
+recoverable at the API edge with ``collect_list(struct(ts, dval))``.
+
+points(
+  name   STRING          -- '/system/stats/cpu/user' style
+  labels MAP<STRING,STRING>
+  ts     TIMESTAMP       -- ms precision
+  dval   DOUBLE          -- XOR sval (proto:75-76)
+  sval   STRING
+)
+
+Canonical series identity (reference: ``lib/variable.cc:47-69``,
+``variable.go:38-64``): name + '{k=v,...}' with label keys SORTED and
+values quoted when they contain specials. The reference keys storage
+blocks, RLE grouping and the hash ring on this string; we reproduce it as
+a deterministic column expression so groupBy keys (and shuffle
+partitioning) agree with the reference's grouping semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("dval", T.DoubleType(), True),
+        T.StructField("sval", T.StringType(), True),
+    ]
+)
+
+# Label values containing these need quoting in the canonical form
+# (lib/variable.cc:71-88 quotes values with spaces/quotes/specials).
+_NEEDS_QUOTE_RE = r'[\s,{}="]'
+
+
+def quoted_label_value(v: Column) -> Column:
+    """Quote a label value iff it contains specials — lib/variable.cc:71-88:
+    wrap in double quotes, backslash-escape embedded quotes."""
+    return F.when(
+        v.rlike(_NEEDS_QUOTE_RE),
+        F.concat(F.lit('"'), F.regexp_replace(v, '"', '\\\\"'), F.lit('"')),
+    ).otherwise(v)
+
+
+def series_key(name: Column | str = "name", labels: Column | str = "labels") -> Column:
+    """Canonical series string: ``name{k1=v1,k2=v2}`` with keys sorted.
+
+    Mirrors ``Variable::ToString()`` (lib/variable.cc:47-69) / Go
+    ``String()`` (variable.go:38-64): keys sorted lexicographically,
+    empty-valued labels omitted (variable.cc:52-53), values quoted when
+    they contain specials. Bare name (no/empty labels) has no braces —
+    matches the reference's parse/round-trip tests
+    (lib/variable_test.cc:26-41).
+
+    Pure Catalyst expression (map_entries → filter → array_sort →
+    transform → concat_ws): stays inside whole-stage codegen, usable as a
+    shuffle/groupBy key at 100 TB with no Python involvement.
+    """
+    name_c = F.col(name) if isinstance(name, str) else name
+    labels_c = F.col(labels) if isinstance(labels, str) else labels
+    entries = F.array_sort(
+        F.filter(F.map_entries(labels_c), lambda e: (e["value"].isNotNull()) & (e["value"] != ""))
+    )
+    rendered = F.transform(
+        entries, lambda e: F.concat(e["key"], F.lit("="), quoted_label_value(e["value"]))
+    )
+    body = F.concat_ws(",", rendered)
+    return F.when(
+        labels_c.isNull() | (F.size(entries) == 0), name_c
+    ).otherwise(F.concat(name_c, F.lit("{"), body, F.lit("}")))
+
+
+def with_series_key(points: DataFrame, col_name: str = "series_key") -> DataFrame:
+    return points.withColumn(col_name, series_key())
+
+
+def epoch_seconds(ts: Column | str = "ts") -> Column:
+    """Timestamp → fractional epoch seconds (double), µs precision.
+
+    Cast via TIMESTAMP so TIMESTAMP_NTZ inputs (parquet without tz) work
+    under any session; with the session pinned to UTC this equals the
+    naive-UTC epoch an external oracle computes.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return c.cast("timestamp").cast("double")
+
+
+def events_to_points(events: DataFrame) -> DataFrame:
+    """Adapt the driver's ``events`` table to the points model.
+
+    FIXTURES.md §2 mapping: event_type → series family (name),
+    user_id → label, value → dval. The synthetic `events` table plays
+    the role of collector output (reference collectors:
+    client/python/system_status.py:41-110).
+    """
+    return events.select(
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
+        F.create_map(
+            F.lit("user_id"), F.col("user_id").cast("string")
+        ).alias("labels"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("double").alias("dval"),
+        F.lit(None).cast("string").alias("sval"),
+    )

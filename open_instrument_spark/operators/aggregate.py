@@ -1,0 +1,141 @@
+"""Cross-stream windowed aggregations (SURVEY.md §2.4, A1-A12).
+
+The reference walks grouped streams and folds values into drift buckets
+(first-seen-ts anchored, lib/protobuf.cc:49-142) — inherently sequential.
+We declare epoch-aligned tumbling windows instead (SURVEY.md §7.0 #4:
+deterministic, oracle-able, and the proto's stated intent — "points
+aggregated if < sample_interval apart", lib/openinstrument.proto:64-69).
+That turns every aggregation into one shuffle on (group key, bucket) with
+map-side partial aggregation — the shape that scales to 100 TB.
+
+Grouping modes (server/store.cc:155-252):
+- no labels in the spec → all streams sharing a variable NAME are
+  aggregated together; output drops all labels (A7, store.cc:173-188);
+- per label → one output stream per distinct value of that label
+  (A8, store.cc:190-249), optionally RETAINING any other label that has
+  exactly one distinct value within the group (store.cc:208-227) — a
+  second, cheap aggregation pass here.
+
+Default bucket width 30 000 ms (lib/openinstrument.proto:69, A9).
+MEDIAN is continuous-interpolated (percentile 0.5) rather than the
+reference's upper-median (lib/protobuf.cc:135-142) — declared in
+SURVEY.md §7.0 #5 for DuckDB-median compatibility.
+MAX is a true max; the reference's 0-init bug (lib/protobuf.cc:109-120)
+is deliberately not reproduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.functions.durations import parse_duration_ms
+from open_instrument_spark.operators.mutate import _bucket_start
+
+DEFAULT_SAMPLE_INTERVAL_MS = 30_000  # lib/openinstrument.proto:69
+
+AGG_FNS = {
+    "average": lambda c: F.avg(c),        # A2, lib/protobuf.cc:87-96
+    "sum": lambda c: F.sum(c),            # A3, lib/protobuf.cc:98-107
+    "max": lambda c: F.max(c),            # A4 (bug-fixed), lib/protobuf.cc:109-120
+    "min": lambda c: F.min(c),            # A5, lib/protobuf.cc:122-133
+    "median": lambda c: F.percentile(c, F.lit(0.5)),  # A6, see module docstring
+}
+
+
+def _agg_expr(agg_type: str, col: str = "dval") -> Column:
+    try:
+        return AGG_FNS[agg_type.lower()](col).alias("value")
+    except KeyError:
+        raise ValueError(f"unknown aggregation {agg_type!r}") from None
+
+
+def aggregate_by_name(points: DataFrame, agg_type: str,
+                      sample_interval=DEFAULT_SAMPLE_INTERVAL_MS) -> DataFrame:
+    """A7: aggregate every stream sharing a variable name; labels dropped.
+
+    Output: (name, ts = bucket start, value).
+    """
+    interval_ms = parse_duration_ms(sample_interval)
+    return (
+        points.withColumn("ts", _bucket_start(interval_ms))
+        .groupBy("name", "ts")
+        .agg(_agg_expr(agg_type))
+    )
+
+
+def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
+                       sample_interval=DEFAULT_SAMPLE_INTERVAL_MS,
+                       retain_single_valued: bool = False,
+                       drop_missing: bool = True) -> DataFrame:
+    """A8: per distinct value of ``label``, aggregate matching streams.
+
+    Output: (name, label_value, ts, value) [+ retained_labels map].
+
+    ``drop_missing=True`` follows Go's MergeStreamsBy
+    (openinstrument.go:151-206): streams lacking the label are skipped.
+    ``retain_single_valued`` adds the C++ nicety (store.cc:208-227): any
+    OTHER label with exactly one distinct value across the group's
+    streams is kept in the output — computed as a second aggregation over
+    the distinct (group, other-label) pairs, then a broadcast-friendly
+    join back; no per-group driver loop.
+    """
+    interval_ms = parse_duration_ms(sample_interval)
+    lv = F.col("labels").getItem(label)
+    pts = points.withColumn("label_value", lv)
+    if drop_missing:
+        pts = pts.filter(F.col("label_value").isNotNull() & (F.col("label_value") != ""))
+    else:
+        pts = pts.fillna({"label_value": ""})
+
+    out = (
+        pts.withColumn("ts", _bucket_start(interval_ms))
+        .groupBy("name", "label_value", "ts")
+        .agg(_agg_expr(agg_type))
+    )
+
+    if not retain_single_valued:
+        return out
+
+    # Per (name, label_value) group: other labels having exactly one
+    # distinct value over the group's member streams (store.cc:208-227).
+    member_labels = (
+        pts.select("name", "label_value", F.explode_outer("labels").alias("k", "v"))
+        .filter(F.col("k") != label)
+        .distinct()
+        .groupBy("name", "label_value", "k")
+        .agg(F.count("v").alias("_n"), F.first("v").alias("v"))
+        .filter(F.col("_n") == 1)
+        .groupBy("name", "label_value")
+        .agg(F.map_from_arrays(F.collect_list("k"), F.collect_list("v")).alias("retained_labels"))
+    )
+    return out.join(F.broadcast(member_labels), ["name", "label_value"], "left")
+
+
+def aggregate(points: DataFrame, agg_type: str, by_labels: list[str] | None = None,
+              sample_interval=DEFAULT_SAMPLE_INTERVAL_MS, **kw) -> DataFrame:
+    """StreamAggregation entry (lib/openinstrument.proto:54-70): dispatch
+    on whether a group-by label list is present (server/store.cc:169-252).
+    Like the C++ server, each label in the list produces an independent
+    grouping; this helper handles the common 0/1-label cases and unions
+    multi-label requests.
+    """
+    if not by_labels:
+        return aggregate_by_name(points, agg_type, sample_interval)
+    outs = [
+        aggregate_by_label(points, agg_type, lb, sample_interval, **kw) for lb in by_labels
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o, allowMissingColumns=True)
+    return result
+
+
+def merge_streams(*streams: DataFrame) -> DataFrame:
+    """A11/A12: k-way merge of streams ≡ union (ts order is a property of
+    downstream sorts, not storage — openinstrument.go:120-149's greedy
+    min-ts merge is subsumed by any later orderBy)."""
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return out

@@ -1,0 +1,208 @@
+"""Per-stream mutations (SURVEY.md §2.3, M1-M9).
+
+A mutation transforms one series' values in timestamp order. The
+reference implements these as imperative loops over a stream's value
+array (server/store.cc:276-340; go mutations/mutations.go). Spark-first,
+every pairwise mutation is a window function over
+``Window.partitionBy(series).orderBy(ts)`` — lag/lead stay inside
+whole-stage codegen, shuffle once on the series key, and scale linearly
+with executors. Bucketed resamples are a groupBy on an epoch-aligned
+tumbling window (declared semantics, SURVEY.md §7.0 #4).
+
+Declared semantic choices (SURVEY.md §7.0):
+- RATE is per SECOND (C++ server/store.cc:308 divides ms-diff by 1000;
+  the Go client multiplies the per-ms rate back up, go/src/get.go:226-229).
+- Mutations fan out independently over the raw stream (C++ contract,
+  lib/openinstrument.proto:117-119); ``pipeline()`` gives Go's chaining
+  (go/src/store.go:102-131).
+- MAX is a true max (we do not reproduce the 0-initialization bug in
+  lib/protobuf.cc:109-120).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_instrument_spark.functions.durations import parse_duration_ms
+from open_instrument_spark.model import epoch_seconds, series_key
+
+SERIES_KEY_COL = "series_key"
+
+
+def _with_key(points: DataFrame) -> DataFrame:
+    if SERIES_KEY_COL in points.columns:
+        return points
+    return points.withColumn(SERIES_KEY_COL, series_key())
+
+
+def _series_window() -> Window:
+    return Window.partitionBy(SERIES_KEY_COL).orderBy("ts")
+
+
+def _pairwise(points: DataFrame, out_expr: Callable[[Column, Column, Column, Column], Column],
+              keep_negative: bool = True) -> DataFrame:
+    """Shared (v_i, v_{i-1}, t_i, t_{i-1}) → value skeleton for RATE/DELTA.
+
+    Mirrors the loop shape of server/store.cc:301-333: emit at ts_i from
+    the second point on; zero/negative time steps produce no output (the
+    reference's division would be undefined; Go skips dupes implicitly).
+    """
+    pts = _with_key(points)
+    w = _series_window()
+    t = epoch_seconds("ts")
+    out = (
+        pts.withColumn("_prev_v", F.lag("dval").over(w))
+        .withColumn("_prev_t", F.lag(t).over(w))
+        .withColumn("_out", out_expr(F.col("dval"), F.col("_prev_v"), t, F.col("_prev_t")))
+        .filter(F.col("_prev_t").isNotNull() & (t > F.col("_prev_t")))
+    )
+    if not keep_negative:
+        out = out.filter(F.col("_out") >= 0)
+    return out.withColumn("dval", F.col("_out")).drop("_prev_v", "_prev_t", "_out")
+
+
+def rate(points: DataFrame) -> DataFrame:
+    """M1 RATE: (v_i - v_{i-1}) / (t_i - t_{i-1}) per second, negatives
+    dropped (counter-reset suppression, server/store.cc:309)."""
+    return _pairwise(points, lambda v, pv, t, pt: (v - pv) / (t - pt), keep_negative=False)
+
+
+def rate_signed(points: DataFrame) -> DataFrame:
+    """M2 RATE_SIGNED: same as RATE, negatives kept (server/store.cc:301-318)."""
+    return _pairwise(points, lambda v, pv, t, pt: (v - pv) / (t - pt), keep_negative=True)
+
+
+def delta(points: DataFrame) -> DataFrame:
+    """M3 DELTA: v_i - v_{i-1} emitted at ts_i; C++ keeps only deltas >= 0
+    (server/store.cc:319-333)."""
+    return _pairwise(points, lambda v, pv, t, pt: v - pv, keep_negative=False)
+
+
+def delta_signed(points: DataFrame) -> DataFrame:
+    """M3 variant without the >=0 filter (for pipeline composition)."""
+    return _pairwise(points, lambda v, pv, t, pt: v - pv, keep_negative=True)
+
+
+# ---- bucketed resamples (tumbling epoch-aligned windows) -------------------
+
+def _bucket_start(interval_ms: int, ts: Column | str = "ts") -> Column:
+    """Epoch-aligned bucket start: floor(epoch_ms/interval)*interval as ts.
+
+    Equivalent to F.window(ts, interval).start but cheaper (no struct) and
+    exactly mirrors the oracle's floor(epoch_ms(ts)/i)*i arithmetic.
+    """
+    ms = (epoch_seconds(ts) * 1000).cast("long")
+    start_ms = (F.floor(ms / F.lit(interval_ms)) * interval_ms).cast("long")
+    return (start_ms.cast("double") / 1000.0).cast("timestamp")
+
+
+def _bucketed(points: DataFrame, interval, aggs: Sequence[Column]) -> DataFrame:
+    # Group on the scalar series_key (MapType can't be a grouping key);
+    # labels are functionally determined by it, so first() is exact.
+    interval_ms = parse_duration_ms(interval)
+    pts = _with_key(points)
+    return (
+        pts.withColumn("ts", _bucket_start(interval_ms))
+        .groupBy("name", SERIES_KEY_COL, "ts")
+        .agg(F.first("labels").alias("labels"), *aggs)
+        .withColumn("sval", F.lit(None).cast("string"))
+        .select("name", "labels", "ts", "dval", "sval", SERIES_KEY_COL)
+    )
+
+
+def mean_resample(points: DataFrame, interval) -> DataFrame:
+    """M5 Go AVERAGE: mean per bucket (mutations/mutations.go:10-49).
+
+    Declared semantics: epoch-aligned tumbling buckets stamped at the
+    bucket START (the reference anchors at the stream's first ts and
+    stamps at the last input ts — data-dependent and not reproducible by
+    an aligned-window engine; divergence declared in SURVEY.md §7.0 #4).
+    The reference-exact anchored kernel lives in resample.py for parity
+    tests.
+    """
+    return _bucketed(points, interval, [F.avg("dval").alias("dval")])
+
+
+def min_resample(points: DataFrame, interval) -> DataFrame:
+    """M6 MIN per bucket (mutations/mutations.go:139-165)."""
+    return _bucketed(points, interval, [F.min("dval").alias("dval")])
+
+
+def max_resample(points: DataFrame, interval) -> DataFrame:
+    """M6 MAX per bucket (mutations/mutations.go:167-191)."""
+    return _bucketed(points, interval, [F.max("dval").alias("dval")])
+
+
+def latest(points: DataFrame, interval) -> DataFrame:
+    """M8 LATEST: newest value per bucket — declared-but-unimplemented in
+    both reference query paths (enum lib/openinstrument.proto:40-41; C++
+    error branch store.cc:334-337, Go commented out mutations.go:299-313);
+    required by retention downsampling (config.txt:37-47), so we implement
+    it. Works for string samples too (sval carried through)."""
+    interval_ms = parse_duration_ms(interval)
+    pts = _with_key(points).withColumn("_bucket", _bucket_start(interval_ms))
+    w = Window.partitionBy(SERIES_KEY_COL, "_bucket").orderBy(F.col("ts").desc())
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("ts", F.col("_bucket"))
+        .drop("_rn", "_bucket")
+    )
+
+
+def stddev_resample(points: DataFrame, interval) -> DataFrame:
+    """M9 population stddev per bucket (the commented-out aspiration at
+    mutations/mutations.go:194-216)."""
+    return _bucketed(points, interval, [F.stddev_pop("dval").alias("dval")])
+
+
+# ---- composition ------------------------------------------------------------
+
+MUTATIONS: dict[str, Callable] = {
+    "rate": rate,
+    "rate_signed": rate_signed,
+    "delta": delta,
+    "delta_signed": delta_signed,
+}
+
+RESAMPLES: dict[str, Callable] = {
+    "mean": mean_resample,
+    "min": min_resample,
+    "max": max_resample,
+    "latest": latest,
+    "stddev": stddev_resample,
+}
+
+
+def apply_mutation(points: DataFrame, kind: str, interval=None) -> DataFrame:
+    """Dispatch one mutation spec (StreamMutation analog,
+    lib/openinstrument.proto:24-52). AVERAGE/MIN/MAX require an interval
+    (validation mirror of server/store.cc:277-283)."""
+    kind = kind.lower()
+    if kind in MUTATIONS:
+        return MUTATIONS[kind](points)
+    if kind in RESAMPLES:
+        if interval is None:
+            raise ValueError(f"mutation {kind!r} requires a sample interval")
+        return RESAMPLES[kind](points, interval)
+    if kind in ("none", "identity"):
+        return points
+    raise ValueError(f"unknown mutation {kind!r}")
+
+
+def pipeline(points: DataFrame, specs: Sequence[tuple]) -> DataFrame:
+    """Go-style chaining (go/src/store.go:102-131): each mutation feeds
+    the next. specs = [(kind, interval-or-None), ...]."""
+    out = points
+    for kind, interval in specs:
+        out = apply_mutation(out, kind, interval)
+    return out
+
+
+def fan_out(points: DataFrame, specs: Sequence[tuple]) -> list[DataFrame]:
+    """C++-style fan-out (server/store.cc:140-147): each mutation applies
+    independently to the raw stream, one output stream per mutation."""
+    return [apply_mutation(points, kind, interval) for kind, interval in specs]

@@ -1,0 +1,90 @@
+"""Selection operators (SURVEY.md §2.2 F7-F10, §2.1 S11 List).
+
+All pure DataFrame expressions: the time-range filter and name predicates
+reach the Parquet scan as pushed filters (the Spark analog of the
+reference's header min/max-ts skipping, datastore/datastore.go:261-266,
+and its variable-name index lookups).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_instrument_spark.functions.match import VariableMatcher
+from open_instrument_spark.model import series_key
+from open_instrument_spark.operators.mutate import SERIES_KEY_COL, _with_key
+
+DEFAULT_GET_WINDOW_MS = 86_400_000  # last 1 day, server/store.cc:137-138
+DEFAULT_LIST_MAX_AGE_MS = 86_400_000  # lib/openinstrument.proto:145
+
+
+def time_range(points: DataFrame, min_ts=None, max_ts=None) -> DataFrame:
+    """F7: inclusive-both-ends ts filter (declared semantics, SURVEY.md
+    §7.0 #2 — the Go/iterator majority; C++ GetRange is end-exclusive,
+    server/disk_datastore.cc:40-57, a flagged divergence)."""
+    c = F.col("ts")
+    if min_ts is not None:
+        points = points.filter(c >= F.lit(min_ts))
+    if max_ts is not None:
+        points = points.filter(c <= F.lit(max_ts))
+    return points
+
+
+def match_variables(points: DataFrame, pattern: str | VariableMatcher) -> DataFrame:
+    """F1-F6 matcher applied to a points table."""
+    m = VariableMatcher.from_string(pattern) if isinstance(pattern, str) else pattern
+    return points.filter(m.predicate())
+
+
+def last_n_per_series(points: DataFrame, n: int) -> DataFrame:
+    """F9 ``max_values``: newest N values of each series
+    (go/src/store.go:151-153). Top-k-by-recency window; the shuffle is on
+    the series key, k rows survive per series."""
+    pts = _with_key(points)
+    w = Window.partitionBy(SERIES_KEY_COL).orderBy(F.col("ts").desc())
+    return pts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+def cap_variables(points: DataFrame, max_variables: int) -> DataFrame:
+    """F8 ``max_variables``: truncate the matched-series set
+    (server/store.cc:133-135). Deterministic: keep the first N series in
+    canonical-key order (the reference's iteration order over its sorted
+    key map). dense_rank so all rows of a kept series survive."""
+    pts = _with_key(points)
+    w = Window.orderBy(SERIES_KEY_COL)
+    ranked = pts.withColumn("_dr", F.dense_rank().over(w))
+    return ranked.filter(F.col("_dr") <= max_variables).drop("_dr")
+
+
+def list_series(points: DataFrame, pattern: str | None = None,
+                max_age_ms: int = DEFAULT_LIST_MAX_AGE_MS,
+                max_variables: int | None = None,
+                now=None) -> DataFrame:
+    """S11 List RPC: distinct matched series with a freshness filter
+    (server/store.cc:342-379; Go max_age go/src/store.go:204-206).
+
+    Index-only in the reference (fetch_values=false,
+    datastore.go:298-307); here Catalyst column-pruning delivers the same
+    — the scan reads only (name, labels, ts).
+    Output: (name, labels, series_key, last_ts).
+    """
+    pts = points
+    if pattern:
+        pts = match_variables(pts, pattern)
+    grouped = (
+        pts.withColumn(SERIES_KEY_COL, series_key())
+        .groupBy("name", SERIES_KEY_COL)
+        .agg(F.first("labels").alias("labels"), F.max("ts").alias("last_ts"))
+    )
+    if max_age_ms is not None:
+        now_expr = F.lit(now) if now is not None else F.current_timestamp()
+        grouped = grouped.filter(
+            F.col("last_ts") >= now_expr - F.expr(f"INTERVAL {max_age_ms} MILLISECOND")
+        )
+    grouped = grouped.orderBy(SERIES_KEY_COL)  # O2: canonical-key order, go/src/list.go:86-95
+    if max_variables:
+        grouped = grouped.limit(max_variables)  # F8 analog for List
+    return grouped.select("name", "labels", SERIES_KEY_COL, "last_ts")

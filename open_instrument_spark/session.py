@@ -1,0 +1,59 @@
+"""SparkSession construction + per-session normalization.
+
+Scale posture: these confs are tuned for the local[32] test harness but
+chosen so the same code runs unchanged on a 1000-executor cluster — AQE
+handles runtime partition coalescing/skew, shuffle partitions are set
+explicitly per-job at scale, and all timestamp math is pinned to UTC so
+results are cluster-timezone independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "open_instrument_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session with the engine's standard confs."""
+    n = cpus or DEFAULT_SHUFFLE_PARTITIONS
+    spark = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Normalize a caller-provided session (e.g. the verify driver's).
+
+    Only touches runtime-settable confs. UTC pinning makes timestamp
+    arithmetic match a naive-UTC oracle (DuckDB) regardless of the host
+    timezone; AQE is the engine's standing assumption for skew handling.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver's synthetic parquet stores TIMESTAMP(NANOS) which Spark
+    # rejects by default; read as long and convert in the loader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
