@@ -106,12 +106,24 @@ def events_to_points(events: DataFrame) -> DataFrame:
     user_id → label, value → dval. The synthetic `events` table plays
     the role of collector output (reference collectors:
     client/python/system_status.py:41-110).
+
+    A second, SPARSE label ``k`` is derived from the props JSON (kept only
+    when k % 3 != 0) so that label presence/absence/regex matchers and
+    label-grouped aggregations have real selectivity — mirroring the
+    reference's partially-labeled series (e.g. not every series carries
+    ``interface=``, config.txt:32-35).
     """
+    kv = F.get_json_object("props", "$.k")
+    labels = F.map_filter(
+        F.create_map(
+            F.lit("k"), F.when(kv.cast("int") % 3 != 0, kv),
+            F.lit("user_id"), F.col("user_id").cast("string"),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
     return events.select(
         F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
-        F.create_map(
-            F.lit("user_id"), F.col("user_id").cast("string")
-        ).alias("labels"),
+        labels.alias("labels"),
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").cast("double").alias("dval"),
         F.lit(None).cast("string").alias("sval"),

@@ -52,11 +52,17 @@ def cap_variables(points: DataFrame, max_variables: int) -> DataFrame:
     """F8 ``max_variables``: truncate the matched-series set
     (server/store.cc:133-135). Deterministic: keep the first N series in
     canonical-key order (the reference's iteration order over its sorted
-    key map). dense_rank so all rows of a kept series survive."""
+    key map).
+
+    Scale note: rank over the DISTINCT key set (cardinality = #series,
+    small), then broadcast-semi-join back — never a global window over
+    the full points table.
+    """
     pts = _with_key(points)
-    w = Window.orderBy(SERIES_KEY_COL)
-    ranked = pts.withColumn("_dr", F.dense_rank().over(w))
-    return ranked.filter(F.col("_dr") <= max_variables).drop("_dr")
+    kept = (
+        pts.select(SERIES_KEY_COL).distinct().orderBy(SERIES_KEY_COL).limit(max_variables)
+    )
+    return pts.join(F.broadcast(kept), SERIES_KEY_COL, "left_semi")
 
 
 def list_series(points: DataFrame, pattern: str | None = None,

@@ -7,13 +7,18 @@ supplier part orders lineitem events documents embeddings).
 
 Conventions for oracle parity:
 - session pinned to UTC (prepare()) so naive-timestamp math matches;
-- aggregate doubles rounded to 6 decimals on BOTH sides (cross-engine
-  float summation differs in association order, never in magnitude);
-- every computed column aliased identically on both sides.
+- doubles that pass through untouched (or via min/max selection) are
+  compared EXACTLY; doubles produced by re-associating arithmetic
+  (sum/avg/stddev/median) are rounded to 6 decimals on BOTH sides;
+- every computed column aliased identically on both sides;
+- MapType columns never appear in outputs (serialized to the canonical
+  series_key string instead) so results are hashable.
 
 The events table stands in for the reference's points model
-(FIXTURES.md §2): event_type → variable name, user_id → label,
-value → dval.
+(FIXTURES.md §2): event_type → variable name, user_id + sparse k →
+labels, value → dval. NOW is pinned to 2024-01-31 (the synthetic data
+spans 2024-01) for operators whose reference semantics reference "now"
+(List max_age, retention ages).
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ from open_instrument_spark.sources.tables import load_tables, points_from_dir
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+NOW = "2024-01-31 00:00:00"
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -47,15 +54,25 @@ def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB twin of model.events_to_points + model.series_key for the events
-# mapping (single label ⇒ quoting/sorting never triggers).
+# mapping (two labels, keys pre-sorted k < user_id; quoting never
+# triggers on these values).
 P_CTE = """
-p AS (
+p0 AS (
   SELECT '/events/' || event_type AS name,
          CAST(user_id AS VARCHAR) AS user_id,
-         '/events/' || event_type || '{user_id=' || CAST(user_id AS VARCHAR) || '}' AS series_key,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 != 0
+              THEN json_extract_string(props, '$.k') END AS k,
          ts,
          value AS dval
   FROM events
+),
+p AS (
+  SELECT name, user_id, k,
+         name || '{' ||
+           CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
+           'user_id=' || user_id || '}' AS series_key,
+         ts, dval
+  FROM p0
 )
 """
 
@@ -78,11 +95,16 @@ def _bucket_sql(interval_ms: int, ts: str = "ts") -> str:
     )
 
 
-# ---------------------------------------------------------------------------
+def _raw(points: DataFrame) -> DataFrame:
+    """Standard raw-points output shape: (series_key, ts, dval)."""
+    pts = mutate._with_key(points)
+    return pts.select("series_key", "ts", "dval")
+
+
+# ===========================================================================
 # Flagship (SURVEY.md §7.2 step 1): scan → filter → per-series rate →
 # epoch-aligned 5-minute windows → sum by variable name.
-# Exercises F1-family matching, M1 RATE, A3 SUM + A7 group-by-name.
-# ---------------------------------------------------------------------------
+# ===========================================================================
 
 @query(
     "flagship_rate_sum",
@@ -108,3 +130,394 @@ def flagship_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_entry(spark: SparkSession) -> DataFrame:
     """Driver smoke check: flagship at sf0.001."""
     return flagship_rate_sum(spark, "/root/testdata/sf0.001")
+
+
+# ===========================================================================
+# Selection: F1-F9 + S11 List
+# ===========================================================================
+
+@query(
+    "select_exact_name_label_range",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval
+FROM p
+WHERE name = '/events/click' AND user_id = '7'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def select_exact_name_label_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 exact name + F3 label equality + F7 inclusive time range."""
+    pts = select.match_variables(_pts(spark, sf_dir), "/events/click{user_id=7}")
+    pts = select.time_range(pts, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return _raw(pts)
+
+
+@query(
+    "select_prefix_glob",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE name LIKE '/events/s%'
+""",
+)
+def select_prefix_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 trailing-star prefix glob."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/s*"))
+
+
+@query(
+    "select_label_present",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE k IS NOT NULL
+""",
+)
+def select_label_present(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 label presence ({k=*})."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=*}"))
+
+
+@query(
+    "select_label_absent",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE k IS NULL
+""",
+)
+def select_label_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 label absence ({k=}) — Go-only feature, supported."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=}"))
+
+
+@query(
+    "select_label_regex",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE regexp_full_match(k, '4[0-9]')
+""",
+)
+def select_label_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 anchored label regex ({k=/4[0-9]/}) — C++-only feature, supported."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=/4[0-9]/}"))
+
+
+@query(
+    "select_last_n_per_series",
+    oracle=f"""
+WITH {P_CTE},
+ranked AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts DESC, dval DESC) AS rn
+  FROM p
+)
+SELECT series_key, ts, dval FROM ranked WHERE rn <= 2
+""",
+)
+def select_last_n_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 max_values: newest 2 values per series (go/src/store.go:151-153)."""
+    from pyspark.sql import Window
+
+    pts = mutate._with_key(_pts(spark, sf_dir))
+    w = Window.partitionBy("series_key").orderBy(F.col("ts").desc(), F.col("dval").desc())
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("series_key", "ts", "dval")
+    )
+
+
+@query(
+    "select_max_variables",
+    oracle=f"""
+WITH {P_CTE},
+kept AS (SELECT DISTINCT series_key FROM p ORDER BY series_key LIMIT 25)
+SELECT p.series_key, p.ts, p.dval FROM p JOIN kept USING (series_key)
+""",
+)
+def select_max_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 max_variables: first 25 series in canonical-key order."""
+    return _raw(select.cap_variables(_pts(spark, sf_dir), 25))
+
+
+@query(
+    "list_series",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, series_key, max(ts) AS last_ts
+FROM p
+GROUP BY name, series_key
+HAVING max(ts) >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+""",
+)
+def list_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 List RPC: distinct fresh series (max_age = 7 d of pinned NOW)."""
+    out = select.list_series(
+        _pts(spark, sf_dir), "/events/*", max_age_ms=7 * 86_400_000, now=NOW
+    )
+    return out.select("name", "series_key", "last_ts")
+
+
+# ===========================================================================
+# Per-stream mutations M1-M3, M5, M6, M8, M9
+# ===========================================================================
+
+_RATE_EXPR = "(dval - pv) / (t - pt)"
+
+
+@query(
+    "mutate_rate",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, {_RATE_EXPR} AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND {_RATE_EXPR} >= 0
+""",
+)
+def mutate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 RATE per second, negatives dropped. Compared EXACTLY (the same
+    IEEE ops run on both engines)."""
+    return _raw(mutate.rate(_pts(spark, sf_dir)))
+
+
+@query(
+    "mutate_rate_signed",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, {_RATE_EXPR} AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt
+""",
+)
+def mutate_rate_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 RATE_SIGNED: negatives kept."""
+    return _raw(mutate.rate_signed(_pts(spark, sf_dir)))
+
+
+@query(
+    "mutate_delta",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, dval - pv AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND dval - pv >= 0
+""",
+)
+def mutate_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 DELTA with the C++ >=0 filter."""
+    return _raw(mutate.delta(_pts(spark, sf_dir)))
+
+
+@query(
+    "mutate_latest_daily",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, {_bucket_sql(86_400_000)} AS bts, ts, dval,
+         row_number() OVER (PARTITION BY series_key, {_bucket_sql(86_400_000)}
+                            ORDER BY ts DESC) AS rn
+  FROM p
+)
+SELECT series_key, bts AS ts, dval FROM b WHERE rn = 1
+""",
+)
+def mutate_latest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 LATEST per 1-day bucket (retention downsampling shape,
+    config.txt:37-47). Row selection — compared exactly."""
+    out = mutate.latest(_pts(spark, sf_dir), "1d")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_mean_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(3_600_000)} AS ts, round(avg(dval), 6) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_mean_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 AVERAGE resample: hourly mean per series (aligned semantics)."""
+    out = mutate.mean_resample(_pts(spark, sf_dir), "1h")
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+@query(
+    "mutate_min_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(3_600_000)} AS ts, min(dval) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_min_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 MIN resample: hourly min (selection — exact)."""
+    out = mutate.min_resample(_pts(spark, sf_dir), "1h")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_max_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(3_600_000)} AS ts, max(dval) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_max_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 MAX resample: hourly max (selection — exact)."""
+    out = mutate.max_resample(_pts(spark, sf_dir), "1h")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_stddev_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(21_600_000)} AS ts, round(stddev_pop(dval), 6) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_stddev_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 population stddev per 6-h bucket."""
+    out = mutate.stddev_resample(_pts(spark, sf_dir), "6h")
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+# ===========================================================================
+# Cross-stream aggregations A2-A8
+# ===========================================================================
+
+def _agg_by_name(spark, sf_dir, kind, interval_ms, round_out=True):
+    out = agg_ops.aggregate_by_name(_pts(spark, sf_dir), kind, interval_ms)
+    val = F.round("value", 6).alias("value") if round_out else F.col("value")
+    return out.select("name", "ts", val)
+
+
+@query(
+    "agg_sum_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, round(sum(dval), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_sum_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A7: hourly SUM across all streams per variable name."""
+    return _agg_by_name(spark, sf_dir, "sum", 3_600_000)
+
+
+@query(
+    "agg_avg_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, round(avg(dval), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_avg_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A7: hourly AVERAGE across streams per name."""
+    return _agg_by_name(spark, sf_dir, "average", 3_600_000)
+
+
+@query(
+    "agg_min_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, min(dval) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_min_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A7: hourly MIN (exact)."""
+    return _agg_by_name(spark, sf_dir, "min", 3_600_000, round_out=False)
+
+
+@query(
+    "agg_max_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, max(dval) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_max_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A7: hourly MAX — true max, the reference's 0-init bug
+    (lib/protobuf.cc:109-120) deliberately not reproduced."""
+    return _agg_by_name(spark, sf_dir, "max", 3_600_000, round_out=False)
+
+
+@query(
+    "agg_median_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(21_600_000)} AS ts, round(median(dval), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_median_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7: 6-hourly MEDIAN (continuous-interpolated; declared
+    divergence from the reference's upper-median, SURVEY.md §7.0 #5)."""
+    return _agg_by_name(spark, sf_dir, "median", 21_600_000)
+
+
+@query(
+    "agg_avg_by_label_user",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, user_id AS label_value, {_bucket_sql(21_600_000)} AS ts,
+       round(avg(dval), 6) AS value
+FROM p GROUP BY 1, 2, 3
+""",
+)
+def agg_avg_by_label_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: AVERAGE grouped by the user_id label, 6-h windows."""
+    out = agg_ops.aggregate_by_label(_pts(spark, sf_dir), "average", "user_id", 21_600_000)
+    return out.select("name", "label_value", "ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "agg_sum_by_label_k",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, k AS label_value, {_bucket_sql(21_600_000)} AS ts,
+       round(sum(dval), 6) AS value
+FROM p WHERE k IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def agg_sum_by_label_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + A10 drop-missing: SUM grouped by the sparse k label; streams
+    lacking the label are skipped (openinstrument.go:151-206)."""
+    out = agg_ops.aggregate_by_label(_pts(spark, sf_dir), "sum", "k", 21_600_000)
+    return out.select("name", "label_value", "ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "agg_retained_single_labels",
+    oracle=f"""
+WITH {P_CTE},
+members AS (SELECT DISTINCT name, user_id, k FROM p WHERE k IS NOT NULL),
+ret AS (
+  SELECT name, user_id, CASE WHEN count(*) = 1 THEN min(k) END AS retained_k
+  FROM members GROUP BY name, user_id
+),
+a AS (
+  SELECT name, user_id AS label_value, {_bucket_sql(86_400_000)} AS ts,
+         round(avg(dval), 6) AS value
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT a.name, a.label_value, a.ts, a.value, ret.retained_k
+FROM a LEFT JOIN ret ON a.name = ret.name AND a.label_value = ret.user_id
+""",
+)
+def agg_retained_single_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 single-valued label retention (server/store.cc:208-227): daily
+    AVERAGE by user_id, keeping the k label when the group's member
+    streams carry exactly one distinct k value."""
+    out = agg_ops.aggregate_by_label(
+        _pts(spark, sf_dir), "average", "user_id", 86_400_000, retain_single_valued=True
+    )
+    return out.select(
+        "name",
+        "label_value",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.col("retained_labels").getItem("k").alias("retained_k"),
+    )
