@@ -181,13 +181,25 @@ def apply_mutation(points: DataFrame, kind: str, interval=None) -> DataFrame:
     """Dispatch one mutation spec (StreamMutation analog,
     lib/openinstrument.proto:24-52). AVERAGE/MIN/MAX require an interval
     (validation mirror of server/store.cc:277-283)."""
+    from open_instrument_spark.operators import resample as _resample
+
     kind = kind.lower()
     if kind in MUTATIONS:
         return MUTATIONS[kind](points)
-    if kind in RESAMPLES:
+    interval_resamples = dict(
+        RESAMPLES,
+        # C++ AVERAGE + sample_frequency = UniformTimeSeries interpolation
+        # (server/store.cc:292-300); Go AVERAGE = bucketed mean — both kept.
+        average=_resample.uniform_average,
+        uniform=_resample.uniform_average,
+        interpolate=_resample.interpolate,
+        none_interpolate=_resample.interpolate,  # NONE + sample_frequency, Go
+        mean_anchored=_resample.mean_anchored,
+    )
+    if kind in interval_resamples:
         if interval is None:
             raise ValueError(f"mutation {kind!r} requires a sample interval")
-        return RESAMPLES[kind](points, interval)
+        return interval_resamples[kind](points, interval)
     if kind in ("none", "identity"):
         return points
     raise ValueError(f"unknown mutation {kind!r}")

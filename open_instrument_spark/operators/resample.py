@@ -1,0 +1,284 @@
+"""Grid resampling with linear interpolation (SURVEY.md §2.3 M4/M7).
+
+Two reference kernels exist:
+
+- **M4, C++ ``UniformTimeSeries``** (lib/counter.cc:18-64): grid anchored
+  at ``ts0 - ts0 % interval``; for each grid point g (starting at
+  base+interval — the first input point is never emitted, counter.cc:21-29)
+  output the linear interpolation between the inputs straddling g
+  (counter.cc:45-55), or the input value exactly when an input lands on g
+  (counter.cc:35-41); long gaps fill every intervening grid point from the
+  same straddling pair. Because each output depends only on one
+  consecutive input pair, this is expressible as PURE Spark SQL:
+  lag-window → sequence() → explode — fully JVM-side, distributed,
+  no Python. Validated bit-exact against the golden vector in
+  lib/counter_test.cc:26-78.
+
+- **M7, Go ``Interpolate``** (mutations/mutations.go:90-137): same grid,
+  but inputs that do not cross the next pending boundary are SKIPPED
+  (the straddling pair is (last boundary-crossing input, current input),
+  not the adjacent pair — an artifact of the single-pass channel loop).
+  Sequential state per series ⇒ Arrow-batched grouped-map kernel.
+  Validated against mutations_test.go:59-77. (The reference would emit a
+  duplicate when an input lands exactly on a pending boundary
+  (mutations.go:117-128 emits via both the fill loop and the passthrough);
+  we emit once — flagged divergence.)
+
+- **M5/M6 anchored Mean/Min/Max** (mutations.go:10-49,139-191): buckets
+  anchored at the FIRST timestamp of each bucket, flushed when
+  ``ts - first > duration``, stamped at the LAST input ts of the bucket.
+  Data-dependent anchoring ⇒ grouped-map kernel; the engine's declared
+  aligned-window variants live in mutate.py. Golden:
+  mutations_test.go:19-57.
+
+``max_gap_interpolate`` (lib/openinstrument.proto:45-52): proto semantics
+say gaps longer than N·interval are left unfilled; BOTH reference code
+paths ignore the field and fill everything. We implement the proto
+semantics as an optional cap (None = reference behavior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_instrument_spark.functions.durations import parse_duration_ms
+from open_instrument_spark.model import epoch_seconds
+from open_instrument_spark.operators.mutate import SERIES_KEY_COL, _with_key
+
+_US = 1_000  # ms → µs
+
+
+def uniform_average(points: DataFrame, interval, max_gap_interpolate: int | None = None
+                    ) -> DataFrame:
+    """M4 AVERAGE resample (C++ UniformTimeSeries) as pure DataFrame ops.
+
+    Output: one row per series per grid point in
+    (base+interval .. last input ts], where base = ts0 - ts0 % interval.
+    All grid arithmetic in epoch-µs longs (the reference uses ms; µs is
+    its lossless refinement for our µs-precision timestamps).
+    """
+    interval_us = parse_duration_ms(interval) * _US
+    pts = _with_key(points)
+    t_us = (epoch_seconds("ts") * 1_000_000).cast("long")
+
+    w = Window.partitionBy(SERIES_KEY_COL).orderBy("ts")
+    wall = Window.partitionBy(SERIES_KEY_COL)
+
+    i = F.lit(interval_us)
+    base = (F.col("_ts0") - F.col("_ts0") % i).alias("base")
+
+    df = (
+        pts.withColumn("_t", t_us)
+        .withColumn("_pt", F.lag("_t").over(w))
+        .withColumn("_pv", F.lag("dval").over(w))
+        .withColumn("_ts0", F.min("_t").over(wall))
+        .filter(F.col("_pt").isNotNull() & (F.col("_t") > F.col("_pt")))
+        .withColumn("_base", base)
+        # smallest grid point > prev ts (grid ≡ base mod interval)
+        .withColumn("_g_lo", F.col("_pt") + (i - (F.col("_pt") - F.col("_base")) % i))
+        # largest grid point <= cur ts
+        .withColumn("_g_hi", F.col("_t") - (F.col("_t") - F.col("_base")) % i)
+    )
+    if max_gap_interpolate is not None:
+        # proto semantics: leave long gaps unfilled — but an input landing
+        # exactly on a grid point still passes through.
+        gap_ok = (F.col("_t") - F.col("_pt")) <= F.lit(max_gap_interpolate) * i
+        exact_hit = F.col("_g_hi") == F.col("_t")
+        df = df.withColumn(
+            "_g_lo",
+            F.when(gap_ok, F.col("_g_lo")).otherwise(
+                # collapse the fill range: exact hit only, else empty range
+                F.when(exact_hit, F.col("_g_hi")).otherwise(F.col("_g_hi") + i)
+            ),
+        )
+    out = (
+        df.filter(F.col("_g_lo") <= F.col("_g_hi"))
+        .withColumn("_g", F.explode(F.sequence("_g_lo", "_g_hi", i)))
+        .withColumn(
+            "dval",
+            F.when(F.col("_g") == F.col("_t"), F.col("dval")).otherwise(
+                (F.col("dval") - F.col("_pv"))
+                / (F.col("_t") - F.col("_pt")).cast("double")
+                * (F.col("_g") - F.col("_pt")).cast("double")
+                + F.col("_pv")
+            ),
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("_g")))
+        .select("name", "labels", "ts", "dval",
+                F.lit(None).cast("string").alias("sval"), SERIES_KEY_COL)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (pure functions — golden-tested without Spark)
+# ---------------------------------------------------------------------------
+
+def uniform_series_kernel(ts: np.ndarray, vals: np.ndarray, interval: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-exact C++ UniformTimeSeries (lib/counter.cc:18-64).
+    ts, interval in the same integer unit (reference: ms)."""
+    out_t, out_v = [], []
+    if len(ts) == 0:
+        return np.array(out_t, dtype=np.int64), np.array(out_v)
+    base = ts[0] - ts[0] % interval
+    n_out = 1
+    last_t, last_v = ts[0], vals[0]
+    for t, v in zip(ts[1:], vals[1:]):
+        while True:
+            nxt = base + interval * n_out
+            if t == nxt:
+                out_t.append(t)
+                out_v.append(v)
+                n_out += 1
+                break
+            if t < nxt:
+                break
+            while t > nxt:
+                newv = (v - last_v) / (t - last_t) * (nxt - last_t) + last_v
+                out_t.append(nxt)
+                out_v.append(newv)
+                n_out += 1
+                nxt = base + interval * n_out
+        last_t, last_v = t, v
+    return np.array(out_t, dtype=np.int64), np.array(out_v)
+
+
+def interpolate_kernel(ts: np.ndarray, vals: np.ndarray, interval: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-exact Go Interpolate (mutations/mutations.go:90-137),
+    minus its duplicate-emit on exact boundary hits (see module doc)."""
+    out_t, out_v = [], []
+    if len(ts) == 0:
+        return np.array(out_t, dtype=np.int64), np.array(out_v)
+    if ts[0] % interval == 0:
+        out_t.append(ts[0])
+        out_v.append(vals[0])
+        prev_t, prev_v = ts[0], vals[0]
+    else:
+        prev_t, prev_v = ts[0] // interval * interval, vals[0]
+    pending = prev_t + interval
+    for t, v in zip(ts[1:], vals[1:]):
+        if t < pending:
+            continue  # non-crossing inputs are skipped (mutations.go:112)
+        rate = v - prev_v
+        while pending <= t:
+            pct = (pending - prev_t) / (t - prev_t)
+            out_t.append(pending)
+            out_v.append(prev_v + rate * pct)
+            pending += interval
+        if prev_t < t:
+            prev_t, prev_v = t, v  # single emit even on exact boundary
+    return np.array(out_t, dtype=np.int64), np.array(out_v)
+
+
+def mean_anchored_kernel(ts: np.ndarray, vals: np.ndarray, duration: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-exact Go Mean (mutations/mutations.go:10-49): buckets
+    anchored at first-in-bucket ts, flushed when ts-first > duration,
+    stamped at last included ts."""
+    out_t, out_v = [], []
+    if len(ts) == 0:
+        return np.array(out_t, dtype=np.int64), np.array(out_v)
+    first = ts[0]
+    s = 0.0
+    n = 0
+    last = ts[0]
+    for t, v in zip(ts, vals):
+        if t - first > duration and n > 0:
+            out_t.append(last)
+            out_v.append(s / n)
+            first, s, n = t, 0.0, 0
+        s += v
+        n += 1
+        last = t
+    if n:
+        out_t.append(last)
+        out_v.append(s / n)
+    return np.array(out_t, dtype=np.int64), np.array(out_v)
+
+
+def _minmax_anchored_kernel(ts, vals, duration, fn):
+    """Go Min/Max (mutations.go:139-191): same bucketing as Mean."""
+    out_t, out_v = [], []
+    if len(ts) == 0:
+        return np.array(out_t, dtype=np.int64), np.array(out_v)
+    first = ts[0]
+    cur: list[float] = []
+    last = ts[0]
+    for t, v in zip(ts, vals):
+        if t - first > duration and cur:
+            out_t.append(last)
+            out_v.append(fn(cur))
+            first, cur = t, []
+        cur.append(v)
+        last = t
+    if cur:
+        out_t.append(last)
+        out_v.append(fn(cur))
+    return np.array(out_t, dtype=np.int64), np.array(out_v)
+
+
+def min_anchored_kernel(ts, vals, duration):
+    return _minmax_anchored_kernel(ts, vals, duration, min)
+
+
+def max_anchored_kernel(ts, vals, duration):
+    return _minmax_anchored_kernel(ts, vals, duration, max)
+
+
+# ---------------------------------------------------------------------------
+# grouped-map wrappers (Arrow-batched; one group = one series)
+# ---------------------------------------------------------------------------
+
+_OUT_SCHEMA = "series_key string, ts timestamp, dval double"
+
+_KERNELS = {
+    "interpolate": interpolate_kernel,
+    "mean_anchored": mean_anchored_kernel,
+    "min_anchored": min_anchored_kernel,
+    "max_anchored": max_anchored_kernel,
+    "uniform_average": uniform_series_kernel,
+}
+
+
+def apply_kernel(points: DataFrame, kind: str, interval) -> DataFrame:
+    """Run a per-series kernel via applyInPandas. Grid math in epoch-µs.
+
+    Scale note: one Arrow batch per series; series are hash-distributed
+    across executors by the groupBy, so the Python stage parallelizes to
+    the series cardinality (≫ executor count for metrics workloads).
+    """
+    kernel = _KERNELS[kind]
+    interval_us = parse_duration_ms(interval) * _US
+    pts = _with_key(points).select(
+        SERIES_KEY_COL, (epoch_seconds("ts") * 1_000_000).cast("long").alias("_t"), "dval"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_t")
+        out_t, out_v = kernel(
+            pdf["_t"].to_numpy(np.int64), pdf["dval"].to_numpy(np.float64), interval_us
+        )
+        return pd.DataFrame(
+            {
+                "series_key": pdf["series_key"].iloc[0] if len(out_t) else pd.Series([], dtype=str),
+                "ts": pd.to_datetime(out_t, unit="us"),
+                "dval": out_v,
+            }
+        )
+
+    return pts.groupBy(SERIES_KEY_COL).applyInPandas(run, _OUT_SCHEMA)
+
+
+def interpolate(points: DataFrame, interval) -> DataFrame:
+    """M7 NONE+sample_frequency (Go Interpolate)."""
+    return apply_kernel(points, "interpolate", interval)
+
+
+def mean_anchored(points: DataFrame, interval) -> DataFrame:
+    """M5 reference-anchored Mean (golden-parity variant)."""
+    return apply_kernel(points, "mean_anchored", interval)

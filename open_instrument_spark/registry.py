@@ -521,3 +521,65 @@ def agg_retained_single_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         F.col("retained_labels").getItem("k").alias("retained_k"),
     )
+
+
+# ===========================================================================
+# Grid resampling M4/M7 (interpolation)
+# ===========================================================================
+
+_UNIFORM_I_US = 86_400_000_000  # 1 day grid
+
+
+@query(
+    "resample_uniform_avg",
+    oracle=f"""
+WITH {P_CTE},
+w AS (
+  SELECT series_key, epoch_us(ts) AS t, dval,
+         lag(epoch_us(ts)) OVER win AS pt, lag(dval) OVER win AS pv,
+         min(epoch_us(ts)) OVER (PARTITION BY series_key) AS t0
+  FROM p WINDOW win AS (PARTITION BY series_key ORDER BY ts)
+),
+pairs AS (
+  SELECT series_key, t, dval, pt, pv,
+         t0 - t0 % {_UNIFORM_I_US} AS base,
+         pt + ({_UNIFORM_I_US} - (pt - (t0 - t0 % {_UNIFORM_I_US})) % {_UNIFORM_I_US}) AS g_lo,
+         t - (t - (t0 - t0 % {_UNIFORM_I_US})) % {_UNIFORM_I_US} AS g_hi
+  FROM w WHERE pt IS NOT NULL AND t > pt
+)
+SELECT series_key, make_timestamp(g) AS ts,
+       CASE WHEN g = t THEN dval
+            ELSE (dval - pv) / (t - pt) * (g - pt) + pv END AS dval
+FROM pairs, unnest(generate_series(g_lo, g_hi, {_UNIFORM_I_US})) AS u(g)
+WHERE g_lo <= g_hi
+""",
+)
+def resample_uniform_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 C++ UniformTimeSeries (AVERAGE + sample_frequency): daily grid,
+    linear interpolation between straddling points — pure Spark
+    sequence+explode, golden-tested against lib/counter_test.cc."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.uniform_average(_pts(spark, sf_dir), "1d")
+    return out.select("series_key", "ts", "dval")
+
+
+@query("resample_interpolate_go")
+def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 Go Interpolate (NONE + sample_frequency): sequential per-series
+    kernel (applyInPandas) — reference-exact semantics incl. skipping
+    non-boundary-crossing inputs; golden-tested vs mutations_test.go.
+    No SQL oracle (single-pass channel semantics aren't relational);
+    driver records the rows-only check."""
+    from open_instrument_spark.operators import resample
+
+    return resample.interpolate(_pts(spark, sf_dir), "1d")
+
+
+@query("resample_mean_anchored")
+def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 Go Mean with reference-exact data-anchored buckets (first-ts
+    anchor, stamped at last-in-bucket ts) — golden-tested; rows-only."""
+    from open_instrument_spark.operators import resample
+
+    return resample.mean_anchored(_pts(spark, sf_dir), "1d")

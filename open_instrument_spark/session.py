@@ -10,6 +10,8 @@ results are cluster-timezone independent.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -56,4 +58,41 @@ def prepare(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    _ship_package(spark)
     return spark
+
+
+_shipped: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Grouped-map kernels (resample.py, llm ops) are pickled by module
+    reference; workers must be able to import ``open_instrument_spark``.
+    ``addPyFile`` with a zip of the package is the deployment-correct
+    mechanism on a real cluster and equally covers local mode when the
+    driver process was launched from a different cwd.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "open_instrument_spark_pyfiles.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "open_instrument_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass
+    _shipped.add(key)
