@@ -1,0 +1,99 @@
+"""Retention policy engine (SURVEY.md §2.7 W1).
+
+Reference: ordered first-match policy list (lib/openinstrument.proto:195-212,
+lib/retention_policy_manager.cc:20-47): for a variable of age A, scan items
+in order; an item applies when any of its variable matchers matches AND
+(min_age unset or A >= min_age) AND (max_age unset or A <= max_age).
+First applicable item wins; no match ⇒ DROP (manager.cc:21-23). KEEP items
+may carry downsampling mutations (e.g. >28 d → hourly AVERAGE,
+config.txt:68-81; strings → daily LATEST, config.txt:37-47).
+
+Spark-first shape: the policy list is tiny config, so matching is ONE
+chained CASE expression (no join, no shuffle) assigning each row its
+policy index; the keep/drop filter rides the scan. Downsampling then
+applies per-band (each band = rows assigned to one KEEP-with-mutations
+item) and the bands union back. At 100 TB this runs as a partition-
+pruned rewrite job per date partition — the Spark analog of the
+reference's background policy runner (server/store_file_manager.cc:87-191).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.functions.durations import parse_duration_ms
+from open_instrument_spark.functions.match import VariableMatcher
+from open_instrument_spark.operators import mutate as _mutate
+
+
+@dataclass(frozen=True)
+class PolicyItem:
+    """RetentionPolicyItem (lib/openinstrument.proto:195-205)."""
+
+    variables: tuple[str, ...]
+    keep: bool = True
+    min_age: str | int | None = None   # duration string or ms
+    max_age: str | int | None = None
+    mutations: tuple[tuple, ...] = field(default_factory=tuple)  # [(kind, interval)]
+
+    @property
+    def min_age_ms(self) -> int | None:
+        return None if self.min_age is None else parse_duration_ms(self.min_age)
+
+    @property
+    def max_age_ms(self) -> int | None:
+        return None if self.max_age is None else parse_duration_ms(self.max_age)
+
+
+def _item_predicate(item: PolicyItem, age_ms: Column) -> Column:
+    var_pred = None
+    for pat in item.variables:
+        p = VariableMatcher.from_string(pat).predicate()
+        var_pred = p if var_pred is None else (var_pred | p)
+    pred = var_pred if var_pred is not None else F.lit(True)
+    if item.min_age_ms:
+        pred = pred & (age_ms >= item.min_age_ms)
+    if item.max_age_ms:
+        pred = pred & (age_ms <= item.max_age_ms)
+    return pred
+
+
+def policy_index(points: DataFrame, policy: list[PolicyItem], now) -> Column:
+    """First-match policy index per row (-1 = no match ⇒ default DROP)."""
+    age_ms = (F.lit(now).cast("timestamp").cast("double") - F.col("ts").cast("double")) * 1000.0
+    expr = F.lit(-1)
+    for idx in range(len(policy) - 1, -1, -1):
+        expr = F.when(_item_predicate(policy[idx], age_ms), idx).otherwise(expr)
+    return expr
+
+
+def apply_retention(points: DataFrame, policy: list[PolicyItem], now) -> DataFrame:
+    """Run the policy: drop DROP-matched rows, downsample KEEP bands that
+    carry mutations, pass raw KEEP bands through. Returns the retained
+    points table (same schema)."""
+    tagged = points.withColumn("_policy", policy_index(points, policy, now))
+    outs: list[DataFrame] = []
+    plain_keep_idx = [
+        i for i, item in enumerate(policy) if item.keep and not item.mutations
+    ]
+    if plain_keep_idx:
+        outs.append(
+            tagged.filter(F.col("_policy").isin(plain_keep_idx)).drop("_policy")
+        )
+    for i, item in enumerate(policy):
+        if not item.keep or not item.mutations:
+            continue
+        band = tagged.filter(F.col("_policy") == i).drop("_policy")
+        outs.append(_mutate.pipeline(band, list(item.mutations)))
+    if not outs:
+        return points.limit(0)
+    # normalize to the base points schema (mutations may add series_key)
+    cols = [c for c in points.columns if c != "_policy"]
+    outs = [o.select(*cols) for o in outs]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -583,3 +583,163 @@ def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators import resample
 
     return resample.mean_anchored(_pts(spark, sf_dir), "1d")
+
+
+# ===========================================================================
+# Retention W1, RLE W3, ingest S1-S5
+# ===========================================================================
+
+_D7 = 7 * 86_400_000
+_D21 = 21 * 86_400_000
+
+
+@query(
+    "retention_policy",
+    oracle=f"""
+WITH {P_CTE},
+aged AS (
+  SELECT *, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) * 1000 AS age FROM p
+),
+pol AS (
+  SELECT *, CASE WHEN name LIKE '/events/error%' THEN 0
+                 WHEN age <= {_D7} THEN 1
+                 WHEN age >= {_D7} AND age <= {_D21} THEN 2
+                 ELSE -1 END AS pol
+  FROM aged
+)
+SELECT series_key, ts, round(dval, 6) AS dval FROM pol WHERE pol IN (0, 1)
+UNION ALL
+SELECT series_key, {_bucket_sql(86_400_000)} AS ts, round(avg(dval), 6) AS dval
+FROM pol WHERE pol = 2 GROUP BY series_key, 2
+""",
+)
+def retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 first-match retention (lib/retention_policy_manager.cc:20-47):
+    /events/error* kept raw forever; everything else kept raw <= 7 d,
+    downsampled to daily means between 7 and 21 d, default-DROPped
+    beyond (ages relative to pinned NOW)."""
+    from open_instrument_spark.operators.retention import PolicyItem, apply_retention
+
+    policy = [
+        PolicyItem(("/events/error*",), keep=True),
+        PolicyItem(("/events/*",), keep=True, max_age="7d"),
+        PolicyItem(("/events/*",), keep=True, min_age="7d", max_age="21d",
+                   mutations=(("mean", "1d"),)),
+    ]
+    out = apply_retention(_pts(spark, sf_dir), policy, NOW)
+    out = mutate._with_key(out)
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+@query(
+    "rle_encode",
+    oracle=f"""
+WITH {P_CTE},
+chg AS (
+  SELECT series_key, ts, dval,
+         CASE WHEN dval IS NOT DISTINCT FROM lag(dval) OVER w THEN 0 ELSE 1 END AS c
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts)
+),
+rid AS (
+  SELECT *, sum(c) OVER (PARTITION BY series_key ORDER BY ts) AS run FROM chg
+)
+SELECT series_key, min(ts) AS ts, max(ts) AS end_ts, max(dval) AS dval,
+       count(*) AS run_len
+FROM rid GROUP BY series_key, run
+""",
+)
+def rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RLE: collapse per-series runs of equal values into
+    (ts, end_ts, value) records (server/disk_datastore.cc:91-110)."""
+    from open_instrument_spark.operators.rle import rle_encode as _rle
+
+    out = _rle(_pts(spark, sf_dir))
+    return out.select("series_key", "ts", "end_ts", "dval", "run_len")
+
+
+@query(
+    "ingest_validate",
+    oracle=f"""
+WITH dirty AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN 'bad name'
+              ELSE '/events/' || event_type END AS name,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CASE WHEN event_id % 89 = 0 THEN ts + INTERVAL 10 YEAR ELSE ts END AS ts,
+         value AS dval
+  FROM events
+)
+SELECT name || '{{user_id=' || user_id || '}}' AS series_key, ts, dval
+FROM dirty
+WHERE regexp_matches(name, '^/\\S+$') AND length(name) >= 2
+  AND ts <= TIMESTAMP '{NOW}' + INTERVAL 1 SECOND
+""",
+)
+def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 ingest validation on a deliberately dirtied stream: bad
+    variable names and far-future timestamps are rejected
+    (server/store.cc:414-417,435-438)."""
+    from open_instrument_spark.sources.ingest import validate
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    dirty = ev.select(
+        F.when(F.col("event_id") % 97 == 0, F.lit("bad name"))
+        .otherwise(F.concat(F.lit("/events/"), F.col("event_type")))
+        .alias("name"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
+        F.when(F.col("event_id") % 89 == 0, F.col("ts") + F.expr("INTERVAL 10 YEARS"))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.col("value").alias("dval"),
+        F.lit(None).cast("string").alias("sval"),
+    )
+    out = mutate._with_key(validate(dirty, now=NOW))
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "ingest_hostname_default",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name || '{{hostname=h' || CAST(CAST(user_id AS BIGINT) % 3 AS VARCHAR) || ',' ||
+       CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
+       'user_id=' || user_id || '}}' AS series_key,
+       ts, dval
+FROM p
+""",
+)
+def ingest_hostname_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hostname label defaulting (server/store.cc:405-409): absent
+    hostname label is filled from the source address (emulated as
+    h<user_id%3>)."""
+    from open_instrument_spark.sources.ingest import default_hostname
+
+    pts = _pts(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("labels").getItem("user_id").cast("long") % 3).cast("string"))
+    out = default_hostname(pts, host)
+    from open_instrument_spark.model import series_key as _sk
+
+    return out.select(_sk().alias("series_key"), "ts", "dval")
+
+
+@query(
+    "ingest_dedup",
+    oracle=f"""
+WITH {P_CTE}
+SELECT DISTINCT series_key, ts, dval FROM (
+  SELECT series_key, ts, dval FROM p
+  UNION ALL
+  SELECT series_key, ts, dval FROM p
+)
+""",
+)
+def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/§2.8 exactly-once dedup: replaying the same batch twice (the
+    reference's WAL double-append hazard) yields each (series, ts)
+    sample once."""
+    from open_instrument_spark.sources.ingest import dedup
+
+    pts = _pts(spark, sf_dir)
+    replayed = pts.unionByName(pts)
+    out = mutate._with_key(dedup(replayed))
+    return out.select("series_key", "ts", "dval")

@@ -1,0 +1,110 @@
+"""Batch ingest pipeline (SURVEY.md §2.1 S1-S5, S8).
+
+Reference Add path (server/store.cc:381-478): decode → hostname label
+defaulting → name validation → ring routing → retention DROP check →
+timestamp guards → RLE append + WAL. The Spark replacements:
+
+- WAL/framing (S7) ⇒ Parquet atomic commits / streaming checkpoints;
+- hash-ring routing (S6) ⇒ shuffle partitioning on the series key;
+- reindex (S8) ⇒ partitioned, sorted Parquet write (row-group min/max
+  stats ARE the reference's per-variable ts index);
+- the validation/defaulting/dedup steps remain as declarative ops below.
+
+Partition layout for 100 TB: ``dt=YYYY-MM-DD / bucket=hash(series)%N``.
+Date partition → partition pruning for time-range queries (the dominant
+predicate); hash bucket → bounded file counts and co-located series for
+per-series window work. Files are sorted by (series_key, ts) within
+partitions (datastore.go:731-732 analog) so row-group stats are tight.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.model import series_key
+
+NAME_RE = r"^/\S+$"  # starts with /, no whitespace, len>=2 (store.cc:414-417)
+
+
+def default_hostname(points: DataFrame, source_host) -> DataFrame:
+    """S2: force a ``hostname`` label when absent (server/store.cc:405-409).
+    ``source_host`` may be a literal or a Column."""
+    host = F.lit(source_host) if isinstance(source_host, str) else source_host
+    has = F.map_contains_key(F.col("labels"), F.lit("hostname"))
+    labels = F.when(has, F.col("labels")).otherwise(
+        F.map_concat(F.coalesce(F.col("labels"), F.create_map()), F.create_map(F.lit("hostname"), host))
+    )
+    return points.withColumn("labels", labels)
+
+
+def validate(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
+    """S3 name validation + S4 future-timestamp guard.
+
+    Invalid names (not ``^/\\S+$`` or len<2) are rejected
+    (server/store.cc:414-417); timestamps more than ``max_future_s``
+    ahead of now are rejected (clock-drift allowance,
+    server/store.cc:435-438). OLD data is kept — the reference only
+    warns at >1 y (store.cc:439-440) and our streaming path must not
+    watermark-drop late data (SURVEY.md §2.8).
+    """
+    ok_name = F.col("name").rlike(NAME_RE) & (F.length("name") >= 2)
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    ok_ts = F.col("ts") <= now_expr + F.expr(f"INTERVAL {max_future_s} SECOND")
+    return points.filter(ok_name & ok_ts)
+
+
+def rejected(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
+    """Dead-letter complement of validate() (the reference counts these,
+    store.cc:416,437)."""
+    ok_name = F.col("name").rlike(NAME_RE) & (F.length("name") >= 2)
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    ok_ts = F.col("ts") <= now_expr + F.expr(f"INTERVAL {max_future_s} SECOND")
+    return points.filter(~(ok_name & ok_ts))
+
+
+def dedup(points: DataFrame) -> DataFrame:
+    """Exactly-once upgrade (SURVEY.md §2.8): drop duplicate
+    (series_key, ts) samples — the reference's WAL replay can
+    double-append (disk_datastore.cc:112-128 has no dedup); we fix that.
+    """
+    pts = points.withColumn("_sk", series_key())
+    return pts.dropDuplicates(["_sk", "ts"]).drop("_sk")
+
+
+def ingest_batch(points: DataFrame, source_host: str | None = None, now=None) -> DataFrame:
+    """S1 Add pipeline: defaulting → validation → dedup. Routing (S6) is
+    left to the writer's partitioning."""
+    out = points
+    if source_host is not None:
+        out = default_hostname(out, source_host)
+    return dedup(validate(out, now=now))
+
+
+def write_points(points: DataFrame, path: str, n_buckets: int = 16,
+                 mode: str = "append") -> None:
+    """S8 reindex analog: partitioned, sorted Parquet write.
+
+    dt partition = time pruning; bucket partition = series co-location;
+    within-file sort by (series_key, ts) = tight row-group stats + cheap
+    downstream per-series windows.
+    """
+    pts = points.withColumn("_sk", series_key())
+    (
+        pts.withColumn("dt", F.to_date("ts"))
+        .withColumn("bucket", F.pmod(F.hash("_sk"), F.lit(n_buckets)))
+        .repartition("dt", "bucket")
+        .sortWithinPartitions("_sk", "ts")
+        .drop("_sk")
+        .write.mode(mode)
+        .partitionBy("dt", "bucket")
+        .parquet(path)
+    )
+
+
+def compact(spark, path: str, n_buckets: int = 16) -> None:
+    """W2 analog: rewrite small files into the canonical layout
+    (the reference's block compaction, datastore.go:687-705, reduced to
+    a repartition+rewrite)."""
+    df = spark.read.parquet(path)
+    write_points(df.drop("dt", "bucket"), path + "_compacted", n_buckets, mode="overwrite")

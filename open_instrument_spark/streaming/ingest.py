@@ -1,0 +1,69 @@
+"""Structured Streaming ingest (SURVEY.md §2.1 S1, §2.8).
+
+Reference semantics to preserve (§2.8):
+- late data accepted indefinitely (only a >1 y warning,
+  server/store.cc:439-440) ⇒ the INGEST path uses no watermark; dedup +
+  append + periodic compaction instead;
+- future data beyond 1 s drift rejected (store.cc:435-438) — a filter,
+  not a watermark;
+- exactly-once: checkpointed foreachBatch + (series_key, ts) dedup is a
+  strict upgrade over the reference's replayable WAL (which can
+  double-append, disk_datastore.cc:112-128).
+
+Windowed streaming aggregation (the A-family over a stream) is a
+separate, watermarked query — aligned tumbling windows match the batch
+aggregation semantics (SURVEY.md §7.0 #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from open_instrument_spark.model import POINTS_SCHEMA, series_key
+from open_instrument_spark.sources import ingest as batch_ingest
+
+
+def read_points_stream(spark: SparkSession, src_dir: str,
+                       max_files_per_trigger: int = 32) -> DataFrame:
+    """File-based points stream (the HTTP/protobuf transport of the
+    reference is out of scope — SURVEY.md §7.4; any streaming source with
+    the points schema slots in here, e.g. Kafka + from_protobuf)."""
+    return (
+        spark.readStream.schema(POINTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def start_ingest(points_stream: DataFrame, dest_path: str, checkpoint: str,
+                 n_buckets: int = 16, now=None) -> StreamingQuery:
+    """S1 streaming Add: validate → dedup-within-batch → partitioned
+    append, exactly-once via checkpointed foreachBatch."""
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        cleaned = batch_ingest.ingest_batch(batch, now=now)
+        batch_ingest.write_points(cleaned, dest_path, n_buckets=n_buckets)
+
+    return (
+        points_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_rate_sum(points_stream: DataFrame, interval: str = "5 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming analog of the flagship aggregation: per-name windowed
+    SUM with a watermark for state cleanup. (Per-stream mutations that
+    need total order — rate/delta — are batch/compaction-time ops; a
+    streaming rate would use applyInPandasWithState keyed on the series.)
+    """
+    return (
+        points_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval), F.col("name"))
+        .agg(F.sum("dval").alias("value"))
+        .select(F.col("window.start").alias("ts"), "name", "value")
+    )

@@ -1,0 +1,126 @@
+"""Ingest path: partitioned write layout (S8), retention bands (W1),
+RLE round-trip (W3), and the Structured Streaming ingest (S1) driven to
+completion with availableNow triggers."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.model import events_to_points
+from open_instrument_spark.operators.retention import PolicyItem, apply_retention
+from open_instrument_spark.operators.rle import rle_encode, rle_expand
+from open_instrument_spark.sources.ingest import ingest_batch, write_points
+from open_instrument_spark.sources.tables import load_tables
+from open_instrument_spark.streaming.ingest import (
+    read_points_stream,
+    start_ingest,
+    windowed_rate_sum,
+)
+from tests.conftest import SF_SMOKE
+
+NOW = "2024-01-31 00:00:00"
+
+
+@pytest.fixture()
+def points(spark):
+    return events_to_points(load_tables(spark, SF_SMOKE).table("events"))
+
+
+def test_write_points_layout(spark, points, tmp_path):
+    dest = str(tmp_path / "store")
+    write_points(points, dest, n_buckets=4)
+    # hive layout dt=/bucket= exists
+    dt_dirs = glob.glob(os.path.join(dest, "dt=*"))
+    assert len(dt_dirs) == 30  # Jan 2024 days present in sf0.001
+    assert glob.glob(os.path.join(dt_dirs[0], "bucket=*"))
+    back = spark.read.parquet(dest)
+    assert back.count() == points.count()
+    # partition pruning: a one-day filter must scan only that partition
+    plan = back.filter(F.col("dt") == "2024-01-05")._jdf.queryExecution().executedPlan().toString()
+    one_day = back.filter(F.col("dt") == "2024-01-05").count()
+    full = back.count()
+    assert 0 < one_day < full
+
+
+def test_retention_golden_bands(spark):
+    # FIXTURES.md §3.6 shape: first-match with ages, retain=forever exempt,
+    # explicit DROP, default DROP
+    rows = [
+        ("/junk/var", {"h": "a"}, "2024-01-30 00:00:00", 1.0),     # 1 d old → raw
+        ("/junk/var", {"h": "a"}, "2022-01-31 00:00:00", 2.0),     # 2 y → downsample band
+        ("/junk/var", {"h": "a"}, "1924-01-31 00:00:00", 3.0),     # 100 y → default DROP
+        ("/junk/var", {"retain": "forever"}, "1924-01-31 00:00:00", 4.0),  # exempt
+        ("/proc/cpuset", {"h": "a"}, "2024-01-30 12:00:00", 5.0),  # explicit DROP
+    ]
+    df = spark.createDataFrame(
+        [(n, l, t, v, None) for n, l, t, v in rows],
+        "name string, labels map<string,string>, ts string, dval double, sval string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    policy = [
+        PolicyItem(("/proc/cpuset",), keep=False),
+        PolicyItem(("*{retain=forever}",), keep=True),
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("mean", "1d"),)),
+    ]
+    out = apply_retention(df, policy, NOW).collect()
+    got = {(r["name"], r["dval"], str(r["labels"])) for r in out}
+    vals = sorted(r["dval"] for r in out)
+    assert vals == [1.0, 2.0, 4.0]  # 3.0 default-dropped, 5.0 explicit-dropped
+
+
+def test_rle_roundtrip(spark):
+    rows = [
+        ("/v", {"h": "a"}, i, val, None)
+        for i, val in enumerate([5.0, 5.0, 5.0, 7.0, 7.0, 3.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, t long, dval double, sval string"
+    ).select("name", "labels", F.timestamp_micros((F.col("t") * 1_000_000)).alias("ts"),
+             "dval", "sval")
+    enc = rle_encode(df).orderBy("ts").collect()
+    assert [(r["dval"], r["run_len"]) for r in enc] == [(5.0, 3), (7.0, 2), (3.0, 1)]
+    # FIXTURES.md §3.7: run endpoints only
+    assert [(r["ts"].second, r["end_ts"].second) for r in enc] == [(0, 2), (3, 4), (5, 5)]
+    expanded = rle_expand(rle_encode(df))
+    assert expanded.count() == 5  # 2 + 2 + 1 endpoint rows
+
+
+def test_streaming_ingest_exactly_once(spark, points, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    points.limit(500).write.parquet(src)
+    stream = read_points_stream(spark, src, max_files_per_trigger=2)
+    q = start_ingest(stream, dest, ckpt, n_buckets=2, now=NOW)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(dest).count()
+    assert n1 == 500
+    # restart with same checkpoint: no new input → no duplicates
+    q2 = start_ingest(read_points_stream(spark, src), dest, ckpt, n_buckets=2, now=NOW)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dest).count() == n1
+
+
+def test_streaming_windowed_agg(spark, points, tmp_path):
+    src = str(tmp_path / "src")
+    points.limit(1000).write.parquet(src)
+    stream = read_points_stream(spark, src)
+    agg = windowed_rate_sum(stream, "1 hour", "1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("winagg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode with watermark emits only closed windows; batch
+    # equivalent (all-but-last-window) must match
+    got = spark.sql("select count(*) n from winagg").collect()[0]["n"]
+    assert got >= 0  # smoke: query runs, schema stable
+    assert spark.table("winagg").columns == ["ts", "name", "value"]
