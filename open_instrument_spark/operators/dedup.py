@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines (§2.9).
+
+Exact (hash groupBy), n-gram Jaccard (exact, shared-shingle join),
+MinHash+LSH (banded candidate generation + exact verify), SimHash
+(bit-sign aggregate + banded Hamming join). All candidate generation is
+join-based — no pairwise cross product ever materializes except between
+candidates, which is the property that survives 100 TB.
+
+Scale ladder (why all four exist):
+- exact: one shuffle on md5(text) — always run first;
+- ngram-jaccard: exact pair recall, cost = Σ per-shingle bucket²;
+  fine while shingle frequencies are bounded (cap via ``max_bucket``);
+- minhash-lsh: constant-size signature per doc, recall tunable by
+  (bands, rows); the 100 TB path;
+- simhash: 8-byte fingerprint, Hamming-ball lookup via 16-bit bands;
+  cheapest memory footprint for web-scale near-dup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.text import words
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; representative = min doc_id.
+    Output: (doc_id, rep_id, is_dup)."""
+    h = F.md5(F.col(text_col))
+    reps = (
+        docs.select(F.col("doc_id"), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        docs.select("doc_id", h.alias("_h"))
+        .join(reps, "_h")
+        .select(
+            "doc_id",
+            "rep_id",
+            (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
+            "group_size",
+        )
+    )
+
+
+def shingles(text_col, k: int = 5):
+    """Distinct word k-gram shingles; short docs → whole-text shingle."""
+    toks = words(text_col)
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
+                        threshold: float = 0.5, max_bucket: int | None = None
+                        ) -> DataFrame:
+    """EXACT near-dup pairs by word-k-gram Jaccard ≥ threshold.
+
+    Any pair with J > 0 shares a shingle, so the shared-shingle self-join
+    enumerates a superset of all qualifying pairs; intersection counts
+    fall out of the join group sizes — no minhash approximation.
+    ``max_bucket`` drops degenerate ultra-common shingles (scale guard).
+    Output: (a_id, b_id, jaccard).
+    """
+    ds = _doc_shingles(docs, text_col, k)
+    if max_bucket is not None:
+        freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
+        ds = ds.join(freq.filter(F.col("_n") <= max_bucket), "shingle", "left_semi")
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
+                       num_perm: int = 64) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Pure JVM (xxhash64 is codegen'd); one
+    explode + one groupBy."""
+    ds = docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    sig = F.array(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    return ds.groupBy("doc_id").agg(sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures into ``bands`` buckets,
+    candidates = pairs sharing any band bucket, then EXACT Jaccard verify
+    (so precision is exact; recall is the LSH S-curve).
+    Output: (a_id, b_id, jaccard)."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, text_col, k, num_perm)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig").getItem(b * rows + r) for r in range(rows)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, text_col, k, threshold=0.0)
+    return (
+        cand.join(exact, ["a_id", "b_id"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc from token xxhash64s — per-bit sign sums as
+    64 conditional aggregates, fully inside codegen (no Python).
+    Output: (doc_id, simhash)."""
+    tok = docs.select(
+        "doc_id", F.explode(words(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+                  ) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 × 16-bit bands; any pair
+    within Hamming ≤ 3 agrees exactly on ≥1 band ⇒ candidates via 4
+    equi-joins, then exact popcount verify. Output: (a_id, b_id, hamming).
+    """
+    sh = simhash(docs, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing (§2.9).
+
+Media payloads are opaque ``binary`` columns + a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+Pandas UDFs over ``mapInPandas``. The actual codecs (PIL/ffmpeg/…) are
+NOT in this container, so the decode step is STUBBED: ``decode_image``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder derives dimensions from the payload bytes —
+making the Spark-side plumbing (schema, batch shape, partitioning) real
+and testable end-to-end.
+
+Scale notes: binary columns ride Parquet as-is (no row-group bloat if
+media is chunked ≤ a few MB); `mapInPandas` streams Arrow record
+batches so peak executor memory is one batch of blobs, not a partition;
+feature extraction parallelizes by repartitioning on a content hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, blob binary, meta struct<mime:string, n_bytes:long, "
+    "width:int, height:int, channels:int>"
+)
+
+
+def attach_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo adapter: treat document text bytes as a fake media payload
+    with typed metadata (real pipelines read blobs from object storage
+    via binaryFile or a manifest join)."""
+    blob = F.encode(F.col(text_col), "UTF-8")
+    n = F.length(blob).cast("long")
+    meta = F.struct(
+        F.lit("image/fake").alias("mime"),
+        n.alias("n_bytes"),
+        (1 + F.pmod(n, F.lit(64))).cast("int").alias("width"),
+        (1 + F.pmod(n, F.lit(48))).cast("int").alias("height"),
+        F.lit(3).alias("channels"),
+    )
+    return docs.select("doc_id", blob.alias("blob"), meta.alias("meta"))
+
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode blobs to (doc_id, width, height, channels, mean_byte).
+
+    Real decode needs an image codec — not present in this container:
+    raises NotImplementedError unless ``fake=True`` (deterministic stub
+    consistent with attach_blob's metadata arithmetic).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs (PIL/opencv) are not available in this environment; "
+            "pass fake=True for the deterministic stub decoder"
+        )
+
+    out_schema = "doc_id long, width int, height int, channels int, mean_byte double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            n = blobs.map(len).astype("int64")
+            mean_byte = blobs.map(
+                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (1 + n % 64).astype("int32"),
+                    "height": (1 + n % 48).astype("int32"),
+                    "channels": 3,
+                    "mean_byte": mean_byte.round(6),
+                }
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(run, out_schema)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 256, stride: int = 4
+                 ) -> DataFrame:
+    """Video-style frame sampling over the byte stream: every
+    ``stride``-th ``frame_bytes`` chunk, with per-frame checksum.
+    Output: (doc_id, frame_idx, frame_len, frame_md5)."""
+    out_schema = "doc_id long, frame_idx int, frame_len int, frame_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = max(1, len(blob) // frame_bytes)
+                for idx in range(0, n_frames, stride):
+                    chunk = bytes(blob[idx * frame_bytes : (idx + 1) * frame_bytes])
+                    rows.append(
+                        (doc_id, idx, len(chunk), hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"]
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(run, out_schema)
+
+
+def blob_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass (no decode): sizes + frame counts from the
+    typed metadata — the shape of a manifest-building job at 100 TB.
+    Output: (doc_id, n_bytes, width, height, n_frames)."""
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.greatest(F.lit(1), F.floor(F.col("meta.n_bytes") / 256).cast("int")).alias("n_frames"),
+    )

@@ -743,3 +743,351 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed = pts.unionByName(pts)
     out = mutate._with_key(dedup(replayed))
     return out.select("series_key", "ts", "dval")
+
+
+# ===========================================================================
+# §2.9 LLM-pipeline operators: text analysis, dedup, similarity, multimodal
+# ===========================================================================
+
+# DuckDB twin of text.words(): lower → strip non-letters → split on \s+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '')"
+)
+_SW = {
+    "en": "['the','and','of','to','in','is','you','that','it','for']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein','ich','auf']",
+    "fr": "['le','la','et','les','des','un','une','est','pour','que']",
+    "es": "['el','los','se','del','las','por','con','para','una','su']",
+}
+_HITS = {
+    lg: f"len(list_filter(w, t -> list_contains({lst}, t)))" for lg, lst in _SW.items()
+}
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
+),
+feat AS (
+  SELECT doc_id, text, w,
+         length(text) AS n_chars,
+         len(w) AS n_words,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
+         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
+         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_wlen
+  FROM base
+)
+SELECT doc_id, n_chars, n_words, n_tokens,
+       round(praw, 6) AS punct_ratio,
+       round(sraw, 6) AS stopword_ratio,
+       round(
+         least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
+         (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         least(1.0, sraw * 5.0) * 0.2 +
+         (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
+       CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+            WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+            WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+            WHEN s_es >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+            ELSE 'und' END AS lang_pred,
+       CASE WHEN len(w) >= 3 THEN
+         list_min(list_transform(range(len(w) - 2),
+                  i -> md5(array_to_string(w[i+1:i+3], ' '))))
+       ELSE md5(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'))) END AS fingerprint
+FROM feat
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 text analysis: char/word/BPE-token counts, punctuation and
+    stopword ratios, composite quality score, heuristic language ID,
+    min-hash fingerprint — one JVM-side scan-project."""
+    from open_instrument_spark.operators.text import text_stats as _ts
+
+    prepare(spark)
+    return _ts(load_tables(spark, sf_dir).table("documents"))
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 7th doc (id+100000) — the
+    deterministic duplicate corpus used by the dedup oracles."""
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH {_DUP_CORPUS_SQL},
+reps AS (
+  SELECT md5(text) AS h, min(doc_id) AS rep_id, count(*) AS group_size
+  FROM corpus GROUP BY 1
+)
+SELECT c.doc_id, r.rep_id, c.doc_id != r.rep_id AS is_dup, r.group_size
+FROM corpus c JOIN reps r ON md5(c.text) = r.h
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 exact dedup: content-hash groups with min-id representative,
+    over a corpus seeded with known exact duplicates."""
+    from open_instrument_spark.operators.dedup import exact_dedup
+
+    prepare(spark)
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+_NEAR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz yy xx ww vv' FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '') AS w
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+),
+ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 EXACT n-gram Jaccard near-dup pairs (shared-shingle join —
+    no approximation), over a corpus seeded with appended-tail near-dups."""
+    from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    return ngram_jaccard_pairs(corpus, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 MinHash-LSH near-dup (64 perms, 16 bands × 4 rows, exact
+    Jaccard verify on candidates). xxhash64 signatures aren't portable to
+    the oracle engine → rows-only driver check; recall vs the exact
+    ngram_jaccard pairs is pytest-asserted."""
+    from open_instrument_spark.operators.dedup import minhash_lsh_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    return minhash_lsh_pairs(docs.unionByName(near), threshold=0.5)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SimHash near-dup (64-bit sign-aggregate fingerprint, 16-bit
+    band candidate join, popcount verify). Rows-only (xxhash64)."""
+    from open_instrument_spark.operators.dedup import simhash_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return simhash_pairs(docs.unionByName(near), max_hamming=3)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / "
+    "(sqrt(list_sum(list_transform(a.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+)
+
+
+@query(
+    "embed_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS_SQL} AS cos
+  FROM e a JOIN e b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 10
+""",
+)
+def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 brute-force cosine top-10 for query vectors 0-4: broadcast
+    queries × corpus, zip_with dot product, windowed rank."""
+    from open_instrument_spark.operators.similarity import cosine_topk
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "embed_near_dup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS_SQL} AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
+""",
+)
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding-cosine near-duplicate pairs (cos ≥ 0.4). The
+    correctness slice is the full self-join; the scale path is the LSH
+    bucketing in ann_lsh_topk."""
+    from open_instrument_spark.operators.similarity import near_dup_pairs
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return near_dup_pairs(emb, threshold=0.4)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN: random-hyperplane LSH (8 tables × 6 planes) candidate
+    buckets + exact cosine rank. Approximate by construction → rows-only;
+    recall vs brute force is pytest-asserted."""
+    from open_instrument_spark.operators.similarity import ann_lsh_topk as _ann
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return _ann(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "multimodal_blob_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+       CAST(1 + octet_length(encode(text)) % 48 AS INTEGER) AS height,
+       greatest(1, CAST(floor(octet_length(encode(text)) / 256) AS INTEGER)) AS n_frames
+FROM documents
+""",
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: typed-metadata manifest pass over binary payload
+    columns (no decode) — pure JVM."""
+    from open_instrument_spark.operators.multimodal import attach_blob, blob_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return blob_stats(attach_blob(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(range(greatest(1, CAST(floor(n / 256) AS INTEGER)))) AS frame_idx,
+         text, n
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       length(substr(text, frame_idx * 256 + 1, 256)) AS frame_len,
+       md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_md5
+FROM frames WHERE frame_idx % 4 = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: strided frame sampling over the byte stream via
+    mapInPandas (Arrow batches), checksums per frame — the oracle
+    reproduces the byte arithmetic on the ASCII payload."""
+    from open_instrument_spark.operators.multimodal import attach_blob, frame_sample
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    out = frame_sample(attach_blob(docs), frame_bytes=256, stride=4)
+    return out.select("doc_id", "frame_idx", "frame_len", "frame_md5")
+
+
+@query(
+    "multimodal_decode_fake",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         list_sum(list_transform(range(length(text)),
+                  i -> unicode(substr(text, i + 1, 1)))) AS byte_sum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + n % 64 AS INTEGER) AS width,
+       CAST(1 + n % 48 AS INTEGER) AS height,
+       3 AS channels,
+       round(CAST(byte_sum AS DOUBLE) / n, 6) AS mean_byte
+FROM m
+""",
+)
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: the stubbed deterministic decoder (mapInPandas
+    over binary blobs). Real codecs are absent in this container — the
+    stub derives dimensions/mean-byte from payload bytes; the oracle
+    replays the arithmetic over ASCII codepoints."""
+    from open_instrument_spark.operators.multimodal import attach_blob, decode_image
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    out = decode_image(attach_blob(docs), fake=True)
+    return out.select("doc_id", "width", "height", "channels", "mean_byte")

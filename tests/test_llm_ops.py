@@ -1,0 +1,103 @@
+"""LLM-pipeline operators: recall of the approximate paths vs their
+exact baselines, and the multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators import dedup, multimodal, similarity
+from open_instrument_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def near_corpus(spark, docs):
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    return docs.unionByName(near).cache()
+
+
+def _pairs(df):
+    return {(r["a_id"], r["b_id"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(near_corpus):
+    exact = _pairs(dedup.ngram_jaccard_pairs(near_corpus, threshold=0.5))
+    assert exact, "seeded near-dups must produce exact pairs"
+    lsh = _pairs(dedup.minhash_lsh_pairs(near_corpus, threshold=0.5))
+    # precision exact by construction (candidates verified with true J)
+    assert lsh <= exact
+    # seeded pairs have J≈0.9 → LSH (16 bands × 4 rows) recall ≈ 1
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_simhash_detects_exact_dups(spark, docs):
+    copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    n_copies = copies.count()
+    corpus = docs.unionByName(copies)
+    pairs = dedup.simhash_pairs(corpus, max_hamming=0)
+    got = _pairs(pairs)
+    expected = {
+        (r["doc_id"], r["doc_id"] + 300000)
+        for r in docs.filter(F.col("doc_id") % 13 == 0).collect()
+    }
+    assert expected <= got  # identical text ⇒ identical simhash
+
+
+def test_ann_finds_planted_near_duplicates(spark):
+    # The LSH guarantee is collision probability → 1 as cos → 1: plant a
+    # jittered copy of each query vector and require ANN to surface it
+    # as the top neighbor. (Generic top-10 recall on these random,
+    # cluster-free embeddings is not a property LSH promises.)
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    jitter = emb.filter(F.col("vec_id").isin(qids)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(jitter)
+    ann = similarity.ann_lsh_topk(corpus, qids, k=10)
+    top1 = {(r["q_id"], r["n_id"]) for r in ann.collect() if r["rank"] == 1}
+    assert top1 == {(q, q + 10000) for q in qids}
+
+
+def test_ann_overlaps_brute_force(spark):
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    b = {(r["q_id"], r["n_id"]) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    a = {(r["q_id"], r["n_id"]) for r in similarity.ann_lsh_topk(emb, qids, k=10).collect()}
+    assert len(a) > 0 and len(a & b) > 0
+
+
+def test_exact_dedup_groups(spark, docs):
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    out = dedup.exact_dedup(corpus)
+    dup_rows = out.filter(F.col("is_dup")).count()
+    assert dup_rows == docs.filter(F.col("doc_id") % 7 == 0).count()
+    # representatives are the original ids
+    assert out.filter(F.col("is_dup") & (F.col("rep_id") >= 100000)).count() == 0
+
+
+def test_decode_image_stub_raises(spark, docs):
+    media = multimodal.attach_blob(docs.limit(5))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media, fake=False)
+    fake = multimodal.decode_image(media, fake=True).collect()
+    assert len(fake) == 5 and all(r["channels"] == 3 for r in fake)
