@@ -1091,3 +1091,122 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).table("documents")
     out = decode_image(attach_blob(docs), fake=True)
     return out.select("doc_id", "width", "height", "channels", "mean_byte")
+
+
+# ===========================================================================
+# Generic analytics extensions (engine breadth + bench headliners): the
+# reference has no joins (SURVEY.md §2.6) — these demonstrate the joins/
+# windows the Spark engine adds for free, with decimal-exact oracles.
+# ===========================================================================
+
+@query(
+    "analytics_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → pushed filter → 2-key
+    groupBy with decimal-exact sums (cross-engine deterministic)."""
+    prepare(spark)
+    li = load_tables(spark, sf_dir).table("lineitem")
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")
+    out = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity", 4)).alias("_sq"),
+            F.sum(dec("l_extendedprice", 4)).alias("_sbp"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+            ).alias("_sdp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            "count_order",
+        )
+    )
+    return out
+
+
+@query(
+    "analytics_revenue_by_nation",
+    oracle="""
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def analytics_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join revenue rollup: fact-fact shuffle join on orderkey,
+    then broadcast joins to the small customer/nation dims (the shape
+    Catalyst must get right at 100 TB: two big-table shuffles max,
+    dims never shuffled)."""
+    prepare(spark)
+    t = load_tables(spark, sf_dir)
+    li, orders, cust, nation = t.table("lineitem"), t.table("orders"), t.table("customer"), t.table("nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    )
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_items")
+    )
+    return out
+
+
+@query(
+    "analytics_top_orders_per_customer",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def analytics_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical top-k-per-group window
+    (single shuffle on the partition key, rank prune)."""
+    from pyspark.sql import Window
+
+    prepare(spark)
+    orders = load_tables(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
