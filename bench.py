@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a noop write (full execution, no driver
+collect) — the same shape a cluster run would have. Times are wall-clock
+per query after a warm-up of the session + file listing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from open_instrument_spark import registry
+from open_instrument_spark.session import get_spark
+
+# Headline set: one representative per engine area (scan/filter, window
+# mutation, windowed agg, label-group agg, pandas-UDF resample, retention
+# join, dedup, similarity, multi-join analytics).
+HEADLINE = [
+    "flagship_rate_sum",
+    "select_last_n_per_series",
+    "list_series",
+    "mutate_rate",
+    "mutate_mean_resample",
+    "agg_sum_by_name",
+    "agg_avg_by_label_user",
+    "agg_retained_single_labels",
+    "resample_uniform_avg",
+    "retention_policy",
+    "rle_encode",
+    "ingest_dedup",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "embed_topk",
+    "analytics_pricing_summary",
+    "analytics_revenue_by_nation",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    try:
+        return float(m.group(1).rstrip(".")) if m else -1.0
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    """Force full execution without collecting results to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("oi-bench")
+
+    # Warm up: JVM, file listing, Arrow path — not counted.
+    materialize(registry.QUERIES["agg_sum_by_name"](spark, sf_dir).limit(1))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        materialize(fn(spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
