@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_instrument_spark.operators.text import words
+from open_instrument_spark.operators.text import let, words
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,16 +46,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(text_col, k: int = 5):
-    """Distinct word k-gram shingles; short docs → whole-text shingle."""
-    toks = words(text_col)
-    n = F.size(toks)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    """Distinct word k-gram shingles; short docs → whole-text shingle.
+
+    The token array is bound once via :func:`~..text.let` — inlining it
+    into the transform lambda would re-tokenize per shingle position
+    (interpreted HOF bodies get no subexpression elimination).
+    """
+
+    def build(toks):
+        n = F.size(toks)
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            )
         )
-    )
-    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+        return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    return let(words(text_col), build)
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
@@ -123,7 +131,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     (so precision is exact; recall is the LSH S-curve).
     Output: (a_id, b_id, jaccard)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, k, num_perm)
+    # The per-doc shingle arrays feed three consumers (signatures and both
+    # sides of the verify join): materialize once. On a cluster this would
+    # be a checkpoint/persist of a ~linear-size intermediate.
+    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")).persist()
+    ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = F.array(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    sigs = ds.groupBy("doc_id").agg(sig.alias("sig"))
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -151,11 +167,24 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, text_col, k, threshold=0.0)
+    # Exact-Jaccard verify restricted to LSH candidates only: candidates
+    # are tiny vs the corpus, so broadcast them into two linear passes over
+    # the per-doc shingle arrays (no all-pairs shingle self-join — at 100 TB
+    # that quadratic join is exactly what LSH exists to avoid).
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(exact, ["a_id", "b_id"])
+        sa.join(F.broadcast(cand), "a_id")
+        .join(sb, "b_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

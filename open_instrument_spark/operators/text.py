@@ -30,6 +30,18 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_PRIORITY = ("en", "de", "fr", "es")
 
 
+def let(col: Column, fn) -> Column:
+    """Bind ``col`` to a lambda variable and build the result with ``fn``.
+
+    Higher-order-function lambda bodies are interpreted per element with
+    NO common-subexpression elimination, so referencing an expensive
+    expression (e.g. regex tokenization) inside a ``transform`` lambda
+    re-evaluates it per element — O(n²) per row. Routing it through a
+    single-element ``transform`` evaluates it exactly once per row.
+    """
+    return F.get(F.transform(F.array(col), fn), 0)
+
+
 def normalized(text: Column) -> Column:
     """lower → strip non-letters → squeeze; the shared tokenizer base."""
     return F.trim(F.regexp_replace(F.lower(text), "[^a-z ]", " "))
@@ -45,20 +57,28 @@ def n_tokens_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
+def stopword_hits_toks(toks: Column, lang: str) -> Column:
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(words(text), lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
-def lang_id(text: Column) -> Column:
+def stopword_hits(text: Column, lang: str) -> Column:
+    return stopword_hits_toks(words(text), lang)
+
+
+def lang_id_toks(toks: Column) -> Column:
     """Heuristic language ID: argmax of stopword hits, priority order on
     ties (en > de > fr > es), 'und' when nothing matches."""
-    scores = {lg: stopword_hits(text, lg) for lg in LANG_PRIORITY}
+    scores = {lg: stopword_hits_toks(toks, lg) for lg in LANG_PRIORITY}
     best = F.greatest(*scores.values())
     expr = F.lit("und")
     for lg in reversed(LANG_PRIORITY):
         expr = F.when((scores[lg] == best) & (best > 0), lg).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column) -> Column:
+    return lang_id_toks(words(text))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -67,37 +87,41 @@ def punct_ratio(text: Column) -> Column:
     return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    n = F.size(words(text))
+def stopword_ratio_toks(toks: Column, lang: str = "en") -> Column:
+    n = F.size(toks)
     return F.when(
-        n > 0, stopword_hits(text, lang).cast("double") / n.cast("double")
+        n > 0, stopword_hits_toks(toks, lang).cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_ratio_toks(words(text), lang)
+
+
+def quality_score_toks(toks: Column, praw: Column) -> Column:
     """Composite quality heuristic in [0,1]: enough words, sane word
     length, some stopwords, little punctuation — the standard cheap
-    pre-filter shape for LLM corpus cleaning."""
-    nw = F.size(words(text)).cast("double")
+    pre-filter shape for LLM corpus cleaning. ``praw`` = punct_ratio."""
+    nw = F.size(toks).cast("double")
     mean_wlen = F.when(
         nw > 0,
-        F.aggregate(words(text), F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w))
         / nw,
     ).otherwise(F.lit(0.0))
     len_term = F.least(F.lit(1.0), nw / F.lit(50.0))
     wlen_term = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    stop_term = F.least(F.lit(1.0), stopword_ratio(text) * F.lit(5.0))
-    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * F.lit(4.0))
+    stop_term = F.least(F.lit(1.0), stopword_ratio_toks(toks) * F.lit(5.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), praw * F.lit(4.0))
     return (
         len_term * 0.4 + wlen_term * 0.2 + stop_term * 0.2 + punct_term * 0.2
     )
 
 
-def fingerprint(text: Column, k: int = 3) -> Column:
-    """Document fingerprint: lexicographic min of md5 over word k-grams
-    (a deterministic min-hash; short docs fall back to the whole text).
-    """
-    toks = words(text)
+def quality_score(text: Column) -> Column:
+    return let(words(text), lambda toks: quality_score_toks(toks, punct_ratio(text)))
+
+
+def fingerprint_toks(toks: Column, text: Column, k: int = 3) -> Column:
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -106,17 +130,40 @@ def fingerprint(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_min(grams)).otherwise(F.md5(normalized(text)))
 
 
+def fingerprint(text: Column, k: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5 over word k-grams
+    (a deterministic min-hash; short docs fall back to the whole text).
+    """
+    return let(words(text), lambda toks: fingerprint_toks(toks, text, k))
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass per-document stat sheet."""
+    """Per-document stat sheet in two chained projections.
+
+    Stage 1 materializes the token array (and the raw-text regex counts)
+    exactly once per row; stage 2 derives every stat from those columns.
+    Catalyst keeps the stage-1 Project separate (multi-referenced,
+    non-cheap aliases are not inlined by CollapseProject), so the regex
+    tokenization runs once instead of once per stat — still a single
+    scan-project pipeline, no shuffle, at any scale.
+    """
     t = F.col(text_col)
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        F.length(t).alias("n_chars"),
-        F.size(words(t)).alias("n_words"),
-        n_tokens_bpe(t).alias("n_tokens"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
-        lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+        t.alias("_text"),
+        words(t).alias("_toks"),
+        n_tokens_bpe(t).alias("_ntok"),
+        punct_ratio(t).alias("_praw"),
+    )
+    toks, raw, praw = F.col("_toks"), F.col("_text"), F.col("_praw")
+    return staged.select(
+        "doc_id",
+        F.length(raw).alias("n_chars"),
+        F.size(toks).alias("n_words"),
+        F.col("_ntok").alias("n_tokens"),
+        F.round(praw, 6).alias("punct_ratio"),
+        F.round(stopword_ratio_toks(toks), 6).alias("stopword_ratio"),
+        F.round(quality_score_toks(toks, praw), 6).alias("quality"),
+        lang_id_toks(toks).alias("lang_pred"),
+        fingerprint_toks(toks, raw).alias("fingerprint"),
     )
