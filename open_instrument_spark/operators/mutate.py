@@ -52,16 +52,20 @@ def _pairwise(points: DataFrame, out_expr: Callable[[Column, Column, Column, Col
     """
     pts = _with_key(points)
     w = _series_window()
-    t = epoch_seconds("ts")
+    # Materialize the epoch column BEFORE the window: lagging a derived
+    # expression would split the plan into two Window nodes (two passes
+    # over the sorted partition); lagging plain attributes keeps one.
+    pts = pts.withColumn("_t", epoch_seconds("ts"))
+    t = F.col("_t")
     out = (
         pts.withColumn("_prev_v", F.lag("dval").over(w))
-        .withColumn("_prev_t", F.lag(t).over(w))
+        .withColumn("_prev_t", F.lag("_t").over(w))
         .withColumn("_out", out_expr(F.col("dval"), F.col("_prev_v"), t, F.col("_prev_t")))
         .filter(F.col("_prev_t").isNotNull() & (t > F.col("_prev_t")))
     )
     if not keep_negative:
         out = out.filter(F.col("_out") >= 0)
-    return out.withColumn("dval", F.col("_out")).drop("_prev_v", "_prev_t", "_out")
+    return out.withColumn("dval", F.col("_out")).drop("_t", "_prev_v", "_prev_t", "_out")
 
 
 def rate(points: DataFrame) -> DataFrame:
