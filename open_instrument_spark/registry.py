@@ -1210,3 +1210,95 @@ def analytics_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     )
+
+
+@query(
+    "api_get_chained",
+    oracle=f"""
+WITH {P_CTE},
+rng AS (
+  SELECT * FROM p
+  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+),
+r AS (
+  SELECT series_key, ts, dval, lag(dval) OVER w AS pv,
+         epoch(ts) AS t, lag(epoch(ts)) OVER w AS pt
+  FROM rng
+  WINDOW w AS (PARTITION BY series_key ORDER BY ts)
+),
+rated AS (
+  SELECT series_key, ts, (dval - pv) / (t - pt) AS dval
+  FROM r
+  WHERE pt IS NOT NULL AND t > pt AND (dval - pv) / (t - pt) >= 0
+),
+m AS (
+  SELECT series_key, {_bucket_sql(300_000)} AS ts, avg(dval) AS dval
+  FROM rated GROUP BY 1, 2
+),
+k AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts DESC) AS rn
+  FROM m
+)
+SELECT series_key, ts, round(dval, 6) AS dval FROM k WHERE rn <= 5
+""",
+)
+def api_get_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end GetRequest lifecycle (server/store.cc:105-274 shape):
+    trailing-* glob match → inclusive time range → Go-style CHAINED
+    mutation pipeline rate→5m-mean (M11 chaining, go/src/store.go:102-131)
+    → max_values last-N cap — all one declarative Catalyst plan."""
+    import datetime as dt
+
+    from open_instrument_spark.plans.api import GetRequest, get
+
+    out = get(
+        _pts(spark, sf_dir),
+        GetRequest(
+            variable="/events/*",
+            min_timestamp=dt.datetime(2024, 1, 10),
+            max_timestamp=dt.datetime(2024, 1, 20),
+            mutations=[("rate", None), ("mean", "5m")],
+            max_values=5,
+        ),
+    )
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+@query(
+    "api_get_fanout",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT 'rate' AS mutation, series_key, ts, (dval - pv) / (t - pt) AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND (dval - pv) / (t - pt) >= 0
+UNION ALL
+SELECT 'delta' AS mutation, series_key, ts, dval - pv AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND dval - pv >= 0
+""",
+)
+def api_get_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C++ fan-out contract (M11): each requested mutation applies
+    independently to the RAW stream, one output stream per mutation
+    (server/store.cc:140-147; lib/openinstrument.proto:117-119).
+    Returned as a tagged union so the result is one DataFrame."""
+    from open_instrument_spark.plans.api import GetRequest, get
+
+    streams = get(
+        _pts(spark, sf_dir),
+        GetRequest(
+            variable="/events/*",
+            min_timestamp=None,
+            max_timestamp=None,
+            mutations=[("rate", None), ("delta", None)],
+            chain_mutations=False,
+        ),
+    )
+    tagged = [
+        s.select(F.lit(tag).alias("mutation"), "series_key", "ts", "dval")
+        for tag, s in zip(["rate", "delta"], streams)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
