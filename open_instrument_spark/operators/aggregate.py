@@ -109,6 +109,11 @@ def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
         .groupBy("name", "label_value")
         .agg(F.map_from_arrays(F.collect_list("k"), F.collect_list("v")).alias("retained_labels"))
     )
+    # member_labels is result-scale (one row per output group, i.e. per
+    # distinct (name, label_value)) — orders of magnitude below the input
+    # points, so the hint is safe where the query itself is answerable;
+    # without it local/AQE falls back to a sort-merge join that shuffles
+    # the full aggregate twice.
     return out.join(F.broadcast(member_labels), ["name", "label_value"], "left")
 
 

@@ -125,7 +125,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
                       num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      broadcast_candidates: bool = True) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures into ``bands`` buckets,
     candidates = pairs sharing any band bucket, then EXACT Jaccard verify
     (so precision is exact; recall is the LSH S-curve).
@@ -171,11 +172,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     # are tiny vs the corpus, so broadcast them into two linear passes over
     # the per-doc shingle arrays (no all-pairs shingle self-join — at 100 TB
     # that quadratic join is exactly what LSH exists to avoid).
+    # cand is result-scale (the near-dup pair list). The hint skips the
+    # sort-merge fallback; for pathological corpora where the candidate
+    # set itself is huge, pass broadcast_candidates=False.
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        sa.join(F.broadcast(cand), "a_id")
+        sa.join(cand, "a_id")
         .join(sb, "b_id")
         .withColumn("inter", inter)
         .withColumn(
