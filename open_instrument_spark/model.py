@@ -113,7 +113,11 @@ def events_to_points(events: DataFrame) -> DataFrame:
     reference's partially-labeled series (e.g. not every series carries
     ``interface=``, config.txt:32-35).
     """
-    kv = F.get_json_object("props", "$.k")
+    # Stage the JSON extraction: referenced twice inside the (interpreted)
+    # map_filter HOF, it would otherwise parse props twice per row —
+    # CollapseProject keeps multi-referenced non-cheap aliases staged.
+    staged = events.withColumn("_kv", F.get_json_object("props", "$.k"))
+    kv = F.col("_kv")
     labels = F.map_filter(
         F.create_map(
             F.lit("k"), F.when(kv.cast("int") % 3 != 0, kv),
@@ -121,7 +125,7 @@ def events_to_points(events: DataFrame) -> DataFrame:
         ),
         lambda k, v: v.isNotNull(),
     )
-    return events.select(
+    return staged.select(
         F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
         labels.alias("labels"),
         F.col("ts").cast("timestamp").alias("ts"),
