@@ -1302,3 +1302,74 @@ def api_get_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+# ===========================================================================
+# Temporal extensions: as-of join + sessionization (operators/temporal.py)
+# ===========================================================================
+
+@query(
+    "temporal_asof_join",
+    oracle="""
+WITH l AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS r_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.ts, l.value, r.ts AS r_ts, r.r_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior-or-equal
+    view. Union + one window pass — one shuffle on user_id, no range join
+    (DuckDB's native ASOF JOIN is the oracle)."""
+    from open_instrument_spark.operators.temporal import as_of_join
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = as_of_join(left, right, on=["user_id"], value_cols=["value"])
+    return out.select("user_id", "ts", "value", "r_ts", "r_value")
+
+
+@query(
+    "temporal_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 6 HOUR AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (6 h) per user via native session_window — the
+    same expression runs incrementally under Structured Streaming. Oracle:
+    gaps-and-islands SQL (session end = last event + gap, both engines)."""
+    from open_instrument_spark.operators.temporal import sessionize
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    return sessionize(ev, "user_id", gap="6 hours")

@@ -1,0 +1,63 @@
+"""as_of_join / sessionize unit tests (paths the DuckDB oracle doesn't
+cover: tolerance null-out, no-match rows, session merge boundaries)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.temporal import as_of_join, sessionize
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1.0), ("a", _ts(30), 2.0), ("b", _ts(5), 3.0)],
+        "key string, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(9), 100.0), ("a", _ts(30), 200.0)],
+        "key string, ts timestamp, w double",
+    )
+    out = {
+        (r.key, r.ts): (r.r_ts, r.r_w)
+        for r in as_of_join(left, right, on=["key"]).collect()
+    }
+    # latest right <= left.ts; equal ts matches; keys without rights -> NULL
+    assert out[("a", _ts(10))] == (_ts(9), 100.0)
+    assert out[("a", _ts(30))] == (_ts(30), 200.0)
+    assert out[("b", _ts(5))] == (None, None)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(50), 1.0)], "key string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10), 9.0)], "key string, ts timestamp, w double"
+    )
+    hit = as_of_join(left, right, on=["key"], tolerance="50 minutes").first()
+    assert hit.r_w == 9.0
+    miss = as_of_join(left, right, on=["key"], tolerance="30 minutes").first()
+    assert miss.r_w is None and miss.r_ts is None
+
+
+def test_sessionize_gap_boundary(spark):
+    # gap = 10 min. Spark merges INCLUSIVELY at the boundary: an event at
+    # exactly prev+gap (minute 19 after minute 9) joins the session; the
+    # first strictly-later event (minute 30) starts a new one. The DuckDB
+    # oracle mirrors this with `ts - lag(ts) > gap`.
+    ev = spark.createDataFrame(
+        [("u", _ts(0), 1.0), ("u", _ts(9), 2.0), ("u", _ts(19), 4.0), ("u", _ts(30), 8.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    rows = sorted(
+        sessionize(ev, "user_id", gap="10 minutes").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert [(r.n_events, r.sum_value) for r in rows] == [(3, 7.0), (1, 8.0)]
+    assert rows[0].session_end == _ts(29)
