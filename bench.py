@@ -44,6 +44,9 @@ HEADLINE = [
     "embed_topk",
     "analytics_pricing_summary",
     "analytics_revenue_by_nation",
+    "api_get_chained",
+    "temporal_asof_join",
+    "temporal_sessionize",
 ]
 
 
