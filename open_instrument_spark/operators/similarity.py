@@ -153,3 +153,94 @@ def ann_lsh_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---- IVF (inverted-file) ANN ------------------------------------------------
+
+def _kmeans(train: np.ndarray, n_cells: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Spherical k-means on a training sample (driver-side, like faiss
+    trains IVF on a sample). Deterministic: seeded init, fixed iteration
+    count. Returns L2-normalized centroids (n_cells × dim)."""
+    rng = np.random.RandomState(seed)
+    X = train / np.maximum(np.linalg.norm(train, axis=1, keepdims=True), 1e-12)
+    C = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_assign(vec_col: str, centroids: np.ndarray):
+    """Arrow-batched cell assignment: argmax cosine against the centroid
+    matrix — one numpy matmul per batch, no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = centroids  # already normalized
+
+    def _cell(v):
+        X = np.stack(v.values).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Xn @ Cn.T).argmax(axis=1))
+
+    # Real annotation objects: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf rejects.
+    _cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    cell = pandas_udf(_cell, "int")
+    return cell(F.col(vec_col))
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+                 n_cells: int = 32, n_probe: int = 4, train_n: int = 2048,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 seed: int = 42) -> DataFrame:
+    """IVF ANN top-k: partition the corpus into ``n_cells`` Voronoi cells
+    (spherical k-means, trained on a deterministic sample), then search
+    only the ``n_probe`` cells nearest each query — exact cosine + rank
+    within the probed candidates.
+
+    Scale shape: training is O(sample); assignment is a map-only Arrow
+    pass; the candidate join touches ~n_probe/n_cells of the corpus per
+    query (the inverted-file pruning that makes 100 TB ANN tractable);
+    final top-k is one shuffle on q_id. Output: (q_id, n_id, rank, cos).
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    # Deterministic training sample: first train_n ids in id order.
+    train = np.array(
+        base.orderBy("n_id").limit(train_n).select("v").toPandas()["v"].tolist()
+    )
+    C = _kmeans(train, min(n_cells, len(train)), seed=seed)
+
+    assigned = base.withColumn("cell", ivf_assign("v", C))
+
+    # Queries are an explicit, bounded list: probe their n_probe nearest
+    # cells driver-side and broadcast (q_id, probe-cell, qv).
+    qrows = base.filter(F.col("n_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r["v"])
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        cells = np.argsort(-(C @ qn))[:n_probe]
+        probe_rows.extend((r["n_id"], int(c), [float(x) for x in qv]) for c in cells)
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, cell int, qv array<double>"
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -1013,6 +1013,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann(emb, [0, 1, 2, 3, 4], k=10)
 
 
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN, inverted-file variant: spherical-k-means cells (trained
+    on a deterministic sample), Arrow-batched cell assignment, n_probe=4
+    of 32 cells searched per query with exact cosine rank. Approximate by
+    construction → rows-only; recall vs brute force pytest-asserted."""
+    from open_instrument_spark.operators.similarity import ann_ivf_topk as _ann
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return _ann(emb, [0, 1, 2, 3, 4], k=10)
+
+
 @query(
     "multimodal_blob_stats",
     oracle="""

@@ -82,6 +82,33 @@ def test_ann_overlaps_brute_force(spark):
     assert len(a) > 0 and len(a & b) > 0
 
 
+def test_ivf_finds_planted_near_duplicates(spark):
+    # A scaled copy points the same direction as its query → identical
+    # cell assignment; the query's own cell is always its nearest probe,
+    # so IVF must surface the copy as the top neighbor.
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    jitter = emb.filter(F.col("vec_id").isin(qids)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(jitter)
+    ann = similarity.ann_ivf_topk(corpus, qids, k=10)
+    top1 = {(r["q_id"], r["n_id"]) for r in ann.collect() if r["rank"] == 1}
+    assert top1 == {(q, q + 10000) for q in qids}
+
+
+def test_ivf_overlaps_brute_force(spark):
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    b = {(r["q_id"], r["n_id"]) for r in similarity.cosine_topk(emb, qids, k=10).collect()}
+    a = {(r["q_id"], r["n_id"]) for r in similarity.ann_ivf_topk(emb, qids, k=10).collect()}
+    assert len(a) > 0 and len(a & b) > 0
+
+
 def test_exact_dedup_groups(spark, docs):
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 7 == 0).select(
