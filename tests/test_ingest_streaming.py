@@ -124,3 +124,58 @@ def test_streaming_windowed_agg(spark, points, tmp_path):
     got = spark.sql("select count(*) n from winagg").collect()[0]["n"]
     assert got >= 0  # smoke: query runs, schema stable
     assert spark.table("winagg").columns == ["ts", "name", "value"]
+
+
+def test_streaming_rle_state_across_batches(spark, tmp_path):
+    """W3 streaming RLE: the open run must survive micro-batch boundaries
+    in state and close only on a value change (ValueStreamWriter
+    semantics, openinstrument.go:83-105)."""
+    import datetime as dt
+
+    from open_instrument_spark.streaming.rle_state import rle_runs_stream
+
+    src = str(tmp_path / "rle_src")
+    os.makedirs(src, exist_ok=True)
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [("s", dt.datetime(2024, 1, 1, 0, m), float(v)) for m, v in rows],
+            "series_key string, ts timestamp, dval double",
+        )
+
+    dest = str(tmp_path / "rle_out")
+    seen: list[tuple] = []
+
+    def run_once(_name):
+        stream = (
+            spark.readStream.schema("series_key string, ts timestamp, dval double")
+            .parquet(src)
+        )
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            rle_runs_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "rle_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        new = {
+            (r["dval"], r["ts"].minute, r["end_ts"].minute, r["run_len"])
+            for r in spark.read.parquet(dest).collect()
+        } - set(seen)
+        seen.extend(new)
+        return new
+
+    # batch 1: 1@0, 1@1, 2@2 → run(1.0, 0-1, n=2) closes; run(2.0,...) open
+    pts([(0, 1), (1, 1), (2, 2)]).write.mode("append").parquet(src)
+    assert run_once("rle1") == {(1.0, 0, 1, 2)}
+
+    # batch 2: 2@3, 3@4 → the OPEN run 2.0 extends from state then closes
+    # as (2.0, minute 2-3, n=2); 3.0 stays open
+    pts([(3, 2), (4, 3)]).write.mode("append").parquet(src)
+    assert run_once("rle2") == {(2.0, 2, 3, 2)}
