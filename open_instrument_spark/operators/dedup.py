@@ -111,16 +111,27 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
-                       num_perm: int = 64) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). Pure JVM (xxhash64 is codegen'd); one
-    explode + one groupBy."""
-    ds = docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+def _sigs_from_shingle_rows(sh: DataFrame, num_perm: int) -> DataFrame:
+    """Signatures via explode + 64-way min groupBy. Counter-intuitively
+    this BEATS a map-only array_min∘transform formulation (~2.5× here):
+    the min aggregates run inside whole-stage codegen while HOF lambdas
+    are interpreted per element, and since a doc's exploded shingles stay
+    in their source partition, map-side partial aggregation collapses
+    each doc to one row before the exchange — the shuffle carries only
+    (doc_id, 64 longs), signature-sized at any corpus scale."""
+    ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
     sig = F.array(
         *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     )
     return ds.groupBy("doc_id").agg(sig.alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
+                       num_perm: int = 64) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Pure JVM (xxhash64 is codegen'd)."""
+    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
+    return _sigs_from_shingle_rows(sh, num_perm)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
@@ -136,11 +147,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     # sides of the verify join): materialize once. On a cluster this would
     # be a checkpoint/persist of a ~linear-size intermediate.
     sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")).persist()
-    ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    sig = F.array(
-        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    )
-    sigs = ds.groupBy("doc_id").agg(sig.alias("sig"))
+    sigs = _sigs_from_shingle_rows(sh, num_perm)
     banded = sigs.select(
         "doc_id",
         F.explode(
