@@ -40,6 +40,12 @@ AGG_FNS = {
     "max": lambda c: F.max(c),            # A4 (bug-fixed), lib/protobuf.cc:109-120
     "min": lambda c: F.min(c),            # A5, lib/protobuf.cc:122-133
     "median": lambda c: F.percentile(c, F.lit(0.5)),  # A6, see module docstring
+    # A6 reference-exact variant: sorted-bucket element [n/2] — the UPPER
+    # median, middle pair never averaged (lib/protobuf.cc:135-142).
+    "median_upper": lambda c: F.get(
+        F.array_sort(F.collect_list(c)),
+        F.floor(F.size(F.collect_list(c)) / 2).cast("int"),
+    ),
 }
 
 
@@ -128,7 +134,9 @@ def aggregate(points: DataFrame, agg_type: str, by_labels: list[str] | None = No
     if not by_labels:
         return aggregate_by_name(points, agg_type, sample_interval)
     outs = [
-        aggregate_by_label(points, agg_type, lb, sample_interval, **kw) for lb in by_labels
+        aggregate_by_label(points, agg_type, lb, sample_interval, **kw)
+        .withColumn("label", F.lit(lb))
+        for lb in by_labels
     ]
     result = outs[0]
     for o in outs[1:]:

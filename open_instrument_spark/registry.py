@@ -458,6 +458,47 @@ def agg_median_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_median_upper_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(21_600_000)} AS ts,
+       list_sort(list(dval))[CAST(floor(count(*) / 2) AS INT) + 1] AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_median_upper_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 reference-exact MEDIAN: sorted bucket's element [n/2] — the
+    upper median, middle pair never averaged (lib/protobuf.cc:135-142).
+    Row selection, so values compare exactly (no rounding)."""
+    return _agg_by_name(spark, sf_dir, "median_upper", 21_600_000, round_out=False)
+
+
+@query(
+    "agg_multi_label_sum",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, 'user_id' AS label, user_id AS label_value,
+       {_bucket_sql(21_600_000)} AS ts, round(sum(dval), 6) AS value
+FROM p GROUP BY 1, 3, 4
+UNION ALL
+SELECT name, 'k' AS label, k AS label_value,
+       {_bucket_sql(21_600_000)} AS ts, round(sum(dval), 6) AS value
+FROM p WHERE k IS NOT NULL AND k != '' GROUP BY 1, 3, 4
+""",
+)
+def agg_multi_label_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 multi-label fan-out (server/store.cc:190-249 loops the agg's
+    label list): each label yields an independent grouping, union-tagged
+    with the grouping label name."""
+    out = agg_ops.aggregate(
+        _pts(spark, sf_dir), "sum", ["user_id", "k"], 21_600_000
+    )
+    return out.select(
+        "name", "label", "label_value", "ts", F.round("value", 6).alias("value")
+    )
+
+
+@query(
     "agg_avg_by_label_user",
     oracle=f"""
 WITH {P_CTE}
