@@ -103,21 +103,35 @@ def _bucket_start(interval_ms: int, ts: Column | str = "ts") -> Column:
     return (start_ms.cast("double") / 1000.0).cast("timestamp")
 
 
-def _bucketed(points: DataFrame, interval, aggs: Sequence[Column]) -> DataFrame:
+def _bucketed(points: DataFrame, interval, aggs: Sequence[Column],
+              carry_labels: bool = True) -> DataFrame:
     # Group on the scalar series_key (MapType can't be a grouping key);
     # labels are functionally determined by it, so first() is exact.
+    #
+    # Scale note: first() over a MapType is not hash-aggregable, so
+    # carrying labels forces SortAggregate (sorted partials both sides of
+    # the exchange). carry_labels=False keeps the whole aggregation in
+    # HashAggregate for pipelines that only need (series_key, ts, value) —
+    # the label map stays recoverable by joining any upstream distinct
+    # (series_key → labels) dimension.
     interval_ms = parse_duration_ms(interval)
     pts = _with_key(points)
+    bucketed = pts.withColumn("ts", _bucket_start(interval_ms)).groupBy(
+        "name", SERIES_KEY_COL, "ts"
+    )
+    if carry_labels:
+        out = bucketed.agg(F.first("labels").alias("labels"), *aggs)
+    else:
+        out = bucketed.agg(*aggs).withColumn(
+            "labels", F.lit(None).cast("map<string,string>")
+        )
     return (
-        pts.withColumn("ts", _bucket_start(interval_ms))
-        .groupBy("name", SERIES_KEY_COL, "ts")
-        .agg(F.first("labels").alias("labels"), *aggs)
-        .withColumn("sval", F.lit(None).cast("string"))
+        out.withColumn("sval", F.lit(None).cast("string"))
         .select("name", "labels", "ts", "dval", "sval", SERIES_KEY_COL)
     )
 
 
-def mean_resample(points: DataFrame, interval) -> DataFrame:
+def mean_resample(points: DataFrame, interval, carry_labels: bool = True) -> DataFrame:
     """M5 Go AVERAGE: mean per bucket (mutations/mutations.go:10-49).
 
     Declared semantics: epoch-aligned tumbling buckets stamped at the
@@ -127,17 +141,17 @@ def mean_resample(points: DataFrame, interval) -> DataFrame:
     The reference-exact anchored kernel lives in resample.py for parity
     tests.
     """
-    return _bucketed(points, interval, [F.avg("dval").alias("dval")])
+    return _bucketed(points, interval, [F.avg("dval").alias("dval")], carry_labels)
 
 
-def min_resample(points: DataFrame, interval) -> DataFrame:
+def min_resample(points: DataFrame, interval, carry_labels: bool = True) -> DataFrame:
     """M6 MIN per bucket (mutations/mutations.go:139-165)."""
-    return _bucketed(points, interval, [F.min("dval").alias("dval")])
+    return _bucketed(points, interval, [F.min("dval").alias("dval")], carry_labels)
 
 
-def max_resample(points: DataFrame, interval) -> DataFrame:
+def max_resample(points: DataFrame, interval, carry_labels: bool = True) -> DataFrame:
     """M6 MAX per bucket (mutations/mutations.go:167-191)."""
-    return _bucketed(points, interval, [F.max("dval").alias("dval")])
+    return _bucketed(points, interval, [F.max("dval").alias("dval")], carry_labels)
 
 
 def latest(points: DataFrame, interval) -> DataFrame:
@@ -157,10 +171,10 @@ def latest(points: DataFrame, interval) -> DataFrame:
     )
 
 
-def stddev_resample(points: DataFrame, interval) -> DataFrame:
+def stddev_resample(points: DataFrame, interval, carry_labels: bool = True) -> DataFrame:
     """M9 population stddev per bucket (the commented-out aspiration at
     mutations/mutations.go:194-216)."""
-    return _bucketed(points, interval, [F.stddev_pop("dval").alias("dval")])
+    return _bucketed(points, interval, [F.stddev_pop("dval").alias("dval")], carry_labels)
 
 
 # ---- composition ------------------------------------------------------------

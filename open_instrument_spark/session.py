@@ -58,6 +58,15 @@ def prepare(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    # Drop intermediates persisted by a PREVIOUS query (e.g. the LSH
+    # shingle cache): prepare() runs at the start of each query build, so
+    # this bounds cache memory across a long sequence of driver runs
+    # without touching the current query's own persists (created later,
+    # during its execution).
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 

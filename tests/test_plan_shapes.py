@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions — the 100 TB properties, pinned.
+
+These tests encode the scale contract of each operator family: filters
+reach the parquet scan (data skipping), per-series mutations cost exactly
+one exchange and one window pass, scan-project operators shuffle nothing.
+A change that silently regresses a plan (extra Exchange, lost pushdown,
+split Window) fails here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators import mutate
+from open_instrument_spark.operators.temporal import as_of_join
+from open_instrument_spark.operators.text import text_stats
+from open_instrument_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def count_in(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_tables(spark, SF_SMOKE)
+
+
+def test_event_type_filter_reaches_scan(spark, tables):
+    df = tables.table("events").filter(F.col("event_type") == "click").select("ts")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_scan_prunes_columns(spark, tables):
+    df = tables.table("documents").select("doc_id")
+    plan = plan_of(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_rate_is_one_exchange_one_window(spark, tables):
+    df = mutate.rate(tables.points())
+    plan = plan_of(df)
+    assert count_in(plan, "Exchange") == 1  # shuffle on series_key only
+    assert count_in(plan, "+- Window") == 1  # lag(v), lag(t) share one node
+
+
+def test_bucketed_resample_is_single_aggregate_exchange(spark, tables):
+    df = mutate.mean_resample(tables.points(), "1h")
+    plan = plan_of(df)
+    # partial agg map-side, one exchange on the grouping key, final agg
+    assert count_in(plan, "Exchange") == 1
+    assert count_in(plan, "Aggregate") >= 2  # partial + final
+
+
+def test_bucketed_resample_fast_path_hash_aggregates(spark, tables):
+    # first(labels: map) forces SortAggregate; carry_labels=False must
+    # keep the whole aggregation hash-based (no sort either side).
+    plan = plan_of(mutate.mean_resample(tables.points(), "1h", carry_labels=False))
+    assert count_in(plan, "HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+
+
+def test_text_stats_is_shuffle_free(spark, tables):
+    df = text_stats(tables.table("documents"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # pure scan-project at any scale
+
+
+def test_asof_join_is_not_a_join(spark, tables):
+    ev = tables.table("events")
+    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = plan_of(as_of_join(left, right, on=["user_id"]))
+    # union + window, no join operator of any kind, one exchange
+    for tok in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert tok not in plan
+    assert count_in(plan, "Exchange") == 1
+    assert count_in(plan, "Union") == 1
