@@ -40,6 +40,10 @@ class GetRequest:
     max_variables: int | None = None
     max_values: int | None = None
     chain_mutations: bool = True  # Go chaining vs C++ fan-out (SURVEY.md M11)
+    # Reference default window: [now-1d, now] when no range is given
+    # (server/store.cc:137-138). `now=None` disables defaulting (whole
+    # history), since a batch engine usually wants explicit ranges.
+    now: dt.datetime | None = None
 
 
 def get(points: DataFrame, req: GetRequest) -> DataFrame | list[DataFrame]:
@@ -52,7 +56,10 @@ def get(points: DataFrame, req: GetRequest) -> DataFrame | list[DataFrame]:
     lib/openinstrument.proto:117-119).
     """
     pts = _select.match_variables(points, req.variable)
-    pts = _select.time_range(pts, req.min_timestamp, req.max_timestamp)
+    min_ts, max_ts = req.min_timestamp, req.max_timestamp
+    if req.now is not None and min_ts is None and max_ts is None:
+        min_ts, max_ts = req.now - dt.timedelta(days=1), req.now
+    pts = _select.time_range(pts, min_ts, max_ts)
     if req.max_variables:
         pts = _select.cap_variables(pts, req.max_variables)
 

@@ -61,3 +61,20 @@ def test_sessionize_gap_boundary(spark):
     )
     assert [(r.n_events, r.sum_value) for r in rows] == [(3, 7.0), (1, 8.0)]
     assert rows[0].session_end == _ts(29)
+
+
+def test_get_default_window(spark):
+    """F7 default: GetRequest with now set and no range → [now-1d, now]
+    inclusive (server/store.cc:137-138; inclusive-both per SURVEY §7.0 #2)."""
+    from open_instrument_spark.plans.api import GetRequest, get
+
+    pts = spark.createDataFrame(
+        [
+            ("/v", {}, _ts(0) - dt.timedelta(days=2), 1.0, None),
+            ("/v", {}, _ts(0) - dt.timedelta(hours=12), 2.0, None),
+            ("/v", {}, _ts(0), 3.0, None),
+        ],
+        "name string, labels map<string,string>, ts timestamp, dval double, sval string",
+    )
+    out = get(pts, GetRequest(variable="/v", now=_ts(0)))
+    assert sorted(r.dval for r in out.collect()) == [2.0, 3.0]
