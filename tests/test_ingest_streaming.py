@@ -179,3 +179,44 @@ def test_streaming_rle_state_across_batches(spark, tmp_path):
     # as (2.0, minute 2-3, n=2); 3.0 stays open
     pts([(3, 2), (4, 3)]).write.mode("append").parquet(src)
     assert run_once("rle2") == {(2.0, 2, 3, 2)}
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """The batch sessionize expression must run unchanged as a streaming
+    query (session_window + watermark, append mode emits closed sessions)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.temporal import sessionize
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("u", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        ("u", dt.datetime(2024, 1, 1, 0, 5), 2.0),   # same session (gap 10m)
+        ("u", dt.datetime(2024, 1, 1, 2, 0), 4.0),   # new session, also advances
+        ("u", dt.datetime(2024, 1, 1, 9, 0), 8.0),   # the watermark far past both
+    ]
+    spark.createDataFrame(
+        rows, "user_id string, ts timestamp, value double"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+    )
+    q = (
+        sessionize(stream, "user_id", gap="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"].hour, r["n_events"], r["sum_value"])
+        for r in spark.table("sessions").collect()
+    }
+    # sessions closed by the watermark: the two early ones; the 09:00
+    # session may stay open in state
+    assert {(0, 2, 3.0), (2, 1, 4.0)} <= got
