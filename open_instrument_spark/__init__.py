@@ -28,4 +28,29 @@ Layout:
 
 from open_instrument_spark.session import get_spark, prepare  # noqa: F401
 
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import open_instrument_spark` cheap):
+
+    >>> import open_instrument_spark as oi
+    >>> spark = oi.get_spark()
+    >>> pts = oi.load_tables(spark, sf_dir).points()
+    >>> oi.get(pts, oi.GetRequest("/events/*", mutations=[("rate", None)]))
+    """
+    from importlib import import_module
+
+    exports = {
+        "GetRequest": "open_instrument_spark.plans.api",
+        "get": "open_instrument_spark.plans.api",
+        "list_variables": "open_instrument_spark.plans.api",
+        "load_tables": "open_instrument_spark.sources.tables",
+        "events_to_points": "open_instrument_spark.model",
+        "series_key": "open_instrument_spark.model",
+        "VariableMatcher": "open_instrument_spark.functions.match",
+    }
+    if name in exports:
+        return getattr(import_module(exports[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __version__ = "0.1.0"
