@@ -325,6 +325,52 @@ def mutate_latest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mutate_latest_string_daily",
+    oracle="""
+WITH sp AS (
+  SELECT '/meta/agent{host=' || CAST(user_id AS VARCHAR) || '}' AS series_key,
+         ts, max(event_type) AS sval
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT series_key,
+         make_timestamp(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                        * 86400000 * 1000) AS bts,
+         ts, sval,
+         row_number() OVER (PARTITION BY series_key,
+                            CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                            ORDER BY ts DESC) AS rn
+  FROM sp
+)
+SELECT series_key, bts AS ts, sval FROM b WHERE rn = 1
+""",
+)
+def mutate_latest_string_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 LATEST over STRING samples: the reference stores string series
+    (os-name etc., lib/openinstrument.proto:75-76), RLE-compresses them
+    and downsamples via daily LATEST (config.txt:37-47) — strings are
+    never aggregated. Points synthesized from events (event_type as the
+    string sample, one '/meta/agent' series per host)."""
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    # max() per (host, ts) makes exact-timestamp ties deterministic in
+    # both engines (LATEST itself orders only by ts).
+    sp = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("sval"))
+        .select(
+            F.lit("/meta/agent").alias("name"),
+            F.create_map(F.lit("host"), F.col("user_id").cast("string")).alias("labels"),
+            "ts",
+            F.lit(None).cast("double").alias("dval"),
+            "sval",
+        )
+    )
+    out = mutate.latest(sp, "1d")
+    return out.select("series_key", "ts", "sval")
+
+
+@query(
     "mutate_mean_resample",
     oracle=f"""
 WITH {P_CTE}
