@@ -68,10 +68,70 @@ def _pairwise(points: DataFrame, out_expr: Callable[[Column, Column, Column, Col
     return out.withColumn("dval", F.col("_out")).drop("_t", "_prev_v", "_prev_t", "_out")
 
 
-def rate(points: DataFrame) -> DataFrame:
+def _pairwise_chunked(points: DataFrame, out_expr, keep_negative: bool,
+                      chunk) -> DataFrame:
+    """Pairwise mutation with BOUNDED task size for pathological series.
+
+    ``Window.partitionBy(series_key)`` places a whole series in one task —
+    fine for metric fleets (~10³-10⁶ points/series) but a straggler/OOM
+    for a series with 10⁹ points. Two-phase equivalent with identical
+    output:
+
+      1. lag within (series, time-chunk) — parallel across chunks, task
+         size bounded by points-per-chunk;
+      2. each chunk's first row takes its predecessor from the previous
+         non-empty chunk's tail row (a lag over the per-chunk tail table,
+         which is chunk-cardinality — tiny).
+
+    Cost: one extra small shuffle + a co-keyed join vs the single-window
+    plan; use when series can be arbitrarily long.
+    """
+    chunk_ms = parse_duration_ms(chunk)
+    pts = _with_key(points).withColumn("_t", epoch_seconds("ts"))
+    pts = pts.withColumn(
+        "_c", F.floor((F.col("_t") * 1000).cast("long") / F.lit(chunk_ms))
+    )
+    wc = Window.partitionBy(SERIES_KEY_COL, "_c").orderBy("ts")
+    df = (
+        pts.withColumn("_pv", F.lag("dval").over(wc))
+        .withColumn("_pt", F.lag("_t").over(wc))
+    )
+    # Per-chunk tail row, then the previous EXISTING chunk's tail via a
+    # lag over chunk-cardinality rows (empty chunks skipped naturally).
+    tails = pts.groupBy(SERIES_KEY_COL, "_c").agg(
+        F.max_by(
+            F.struct(F.col("dval").alias("v"), F.col("_t").alias("t")), "ts"
+        ).alias("_tail")
+    )
+    wprev = Window.partitionBy(SERIES_KEY_COL).orderBy("_c")
+    prev_tails = tails.withColumn("_ptail", F.lag("_tail").over(wprev)).select(
+        SERIES_KEY_COL, "_c", "_ptail"
+    )
+    df = df.join(prev_tails, [SERIES_KEY_COL, "_c"], "left")
+    pv = F.coalesce(F.col("_pv"), F.col("_ptail.v"))
+    pt = F.coalesce(F.col("_pt"), F.col("_ptail.t"))
+    t = F.col("_t")
+    out = df.withColumn("_out", out_expr(F.col("dval"), pv, t, pt)).filter(
+        pt.isNotNull() & (t > pt)
+    )
+    if not keep_negative:
+        out = out.filter(F.col("_out") >= 0)
+    return out.withColumn("dval", F.col("_out")).drop(
+        "_t", "_c", "_pv", "_pt", "_ptail", "_out"
+    )
+
+
+def rate(points: DataFrame, chunk=None) -> DataFrame:
     """M1 RATE: (v_i - v_{i-1}) / (t_i - t_{i-1}) per second, negatives
-    dropped (counter-reset suppression, server/store.cc:309)."""
-    return _pairwise(points, lambda v, pv, t, pt: (v - pv) / (t - pt), keep_negative=False)
+    dropped (counter-reset suppression, server/store.cc:309).
+
+    ``chunk`` (duration, e.g. "1d"): bound per-task data for arbitrarily
+    long series via the two-phase chunked plan — identical results.
+    """
+    expr = lambda v, pv, t, pt: (v - pv) / (t - pt)  # noqa: E731
+    if chunk is not None:
+        return _pairwise_chunked(points, expr, keep_negative=False, chunk=chunk)
+    return _pairwise(points, expr, keep_negative=False)
 
 
 def rate_signed(points: DataFrame) -> DataFrame:

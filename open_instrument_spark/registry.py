@@ -279,6 +279,22 @@ def mutate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mutate_rate_chunked",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, {_RATE_EXPR} AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND {_RATE_EXPR} >= 0
+""",
+)
+def mutate_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 RATE via the two-phase CHUNKED plan (bounded task size for
+    arbitrarily long series: within-chunk lags + per-chunk boundary
+    handoff). Same oracle as mutate_rate — the exact-match gate proves
+    the chunked algorithm bitwise-identical to the single-window one."""
+    return _raw(mutate.rate(_pts(spark, sf_dir), chunk="1d"))
+
+
+@query(
     "mutate_rate_signed",
     oracle=f"""
 WITH {P_CTE}, {R_CTE}

@@ -78,3 +78,22 @@ def test_get_default_window(spark):
     )
     out = get(pts, GetRequest(variable="/v", now=_ts(0)))
     assert sorted(r.dval for r in out.collect()) == [2.0, 3.0]
+
+
+def test_rate_chunked_equals_plain(spark):
+    """The chunked two-phase rate must be row-identical to the
+    single-window rate for any chunk size (boundary handoff across
+    empty and non-empty chunks)."""
+    from open_instrument_spark.operators import mutate
+    from open_instrument_spark.sources.tables import load_tables
+
+    pts = load_tables(spark, "/root/testdata/sf0.001").points()
+    plain = {
+        (r.series_key, r.ts, r.dval) for r in mutate.rate(pts).collect()
+    }
+    for chunk in ("1h", "1d", "2w"):
+        chunked = {
+            (r.series_key, r.ts, r.dval)
+            for r in mutate.rate(pts, chunk=chunk).collect()
+        }
+        assert chunked == plain, chunk
