@@ -27,6 +27,12 @@ def rle_encode(points: DataFrame) -> DataFrame:
     Output: (name, labels, ts, end_ts, dval, sval, series_key, run_len);
     ts = first timestamp of the run, end_ts = last (equal to ts for
     singleton runs, mirroring an unset end_timestamp).
+
+    Scale note: the window puts one series per task (fine at metric-fleet
+    series sizes). For pathological series, apply the chunked two-phase
+    pattern of mutate._pairwise_chunked — encode within time-chunks, then
+    merge equal-valued runs across chunk boundaries (a pass over the
+    per-chunk head/tail runs only).
     """
     pts = _with_key(points)
     w = Window.partitionBy(SERIES_KEY_COL).orderBy("ts")
