@@ -761,6 +761,34 @@ def rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rle_encode_chunked",
+    oracle=f"""
+WITH {P_CTE},
+chg AS (
+  SELECT series_key, ts, dval,
+         CASE WHEN dval IS NOT DISTINCT FROM lag(dval) OVER w THEN 0 ELSE 1 END AS c
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts)
+),
+rid AS (
+  SELECT *, sum(c) OVER (PARTITION BY series_key ORDER BY ts) AS run FROM chg
+)
+SELECT series_key, min(ts) AS ts, max(ts) AS end_ts, max(dval) AS dval,
+       count(*) AS run_len
+FROM rid GROUP BY series_key, run
+""",
+)
+def rle_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RLE via the bounded-task two-phase plan (encode within
+    time-chunks, merge runs across boundaries). Same oracle as
+    rle_encode — the exact-match gate proves the chunked algorithm
+    identical to the single-window one."""
+    from open_instrument_spark.operators.rle import rle_encode as _rle
+
+    out = _rle(_pts(spark, sf_dir), chunk="1d")
+    return out.select("series_key", "ts", "end_ts", "dval", "run_len")
+
+
+@query(
     "ingest_validate",
     oracle=f"""
 WITH dirty AS (

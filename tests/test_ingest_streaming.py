@@ -220,3 +220,35 @@ def test_streaming_sessionize(spark, tmp_path):
     # sessions closed by the watermark: the two early ones; the 09:00
     # session may stay open in state
     assert {(0, 2, 3.0), (2, 1, 4.0)} <= got
+
+
+def test_rle_chunked_equals_plain(spark):
+    """Chunked RLE must equal single-window RLE, incl. runs spanning many
+    chunks (single-run-chunk chains), head/tail-only merges, and string
+    samples."""
+    import datetime as dt
+
+    rows = []
+    # series A: 2.0 constant across minutes 0..9 (spans many 2-min chunks)
+    rows += [("/a", {}, dt.datetime(2024, 1, 1, 0, m), 2.0, None) for m in range(10)]
+    # then a change within a chunk
+    rows += [("/a", {}, dt.datetime(2024, 1, 1, 0, 10), 3.0, None),
+             ("/a", {}, dt.datetime(2024, 1, 1, 0, 11), 3.0, None)]
+    # series B: alternating values (no merges at all)
+    rows += [("/b", {}, dt.datetime(2024, 1, 1, 0, m), float(m % 2), None) for m in range(8)]
+    # series C: string samples with a cross-chunk run
+    rows += [("/c", {}, dt.datetime(2024, 1, 1, 0, m), None, "x") for m in range(5)]
+    rows += [("/c", {}, dt.datetime(2024, 1, 1, 0, 5), None, "y")]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, dval double, sval string"
+    )
+
+    def runset(out):
+        return {
+            (r["series_key"], r["ts"], r["end_ts"], r["dval"], r["sval"], r["run_len"])
+            for r in out.collect()
+        }
+
+    plain = runset(rle_encode(df))
+    for chunk in ("2m", "3m", "1h"):
+        assert runset(rle_encode(df, chunk=chunk)) == plain, chunk
