@@ -67,8 +67,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("oi-bench")
 
-    # Warm up: JVM, file listing, Arrow path — not counted.
-    materialize(registry.QUERIES["agg_sum_by_name"](spark, sf_dir).limit(1))
+    # Warm up (not counted): JVM + codegen + file listing for both table
+    # families (events points pipeline incl. window codegen, documents).
+    materialize(registry.QUERIES["flagship_rate_sum"](spark, sf_dir))
+    materialize(registry.QUERIES["dedup_exact"](spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
