@@ -97,3 +97,52 @@ def apply_retention(points: DataFrame, policy: list[PolicyItem], now) -> DataFra
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
+                      n_buckets: int = 16) -> None:
+    """W1 as the background maintenance job (the reference ticks every
+    ``interval`` seconds, default 600 — lib/openinstrument.proto:211,
+    runner server/store_file_manager.cc:87-191): read the partitioned
+    store, apply the policy, rewrite ONLY the date partitions whose
+    contents changed (dynamic partition overwrite — untouched recent
+    partitions are never rewritten, so the job's write cost tracks the
+    aged data, not the store size)."""
+    import os
+    import shutil
+
+    from open_instrument_spark.sources.ingest import write_points
+
+    pts = spark.read.parquet(store_path).drop("dt", "bucket")
+    kept = apply_retention(pts, policy, now)
+
+    # Date partitions the policy actually touched: row count changed
+    # (downsampled or partially dropped) or vanished. Date-cardinality
+    # rows — cheap to compute and to collect.
+    before = pts.groupBy(F.to_date("ts").alias("dt")).count()
+    after = kept.groupBy(F.to_date("ts").alias("dt")).count()
+    changed = (
+        before.alias("b")
+        .join(after.alias("a"), "dt", "left")
+        .filter(F.coalesce(F.col("a.count"), F.lit(0)) != F.col("b.count"))
+        .select("dt")
+    )
+    changed_dates = [r["dt"] for r in changed.collect()]
+    if not changed_dates:
+        return
+
+    # Replacement rows for the touched dates, materialized BEFORE the
+    # delete (the plan reads the store being rewritten).
+    to_rewrite = kept.filter(F.to_date("ts").isin(changed_dates)).persist()
+    to_rewrite.count()
+
+    # Delete the touched date dirs wholesale (covers buckets that became
+    # empty), then append the retained rows. Local-FS removal here; on a
+    # cluster this is the same two steps via the Hadoop FileSystem API or
+    # a table format's replaceWhere.
+    for d in changed_dates:
+        part = os.path.join(store_path, f"dt={d}")
+        if os.path.exists(part):
+            shutil.rmtree(part)
+    write_points(to_rewrite, store_path, n_buckets=n_buckets, mode="append")
+    to_rewrite.unpersist()

@@ -252,3 +252,44 @@ def test_rle_chunked_equals_plain(spark):
     plain = runset(rle_encode(df))
     for chunk in ("2m", "3m", "1h"):
         assert runset(rle_encode(df, chunk=chunk)) == plain, chunk
+
+
+def test_retention_job_rewrites_only_touched_partitions(spark, tmp_path):
+    """W1 as a store-maintenance job: aged partitions downsampled or
+    dropped in place, recent partitions byte-untouched (the reference's
+    600 s retention tick, store_file_manager.cc:87-191)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.retention import run_retention_job
+
+    store = str(tmp_path / "store")
+    rows = []
+    # recent (1 d old): kept raw — partition must not be rewritten
+    rows += [("/m", {"h": "a"}, dt.datetime(2024, 1, 30, 0, mi), 1.0, None) for mi in range(4)]
+    # aged (2 y): downsampled to daily mean
+    rows += [("/m", {"h": "a"}, dt.datetime(2022, 1, 30, h), 10.0 + h, None) for h in range(4)]
+    # ancient (100 y): default DROP
+    rows += [("/m", {"h": "a"}, dt.datetime(1924, 1, 30), 5.0, None)]
+    pts = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, dval double, sval string"
+    )
+    write_points(pts, store, n_buckets=2)
+    recent_files = {
+        f for f in glob.glob(os.path.join(store, "dt=2024-01-30", "**", "*.parquet"), recursive=True)
+    }
+    policy = [
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("mean", "1d"),)),
+    ]
+    run_retention_job(spark, store, policy, NOW, n_buckets=2)
+
+    back = spark.read.parquet(store)
+    assert back.filter(F.col("ts") < "1990-01-01").count() == 0          # dropped
+    aged = back.filter(F.col("ts").between("2022-01-01", "2022-12-31")).collect()
+    assert len(aged) == 1 and aged[0]["dval"] == 11.5                    # daily mean
+    assert back.filter(F.col("ts") >= "2024-01-01").count() == 4        # raw kept
+    # untouched partition: same files on disk
+    assert recent_files == {
+        f for f in glob.glob(os.path.join(store, "dt=2024-01-30", "**", "*.parquet"), recursive=True)
+    }
