@@ -134,20 +134,28 @@ def rate(points: DataFrame, chunk=None) -> DataFrame:
     return _pairwise(points, expr, keep_negative=False)
 
 
-def rate_signed(points: DataFrame) -> DataFrame:
+def _dispatch_pairwise(points: DataFrame, expr, keep_negative: bool, chunk) -> DataFrame:
+    if chunk is not None:
+        return _pairwise_chunked(points, expr, keep_negative, chunk)
+    return _pairwise(points, expr, keep_negative)
+
+
+def rate_signed(points: DataFrame, chunk=None) -> DataFrame:
     """M2 RATE_SIGNED: same as RATE, negatives kept (server/store.cc:301-318)."""
-    return _pairwise(points, lambda v, pv, t, pt: (v - pv) / (t - pt), keep_negative=True)
+    return _dispatch_pairwise(
+        points, lambda v, pv, t, pt: (v - pv) / (t - pt), True, chunk
+    )
 
 
-def delta(points: DataFrame) -> DataFrame:
+def delta(points: DataFrame, chunk=None) -> DataFrame:
     """M3 DELTA: v_i - v_{i-1} emitted at ts_i; C++ keeps only deltas >= 0
     (server/store.cc:319-333)."""
-    return _pairwise(points, lambda v, pv, t, pt: v - pv, keep_negative=False)
+    return _dispatch_pairwise(points, lambda v, pv, t, pt: v - pv, False, chunk)
 
 
-def delta_signed(points: DataFrame) -> DataFrame:
+def delta_signed(points: DataFrame, chunk=None) -> DataFrame:
     """M3 variant without the >=0 filter (for pipeline composition)."""
-    return _pairwise(points, lambda v, pv, t, pt: v - pv, keep_negative=True)
+    return _dispatch_pairwise(points, lambda v, pv, t, pt: v - pv, True, chunk)
 
 
 # ---- bucketed resamples (tumbling epoch-aligned windows) -------------------

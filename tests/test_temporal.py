@@ -97,3 +97,8 @@ def test_rate_chunked_equals_plain(spark):
             for r in mutate.rate(pts, chunk=chunk).collect()
         }
         assert chunked == plain, chunk
+
+    for fn in (mutate.rate_signed, mutate.delta, mutate.delta_signed):
+        base = {(r.series_key, r.ts, r.dval) for r in fn(pts).collect()}
+        got = {(r.series_key, r.ts, r.dval) for r in fn(pts, chunk="1d").collect()}
+        assert got == base, fn.__name__
