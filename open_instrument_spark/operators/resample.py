@@ -59,6 +59,12 @@ def uniform_average(points: DataFrame, interval, max_gap_interpolate: int | None
     (base+interval .. last input ts], where base = ts0 - ts0 % interval.
     All grid arithmetic in epoch-µs longs (the reference uses ms; µs is
     its lossless refinement for our µs-precision timestamps).
+
+    Scale note: like all per-series windows, one series = one task. The
+    chunked handoff pattern (mutate._pairwise_chunked) applies here too —
+    each output depends on one consecutive input pair plus the series'
+    FIRST timestamp (the grid anchor), which is a series-cardinality
+    groupBy-join away.
     """
     interval_us = parse_duration_ms(interval) * _US
     pts = _with_key(points)

@@ -131,18 +131,21 @@ def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
     if not changed_dates:
         return
 
-    # Replacement rows for the touched dates, materialized BEFORE the
-    # delete (the plan reads the store being rewritten).
-    to_rewrite = kept.filter(F.to_date("ts").isin(changed_dates)).persist()
-    to_rewrite.count()
+    # Stage replacement rows to DISK before deleting source partitions —
+    # a .persist() would not survive cache eviction, and a lazy plan
+    # re-reading deleted files would corrupt the rewrite.
+    staging = store_path.rstrip("/") + "_retention_staging"
+    kept.filter(F.to_date("ts").isin(changed_dates)).write.mode(
+        "overwrite"
+    ).parquet(staging)
 
     # Delete the touched date dirs wholesale (covers buckets that became
-    # empty), then append the retained rows. Local-FS removal here; on a
+    # empty), then append the staged rows. Local-FS removal here; on a
     # cluster this is the same two steps via the Hadoop FileSystem API or
     # a table format's replaceWhere.
     for d in changed_dates:
         part = os.path.join(store_path, f"dt={d}")
         if os.path.exists(part):
             shutil.rmtree(part)
-    write_points(to_rewrite, store_path, n_buckets=n_buckets, mode="append")
-    to_rewrite.unpersist()
+    write_points(spark.read.parquet(staging), store_path, n_buckets=n_buckets, mode="append")
+    shutil.rmtree(staging, ignore_errors=True)
