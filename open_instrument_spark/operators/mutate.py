@@ -108,8 +108,13 @@ def _pairwise_chunked(points: DataFrame, out_expr, keep_negative: bool,
         SERIES_KEY_COL, "_c", "_ptail"
     )
     df = df.join(prev_tails, [SERIES_KEY_COL, "_c"], "left")
-    pv = F.coalesce(F.col("_pv"), F.col("_ptail.v"))
-    pt = F.coalesce(F.col("_pt"), F.col("_ptail.t"))
+    # "First row of its chunk" is detected via _pt (lag of the never-null
+    # _t), NOT via coalesce on the value: an in-chunk predecessor with a
+    # NULL dval must stay paired with its own timestamp, exactly as in
+    # the single-window plan.
+    use_tail = F.col("_pt").isNull()
+    pv = F.when(use_tail, F.col("_ptail.v")).otherwise(F.col("_pv"))
+    pt = F.when(use_tail, F.col("_ptail.t")).otherwise(F.col("_pt"))
     t = F.col("_t")
     out = df.withColumn("_out", out_expr(F.col("dval"), pv, t, pt)).filter(
         pt.isNotNull() & (t > pt)

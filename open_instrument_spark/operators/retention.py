@@ -114,36 +114,64 @@ def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
     from open_instrument_spark.sources.ingest import write_points
 
     pts = spark.read.parquet(store_path).drop("dt", "bucket")
-    kept = apply_retention(pts, policy, now)
+    tagged = pts.withColumn("_policy", policy_index(pts, policy, now))
+    plain_idx = [
+        i for i, item in enumerate(policy) if item.keep and not item.mutations
+    ]
+    nonplain = [
+        (i, item) for i, item in enumerate(policy)
+        if not (item.keep and not item.mutations)
+    ]
 
-    # Date partitions the policy actually touched: row count changed
-    # (downsampled or partially dropped) or vanished. Date-cardinality
-    # rows — cheap to compute and to collect.
-    before = pts.groupBy(F.to_date("ts").alias("dt")).count()
-    after = kept.groupBy(F.to_date("ts").alias("dt")).count()
-    changed = (
-        before.alias("b")
-        .join(after.alias("a"), "dt", "left")
-        .filter(F.coalesce(F.col("a.count"), F.lit(0)) != F.col("b.count"))
-        .select("dt")
+    # A partition needs rewriting iff it contains any row NOT in a
+    # plain-keep band (dropped, default-dropped, or downsampled). This is
+    # policy-driven — no row-count proxy, so e.g. a band downsampled
+    # 1-row→1-row is still detected. Rows younger than the youngest
+    # non-plain band's min_age can't be touched: that ts bound prunes the
+    # discovery scan to aged partitions (row-group stats + dt dirs).
+    is_plain = (
+        F.col("_policy").isin(plain_idx) if plain_idx else F.lit(False)
     )
-    changed_dates = [r["dt"] for r in changed.collect()]
-    if not changed_dates:
+    touched = tagged.filter(~is_plain)
+    min_ages = [item.min_age_ms or 0 for _, item in nonplain]
+    cutoff_ms = min(min_ages) if min_ages else 0
+    if cutoff_ms > 0:
+        horizon = F.lit(now).cast("timestamp").cast("double") - cutoff_ms / 1000.0
+        touched = touched.filter(F.col("ts").cast("double") <= horizon)
+    del_dates = [
+        r["d"] for r in touched.select(F.to_date("ts").alias("d")).distinct().collect()
+    ]
+    if not del_dates:
         return
 
-    # Stage replacement rows to DISK before deleting source partitions —
-    # a .persist() would not survive cache eviction, and a lazy plan
-    # re-reading deleted files would corrupt the rewrite.
+    # Replacement rows: plain-keep rows that share a touched partition,
+    # plus the full downsampled output of every mutated KEEP band (its
+    # source rows are non-plain, hence inside touched partitions; its
+    # output may also anchor into other dates — appended there, which is
+    # additive and safe). Staged to DISK before deleting source
+    # partitions — a .persist() would not survive cache eviction, and a
+    # lazy plan re-reading deleted files would corrupt the rewrite.
+    cols = pts.columns
+    outs = []
+    if plain_idx:
+        outs.append(
+            tagged.filter(is_plain & F.to_date("ts").isin(del_dates)).select(*cols)
+        )
+    for i, item in nonplain:
+        if item.keep and item.mutations:
+            band = tagged.filter(F.col("_policy") == i).drop("_policy")
+            outs.append(_mutate.pipeline(band, list(item.mutations)).select(*cols))
     staging = store_path.rstrip("/") + "_retention_staging"
-    kept.filter(F.to_date("ts").isin(changed_dates)).write.mode(
-        "overwrite"
-    ).parquet(staging)
+    replacement = outs[0] if outs else pts.limit(0)
+    for o in outs[1:]:
+        replacement = replacement.unionByName(o)
+    replacement.write.mode("overwrite").parquet(staging)
 
     # Delete the touched date dirs wholesale (covers buckets that became
     # empty), then append the staged rows. Local-FS removal here; on a
     # cluster this is the same two steps via the Hadoop FileSystem API or
     # a table format's replaceWhere.
-    for d in changed_dates:
+    for d in del_dates:
         part = os.path.join(store_path, f"dt={d}")
         if os.path.exists(part):
             shutil.rmtree(part)

@@ -40,6 +40,14 @@ def as_of_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*on, ts)]
 
+    clashes = {f"{prefix}{c}" for c in (*value_cols, ts)} & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"as_of_join output columns {sorted(clashes)} already exist on the "
+            "left side — pass a different `prefix` (unionByName would silently "
+            "merge them and corrupt the as-of values)"
+        )
+
     r = right.select(
         *on,
         F.col(ts).alias(ts),

@@ -46,6 +46,11 @@ def prepare(spark: SparkSession) -> SparkSession:
     Only touches runtime-settable confs. UTC pinning makes timestamp
     arithmetic match a naive-UTC oracle (DuckDB) regardless of the host
     timezone; AQE is the engine's standing assumption for skew handling.
+
+    NOTE: also clears the session's DataFrame cache (see below) — prepare()
+    is a per-query-sequence reset for driver-style run loops, not a no-op
+    config call. Library users who maintain their own caches should set
+    the confs directly instead of calling prepare() between queries.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The driver's synthetic parquet stores TIMESTAMP(NANOS) which Spark

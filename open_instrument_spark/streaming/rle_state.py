@@ -7,8 +7,14 @@ openinstrument.go:83-105 ``ValueStreamWriter`` — a per-series
 last-value state machine). SURVEY.md §2.8 calls this the one genuinely
 ``mapGroupsWithState``-shaped operator in the system; here it is exactly
 that: ``applyInPandasWithState`` keyed on ``series_key``, carrying the
-open run ``(value, start, end, n)`` across micro-batches and emitting a
-run only when a different value closes it.
+open run ``(dval, sval, start, end, n)`` across micro-batches and
+emitting a run only when a different value closes it.
+
+Equality matches batch ``rle_encode``'s ``eqNullSafe`` on (dval, sval):
+nulls equal nulls, so string-sample runs (dval NULL — the reference's
+flagship RLE use, config.txt:37-47) merge instead of fragmenting into
+per-point singletons (pandas renders parquet NULL doubles as NaN, and
+NaN != NaN under ``==``).
 
 Batch RLE (operators/rle.py) answers "compact what's stored"; this
 answers "compact while ingesting" with unbounded, late-tolerant input —
@@ -26,41 +32,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNS_SCHEMA = (
-    "series_key string, dval double, ts timestamp, end_ts timestamp, run_len int"
+    "series_key string, dval double, sval string, ts timestamp, "
+    "end_ts timestamp, run_len int"
 )
-STATE_SCHEMA = "dval double, start_us long, end_us long, n int"
+STATE_SCHEMA = "dval double, sval string, start_us long, end_us long, n int"
+
+_NO_RUN = object()
+
+
+def _norm(x: Any) -> Any:
+    """NULL-normalize a sample value: parquet/Arrow nulls surface as NaN
+    (doubles) or None (strings); both map to None so equality is
+    eqNullSafe-shaped."""
+    return None if x is None or (isinstance(x, float) and pd.isna(x)) else x
 
 
 def _close_runs(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     rows = pd.concat(list(pdfs))
+    if "sval" not in rows.columns:
+        rows = rows.assign(sval=None)
     rows = rows.sort_values("ts")
 
     if state.exists:
-        cur_v, start_us, end_us, n = state.get
+        dv, sv, start_us, end_us, n = state.get
+        cur = (_norm(dv), _norm(sv))
     else:
-        cur_v, start_us, end_us, n = None, 0, 0, 0
+        cur, start_us, end_us, n = _NO_RUN, 0, 0, 0
 
-    closed: list[tuple[Any, int, int, int]] = []
-    for ts, dval in zip(rows["ts"], rows["dval"]):
+    closed: list[tuple[Any, Any, int, int, int]] = []
+    for ts, dval, sval in zip(rows["ts"], rows["dval"], rows["sval"]):
         us = ts.value // 1000  # pandas ns → µs
-        if cur_v is not None and dval == cur_v:
+        val = (_norm(dval), _norm(sval))
+        if cur is not _NO_RUN and val == cur:
             end_us, n = us, n + 1
         else:
-            if cur_v is not None:
-                closed.append((cur_v, start_us, end_us, n))
-            cur_v, start_us, end_us, n = dval, us, us, 1
+            if cur is not _NO_RUN:
+                closed.append((cur[0], cur[1], start_us, end_us, n))
+            cur, start_us, end_us, n = val, us, us, 1
 
-    state.update((float(cur_v), int(start_us), int(end_us), int(n)))
+    state.update((cur[0], cur[1], int(start_us), int(end_us), int(n)))
     if closed:
         yield pd.DataFrame(
             {
                 "series_key": key[0],
                 "dval": [c[0] for c in closed],
-                "ts": pd.to_datetime([c[1] for c in closed], unit="us"),
-                "end_ts": pd.to_datetime([c[2] for c in closed], unit="us"),
-                "run_len": [c[3] for c in closed],
+                "sval": [c[1] for c in closed],
+                "ts": pd.to_datetime([c[2] for c in closed], unit="us"),
+                "end_ts": pd.to_datetime([c[3] for c in closed], unit="us"),
+                "run_len": [c[4] for c in closed],
             }
         )
 
@@ -74,9 +95,10 @@ def rle_runs_stream(points_stream: DataFrame) -> DataFrame:
     reference semantics accept late data indefinitely, so runs never
     auto-close on wall-clock.
     """
-    return points_stream.select("series_key", "ts", "dval").groupBy(
-        "series_key"
-    ).applyInPandasWithState(
+    cols = ["series_key", "ts", "dval"]
+    if "sval" in points_stream.columns:
+        cols.append("sval")
+    return points_stream.select(*cols).groupBy("series_key").applyInPandasWithState(
         _close_runs,
         outputStructType=RUNS_SCHEMA,
         stateStructType=STATE_SCHEMA,

@@ -137,10 +137,16 @@ def test_streaming_rle_state_across_batches(spark, tmp_path):
     src = str(tmp_path / "rle_src")
     os.makedirs(src, exist_ok=True)
 
-    def pts(rows):
+    def pts(num_rows, str_rows):
+        # series "s": double samples; series "str": string samples
+        # (dval NULL) — nulls must merge like batch eqNullSafe, not
+        # fragment into NaN singletons
+        data = [("s", dt.datetime(2024, 1, 1, 0, m), float(v), None)
+                for m, v in num_rows]
+        data += [("str", dt.datetime(2024, 1, 1, 0, m), None, s)
+                 for m, s in str_rows]
         return spark.createDataFrame(
-            [("s", dt.datetime(2024, 1, 1, 0, m), float(v)) for m, v in rows],
-            "series_key string, ts timestamp, dval double",
+            data, "series_key string, ts timestamp, dval double, sval string"
         )
 
     dest = str(tmp_path / "rle_out")
@@ -148,8 +154,9 @@ def test_streaming_rle_state_across_batches(spark, tmp_path):
 
     def run_once(_name):
         stream = (
-            spark.readStream.schema("series_key string, ts timestamp, dval double")
-            .parquet(src)
+            spark.readStream.schema(
+                "series_key string, ts timestamp, dval double, sval string"
+            ).parquet(src)
         )
 
         def sink(batch, _epoch):
@@ -165,20 +172,25 @@ def test_streaming_rle_state_across_batches(spark, tmp_path):
         )
         q.awaitTermination(120)
         new = {
-            (r["dval"], r["ts"].minute, r["end_ts"].minute, r["run_len"])
+            (r["series_key"], r["dval"], r["sval"], r["ts"].minute,
+             r["end_ts"].minute, r["run_len"])
             for r in spark.read.parquet(dest).collect()
         } - set(seen)
         seen.extend(new)
         return new
 
-    # batch 1: 1@0, 1@1, 2@2 → run(1.0, 0-1, n=2) closes; run(2.0,...) open
-    pts([(0, 1), (1, 1), (2, 2)]).write.mode("append").parquet(src)
-    assert run_once("rle1") == {(1.0, 0, 1, 2)}
+    # batch 1: s: 1@0, 1@1, 2@2 → run(1.0, 0-1, n=2) closes; run(2.0) open.
+    # str: "x"@0,1,2 → one open null-dval run, nothing closes.
+    pts([(0, 1), (1, 1), (2, 2)],
+        [(0, "x"), (1, "x"), (2, "x")]).write.mode("append").parquet(src)
+    assert run_once("rle1") == {("s", 1.0, None, 0, 1, 2)}
 
-    # batch 2: 2@3, 3@4 → the OPEN run 2.0 extends from state then closes
-    # as (2.0, minute 2-3, n=2); 3.0 stays open
-    pts([(3, 2), (4, 3)]).write.mode("append").parquet(src)
-    assert run_once("rle2") == {(2.0, 2, 3, 2)}
+    # batch 2: s: 2@3, 3@4 → open run 2.0 extends from state, closes as
+    # (2.0, 2-3, n=2). str: "x"@3, "y"@4 → the 4-point "x" run (spanning
+    # both batches, dval NULL throughout) closes as one merged run.
+    pts([(3, 2), (4, 3)], [(3, "x"), (4, "y")]).write.mode("append").parquet(src)
+    assert run_once("rle2") == {("s", 2.0, None, 2, 3, 2),
+                                ("str", None, "x", 0, 3, 4)}
 
 
 def test_streaming_sessionize(spark, tmp_path):
@@ -268,6 +280,13 @@ def test_retention_job_rewrites_only_touched_partitions(spark, tmp_path):
     rows += [("/m", {"h": "a"}, dt.datetime(2024, 1, 30, 0, mi), 1.0, None) for mi in range(4)]
     # aged (2 y): downsampled to daily mean
     rows += [("/m", {"h": "a"}, dt.datetime(2022, 1, 30, h), 10.0 + h, None) for h in range(4)]
+    # aged, SINGLE row at 03:00: daily mean keeps count at 1 but re-anchors
+    # ts to midnight (the count-proxy trap — must still be rewritten)
+    rows += [("/single", {"h": "a"}, dt.datetime(2022, 3, 10, 3), 42.0, None)]
+    # aged, weekly band: epoch-aligned 1w bucket for Sun 2022-01-30 starts
+    # Thu 2022-01-27 — a date with NO source partition (the lost-replacement
+    # trap — output must still be written)
+    rows += [("/weekly", {"h": "a"}, dt.datetime(2022, 1, 30, 12), 7.0, None)]
     # ancient (100 y): default DROP
     rows += [("/m", {"h": "a"}, dt.datetime(1924, 1, 30), 5.0, None)]
     pts = spark.createDataFrame(
@@ -278,6 +297,8 @@ def test_retention_job_rewrites_only_touched_partitions(spark, tmp_path):
         f for f in glob.glob(os.path.join(store, "dt=2024-01-30", "**", "*.parquet"), recursive=True)
     }
     policy = [
+        PolicyItem(("/weekly",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("mean", "1w"),)),
         PolicyItem(("*",), keep=True, max_age="4w"),
         PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
                    mutations=(("mean", "1d"),)),
@@ -286,9 +307,18 @@ def test_retention_job_rewrites_only_touched_partitions(spark, tmp_path):
 
     back = spark.read.parquet(store)
     assert back.filter(F.col("ts") < "1990-01-01").count() == 0          # dropped
-    aged = back.filter(F.col("ts").between("2022-01-01", "2022-12-31")).collect()
+    aged = back.filter(
+        (F.col("name") == "/m") & F.col("ts").between("2022-01-01", "2022-12-31")
+    ).collect()
     assert len(aged) == 1 and aged[0]["dval"] == 11.5                    # daily mean
     assert back.filter(F.col("ts") >= "2024-01-01").count() == 4        # raw kept
+    # count-proxy trap: the single row must be re-anchored to midnight
+    single = back.filter(F.col("name") == "/single").collect()
+    assert [(r["ts"], r["dval"]) for r in single] == [(dt.datetime(2022, 3, 10), 42.0)]
+    # lost-replacement trap: weekly mean lands on a brand-new date
+    weekly = back.filter(F.col("name") == "/weekly").collect()
+    assert len(weekly) == 1 and weekly[0]["dval"] == 7.0
+    assert weekly[0]["ts"] == dt.datetime(2022, 1, 27)
     # untouched partition: same files on disk
     assert recent_files == {
         f for f in glob.glob(os.path.join(store, "dt=2024-01-30", "**", "*.parquet"), recursive=True)

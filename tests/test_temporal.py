@@ -87,7 +87,9 @@ def test_rate_chunked_equals_plain(spark):
     from open_instrument_spark.operators import mutate
     from open_instrument_spark.sources.tables import load_tables
 
-    pts = load_tables(spark, "/root/testdata/sf0.001").points()
+    from tests.conftest import SF_SMOKE
+
+    pts = load_tables(spark, SF_SMOKE).points()
     plain = {
         (r.series_key, r.ts, r.dval) for r in mutate.rate(pts).collect()
     }
