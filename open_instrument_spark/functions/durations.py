@@ -22,20 +22,31 @@ _UNIT_SECONDS = {
 }
 
 _SEG_RE = re.compile(r"(\d[\d ]*)\s*([a-zA-Z])")
+_WELL_FORMED_RE = re.compile(r"^(\s*\d[\d ]*\s*[a-zA-Z])+\s*$")
 
 
 def parse_duration_ms(duration: str | int | float) -> int:
     """Parse a duration spec to integer milliseconds.
 
-    Numeric input is passed through as ms (proto fields like
-    ``sample_frequency`` are already ms, lib/openinstrument.proto:44).
+    Numeric input — or a digit-only string — is passed through as ms
+    (proto fields like ``sample_frequency`` are already ms,
+    lib/openinstrument.proto:44). Structurally malformed strings
+    (fractions like ``1.5h``, trailing junk) raise instead of silently
+    mis-parsing; unknown unit letters also raise (divergence from the
+    reference, which logs a warning and drops the segment,
+    lib/timer.cc:118-121 — fail-fast beats a silently shorter duration).
     """
     if isinstance(duration, (int, float)):
         return int(duration)
+    s = duration.strip()
+    if s.isdigit():
+        return int(s)
+    if not _WELL_FORMED_RE.match(s):
+        raise ValueError(f"malformed duration {duration!r}")
     total_s = 0
-    for digits, unit in _SEG_RE.findall(duration):
+    for digits, unit in _SEG_RE.findall(s):
         mult = _UNIT_SECONDS.get(unit.lower())
         if mult is None:
-            continue
+            raise ValueError(f"unknown duration unit {unit!r} in {duration!r}")
         total_s += int(digits.replace(" ", "")) * mult
     return total_s * 1000

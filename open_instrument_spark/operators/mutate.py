@@ -235,7 +235,13 @@ def latest(points: DataFrame, interval) -> DataFrame:
     it. Works for string samples too (sval carried through)."""
     interval_ms = parse_duration_ms(interval)
     pts = _with_key(points).withColumn("_bucket", _bucket_start(interval_ms))
-    w = Window.partitionBy(SERIES_KEY_COL, "_bucket").orderBy(F.col("ts").desc())
+    # (dval, sval) tie-break: equal-ts samples would otherwise pick a
+    # nondeterministic winner (run-to-run and vs any SQL oracle).
+    w = Window.partitionBy(SERIES_KEY_COL, "_bucket").orderBy(
+        F.col("ts").desc(),
+        F.col("dval").desc_nulls_last(),
+        F.col("sval").desc_nulls_last(),
+    )
     return (
         pts.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -251,33 +251,69 @@ _KERNELS = {
 }
 
 
-def apply_kernel(points: DataFrame, kind: str, interval) -> DataFrame:
+def apply_kernel(points: DataFrame, kind: str, interval,
+                 n_buckets: int | None = None) -> DataFrame:
     """Run a per-series kernel via applyInPandas. Grid math in epoch-µs.
 
-    Scale note: one Arrow batch per series; series are hash-distributed
-    across executors by the groupBy, so the Python stage parallelizes to
-    the series cardinality (≫ executor count for metrics workloads).
+    Scale note: grouping directly on series_key makes one Arrow batch per
+    series — with metric-fleet cardinalities (10³-10⁶ series of modest
+    size) the per-group Python/pandas overhead dominates the kernel. We
+    group on a HASH BUCKET of the key instead (default 4× parallelism)
+    and loop over the bucket's series inside one pandas batch: same
+    results, per-batch overhead amortized over many series. A giant
+    series still occupies a single bucket — no worse than the per-series
+    grouping it replaces.
     """
     kernel = _KERNELS[kind]
     interval_us = parse_duration_ms(interval) * _US
     pts = _with_key(points).select(
         SERIES_KEY_COL, (epoch_seconds("ts") * 1_000_000).cast("long").alias("_t"), "dval"
     )
+    if n_buckets is None:
+        n_buckets = points.sparkSession.sparkContext.defaultParallelism * 4
+    pts = pts.withColumn(
+        "_b", F.pmod(F.xxhash64(SERIES_KEY_COL), F.lit(n_buckets))
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_t")
-        out_t, out_v = kernel(
-            pdf["_t"].to_numpy(np.int64), pdf["dval"].to_numpy(np.float64), interval_us
-        )
-        return pd.DataFrame(
-            {
-                "series_key": pdf["series_key"].iloc[0] if len(out_t) else pd.Series([], dtype=str),
-                "ts": pd.to_datetime(out_t, unit="us"),
-                "dval": out_v,
-            }
-        )
+        frames = []
+        for sk, g in pdf.groupby("series_key", sort=False):
+            g = g.sort_values("_t")
+            out_t, out_v = kernel(
+                g["_t"].to_numpy(np.int64), g["dval"].to_numpy(np.float64), interval_us
+            )
+            if len(out_t):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "series_key": sk,
+                            "ts": pd.to_datetime(out_t, unit="us"),
+                            "dval": out_v,
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"series_key": pd.Series([], dtype=str),
+                 "ts": pd.Series([], dtype="datetime64[ns]"),
+                 "dval": pd.Series([], dtype=float)}
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    return pts.groupBy(SERIES_KEY_COL).applyInPandas(run, _OUT_SCHEMA)
+    out = pts.groupBy("_b").applyInPandas(run, _OUT_SCHEMA)
+    # Restore the full points schema so kernels compose with every other
+    # operator (retention bands, pipeline chaining into _bucketed, ...):
+    # name is recoverable EXACTLY from the canonical key (prefix before
+    # '{'); the labels map is not (grouped-map output carries only the
+    # key) — downstream label use requires a join on series_key.
+    return out.select(
+        F.regexp_extract(SERIES_KEY_COL, r"^([^{]*)", 1).alias("name"),
+        F.lit(None).cast("map<string,string>").alias("labels"),
+        "ts",
+        "dval",
+        F.lit(None).cast("string").alias("sval"),
+        SERIES_KEY_COL,
+    )
 
 
 def interpolate(points: DataFrame, interval) -> DataFrame:

@@ -327,7 +327,7 @@ WITH {P_CTE},
 b AS (
   SELECT series_key, {_bucket_sql(86_400_000)} AS bts, ts, dval,
          row_number() OVER (PARTITION BY series_key, {_bucket_sql(86_400_000)}
-                            ORDER BY ts DESC) AS rn
+                            ORDER BY ts DESC, dval DESC) AS rn
   FROM p
 )
 SELECT series_key, bts AS ts, dval FROM b WHERE rn = 1
@@ -997,6 +997,20 @@ corpus AS (
 """
 
 
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _NEAR_CORPUS_SQL (near-dup seeding: every 11th doc
+    duplicated with an appended tail, id+200000). One definition — the
+    three approximate-dedup queries and the oracle CTE must agree."""
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -1035,13 +1049,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     no approximation), over a corpus seeded with appended-tail near-dups."""
     from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
 
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
-    )
-    corpus = docs.unionByName(near)
+    corpus = _near_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(corpus, threshold=0.5)
 
 
@@ -1053,13 +1061,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard pairs is pytest-asserted."""
     from open_instrument_spark.operators.dedup import minhash_lsh_pairs
 
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
-    )
-    return minhash_lsh_pairs(docs.unionByName(near), threshold=0.5)
+    return minhash_lsh_pairs(_near_corpus(spark, sf_dir), threshold=0.5)
 
 
 @query("dedup_simhash")

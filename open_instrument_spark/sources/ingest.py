@@ -19,7 +19,7 @@ partitions (datastore.go:731-732 analog) so row-group stats are tight.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_instrument_spark.model import series_key
@@ -38,6 +38,15 @@ def default_hostname(points: DataFrame, source_host) -> DataFrame:
     return points.withColumn("labels", labels)
 
 
+def _valid_predicate(now=None, max_future_s: int = 1):
+    """Single source of truth for S3+S4 validity — validate() and
+    rejected() must partition the input exactly."""
+    ok_name = F.col("name").rlike(NAME_RE) & (F.length("name") >= 2)
+    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+    ok_ts = F.col("ts") <= now_expr + F.expr(f"INTERVAL {max_future_s} SECOND")
+    return ok_name & ok_ts
+
+
 def validate(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
     """S3 name validation + S4 future-timestamp guard.
 
@@ -48,28 +57,34 @@ def validate(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
     warns at >1 y (store.cc:439-440) and our streaming path must not
     watermark-drop late data (SURVEY.md §2.8).
     """
-    ok_name = F.col("name").rlike(NAME_RE) & (F.length("name") >= 2)
-    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
-    ok_ts = F.col("ts") <= now_expr + F.expr(f"INTERVAL {max_future_s} SECOND")
-    return points.filter(ok_name & ok_ts)
+    return points.filter(_valid_predicate(now, max_future_s))
 
 
 def rejected(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
     """Dead-letter complement of validate() (the reference counts these,
     store.cc:416,437)."""
-    ok_name = F.col("name").rlike(NAME_RE) & (F.length("name") >= 2)
-    now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
-    ok_ts = F.col("ts") <= now_expr + F.expr(f"INTERVAL {max_future_s} SECOND")
-    return points.filter(~(ok_name & ok_ts))
+    return points.filter(~_valid_predicate(now, max_future_s))
 
 
 def dedup(points: DataFrame) -> DataFrame:
     """Exactly-once upgrade (SURVEY.md §2.8): drop duplicate
     (series_key, ts) samples — the reference's WAL replay can
     double-append (disk_datastore.cc:112-128 has no dedup); we fix that.
+
+    Conflicting samples (same key+ts, different payload) resolve
+    DETERMINISTICALLY to the greatest (dval, sval) — dropDuplicates
+    would keep an arbitrary row, which both varies run-to-run and can
+    disagree with a SQL oracle.
     """
     pts = points.withColumn("_sk", series_key())
-    return pts.dropDuplicates(["_sk", "ts"]).drop("_sk")
+    w = Window.partitionBy("_sk", "ts").orderBy(
+        F.col("dval").desc_nulls_last(), F.col("sval").desc_nulls_last()
+    )
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sk", "_rn")
+    )
 
 
 def ingest_batch(points: DataFrame, source_host: str | None = None, now=None) -> DataFrame:

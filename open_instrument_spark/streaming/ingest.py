@@ -40,11 +40,21 @@ def read_points_stream(spark: SparkSession, src_dir: str,
 def start_ingest(points_stream: DataFrame, dest_path: str, checkpoint: str,
                  n_buckets: int = 16, now=None) -> StreamingQuery:
     """S1 streaming Add: validate → dedup-within-batch → partitioned
-    append, exactly-once via checkpointed foreachBatch."""
+    write, exactly-once via checkpointed foreachBatch + an IDEMPOTENT
+    sink: each epoch overwrites its own ``epoch=N`` subdirectory, so a
+    replay after a crash-between-write-and-checkpoint rewrites the same
+    files instead of double-appending (the WAL-replay hazard the
+    reference has, disk_datastore.cc:112-128). A bare append sink would
+    only be at-least-once. Readers see ``epoch`` as one more partition
+    column; compaction (sources.ingest.compact) folds epochs away.
+    """
 
-    def sink(batch: DataFrame, _epoch: int) -> None:
+    def sink(batch: DataFrame, epoch: int) -> None:
         cleaned = batch_ingest.ingest_batch(batch, now=now)
-        batch_ingest.write_points(cleaned, dest_path, n_buckets=n_buckets)
+        batch_ingest.write_points(
+            cleaned, f"{dest_path}/epoch={epoch}", n_buckets=n_buckets,
+            mode="overwrite",
+        )
 
     return (
         points_stream.writeStream.foreachBatch(sink)

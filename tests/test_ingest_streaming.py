@@ -323,3 +323,25 @@ def test_retention_job_rewrites_only_touched_partitions(spark, tmp_path):
     assert recent_files == {
         f for f in glob.glob(os.path.join(store, "dt=2024-01-30", "**", "*.parquet"), recursive=True)
     }
+
+
+def test_retention_with_kernel_mutation(spark):
+    """A KEEP band carrying a kernel-based mutation (interpolate) must
+    compose — kernels restore the full points schema."""
+    import datetime as dt
+
+    rows = [
+        ("/k", {"h": "a"}, dt.datetime(2022, 1, 30, 0, 0), 0.0, None),
+        ("/k", {"h": "a"}, dt.datetime(2022, 1, 30, 0, 2), 20.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, dval double, sval string"
+    )
+    policy = [
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("interpolate", "1m"),)),
+    ]
+    out = apply_retention(df, policy, NOW).collect()
+    assert all(r["name"] == "/k" for r in out)
+    assert len(out) > 0

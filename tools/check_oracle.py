@@ -87,10 +87,10 @@ def main() -> int:
     spark = get_spark("check_oracle")
     con = duck_connect(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     failed = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
