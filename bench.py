@@ -35,6 +35,7 @@ HEADLINE = [
     "agg_avg_by_label_user",
     "agg_retained_single_labels",
     "resample_uniform_avg",
+    "resample_interpolate_go",
     "retention_policy",
     "rle_encode",
     "ingest_dedup",

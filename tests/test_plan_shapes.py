@@ -85,3 +85,14 @@ def test_asof_join_is_not_a_join(spark, tables):
         assert tok not in plan
     assert count_in(plan, "Exchange") == 1
     assert count_in(plan, "Union") == 1
+
+
+def test_chunked_rate_has_bounded_exchanges(spark, tables):
+    # Two-phase chunked plan: window on (series, chunk), tail aggregation,
+    # tail-lag window, and the handoff join — bounded shuffles, and no
+    # whole-series single-window dependency on the big side.
+    plan = plan_of(mutate.rate(tables.points(), chunk="1d"))
+    assert plan.count("Exchange") <= 5
+    # the per-(series, chunk) window exists; no window partitioned on the
+    # bare series key over the FULL points (only the tiny tails table is)
+    assert "windowspecdefinition(series_key" in plan
