@@ -276,29 +276,36 @@ def apply_kernel(points: DataFrame, kind: str, interval,
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
+        # Accumulate raw numpy per series; build ONE DataFrame per batch
+        # (per-series DataFrame/to_datetime construction dominates
+        # otherwise — it is pandas-object overhead, not kernel time).
+        keys: list[np.ndarray] = []
+        t_parts: list[np.ndarray] = []
+        v_parts: list[np.ndarray] = []
+        # one batch-wide sort; groupby preserves intra-group row order,
+        # so each group arrives ts-sorted (vs one small sort per series)
+        pdf = pdf.sort_values(["series_key", "_t"])
         for sk, g in pdf.groupby("series_key", sort=False):
-            g = g.sort_values("_t")
             out_t, out_v = kernel(
                 g["_t"].to_numpy(np.int64), g["dval"].to_numpy(np.float64), interval_us
             )
             if len(out_t):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "series_key": sk,
-                            "ts": pd.to_datetime(out_t, unit="us"),
-                            "dval": out_v,
-                        }
-                    )
-                )
-        if not frames:
+                keys.append(np.full(len(out_t), sk, dtype=object))
+                t_parts.append(out_t)
+                v_parts.append(np.asarray(out_v, dtype=np.float64))
+        if not t_parts:
             return pd.DataFrame(
                 {"series_key": pd.Series([], dtype=str),
                  "ts": pd.Series([], dtype="datetime64[ns]"),
                  "dval": pd.Series([], dtype=float)}
             )
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "series_key": np.concatenate(keys),
+                "ts": pd.to_datetime(np.concatenate(t_parts), unit="us"),
+                "dval": np.concatenate(v_parts),
+            }
+        )
 
     out = pts.groupBy("_b").applyInPandas(run, _OUT_SCHEMA)
     # Restore the full points schema so kernels compose with every other
