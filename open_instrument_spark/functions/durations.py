@@ -4,8 +4,10 @@ Semantics follow the reference implementation ``Duration::FromString``
 (lib/timer.cc:86-124): units s/m/h/d/w/y with m = MINUTES (the header
 comment in lib/timer.h:190-193 says "month", the code says minutes — we
 follow the code), y = 365 d, summed over all segments, result in ms.
-Digits may be separated by spaces; unknown unit chars are ignored with
-the segment dropped (reference logs a warning).
+Digits may be separated by spaces. Divergence from the reference:
+malformed specs and unknown unit chars RAISE (the reference logs a
+warning and drops the segment, lib/timer.cc:118-121) — fail-fast beats
+a silently shorter duration.
 """
 
 from __future__ import annotations

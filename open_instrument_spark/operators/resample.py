@@ -266,11 +266,19 @@ def apply_kernel(points: DataFrame, kind: str, interval,
     """
     kernel = _KERNELS[kind]
     interval_us = parse_duration_ms(interval) * _US
-    pts = _with_key(points).select(
+    keyed = _with_key(points)
+    pts = keyed.select(
         SERIES_KEY_COL, (epoch_seconds("ts") * 1_000_000).cast("long").alias("_t"), "dval"
     )
     if n_buckets is None:
-        n_buckets = points.sparkSession.sparkContext.defaultParallelism * 4
+        # Scale buckets with the DATA, not just core count: per-bucket
+        # pandas memory ≈ input_size / n_buckets, so pinning buckets to
+        # 4×parallelism alone would grow per-task memory linearly with
+        # input. One bucket per input split (~maxPartitionBytes) keeps a
+        # batch around one split's volume; the core-count floor keeps
+        # small inputs parallel.
+        sc = points.sparkSession.sparkContext
+        n_buckets = max(sc.defaultParallelism * 4, pts.rdd.getNumPartitions())
     pts = pts.withColumn(
         "_b", F.pmod(F.xxhash64(SERIES_KEY_COL), F.lit(n_buckets))
     )
@@ -309,13 +317,15 @@ def apply_kernel(points: DataFrame, kind: str, interval,
 
     out = pts.groupBy("_b").applyInPandas(run, _OUT_SCHEMA)
     # Restore the full points schema so kernels compose with every other
-    # operator (retention bands, pipeline chaining into _bucketed, ...):
-    # name is recoverable EXACTLY from the canonical key (prefix before
-    # '{'); the labels map is not (grouped-map output carries only the
-    # key) — downstream label use requires a join on series_key.
-    return out.select(
+    # operator (retention bands, pipeline chaining into _bucketed, ...).
+    # name comes EXACTLY from the canonical key (prefix before '{');
+    # labels come from a series-cardinality dim joined back on the key —
+    # nulling them instead would silently merge distinct series on any
+    # later series_key recomputation (e.g. a retention rewrite).
+    dim = keyed.select(SERIES_KEY_COL, "labels").dropDuplicates([SERIES_KEY_COL])
+    return out.join(dim, SERIES_KEY_COL, "left").select(
         F.regexp_extract(SERIES_KEY_COL, r"^([^{]*)", 1).alias("name"),
-        F.lit(None).cast("map<string,string>").alias("labels"),
+        "labels",
         "ts",
         "dval",
         F.lit(None).cast("string").alias("sval"),

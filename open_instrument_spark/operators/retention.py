@@ -113,7 +113,9 @@ def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
 
     from open_instrument_spark.sources.ingest import write_points
 
-    pts = spark.read.parquet(store_path).drop("dt", "bucket")
+    # drop() ignores absent columns, so both the plain dt/bucket layout
+    # and the streaming sink's epoch=N/dt/bucket layout normalize here.
+    pts = spark.read.parquet(store_path).drop("dt", "bucket", "epoch")
     tagged = pts.withColumn("_policy", policy_index(pts, policy, now))
     plain_idx = [
         i for i, item in enumerate(policy) if item.keep and not item.mutations
@@ -126,16 +128,28 @@ def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
     # A partition needs rewriting iff it contains any row NOT in a
     # plain-keep band (dropped, default-dropped, or downsampled). This is
     # policy-driven — no row-count proxy, so e.g. a band downsampled
-    # 1-row→1-row is still detected. Rows younger than the youngest
-    # non-plain band's min_age can't be touched: that ts bound prunes the
-    # discovery scan to aged partitions (row-group stats + dt dirs).
+    # 1-row→1-row is still detected.
     is_plain = (
         F.col("_policy").isin(plain_idx) if plain_idx else F.lit(False)
     )
     touched = tagged.filter(~is_plain)
+    # Scan prune: rows younger than the youngest EXPLICIT non-plain
+    # band's min_age can't match one of those bands — but they can still
+    # be policy_index = -1 (default DROP) if nothing matches them at all.
+    # The prune is therefore only sound when some universal plain item
+    # ('*', no labels, min_age unset, max_age covering the cutoff)
+    # guarantees young rows always match; otherwise scan everything.
     min_ages = [item.min_age_ms or 0 for _, item in nonplain]
     cutoff_ms = min(min_ages) if min_ages else 0
-    if cutoff_ms > 0:
+    young_covered = any(
+        item.keep
+        and not item.mutations
+        and tuple(item.variables) == ("*",)
+        and item.min_age_ms in (None, 0)
+        and (item.max_age_ms is None or item.max_age_ms >= cutoff_ms)
+        for item in policy
+    )
+    if cutoff_ms > 0 and young_covered:
         horizon = F.lit(now).cast("timestamp").cast("double") - cutoff_ms / 1000.0
         touched = touched.filter(F.col("ts").cast("double") <= horizon)
     del_dates = [
@@ -168,12 +182,18 @@ def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
     replacement.write.mode("overwrite").parquet(staging)
 
     # Delete the touched date dirs wholesale (covers buckets that became
-    # empty), then append the staged rows. Local-FS removal here; on a
-    # cluster this is the same two steps via the Hadoop FileSystem API or
-    # a table format's replaceWhere.
+    # empty), at either layout depth — store/dt=D or the streaming
+    # sink's store/epoch=N/dt=D — then append the staged rows. Local-FS
+    # removal here; on a cluster this is the same two steps via the
+    # Hadoop FileSystem API or a table format's replaceWhere.
+    import glob as _glob
+
     for d in del_dates:
-        part = os.path.join(store_path, f"dt={d}")
-        if os.path.exists(part):
-            shutil.rmtree(part)
+        for part in (
+            [os.path.join(store_path, f"dt={d}")]
+            + _glob.glob(os.path.join(store_path, "epoch=*", f"dt={d}"))
+        ):
+            if os.path.exists(part):
+                shutil.rmtree(part)
     write_points(spark.read.parquet(staging), store_path, n_buckets=n_buckets, mode="append")
     shutil.rmtree(staging, ignore_errors=True)

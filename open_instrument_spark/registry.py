@@ -999,8 +999,10 @@ corpus AS (
 
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _NEAR_CORPUS_SQL (near-dup seeding: every 11th doc
-    duplicated with an appended tail, id+200000). One definition — the
-    three approximate-dedup queries and the oracle CTE must agree."""
+    duplicated with an appended tail, id+200000). One definition shared
+    by dedup_ngram_jaccard and dedup_minhash_lsh and mirrored by the
+    oracle CTE. (dedup_simhash intentionally seeds EXACT copies — no
+    tail — and keeps its own corpus.)"""
     prepare(spark)
     docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 11 == 0).select(

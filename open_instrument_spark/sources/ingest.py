@@ -120,6 +120,7 @@ def write_points(points: DataFrame, path: str, n_buckets: int = 16,
 def compact(spark, path: str, n_buckets: int = 16) -> None:
     """W2 analog: rewrite small files into the canonical layout
     (the reference's block compaction, datastore.go:687-705, reduced to
-    a repartition+rewrite)."""
+    a repartition+rewrite). Also folds away the streaming sink's
+    per-epoch partitioning (drop() ignores absent columns)."""
     df = spark.read.parquet(path)
-    write_points(df.drop("dt", "bucket"), path + "_compacted", n_buckets, mode="overwrite")
+    write_points(df.drop("dt", "bucket", "epoch"), path + "_compacted", n_buckets, mode="overwrite")

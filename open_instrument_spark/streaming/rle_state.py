@@ -16,6 +16,11 @@ flagship RLE use, config.txt:37-47) merge instead of fragmenting into
 per-point singletons (pandas renders parquet NULL doubles as NaN, and
 NaN != NaN under ``==``).
 
+State-schema note: STATE_SCHEMA is part of the checkpoint contract —
+changing it (as the sval addition did pre-release) breaks restarts from
+checkpoints written under the old schema; migrate by draining the old
+query and starting fresh.
+
 Batch RLE (operators/rle.py) answers "compact what's stored"; this
 answers "compact while ingesting" with unbounded, late-tolerant input —
 state is one row per live series (bounded by series cardinality, the

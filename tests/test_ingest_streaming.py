@@ -345,3 +345,31 @@ def test_retention_with_kernel_mutation(spark):
     out = apply_retention(df, policy, NOW).collect()
     assert all(r["name"] == "/k" for r in out)
     assert len(out) > 0
+
+
+def test_retention_job_on_streaming_epoch_store(spark, points, tmp_path):
+    """The retention job must handle the streaming sink's epoch=N layout:
+    epoch folds out of the schema, aged dt dirs are deleted under epoch
+    dirs, and replacements are appended once (no duplication)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.retention import run_retention_job
+
+    src = str(tmp_path / "e_src")
+    dest = str(tmp_path / "e_dest")
+    ckpt = str(tmp_path / "e_ckpt")
+    aged = spark.createDataFrame(
+        [("/old", {"h": "a"}, dt.datetime(1924, 1, 30), 5.0, None),
+         ("/new", {"h": "a"}, dt.datetime(2024, 1, 30), 1.0, None)],
+        "name string, labels map<string,string>, ts timestamp, dval double, sval string",
+    )
+    aged.write.parquet(src)
+    q = start_ingest(read_points_stream(spark, src), dest, ckpt, n_buckets=2, now=NOW)
+    q.awaitTermination(120)
+    assert glob.glob(os.path.join(dest, "epoch=*", "dt=*"))  # epoch layout
+
+    policy = [PolicyItem(("*",), keep=True, max_age="5y")]  # >5y -> default DROP
+    run_retention_job(spark, dest, policy, NOW, n_buckets=2)
+    back = spark.read.parquet(dest)
+    rows = [(r["name"], r["dval"]) for r in back.collect()]
+    assert rows == [("/new", 1.0)]

@@ -88,11 +88,17 @@ def test_asof_join_is_not_a_join(spark, tables):
 
 
 def test_chunked_rate_has_bounded_exchanges(spark, tables):
+    import re
+
     # Two-phase chunked plan: window on (series, chunk), tail aggregation,
     # tail-lag window, and the handoff join — bounded shuffles, and no
     # whole-series single-window dependency on the big side.
     plan = plan_of(mutate.rate(tables.points(), chunk="1d"))
     assert plan.count("Exchange") <= 5
-    # the per-(series, chunk) window exists; no window partitioned on the
-    # bare series key over the FULL points (only the tiny tails table is)
-    assert "windowspecdefinition(series_key" in plan
+    # the per-(series, chunk) lag window exists (two partition columns,
+    # ordered by ts)...
+    assert re.search(r"windowspecdefinition\(series_key#\d+, _c#\d+L?, ts#", plan)
+    # ...and NO window over the big side is partitioned on the bare
+    # series key ordered by ts (that would be the regressed unbounded
+    # plan; the tiny tails window orders by _c, not ts, so it's excluded)
+    assert not re.search(r"windowspecdefinition\(series_key#\d+, ts#", plan)
