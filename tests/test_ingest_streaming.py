@@ -373,3 +373,34 @@ def test_retention_job_on_streaming_epoch_store(spark, points, tmp_path):
     back = spark.read.parquet(dest)
     rows = [(r["name"], r["dval"]) for r in back.collect()]
     assert rows == [("/new", 1.0)]
+
+
+def test_kernel_retention_preserves_series_identity(spark):
+    """Two series differing only in labels, downsampled via a kernel
+    band, must come back with their labels (not NULL-merged into one
+    series on the next series_key computation)."""
+    import datetime as dt
+
+    rows = [
+        ("/cpu", {"host": "a"}, dt.datetime(2022, 1, 30, 0, 0), 1.0, None),
+        ("/cpu", {"host": "a"}, dt.datetime(2022, 1, 30, 0, 2), 3.0, None),
+        ("/cpu", {"host": "b"}, dt.datetime(2022, 1, 30, 0, 0), 5.0, None),
+        ("/cpu", {"host": "b"}, dt.datetime(2022, 1, 30, 0, 2), 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, dval double, sval string"
+    )
+    policy = [
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("interpolate", "1m"),)),
+    ]
+    out = apply_retention(df, policy, NOW).collect()
+    hosts = {r["labels"]["host"] for r in out}
+    assert hosts == {"a", "b"}
+    from open_instrument_spark.model import series_key as _sk
+    keys = {
+        r["k"]
+        for r in apply_retention(df, policy, NOW).select(_sk().alias("k")).collect()
+    }
+    assert keys == {"/cpu{host=a}", "/cpu{host=b}"}
