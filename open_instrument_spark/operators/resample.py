@@ -252,7 +252,8 @@ _KERNELS = {
 
 
 def apply_kernel(points: DataFrame, kind: str, interval,
-                 n_buckets: int | None = None) -> DataFrame:
+                 n_buckets: int | None = None,
+                 restore_labels: bool = True) -> DataFrame:
     """Run a per-series kernel via applyInPandas. Grid math in epoch-µs.
 
     Scale note: grouping directly on series_key makes one Arrow batch per
@@ -322,8 +323,16 @@ def apply_kernel(points: DataFrame, kind: str, interval,
     # labels come from a series-cardinality dim joined back on the key —
     # nulling them instead would silently merge distinct series on any
     # later series_key recomputation (e.g. a retention rewrite).
-    dim = keyed.select(SERIES_KEY_COL, "labels").dropDuplicates([SERIES_KEY_COL])
-    return out.join(dim, SERIES_KEY_COL, "left").select(
+    # restore_labels=False skips the dim join for consumers that project
+    # labels away (the join is correctness-critical when output is
+    # WRITTEN BACK as points, e.g. retention bands — see test
+    # test_kernel_retention_preserves_series_identity).
+    if restore_labels:
+        dim = keyed.select(SERIES_KEY_COL, "labels").dropDuplicates([SERIES_KEY_COL])
+        out = out.join(dim, SERIES_KEY_COL, "left")
+    else:
+        out = out.withColumn("labels", F.lit(None).cast("map<string,string>"))
+    return out.select(
         F.regexp_extract(SERIES_KEY_COL, r"^([^{]*)", 1).alias("name"),
         "labels",
         "ts",
@@ -333,11 +342,11 @@ def apply_kernel(points: DataFrame, kind: str, interval,
     )
 
 
-def interpolate(points: DataFrame, interval) -> DataFrame:
+def interpolate(points: DataFrame, interval, **kw) -> DataFrame:
     """M7 NONE+sample_frequency (Go Interpolate)."""
-    return apply_kernel(points, "interpolate", interval)
+    return apply_kernel(points, "interpolate", interval, **kw)
 
 
-def mean_anchored(points: DataFrame, interval) -> DataFrame:
+def mean_anchored(points: DataFrame, interval, **kw) -> DataFrame:
     """M5 reference-anchored Mean (golden-parity variant)."""
-    return apply_kernel(points, "mean_anchored", interval)
+    return apply_kernel(points, "mean_anchored", interval, **kw)

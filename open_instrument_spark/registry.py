@@ -676,7 +676,7 @@ def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver records the rows-only check."""
     from open_instrument_spark.operators import resample
 
-    return resample.interpolate(_pts(spark, sf_dir), "1d")
+    return resample.interpolate(_pts(spark, sf_dir), "1d", restore_labels=False)
 
 
 @query("resample_mean_anchored")
@@ -685,7 +685,7 @@ def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor, stamped at last-in-bucket ts) — golden-tested; rows-only."""
     from open_instrument_spark.operators import resample
 
-    return resample.mean_anchored(_pts(spark, sf_dir), "1d")
+    return resample.mean_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
 
 
 # ===========================================================================
