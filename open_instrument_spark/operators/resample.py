@@ -275,11 +275,28 @@ def apply_kernel(points: DataFrame, kind: str, interval,
         # Scale buckets with the DATA, not just core count: per-bucket
         # pandas memory ≈ input_size / n_buckets, so pinning buckets to
         # 4×parallelism alone would grow per-task memory linearly with
-        # input. One bucket per input split (~maxPartitionBytes) keeps a
-        # batch around one split's volume; the core-count floor keeps
-        # small inputs parallel.
+        # input. One bucket per ~128 MB of input keeps a batch around one
+        # split's volume; the core-count floor keeps small inputs
+        # parallel. (inputFiles + getsize is a free probe; rdd
+        # .getNumPartitions would cost ~1 s of plan conversion per call.)
         sc = points.sparkSession.sparkContext
-        n_buckets = max(sc.defaultParallelism * 4, pts.rdd.getNumPartitions())
+        n_buckets = sc.defaultParallelism * 4
+        try:
+            from urllib.parse import urlparse
+
+            import os as _os
+
+            total = 0
+            for f in points.inputFiles():
+                u = urlparse(f)
+                if u.scheme not in ("file", ""):
+                    total = 0
+                    break
+                total += _os.path.getsize(u.path)
+            if total:
+                n_buckets = max(n_buckets, -(-total // (128 << 20)))
+        except Exception:
+            pass
     pts = pts.withColumn(
         "_b", F.pmod(F.xxhash64(SERIES_KEY_COL), F.lit(n_buckets))
     )
