@@ -1,0 +1,91 @@
+"""Scale-linearity probe: time key operators on 1x and 10x the sf0.1
+events table (10x = union of shifted copies — same skew profile, 6M
+rows) and report the runtime ratio. A ratio well under 10 means local
+runtime is overhead-dominated and the data path has headroom; a ratio
+near or above 10 flags an operator whose plan degrades super-linearly.
+
+Usage: python tools/scale_probe.py [sf_dir]   # one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from open_instrument_spark.model import events_to_points
+from open_instrument_spark.operators import aggregate as agg
+from open_instrument_spark.operators import mutate
+from open_instrument_spark.operators.rle import rle_encode
+from open_instrument_spark.operators.temporal import as_of_join
+from open_instrument_spark.session import get_spark, prepare
+from open_instrument_spark.sources.tables import load_tables
+
+MULT = 10
+
+
+def multiplied(ev, k: int):
+    out = ev
+    for i in range(1, k):
+        out = out.unionByName(
+            ev.select(
+                (F.col("event_id") + i * 10_000_000).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * 1000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    return out
+
+
+def operators(ev):
+    pts = events_to_points(ev)
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return {
+        "flagship_rate_sum": agg.aggregate_by_name(mutate.rate(pts), "sum", 300_000),
+        "rate_chunked": mutate.rate(pts, chunk="1d"),
+        "mean_resample": mutate.mean_resample(pts, "1h", carry_labels=False),
+        "rle_encode": rle_encode(pts),
+        "asof_join": as_of_join(purch, views, on=["user_id"]),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+
+    def run(df) -> float:
+        t0 = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        return time.monotonic() - t0
+
+    # warm (codegen + listing)
+    run(operators(ev)["flagship_rate_sum"])
+
+    report = {}
+    for label, k in (("x1", 1), ("x10", MULT)):
+        big = multiplied(ev, k)
+        for name, df in operators(big).items():
+            report.setdefault(name, {})[label] = round(run(df), 2)
+    for name, r in report.items():
+        r["ratio"] = round(r["x10"] / max(r["x1"], 1e-9), 2)
+    print(json.dumps({"sf": sf_dir, "mult": MULT, "operators": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
