@@ -275,26 +275,22 @@ def apply_kernel(points: DataFrame, kind: str, interval,
         # Scale buckets with the DATA, not just core count: per-bucket
         # pandas memory ≈ input_size / n_buckets, so pinning buckets to
         # 4×parallelism alone would grow per-task memory linearly with
-        # input. One bucket per ~128 MB of input keeps a batch around one
-        # split's volume; the core-count floor keeps small inputs
-        # parallel. (inputFiles + getsize is a free probe; rdd
-        # .getNumPartitions would cost ~1 s of plan conversion per call.)
+        # input. One bucket per ~128 MB keeps a batch around one split's
+        # volume; the core-count floor keeps small inputs parallel.
+        # Catalyst's optimized-plan size estimate is the right probe: it
+        # reflects partition pruning / pushed filters (inputFiles() does
+        # not), works on any filesystem (a local getsize probe does not),
+        # and costs no per-file I/O (rdd.getNumPartitions would pay ~1 s
+        # of plan conversion). Unknown stats come back astronomically
+        # large — treat anything over 1 PiB as unknown.
         sc = points.sparkSession.sparkContext
         n_buckets = sc.defaultParallelism * 4
         try:
-            from urllib.parse import urlparse
-
-            import os as _os
-
-            total = 0
-            for f in points.inputFiles():
-                u = urlparse(f)
-                if u.scheme not in ("file", ""):
-                    total = 0
-                    break
-                total += _os.path.getsize(u.path)
-            if total:
-                n_buckets = max(n_buckets, -(-total // (128 << 20)))
+            size = int(
+                points._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if 0 < size < (1 << 50):
+                n_buckets = max(n_buckets, -(-size // (128 << 20)))
         except Exception:
             pass
     pts = pts.withColumn(

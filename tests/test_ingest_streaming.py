@@ -395,12 +395,9 @@ def test_kernel_retention_preserves_series_identity(spark):
         PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
                    mutations=(("interpolate", "1m"),)),
     ]
-    out = apply_retention(df, policy, NOW).collect()
-    hosts = {r["labels"]["host"] for r in out}
-    assert hosts == {"a", "b"}
     from open_instrument_spark.model import series_key as _sk
-    keys = {
-        r["k"]
-        for r in apply_retention(df, policy, NOW).select(_sk().alias("k")).collect()
-    }
-    assert keys == {"/cpu{host=a}", "/cpu{host=b}"}
+
+    res = apply_retention(df, policy, NOW)
+    out = res.select("name", "labels", _sk().alias("k")).collect()
+    assert {r["labels"]["host"] for r in out} == {"a", "b"}
+    assert {r["k"] for r in out} == {"/cpu{host=a}", "/cpu{host=b}"}

@@ -1,6 +1,6 @@
 """Scale-linearity probe: time key operators on 1x and 10x the sf0.1
-events table (10x = union of shifted copies — same skew profile, 6M
-rows) and report the runtime ratio. A ratio well under 10 means local
+events table (100 k rows; 10x = union of shifted copies with disjoint
+user ids — same skew profile, 1 M rows) and report the runtime ratio. A ratio well under 10 means local
 runtime is overhead-dominated and the data path has headroom; a ratio
 near or above 10 flags an operator whose plan degrades super-linearly.
 
@@ -36,7 +36,7 @@ def multiplied(ev, k: int):
             ev.select(
                 (F.col("event_id") + i * 10_000_000).alias("event_id"),
                 "ts",
-                (F.col("user_id") + i * 1000).alias("user_id"),
+                (F.col("user_id") + i * 10_000).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
@@ -73,8 +73,10 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.monotonic() - t0
 
-    # warm (codegen + listing)
-    run(operators(ev)["flagship_rate_sum"])
+    # warm every operator (codegen, Arrow/pandas init, file listing) so
+    # the measured x1 runs aren't cold while x10 runs are warm
+    for df in operators(ev).values():
+        run(df)
 
     report = {}
     for label, k in (("x1", 1), ("x10", MULT)):
