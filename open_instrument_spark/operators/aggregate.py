@@ -105,15 +105,27 @@ def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
 
     # Per (name, label_value) group: other labels having exactly one
     # distinct value over the group's member streams (store.cc:208-227).
+    # ONE exchange: collect the distinct (k,v) pairs per group
+    # (collect_set = ObjectHashAggregate with map-side partials), then a
+    # higher-order filter keeps keys appearing exactly once. The O(n²)
+    # in-array scan is over a group's distinct label pairs — tens, not
+    # data-scale. (A count/first formulation would cost two more
+    # exchanges plus a string-buffer SortAggregate.)
+    kv = F.col("_kv")
+    singles = F.filter(
+        kv,
+        lambda e: F.size(F.filter(kv, lambda x: x["k"] == e["k"])) == 1,
+    )
     member_labels = (
         pts.select("name", "label_value", F.explode_outer("labels").alias("k", "v"))
         .filter(F.col("k") != label)
-        .distinct()
-        .groupBy("name", "label_value", "k")
-        .agg(F.count("v").alias("_n"), F.first("v").alias("v"))
-        .filter(F.col("_n") == 1)
         .groupBy("name", "label_value")
-        .agg(F.map_from_arrays(F.collect_list("k"), F.collect_list("v")).alias("retained_labels"))
+        .agg(F.collect_set(F.struct("k", "v")).alias("_kv"))
+        .select(
+            "name",
+            "label_value",
+            F.map_from_entries(singles).alias("retained_labels"),
+        )
     )
     # member_labels is result-scale (one row per output group, i.e. per
     # distinct (name, label_value)) — orders of magnitude below the input
