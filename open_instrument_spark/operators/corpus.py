@@ -1,0 +1,74 @@
+"""Corpus management operators for training-data pipelines (§2.9
+extension family): deterministic splitting and sequence packing.
+
+Not in the reference system — these are the two operations every
+LLM-data pipeline needs between dedup and tokenization:
+
+- ``hash_split``: stable train/val/test assignment by hashing a document
+  id. Deterministic across runs, engines and cluster sizes (md5 is
+  portable — the DuckDB oracle computes the identical assignment), and
+  stable under corpus growth: adding documents never reassigns existing
+  ones (the property random splits lack).
+- ``pack_greedy``: contiguous sequence packing — assign documents, in a
+  deterministic order, to consecutive bins of ~``budget`` tokens by
+  cumulative token count. One window pass; the standard approximation of
+  first-fit packing (a bin may overflow by less than one document, and
+  no reordering is attempted — exact bin-packing is NP-hard and needs
+  sequential state).
+
+Both are pure Column expressions: scan-project (+ one sort for packing),
+no Python, no shuffle beyond the packing sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float) -> str:
+    """32-hex-char string t such that P(md5_hex < t) = fraction for a
+    uniform hash. Comparing lowercase hex strings lexicographically is
+    engine-portable (Spark and DuckDB md5 both emit lowercase hex)."""
+    return format(int(fraction * 16**32), "032x")
+
+
+def split_column(id_col: Column, weights: dict[str, float]) -> Column:
+    """Split-name column from cumulative md5 thresholds over ``weights``
+    (must sum to ~1; order of dict entries fixes the hash ranges)."""
+    h = F.md5(id_col.cast("string"))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = h < _hex_threshold(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(names[-1])
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id",
+               weights: dict[str, float] | None = None) -> DataFrame:
+    """Assign each row a stable split label (default 90/5/5)."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    return docs.withColumn("split", split_column(F.col(id_col), weights))
+
+
+def pack_greedy(docs: DataFrame, token_col: str, budget: int,
+                order_col: str = "doc_id") -> DataFrame:
+    """Assign a ``bin`` id by cumulative token count in ``order_col``
+    order: bin = floor(exclusive-prefix-sum / budget). Documents stay
+    contiguous; each bin holds ≥1 document and overflows ``budget`` by
+    at most one document's tokens.
+
+    Scale note: the window is UNPARTITIONED (a global packing order), so
+    the prefix sum runs on a single task — fine up to ~10⁸ docs; for
+    larger corpora partition the packing by a coarse key (e.g.
+    ``split`` or a date) and pack within partitions.
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return docs.withColumn(
+        "bin", F.floor(prior / F.lit(budget)).cast("long")
+    )

@@ -948,6 +948,57 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts(load_tables(spark, sf_dir).table("documents"))
 
 
+_T_TRAIN = format(int(0.90 * 16**32), "032x")
+_T_VAL = format(int(0.95 * 16**32), "032x")
+
+
+@query(
+    "corpus_hash_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: deterministic 90/5/5 train/val/test split by md5
+    of doc_id — stable across runs/engines/cluster sizes, and adding
+    documents never reassigns existing ones (unlike random splits)."""
+    from open_instrument_spark.operators.corpus import hash_split
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id")
+    return hash_split(docs).select("doc_id", "split")
+
+
+@query(
+    "corpus_pack_greedy",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 2048.0) AS BIGINT) AS bin
+FROM t
+""",
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: contiguous sequence packing — documents fill
+    consecutive ~2048-token bins by cumulative word count (the standard
+    one-pass approximation of first-fit packing)."""
+    from open_instrument_spark.operators.corpus import pack_greedy
+    from open_instrument_spark.operators.text import words
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
+    return pack_greedy(toks, "n_tokens", 2048).select("doc_id", "n_tokens", "bin")
+
+
 _DUP_CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents

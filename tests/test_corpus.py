@@ -1,0 +1,42 @@
+"""Corpus operators: split stability and packing-bound properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.corpus import hash_split, pack_greedy
+from open_instrument_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_hash_split_stable_under_growth(spark):
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id")
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    # growing the corpus never reassigns existing documents
+    assert all(full[k] == v for k, v in half.items())
+    # and the ratios are roughly the weights
+    n = len(full)
+    train = sum(1 for v in full.values() if v == "train")
+    assert 0.8 * n <= train <= 0.97 * n
+
+
+def test_pack_greedy_bounds(spark):
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.length("text").alias("n_tokens"))
+    packed = pack_greedy(toks, "n_tokens", 1000)
+    per_bin = (
+        packed.groupBy("bin")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert all(r["n"] >= 1 for r in per_bin)
+    # a bin overflows the budget by less than one document's tokens
+    assert all(r["tot"] < 1000 + r["mx"] for r in per_bin)
+    # bins are contiguous ids starting at 0
+    ids = sorted(r["bin"] for r in per_bin)
+    assert ids == list(range(len(ids)))
