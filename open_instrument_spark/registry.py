@@ -999,6 +999,67 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(toks, "n_tokens", 2048).select("doc_id", "n_tokens", "bin")
 
 
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w,
+         min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, rep,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
+         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
+         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_wlen
+  FROM base
+),
+q AS (
+  SELECT doc_id, rep,
+         round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
+               (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+               least(1.0, sraw * 5.0) * 0.2 +
+               (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
+         s_en, greatest(s_en, s_de, s_fr, s_es) AS s_best
+  FROM feat
+)
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM q
+WHERE doc_id = rep AND quality >= 0.75 AND s_en >= s_best AND s_best > 0
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 capstone: the standard corpus-cleaning pipeline composed from
+    the engine's own operators — exact dedup (keep representatives) →
+    quality >= 0.75 and language = en → deterministic split assignment.
+    One declarative plan end-to-end."""
+    from open_instrument_spark.operators.corpus import split_column
+    from open_instrument_spark.operators.dedup import exact_dedup
+    from open_instrument_spark.operators.text import text_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    reps = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    stats = text_stats(docs).select("doc_id", "quality", "lang_pred")
+    keep = stats.join(reps, "doc_id").filter(
+        (F.col("quality") >= 0.75) & (F.col("lang_pred") == "en")
+    )
+    weights = {"train": 0.90, "val": 0.05, "test": 0.05}
+    return keep.select(
+        "doc_id", split_column(F.col("doc_id"), weights).alias("split")
+    )
+
+
 _DUP_CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents
