@@ -41,6 +41,7 @@ HEADLINE = [
     "ingest_dedup",
     "text_stats",
     "dedup_exact",
+    "corpus_clean_pipeline",
     "dedup_minhash_lsh",
     "embed_topk",
     "analytics_pricing_summary",
