@@ -111,6 +111,9 @@ def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
     # in-array scan is over a group's distinct label pairs — tens, not
     # data-scale. (A count/first formulation would cost two more
     # exchanges plus a string-buffer SortAggregate.)
+    # Declared null semantics: a null label value counts as a distinct
+    # value (a {null,'x'} key is NOT single-valued), and groups with no
+    # qualifying keys get an EMPTY map rather than a null column.
     kv = F.col("_kv")
     singles = F.filter(
         kv,

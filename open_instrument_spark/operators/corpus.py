@@ -26,6 +26,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+DEFAULT_WEIGHTS = {"train": 0.90, "val": 0.05, "test": 0.05}
+
+
 def _hex_threshold(fraction: float) -> str:
     """32-hex-char string t such that P(md5_hex < t) = fraction for a
     uniform hash. Comparing lowercase hex strings lexicographically is
@@ -33,16 +36,31 @@ def _hex_threshold(fraction: float) -> str:
     return format(int(fraction * 16**32), "032x")
 
 
+def cumulative_thresholds(weights: dict[str, float]) -> dict[str, str]:
+    """Upper hex threshold per split name (last split's is implicit).
+
+    THE single source of the boundary values: split_column and any oracle
+    SQL must both take thresholds from here — cumulative float sums are
+    not associative (0.90+0.05 != 0.95 exactly), so independently
+    re-deriving a boundary can disagree in the last bit.
+    """
+    out = {}
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        out[name] = _hex_threshold(cum)
+    return out
+
+
 def split_column(id_col: Column, weights: dict[str, float]) -> Column:
     """Split-name column from cumulative md5 thresholds over ``weights``
     (must sum to ~1; order of dict entries fixes the hash ranges)."""
     h = F.md5(id_col.cast("string"))
     expr = None
-    cum = 0.0
     names = list(weights)
-    for name in names[:-1]:
-        cum += weights[name]
-        cond = h < _hex_threshold(cum)
+    for name, threshold in cumulative_thresholds(weights).items():
+        cond = h < threshold
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(names[-1])
@@ -51,7 +69,7 @@ def split_column(id_col: Column, weights: dict[str, float]) -> Column:
 def hash_split(docs: DataFrame, id_col: str = "doc_id",
                weights: dict[str, float] | None = None) -> DataFrame:
     """Assign each row a stable split label (default 90/5/5)."""
-    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    weights = weights or DEFAULT_WEIGHTS
     return docs.withColumn("split", split_column(F.col(id_col), weights))
 
 

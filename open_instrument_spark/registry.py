@@ -948,8 +948,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts(load_tables(spark, sf_dir).table("documents"))
 
 
-_T_TRAIN = format(int(0.90 * 16**32), "032x")
-_T_VAL = format(int(0.95 * 16**32), "032x")
+from open_instrument_spark.operators.corpus import (  # noqa: E402
+    DEFAULT_WEIGHTS as _SPLIT_WEIGHTS,
+    cumulative_thresholds as _split_thresholds,
+)
+
+_T = _split_thresholds(_SPLIT_WEIGHTS)
+_T_TRAIN, _T_VAL = _T["train"], _T["val"]
 
 
 @query(
@@ -1049,14 +1054,17 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prepare(spark)
     docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    # dedup BEFORE tokenizing: quality/lang depend only on the row's own
+    # text, so scoring duplicate rows would be wasted regex work.
     reps = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
-    stats = text_stats(docs).select("doc_id", "quality", "lang_pred")
-    keep = stats.join(reps, "doc_id").filter(
-        (F.col("quality") >= 0.75) & (F.col("lang_pred") == "en")
+    survivors = docs.join(reps, "doc_id")
+    keep = (
+        text_stats(survivors)
+        .select("doc_id", "quality", "lang_pred")
+        .filter((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
     )
-    weights = {"train": 0.90, "val": 0.05, "test": 0.05}
     return keep.select(
-        "doc_id", split_column(F.col("doc_id"), weights).alias("split")
+        "doc_id", split_column(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split")
     )
 
 
