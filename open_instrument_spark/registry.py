@@ -1068,6 +1068,45 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({_WORDS_SQL}) AS word FROM documents
+),
+c AS (
+  SELECT word, count(*) AS n FROM w GROUP BY word
+),
+r AS (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c
+)
+SELECT word, n, rank FROM r WHERE rank <= 100
+""",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: global vocabulary top-100 by frequency — explode
+    words → count → rank. Map-side partial counts make the shuffle
+    vocabulary-sized, not corpus-sized; the final rank runs on the
+    (small) vocabulary table. Deterministic tie-break on the word."""
+    from pyspark.sql import Window
+
+    from open_instrument_spark.operators.text import words
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    counts = (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("word", "n", "rank")
+    )
+
+
 _DUP_CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents
