@@ -1274,6 +1274,62 @@ def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_min(e) AS vmin,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, vmin, scale,
+         list_transform(e, x -> CAST(floor((x - vmin) / scale) AS BIGINT)) AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum, qv[1] AS q_first, qv[64] AS q_last
+FROM q
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding storage compression: per-vector int8 quantization
+    (min/max affine, floor — banker's-rounding differences between
+    engines make round() non-portable). Pure Column expressions, one
+    scan-project; 4x smaller vectors for the ANN index. Compared via
+    scalar digests of the quantized array (sum + endpoints)."""
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", e.alias("_e")).select(
+        "vec_id",
+        "_e",
+        F.array_min("_e").alias("vmin"),
+        ((F.array_max("_e") - F.array_min("_e")) / 255.0).alias("scale"),
+    )
+    qv = F.transform(
+        "_e", lambda x: F.floor((x - F.col("vmin")) / F.col("scale")).cast("long")
+    )
+    out = (
+        staged.filter(F.col("scale") > 0)
+        .withColumn("_qv", qv)
+        .select(
+            "vec_id",
+            F.round("vmin", 6).alias("vmin"),
+            F.round("scale", 6).alias("scale"),
+            F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.element_at("_qv", 1).alias("q_first"),
+            F.element_at("_qv", 64).alias("q_last"),
+        )
+    )
+    return out
+
+
+@query(
     "embed_near_dup",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
