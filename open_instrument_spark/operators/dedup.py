@@ -269,3 +269,68 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def minhash_lsh_pairs_portable(docs: DataFrame, text_col: str = "text",
+                               k: int = 5, num_perm: int = 16, bands: int = 4,
+                               threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH with ENGINE-PORTABLE hashing: sig[i] = lexicographic
+    min of md5(shingle || '#' || i); band key = md5 of the band's
+    concatenated signature parts. Every stage (signatures, banding,
+    candidate join, exact verify) is deterministic and reproducible in
+    ANSI SQL, so the full approximate pipeline — including which
+    candidate pairs LSH surfaces — is exactly oracle-checkable. The
+    xxhash64 variant (minhash_lsh_pairs) stays the fast production path.
+    Output: (a_id, b_id, jaccard)."""
+    rows = num_perm // bands
+    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")).persist()
+    ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = F.array(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    )
+    sigs = ds.groupBy("doc_id").agg(sig.alias("sig"))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(*[F.col("sig").getItem(b * rows + r) for r in range(rows)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        sa.join(F.broadcast(cand), "a_id")
+        .join(sb, "b_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )

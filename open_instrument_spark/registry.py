@@ -1214,6 +1214,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, threshold=0.5)
 
 
+@query(
+    "dedup_minhash_md5",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+                         i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(16),
+           i -> list_min(list_transform(s, x -> md5(x || '#' || i)))) AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(sg[b*4 + 1] || sg[b*4 + 2] || sg[b*4 + 3] || sg[b*4 + 4]) AS bh
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.a_id, c.b_id,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) AS na, len(sb.s) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+""",
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 MinHash-LSH with PORTABLE hashing (md5 signatures + band
+    keys, 16 perms × 4 bands): the ENTIRE approximate pipeline —
+    including exactly which candidate pairs LSH surfaces — is
+    reproduced by the DuckDB oracle and hash-gated. The xxhash64
+    variant (dedup_minhash_lsh) stays the fast path; this proves the
+    algorithm, not just the output shape."""
+    from open_instrument_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    return minhash_lsh_pairs_portable(_near_corpus(spark, sf_dir), threshold=0.5)
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 MinHash-LSH near-dup (64 perms, 16 bands × 4 rows, exact
