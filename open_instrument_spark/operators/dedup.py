@@ -137,17 +137,35 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
                       num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.5,
-                      broadcast_candidates: bool = True) -> DataFrame:
+                      broadcast_candidates: bool = True,
+                      portable: bool = False) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures into ``bands`` buckets,
     candidates = pairs sharing any band bucket, then EXACT Jaccard verify
     (so precision is exact; recall is the LSH S-curve).
+
+    ``portable=True`` swaps xxhash64 for md5 in both the signatures
+    (lexicographic min of hex) and the band keys, making every stage —
+    including which candidates LSH surfaces — reproducible in ANSI SQL
+    (the dedup_minhash_md5 oracle). xxhash64 is the fast default.
     Output: (a_id, b_id, jaccard)."""
     rows = num_perm // bands
     # The per-doc shingle arrays feed three consumers (signatures and both
     # sides of the verify join): materialize once. On a cluster this would
     # be a checkpoint/persist of a ~linear-size intermediate.
     sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")).persist()
-    sigs = _sigs_from_shingle_rows(sh, num_perm)
+    if portable:
+        ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
+        sig = F.array(
+            *[
+                F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+                for i in range(num_perm)
+            ]
+        )
+        sigs = ds.groupBy("doc_id").agg(sig.alias("sig"))
+        band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
+    else:
+        sigs = _sigs_from_shingle_rows(sh, num_perm)
+        band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -155,8 +173,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig").getItem(b * rows + r) for r in range(rows)]
+                        band_hash(
+                            [F.col("sig").getItem(b * rows + r) for r in range(rows)]
                         ).alias("bh"),
                     )
                     for b in range(bands)
@@ -273,64 +291,12 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 
 def minhash_lsh_pairs_portable(docs: DataFrame, text_col: str = "text",
                                k: int = 5, num_perm: int = 16, bands: int = 4,
-                               threshold: float = 0.5) -> DataFrame:
-    """MinHash-LSH with ENGINE-PORTABLE hashing: sig[i] = lexicographic
-    min of md5(shingle || '#' || i); band key = md5 of the band's
-    concatenated signature parts. Every stage (signatures, banding,
-    candidate join, exact verify) is deterministic and reproducible in
-    ANSI SQL, so the full approximate pipeline — including which
-    candidate pairs LSH surfaces — is exactly oracle-checkable. The
-    xxhash64 variant (minhash_lsh_pairs) stays the fast production path.
-    Output: (a_id, b_id, jaccard)."""
-    rows = num_perm // bands
-    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")).persist()
-    ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    sig = F.array(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-            for i in range(num_perm)
-        ]
+                               threshold: float = 0.5,
+                               broadcast_candidates: bool = True) -> DataFrame:
+    """minhash_lsh_pairs with engine-portable md5 hashing (see its
+    docstring); smaller default signature since md5 costs more."""
+    return minhash_lsh_pairs(
+        docs, text_col, k, num_perm, bands, threshold,
+        broadcast_candidates=broadcast_candidates, portable=True,
     )
-    sigs = ds.groupBy("doc_id").agg(sig.alias("sig"))
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(*[F.col("sig").getItem(b * rows + r) for r in range(rows)])
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        sa.join(F.broadcast(cand), "a_id")
-        .join(sb, "b_id")
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+

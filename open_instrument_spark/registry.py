@@ -1099,12 +1099,12 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject — a DISTRIBUTED
+    # top-k over the vocabulary (an unpartitioned rank window would drag
+    # the whole vocab into one task); rank is then assigned on ≤100 rows.
+    top = counts.orderBy(F.col("n").desc(), "word").limit(100)
     w = Window.orderBy(F.col("n").desc(), "word")
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .select("word", "n", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("word", "n", "rank")
 
 
 _DUP_CORPUS_SQL = """
@@ -1330,7 +1330,7 @@ def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "embed_quantize_int8",
+    "embed_quantize_uint8",
     oracle="""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1344,20 +1344,24 @@ s AS (
 ),
 q AS (
   SELECT vec_id, vmin, scale,
-         list_transform(e, x -> CAST(floor((x - vmin) / scale) AS BIGINT)) AS qv
-  FROM s WHERE scale > 0
+         CASE WHEN scale > 0 THEN
+           list_transform(e, x -> CAST(floor((x - vmin) / scale) AS BIGINT))
+         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM s
 )
 SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
        CAST(list_sum(qv) AS BIGINT) AS q_sum, qv[1] AS q_first, qv[64] AS q_last
 FROM q
 """,
 )
-def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 embedding storage compression: per-vector int8 quantization
-    (min/max affine, floor — banker's-rounding differences between
-    engines make round() non-portable). Pure Column expressions, one
-    scan-project; 4x smaller vectors for the ANN index. Compared via
-    scalar digests of the quantized array (sum + endpoints)."""
+def embed_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding storage compression: per-vector UINT8 quantization
+    (levels 0-255; affine min/max, floor — banker's-rounding differences
+    between engines make round() non-portable). Constant vectors keep
+    scale 0 and all-zero levels (dropping them would corrupt the ANN
+    index this feeds). Pure Column expressions, one scan-project; 4x
+    smaller vectors. Compared via scalar digests of the quantized array
+    (sum + endpoints)."""
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
     e = F.transform("embedding", lambda x: x.cast("double"))
@@ -1367,20 +1371,19 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("_e").alias("vmin"),
         ((F.array_max("_e") - F.array_min("_e")) / 255.0).alias("scale"),
     )
-    qv = F.transform(
-        "_e", lambda x: F.floor((x - F.col("vmin")) / F.col("scale")).cast("long")
-    )
-    out = (
-        staged.filter(F.col("scale") > 0)
-        .withColumn("_qv", qv)
-        .select(
-            "vec_id",
-            F.round("vmin", 6).alias("vmin"),
-            F.round("scale", 6).alias("scale"),
-            F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-            F.element_at("_qv", 1).alias("q_first"),
-            F.element_at("_qv", 64).alias("q_last"),
-        )
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "_e", lambda x: F.floor((x - F.col("vmin")) / F.col("scale")).cast("long")
+        ),
+    ).otherwise(F.transform("_e", lambda x: F.lit(0).cast("long")))
+    out = staged.withColumn("_qv", qv).select(
+        "vec_id",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.element_at("_qv", 1).alias("q_first"),
+        F.element_at("_qv", 64).alias("q_last"),
     )
     return out
 
