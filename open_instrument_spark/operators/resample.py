@@ -363,3 +363,13 @@ def interpolate(points: DataFrame, interval, **kw) -> DataFrame:
 def mean_anchored(points: DataFrame, interval, **kw) -> DataFrame:
     """M5 reference-anchored Mean (golden-parity variant)."""
     return apply_kernel(points, "mean_anchored", interval, **kw)
+
+
+def min_anchored(points: DataFrame, interval, **kw) -> DataFrame:
+    """M6 reference-anchored Min (mutations/mutations.go:139-164)."""
+    return apply_kernel(points, "min_anchored", interval, **kw)
+
+
+def max_anchored(points: DataFrame, interval, **kw) -> DataFrame:
+    """M6 reference-anchored Max (mutations/mutations.go:166-191)."""
+    return apply_kernel(points, "max_anchored", interval, **kw)
