@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from open_instrument_spark.operators.text import let, words
+from open_instrument_spark.session import track_persist
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -151,8 +152,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     rows = num_perm // bands
     # The per-doc shingle arrays feed three consumers (signatures and both
     # sides of the verify join): materialize once. On a cluster this would
-    # be a checkpoint/persist of a ~linear-size intermediate.
-    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")).persist()
+    # be a checkpoint/persist of a ~linear-size intermediate. Tracked so
+    # session.release_tracked_caches() (or the next prepare()) frees it —
+    # library callers composing several dedup calls call it explicitly.
+    sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
     if portable:
         ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
         sig = F.array(

@@ -195,5 +195,23 @@ def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
         ):
             if os.path.exists(part):
                 shutil.rmtree(part)
-    write_points(spark.read.parquet(staging), store_path, n_buckets=n_buckets, mode="append")
+    # Replacements must land at the SAME partition depth as the store:
+    # appending dt=/bucket= at the root of an epoch=N store mixes
+    # partition schemas and makes every later read fail with
+    # CONFLICTING_PARTITION_COLUMN_NAMES. On an epoch store, stage the
+    # rewrite into a retention-owned epoch dir. Epoch values are the
+    # streaming sink's checkpointed batch ids (always >= 0), so NEGATIVE
+    # epochs are a collision-free namespace: a resumed stream can never
+    # overwrite a retention rewrite, and each run gets a fresh id.
+    epoch_dirs = _glob.glob(os.path.join(store_path, "epoch=*"))
+    dest = store_path
+    if epoch_dirs:
+        epochs = []
+        for p in epoch_dirs:
+            try:
+                epochs.append(int(os.path.basename(p).split("=", 1)[1]))
+            except ValueError:
+                pass
+        dest = os.path.join(store_path, f"epoch={min(epochs, default=0) - 1}")
+    write_points(spark.read.parquet(staging), dest, n_buckets=n_buckets, mode="append")
     shutil.rmtree(staging, ignore_errors=True)

@@ -42,9 +42,17 @@ def match_variables(points: DataFrame, pattern: str | VariableMatcher) -> DataFr
 def last_n_per_series(points: DataFrame, n: int) -> DataFrame:
     """F9 ``max_values``: newest N values of each series
     (go/src/store.go:151-153). Top-k-by-recency window; the shuffle is on
-    the series key, k rows survive per series."""
+    the series key, k rows survive per series.
+
+    Equal-timestamp samples break ties on (dval, sval) desc — the same
+    deterministic convention as mutate.latest and sources.ingest.dedup —
+    so the winner is stable run-to-run and vs a SQL oracle."""
     pts = _with_key(points)
-    w = Window.partitionBy(SERIES_KEY_COL).orderBy(F.col("ts").desc())
+    w = Window.partitionBy(SERIES_KEY_COL).orderBy(
+        F.col("ts").desc(),
+        F.col("dval").desc_nulls_last(),
+        F.col("sval").desc_nulls_last(),
+    )
     return pts.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
 
 

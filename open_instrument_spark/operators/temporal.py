@@ -62,14 +62,29 @@ def as_of_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         f"{prefix}{ts}", F.when(F.col("_side") == 0, F.col(ts))
     )
 
+    # Duplicate (key, ts) right rows: order them by their value columns
+    # (asc, nulls first) so last() deterministically resolves to the
+    # greatest value tuple — same convention as sources.ingest.dedup.
+    # Left rows sort after right rows at equal ts (_side 1 > 0), which
+    # preserves ASOF <= visibility.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"{prefix}{c}").asc_nulls_first() for c in value_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = merged
-    for c in [*[f"{prefix}{c}" for c in value_cols], f"{prefix}{ts}"]:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # One select (not chained withColumn): every last() must reference the
+    # ORIGINAL staged columns — overwriting them sequentially would make
+    # later windows order by already-filled values (nondeterministic) and
+    # split the plan into one Window node per column.
+    fill_cols = [*[f"{prefix}{c}" for c in value_cols], f"{prefix}{ts}"]
+    out = merged.select(
+        *[c for c in merged.columns if c not in fill_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+    )
 
     out = out.filter(F.col("_side") == 1).drop("_side")
     if tolerance is not None:

@@ -214,16 +214,11 @@ SELECT series_key, ts, dval FROM ranked WHERE rn <= 2
 """,
 )
 def select_last_n_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 max_values: newest 2 values per series (go/src/store.go:151-153)."""
-    from pyspark.sql import Window
-
-    pts = mutate._with_key(_pts(spark, sf_dir))
-    w = Window.partitionBy("series_key").orderBy(F.col("ts").desc(), F.col("dval").desc())
-    return (
-        pts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 2)
-        .select("series_key", "ts", "dval")
-    )
+    """F9 max_values: newest 2 values per series (go/src/store.go:151-153).
+    Uses the library operator directly — its (dval, sval) desc tie-break
+    matches the oracle's ts DESC, dval DESC ordering."""
+    out = select.last_n_per_series(_pts(spark, sf_dir), 2)
+    return out.select("series_key", "ts", "dval")
 
 
 @query(

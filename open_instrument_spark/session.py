@@ -65,15 +65,41 @@ def prepare(spark: SparkSession) -> SparkSession:
         pass
     # Drop intermediates persisted by a PREVIOUS query (e.g. the LSH
     # shingle cache): prepare() runs at the start of each query build, so
-    # this bounds cache memory across a long sequence of driver runs
-    # without touching the current query's own persists (created later,
-    # during its execution).
-    try:
-        spark.catalog.clearCache()
-    except Exception:
-        pass
+    # this bounds cache memory across a long sequence of driver runs.
+    # Only the ENGINE'S OWN tracked persists are released — a global
+    # clearCache() would nuke caches a library caller maintains alongside.
+    release_tracked_caches()
     _ship_package(spark)
     return spark
+
+
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df):
+    """persist() a DataFrame and register it for engine-scoped cleanup.
+
+    Operators that materialize a reused intermediate (e.g. the MinHash
+    shingle arrays) persist through here; ``release_tracked_caches()``
+    (called by ``prepare()`` between driver queries, or directly by
+    library callers composing several dedup calls) unpersists them
+    without touching unrelated user caches."""
+    p = df.persist()
+    _TRACKED_PERSISTS.append(p)
+    return p
+
+
+def release_tracked_caches() -> int:
+    """Unpersist every engine-tracked intermediate; returns the count."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 _shipped: set[int] = set()

@@ -375,6 +375,51 @@ def test_retention_job_on_streaming_epoch_store(spark, points, tmp_path):
     assert rows == [("/new", 1.0)]
 
 
+def test_retention_job_downsample_band_on_epoch_store(spark, tmp_path):
+    """Regression: a downsample band produces a NON-empty replacement
+    set; on an epoch=N store it must land at the same partition depth
+    (a root-level dt=/bucket= append makes every later read fail with
+    CONFLICTING_PARTITION_COLUMN_NAMES), in a negative-epoch dir a
+    resumed stream (batch ids >= 0) can never overwrite."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.retention import run_retention_job
+
+    src = str(tmp_path / "d_src")
+    dest = str(tmp_path / "d_dest")
+    ckpt = str(tmp_path / "d_ckpt")
+    aged = spark.createDataFrame(
+        # 2 aged samples, same series + same day -> one daily-mean row
+        [("/m", {"h": "a"}, dt.datetime(2022, 6, 1, 0), 1.0, None),
+         ("/m", {"h": "a"}, dt.datetime(2022, 6, 1, 6), 3.0, None),
+         ("/m", {"h": "a"}, dt.datetime(2024, 1, 30), 7.0, None)],
+        "name string, labels map<string,string>, ts timestamp, dval double, sval string",
+    )
+    aged.write.parquet(src)
+    q = start_ingest(read_points_stream(spark, src), dest, ckpt, n_buckets=2, now=NOW)
+    q.awaitTermination(120)
+    assert glob.glob(os.path.join(dest, "epoch=*", "dt=*"))
+
+    policy = [
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("mean", "1d"),)),
+    ]
+    run_retention_job(spark, dest, policy, NOW, n_buckets=2)
+
+    back = spark.read.parquet(dest)  # must not raise (consistent layout)
+    rows = sorted((r["name"], r["ts"], r["dval"]) for r in back.collect())
+    assert rows == [
+        ("/m", dt.datetime(2022, 6, 1), 2.0),   # daily mean of 1.0, 3.0
+        ("/m", dt.datetime(2024, 1, 30), 7.0),  # recent raw, untouched
+    ]
+    # replacement landed in a retention-owned negative epoch
+    assert glob.glob(os.path.join(dest, "epoch=-1", "dt=*"))
+    # idempotent layout: a second run still reads + keeps depth
+    run_retention_job(spark, dest, policy, NOW, n_buckets=2)
+    assert spark.read.parquet(dest).count() == 2
+
+
 def test_kernel_retention_preserves_series_identity(spark):
     """Two series differing only in labels, downsampled via a kernel
     band, must come back with their labels (not NULL-merged into one

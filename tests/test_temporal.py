@@ -104,3 +104,32 @@ def test_rate_chunked_equals_plain(spark):
         base = {(r.series_key, r.ts, r.dval) for r in fn(pts).collect()}
         got = {(r.series_key, r.ts, r.dval) for r in fn(pts, chunk="1d").collect()}
         assert got == base, fn.__name__
+
+
+def test_asof_duplicate_right_ts_resolves_to_greatest(spark):
+    """Duplicate (key, ts) right rows must resolve deterministically to
+    the greatest value tuple (ingest.dedup convention), not an arbitrary
+    partition-order winner."""
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1.0)], "key string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 100.0), ("a", _ts(5), 300.0), ("a", _ts(5), 200.0)],
+        "key string, ts timestamp, w double",
+    )
+    for _ in range(3):  # stable across repeated runs
+        out = as_of_join(left, right.repartition(8), on=["key"]).collect()
+        assert [(r.r_ts, r.r_w) for r in out] == [(_ts(5), 300.0)]
+
+
+def test_asof_single_window_node(spark):
+    """The fill columns must come from ONE Window node (single shuffle)."""
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1.0)], "key string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 100.0, 7.0)],
+        "key string, ts timestamp, w double, x double",
+    )
+    plan = as_of_join(left, right, on=["key"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 1, plan
