@@ -44,6 +44,7 @@ HEADLINE = [
     "corpus_clean_pipeline",
     "dedup_minhash_lsh",
     "embed_topk",
+    "embed_near_dup",
     "analytics_pricing_summary",
     "analytics_revenue_by_nation",
     "api_get_chained",

@@ -66,12 +66,23 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
 
 def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   modulus: int | None = None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a_id < b_id, cos ≥ τ).
+                   modulus: int | None = None,
+                   allow_full_scan: bool = False) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (a_id < b_id, cos ≥ τ)
+    by all-pairs self-join — O(N²), a deliberate oracle/verification
+    slice, NOT a scale path.
 
-    ``modulus`` subsamples ids (id % modulus == 0) — the oracle-able
-    correctness slice; the scale path replaces the self-join with the
-    LSH bucketing below."""
+    Guard rail: requires either ``modulus`` (subsample ids to
+    id % modulus == 0, bounding N) or an explicit
+    ``allow_full_scan=True``. The production-scale operator is
+    :func:`near_dup_pairs_lsh` (bucketed candidates, no cross product).
+    """
+    if modulus is None and not allow_full_scan:
+        raise ValueError(
+            "near_dup_pairs is the O(N²) exact slice: pass modulus=... to "
+            "bound it, or allow_full_scan=True to accept the cross product "
+            "(use near_dup_pairs_lsh for the scale path)"
+        )
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -81,6 +92,67 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
     b = base.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
+                       n_planes: int = 3, n_tables: int = 16, dim: int = 64,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: candidate pairs share a
+    random-hyperplane bucket in ANY of ``n_tables`` tables (equi-join on
+    (table, bucket) — never a cross product), then exact cosine verify.
+
+    Precision is exact; recall is the hyperplane S-curve:
+    per-table collision p = (1 - θ/π)^n_planes, overall
+    1 - (1 - p)^n_tables — 3 planes × 16 tables ≈ 99% at cos 0.4.
+    At larger corpora raise ``n_planes`` so per-bucket occupancy
+    (N / 2^n_planes per table) stays bounded; candidate volume, not the
+    join algorithm, is then the only scale knob.
+
+    The planes are seeded literals, so the ENTIRE pipeline — including
+    which candidates surface — is reproducible in ANSI SQL (the
+    embed_near_dup oracle replays it in DuckDB).
+    Output: (a_id, b_id, cos)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    tables = [
+        _planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    bucketed = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("v"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "tb.table", "tb.bucket")
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    ea = base.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    eb = base.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", F.round("cos", 6).alias("cos"))

@@ -1425,26 +1425,64 @@ def embed_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query(
-    "embed_near_dup",
-    oracle=f"""
+def _near_dup_lsh_oracle(n_planes: int = 3, n_tables: int = 16, dim: int = 64,
+                         seed: int = 42, threshold: float = 0.4) -> str:
+    """DuckDB twin of similarity.near_dup_pairs_lsh: the seeded
+    hyperplanes are emitted as literal arrays (repr round-trips the exact
+    float64), so the oracle replays the WHOLE approximate pipeline —
+    bucketing, candidate generation, exact-cosine verify — not just the
+    output shape (same pattern as dedup_minhash_md5)."""
+    from open_instrument_spark.operators.similarity import _planes
+
+    def dot(plane):
+        lit = ", ".join(repr(float(x)) for x in plane)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed=seed + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        bucket_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(n_tables)
+    )
+    return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS_SQL} AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+bk AS (SELECT vec_id, {", ".join(bucket_cols)} FROM e),
+bb AS (
+  {unpivot}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bb a JOIN bb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pr AS (
+  SELECT c.a_id, c.b_id,
+         list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2])) /
+         (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
+          sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
 )
-SELECT a_id, b_id, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.4
-""",
-)
+SELECT a_id, b_id, round(cos, 6) AS cos FROM pr WHERE cos >= {threshold}
+"""
+
+
+@query("embed_near_dup", oracle=_near_dup_lsh_oracle())
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 embedding-cosine near-duplicate pairs (cos ≥ 0.4). The
-    correctness slice is the full self-join; the scale path is the LSH
-    bucketing in ann_lsh_topk."""
-    from open_instrument_spark.operators.similarity import near_dup_pairs
+    """§2.9 embedding-cosine near-duplicate pairs (cos ≥ 0.4) via the
+    SCALE path: hyperplane-LSH candidate buckets (equi-join, never a
+    cross product) + exact cosine verify. The oracle replays the same
+    seeded bucketing, so the full approximate pipeline is hash-gated;
+    the exact O(N²) slice (similarity.near_dup_pairs) stays available
+    behind modulus/allow_full_scan and is recall-tested in pytest."""
+    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
 
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
-    return near_dup_pairs(emb, threshold=0.4)
+    return near_dup_pairs_lsh(emb, threshold=0.4)
 
 
 @query("ann_lsh_topk")

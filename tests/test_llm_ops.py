@@ -128,3 +128,23 @@ def test_decode_image_stub_raises(spark, docs):
         multimodal.decode_image(media, fake=False)
     fake = multimodal.decode_image(media, fake=True).collect()
     assert len(fake) == 5 and all(r["channels"] == 3 for r in fake)
+
+
+def test_near_dup_lsh_recall_vs_exact(spark):
+    """LSH-bucketed near-dup pairs vs the exact all-pairs slice: exact
+    precision (subset property) and high recall at cos >= 0.4 with the
+    default 3 planes x 16 tables."""
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.near_dup_pairs(emb, 0.4, allow_full_scan=True).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.near_dup_pairs_lsh(emb, 0.4).collect()
+    }
+    assert lsh <= exact            # precision exact by construction
+    assert exact                   # corpus has qualifying pairs
+    assert len(lsh) / len(exact) >= 0.9

@@ -102,3 +102,26 @@ def test_chunked_rate_has_bounded_exchanges(spark, tables):
     # series key ordered by ts (that would be the regressed unbounded
     # plan; the tiny tails window orders by _c, not ts, so it's excluded)
     assert not re.search(r"windowspecdefinition\(series_key#\d+, ts#", plan)
+
+
+def test_near_dup_lsh_has_no_cross_product(spark, tables):
+    """The scale-path embedding near-dup must generate candidates via
+    equi-joins on (table, bucket) — never a nested-loop/cartesian pair
+    enumeration (VERDICT r1: the all-pairs form is an O(N²) scale-killer)."""
+    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
+
+    emb = tables.table("embeddings")
+    plan = plan_of(near_dup_pairs_lsh(emb, threshold=0.4))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_exact_requires_opt_in(spark, tables):
+    from open_instrument_spark.operators.similarity import near_dup_pairs
+
+    emb = tables.table("embeddings")
+    with pytest.raises(ValueError, match="near_dup_pairs_lsh"):
+        near_dup_pairs(emb)
+    # modulus slice and explicit full-scan both still work
+    near_dup_pairs(emb, modulus=10)
+    near_dup_pairs(emb, allow_full_scan=True)
