@@ -81,12 +81,42 @@ def pack_greedy(docs: DataFrame, token_col: str, budget: int,
     at most one document's tokens.
 
     Scale note: the window is UNPARTITIONED (a global packing order), so
-    the prefix sum runs on a single task — fine up to ~10⁸ docs; for
-    larger corpora partition the packing by a coarse key (e.g.
-    ``split`` or a date) and pack within partitions.
+    the prefix sum runs on a single task — the ORACLE/verification form.
+    The scale path is :func:`pack_greedy_partitioned`, which packs within
+    a coarse partition key in parallel.
     """
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return docs.withColumn(
         "bin", F.floor(prior / F.lit(budget)).cast("long")
     )
+
+
+def pack_greedy_partitioned(docs: DataFrame, token_col: str, budget: int,
+                            partition_col: str | Column,
+                            order_col: str = "doc_id") -> DataFrame:
+    """Sequence packing at scale: the greedy prefix-sum packing of
+    :func:`pack_greedy`, run independently within each value of
+    ``partition_col`` (e.g. split, date bucket, or a hash of the id).
+
+    One shuffle on the partition key; every partition's prefix sum is its
+    own task, so the single-task global window disappears. Bin identity
+    is the DETERMINISTIC pair (partition value, local bin) — emitted as
+    ``bin_part`` and ``bin`` columns — so ids are stable across runs and
+    cluster sizes. Packing quality within a partition is identical to the
+    global form; only bins straddling partition boundaries differ (at
+    most one under-filled bin per partition value).
+
+    Partition-key choice bounds the task, not correctness: pick keys
+    whose per-key token mass fits one task comfortably (a date bucket at
+    100 TB; never a constant).
+    """
+    pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    tagged = docs.withColumn("bin_part", pcol)
+    w = (
+        Window.partitionBy("bin_part")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return tagged.withColumn("bin", F.floor(prior / F.lit(budget)).cast("long"))

@@ -18,8 +18,12 @@ Scale ladder (why all four exist):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 from open_instrument_spark.operators.text import let, words
 from open_instrument_spark.session import track_persist
@@ -67,49 +71,65 @@ def shingles(text_col, k: int = 5):
     return let(words(text_col), build)
 
 
-def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
-    ).distinct()
-
-
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
-                        threshold: float = 0.5, max_bucket: int | None = None
+                        threshold: float = 0.5, max_bucket: int | None = 1000
                         ) -> DataFrame:
     """EXACT near-dup pairs by word-k-gram Jaccard ≥ threshold.
 
     Any pair with J > 0 shares a shingle, so the shared-shingle self-join
-    enumerates a superset of all qualifying pairs; intersection counts
-    fall out of the join group sizes — no minhash approximation.
-    ``max_bucket`` drops degenerate ultra-common shingles (scale guard).
+    enumerates candidate pairs; jaccard is then verified on the FULL
+    per-doc shingle sets (array_intersect), so reported similarity is
+    always the true k-gram Jaccard — no minhash approximation.
+
+    ``max_bucket`` (default 1000) excludes shingles appearing in more
+    docs than that from CANDIDATE GENERATION only — one boilerplate
+    shingle shared by 10⁶ docs would otherwise make a 10¹² -row join
+    bucket. Values stay exact; the only effect is recall: a pair whose
+    EVERY shared shingle is ultra-common is missed. The number of
+    dropped shingles is computed and logged — never a silent cap.
+    ``max_bucket=None`` disables the guard (full recall, quadratic risk).
     Output: (a_id, b_id, jaccard).
     """
-    ds = _doc_shingles(docs, text_col, k)
+    sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
+    ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if max_bucket is not None:
-        freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
+        freq = track_persist(
+            ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
+        )
+        n_dropped = freq.filter(F.col("_n") > max_bucket).count()
+        if n_dropped:
+            _log.warning(
+                "ngram_jaccard_pairs: %d shingle(s) appear in > %d docs and are "
+                "excluded from candidate generation (jaccard values stay exact; "
+                "pairs sharing ONLY such shingles are missed)",
+                n_dropped, max_bucket,
+            )
         ds = ds.join(freq.filter(F.col("_n") <= max_bucket), "shingle", "left_semi")
-    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ds.alias("a")
     b = ds.alias("b")
-    inter = (
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
-    j = (
-        inter.join(sa, "a_id")
+    # Exact verify on the full shingle arrays (the filter above shaped
+    # only the candidate set, not the similarity space).
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "a_id")
         .join(sb, "b_id")
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
-    return j.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _sigs_from_shingle_rows(sh: DataFrame, num_perm: int) -> DataFrame:

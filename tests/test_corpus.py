@@ -44,3 +44,47 @@ def test_pack_greedy_bounds(spark):
     assert ids[0] == 0 and ids == sorted(set(ids))
     if max(r["mx"] for r in per_bin) <= 1000:
         assert ids == list(range(len(ids)))
+
+
+def test_pack_greedy_partitioned_matches_global_within_partition(spark):
+    """Per-partition packing must equal global packing applied to each
+    partition's documents alone — deterministic (partition, local-bin)
+    identity, no cross-partition coupling."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        pack_greedy_partitioned,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    toks = hash_split(docs.select("doc_id", F.length("text").alias("n_tokens")))
+    part = {
+        (r["doc_id"]): (r["bin_part"], r["bin"])
+        for r in pack_greedy_partitioned(toks, "n_tokens", 1000, "split").collect()
+    }
+    for split in ("train", "val", "test"):
+        sub = toks.filter(F.col("split") == split)
+        glob = {r["doc_id"]: r["bin"] for r in pack_greedy(sub, "n_tokens", 1000).collect()}
+        got = {d: b for d, (p, b) in part.items() if p == split}
+        assert got == glob, split
+
+
+def test_pack_greedy_partitioned_has_no_single_task_window(spark):
+    """The scale form must not plan an Exchange SinglePartition (the
+    global window's one-task bottleneck the r1 verdict flagged)."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        pack_greedy_partitioned,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    toks = hash_split(docs.select("doc_id", F.length("text").alias("n_tokens")))
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    assert "SinglePartition" in plan_of(pack_greedy(toks, "n_tokens", 1000))
+    assert "SinglePartition" not in plan_of(
+        pack_greedy_partitioned(toks, "n_tokens", 1000, "split")
+    )

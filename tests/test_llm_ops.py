@@ -148,3 +148,29 @@ def test_near_dup_lsh_recall_vs_exact(spark):
     assert lsh <= exact            # precision exact by construction
     assert exact                   # corpus has qualifying pairs
     assert len(lsh) / len(exact) >= 0.9
+
+
+def test_ngram_jaccard_max_bucket_candidate_guard(spark):
+    """Degenerate corpus: every doc shares one boilerplate shingle. With
+    max_bucket below the corpus size the quadratic bucket is excluded
+    from candidate generation, but (a) jaccard on surfaced pairs is still
+    the TRUE full-set jaccard, and (b) genuinely similar pairs (sharing
+    uncommon shingles) still surface."""
+    boiler = "terms of service apply to everyone"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{boiler} unique words number {i} alpha beta gamma delta"))
+    # 41/42: near-dups of each other beyond the boilerplate
+    rows.append((100, f"{boiler} shared tail one two three four five six seven"))
+    rows.append((101, f"{boiler} shared tail one two three four five six eight"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_bucket=10)
+    full = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.3, max_bucket=None)
+    g = {(r["a_id"], r["b_id"]): r["jaccard"] for r in guarded.collect()}
+    f = {(r["a_id"], r["b_id"]): r["jaccard"] for r in full.collect()}
+    assert (100, 101) in g
+    # every surfaced pair reports the exact (unfiltered) jaccard
+    assert all(f[pair] == j for pair, j in g.items())
+    # the guard only ever shrinks the candidate set
+    assert set(g) <= set(f)
