@@ -68,8 +68,10 @@ def windowed_rate_sum(points_stream: DataFrame, interval: str = "5 minutes",
                       watermark: str = "10 minutes") -> DataFrame:
     """Streaming analog of the flagship aggregation: per-name windowed
     SUM with a watermark for state cleanup. (Per-stream mutations that
-    need total order — rate/delta — are batch/compaction-time ops; a
-    streaming rate would use applyInPandasWithState keyed on the series.)
+    need total order — rate/delta — are batch/compaction-time ops for
+    late data; the in-order streaming rate is
+    ``streaming.rate_state.rate_stream``, applyInPandasWithState keyed
+    on the series.)
     """
     return (
         points_stream.withWatermark("ts", watermark)

@@ -446,3 +446,59 @@ def test_kernel_retention_preserves_series_identity(spark):
     out = res.select("name", "labels", _sk().alias("k")).collect()
     assert {r["labels"]["host"] for r in out} == {"a", "b"}
     assert {r["k"] for r in out} == {"/cpu{host=a}", "/cpu{host=b}"}
+
+
+def test_streaming_rate_matches_batch_across_batches(spark, tmp_path):
+    """M1 streaming rate: per-series last-sample state must survive
+    micro-batch boundaries so cross-batch pairs rate identically to the
+    batch operator; negatives (counter resets) drop in both."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import mutate
+    from open_instrument_spark.streaming.rate_state import rate_stream
+
+    src = str(tmp_path / "rate_src")
+    dest = str(tmp_path / "rate_out")
+    os.makedirs(src, exist_ok=True)
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, m), float(v)) for k, m, v in rows],
+            schema,
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            rate_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a rises 1→2 (rate emitted), b resets 5→1 (negative, dropped)
+    b1 = [("a", 0, 1.0), ("a", 1, 2.0), ("b", 0, 5.0), ("b", 1, 1.0)]
+    # batch 2: cross-batch pairs — a 2@1→4@3 pairs with state, b recovers
+    b2 = [("a", 3, 4.0), ("b", 2, 2.0)]
+    pts(b1).write.mode("append").parquet(src)
+    run_once()
+    pts(b2).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        (r["series_key"], r["ts"], r["dval"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    want = {
+        (r["series_key"], r["ts"], r["dval"])
+        for r in mutate.rate(pts(b1 + b2)).collect()
+    }
+    assert got == want and len(got) == 3  # a:0→1, a:1→3, b:1→2 (reset dropped)
