@@ -1477,12 +1477,22 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product) + exact cosine verify. The oracle replays the same
     seeded bucketing, so the full approximate pipeline is hash-gated;
     the exact O(N²) slice (similarity.near_dup_pairs) stays available
-    behind modulus/allow_full_scan and is recall-tested in pytest."""
-    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
+    behind modulus/allow_full_scan and is recall-tested in pytest.
+
+    Plane count: pinned to 3 at oracle scale (≤1000 vectors — MUST match
+    the static oracle SQL) and auto-sized above it so bucket occupancy,
+    hence candidate volume, stays bounded as the corpus grows (the bench
+    runs this at 10× the oracle scale)."""
+    from open_instrument_spark.operators.similarity import (
+        auto_n_planes,
+        near_dup_pairs_lsh,
+    )
 
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
-    return near_dup_pairs_lsh(emb, threshold=0.4)
+    n = emb.count()
+    planes = 3 if n <= 1000 else auto_n_planes(n)
+    return near_dup_pairs_lsh(emb, threshold=0.4, n_planes=planes)
 
 
 @query("ann_lsh_topk")
