@@ -1,0 +1,154 @@
+"""S12: the /export text-format scrape source.
+
+The reference's HTTP servers expose their exported variables as plain
+text — one line per stream: ``variable<TAB>value[<TAB>value...]``
+(lib/exported_vars.cc:63-86 ``ExportToString``), where ``variable`` is
+the canonical ``name{label=value,...}`` form with CSV-style quoting for
+values containing non-value characters (lib/variable.cc:47-105
+``ToString``/``ShouldQuoteValue``/``QuoteValue``). Collectors scrape
+that page and Add the samples; timestamps are assigned at scrape time
+(the export page carries values only).
+
+Spark-first shape: any line source works — ``spark.read.text`` /
+``readStream.text`` over scrape dumps, or a fetcher-produced table of
+(line, scrape_ts). Parsing runs in ``mapInPandas`` (Arrow batches): the
+quoted-label grammar is a character-scanning parse, which is exactly the
+kind of logic HOF expressions can't express — and scrape payloads are
+KB-per-target, so this Python path is ingest-bounded, never
+store-bounded. Output is the standard points schema, feeding the same
+validate → dedup → write pipeline as every other source
+(sources/ingest.py).
+
+Malformed lines are SKIPPED here (the reference's parser has no recourse
+either, variable.cc:21-45 stops at errors); count them upstream by
+diffing input and output counts if a dead-letter is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.model import POINTS_SCHEMA
+
+
+def parse_variable(s: str) -> tuple[str, dict[str, str]]:
+    """Concrete ``name{k=v,...}`` string → (name, labels).
+
+    Mirrors lib/variable.cc:21-45 ``FromString``: optional label block,
+    comma-separated ``k=v`` pairs, values optionally double-quoted with
+    ``\\"`` escapes (the exporter quotes any value containing a
+    non-value character, variable.cc:71-105). Raises ValueError on
+    malformed input."""
+    s = s.strip()
+    if "{" not in s:
+        return s, {}
+    if not s.endswith("}"):
+        raise ValueError(f"unterminated label block: {s!r}")
+    brace = s.index("{")
+    name, body = s[:brace], s[brace + 1 : -1]
+    labels: dict[str, str] = {}
+    i, n = 0, len(body)
+    while i < n:
+        eq = body.find("=", i)
+        if eq == -1:
+            raise ValueError(f"label without '=': {body[i:]!r}")
+        key = body[i:eq].strip()
+        i = eq + 1
+        if i < n and body[i] == '"':
+            i += 1
+            out = []
+            closed = False
+            while i < n:
+                c = body[i]
+                if c == "\\" and i + 1 < n and body[i + 1] == '"':
+                    out.append('"')
+                    i += 2
+                    continue
+                if c == '"':
+                    closed = True
+                    i += 1
+                    break
+                out.append(c)
+                i += 1
+            if not closed:
+                raise ValueError(f"unterminated quote in {body!r}")
+            value = "".join(out)
+            while i < n and body[i] != ",":
+                i += 1
+            i += 1
+        else:
+            comma = body.find(",", i)
+            if comma == -1:
+                value, i = body[i:], n
+            else:
+                value, i = body[i:comma], comma + 1
+            value = value.strip()
+        if key:
+            labels[key] = value
+    return name, labels
+
+
+def scrape_export(lines: DataFrame, scrape_ts, line_col: str = "value"
+                  ) -> DataFrame:
+    """Parse an /export page's lines into points.
+
+    ``lines``: DataFrame with a string column ``line_col`` (the default
+    matches ``spark.read.text``). ``scrape_ts``: the sample timestamp —
+    a literal (datetime/str) applied to every line, or the name of a
+    per-row timestamp column (scrape time recorded by the fetcher).
+
+    Each TAB-separated value on a line becomes one sample: numeric
+    values → ``dval`` (lexical_cast doubles, exported_vars.cc:79-80),
+    anything else → ``sval`` (string variables, exported_vars.cc:81-82).
+    """
+    import pandas as pd
+
+    ts_col = scrape_ts if isinstance(scrape_ts, str) and scrape_ts in lines.columns else None
+    src = lines.select(
+        F.col(line_col).alias("_line"),
+        (F.col(ts_col) if ts_col else F.lit(scrape_ts)).cast("timestamp").alias("_ts"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            names: list[str] = []
+            labels: list[dict] = []
+            tss: list = []
+            dvals: list = []
+            svals: list = []
+            for line, ts in zip(pdf["_line"], pdf["_ts"]):
+                if not line:
+                    continue
+                parts = line.rstrip("\r\n").split("\t")
+                if len(parts) < 2:
+                    continue
+                try:
+                    name, lbl = parse_variable(parts[0])
+                except ValueError:
+                    continue
+                if not name:
+                    continue
+                for raw in parts[1:]:
+                    try:
+                        dv, sv = float(raw), None
+                    except ValueError:
+                        dv, sv = None, raw
+                    names.append(name)
+                    labels.append(lbl)
+                    tss.append(ts)
+                    dvals.append(dv)
+                    svals.append(sv)
+            yield pd.DataFrame(
+                {
+                    "name": pd.Series(names, dtype=object),
+                    "labels": pd.Series(labels, dtype=object),
+                    "ts": pd.Series(tss, dtype="datetime64[ns]"),
+                    "dval": pd.Series(dvals, dtype=float),
+                    "sval": pd.Series(svals, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(gen, POINTS_SCHEMA)

@@ -1,0 +1,72 @@
+"""S12 /export text-format scrape source: line grammar (quoted labels,
+multi-value lines, string variables), malformed-line skipping, and
+composition with the standard ingest pipeline."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.sources.export_scrape import parse_variable, scrape_export
+
+TS = dt.datetime(2024, 1, 30, 12, 0, 0)
+
+
+def test_parse_variable_grammar():
+    # plain, labeled, quoted (with escaped quote + comma inside), spaces
+    assert parse_variable("/proc/load") == ("/proc/load", {})
+    assert parse_variable("/x{host=a,job=web}") == ("/x", {"host": "a", "job": "web"})
+    assert parse_variable('/x{msg="a,b \\"c\\"",k=v}') == (
+        "/x", {"msg": 'a,b "c"', "k": "v"}
+    )
+    with pytest.raises(ValueError):
+        parse_variable("/x{unterminated")
+    with pytest.raises(ValueError):
+        parse_variable("/x{noequals}")
+
+
+def test_scrape_export_lines(spark):
+    lines = spark.createDataFrame(
+        [
+            ("/proc/loadavg{host=a}\t0.25",),                  # numeric
+            ("/os/name{host=a}\tUbuntu 22.04",),               # string sample
+            ("/net/errors{host=a,iface=\"eth0,0\"}\t3\t4",),   # quoted + 2 values
+            ("garbage-without-tab",),                          # skipped
+            ("/bad{unterminated\t1",),                         # malformed var: skipped
+            ("",),                                             # empty: skipped
+        ],
+        "value string",
+    )
+    pts = scrape_export(lines, TS)
+    rows = {
+        (r["name"], tuple(sorted((r["labels"] or {}).items())), r["dval"], r["sval"])
+        for r in pts.collect()
+    }
+    assert rows == {
+        ("/proc/loadavg", (("host", "a"),), 0.25, None),
+        ("/os/name", (("host", "a"),), None, "Ubuntu 22.04"),
+        ("/net/errors", (("host", "a"), ("iface", "eth0,0")), 3.0, None),
+        ("/net/errors", (("host", "a"), ("iface", "eth0,0")), 4.0, None),
+    }
+    assert {r["ts"] for r in pts.collect()} == {TS}
+
+
+def test_scrape_export_per_row_ts_and_ingest_compose(spark):
+    """Fetcher-recorded per-row scrape timestamps + the standard ingest
+    pipeline (hostname defaulting, validation, dedup) downstream."""
+    from open_instrument_spark.sources.ingest import ingest_batch
+
+    lines = spark.createDataFrame(
+        [
+            ("/a\t1.0", TS),
+            ("/a\t1.0", TS),                   # scrape replay → dedup
+            ("bad name\t9", TS),               # fails validate (no leading /)
+        ],
+        "value string, scraped_at timestamp",
+    )
+    pts = scrape_export(lines, "scraped_at")
+    out = ingest_batch(pts, source_host="h1", now="2024-01-31 00:00:00")
+    rows = [(r["name"], r["labels"], r["dval"]) for r in out.collect()]
+    assert rows == [("/a", {"hostname": "h1"}, 1.0)]
