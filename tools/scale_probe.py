@@ -62,11 +62,36 @@ def operators(ev):
     }
 
 
+def multiplied_emb(emb, k: int):
+    """k× embeddings via ROTATED copies (dims cycled per copy): rotations
+    of random vectors are ~orthogonal to their originals, so copies add
+    corpus mass without planting artificial near-dup pairs — output
+    density stays realistic and the probe measures candidate-generation
+    scaling, not a quadratic output explosion."""
+    base = emb.select("vec_id", "embedding")
+    out = base
+    for i in range(1, k):
+        rot = F.concat(
+            F.slice(F.col("embedding"), i + 1, 64 - i),
+            F.slice(F.col("embedding"), 1, i),
+        )
+        out = out.unionByName(
+            base.select(
+                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                rot.alias("embedding"),
+            )
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale-probe")
     prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
+    emb = load_tables(spark, sf_dir).table("embeddings")
+
+    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
 
     def run(df) -> float:
         t0 = time.monotonic()
@@ -77,12 +102,19 @@ def main() -> None:
     # the measured x1 runs aren't cold while x10 runs are warm
     for df in operators(ev).values():
         run(df)
+    run(near_dup_pairs_lsh(emb, threshold=0.4))
 
     report = {}
     for label, k in (("x1", 1), ("x10", MULT)):
         big = multiplied(ev, k)
         for name, df in operators(big).items():
             report.setdefault(name, {})[label] = round(run(df), 2)
+        # auto plane count rises with N, keeping bucket occupancy (and so
+        # candidate volume per vector) bounded — the probe times the
+        # whole pipeline including the sizing count()
+        report.setdefault("near_dup_lsh", {})[label] = round(
+            run(near_dup_pairs_lsh(multiplied_emb(emb, k), threshold=0.4)), 2
+        )
     for name, r in report.items():
         r["ratio"] = round(r["x10"] / max(r["x1"], 1e-9), 2)
     print(json.dumps({"sf": sf_dir, "mult": MULT, "operators": report}))
