@@ -1,0 +1,115 @@
+"""ASCII-protobuf store-config loader: parse → PolicyItems → executable
+retention, with the reference config.txt's structural shapes (DROP item,
+label-matched KEEP-forever, age-banded downsample, default drop)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.retention import apply_retention
+from open_instrument_spark.sources.config import (
+    load_store_config,
+    parse_text_proto,
+)
+
+CONFIG = """
+server {
+  address: "10.0.0.1:8020"
+}
+server {
+  address: "10.0.0.2:8020"
+}
+# first-match retention
+retention_policy {
+  policy {
+    comment: "never used here"
+    variable { name: "/scratch/tmpvar" }
+    policy: DROP
+  }
+  policy {
+    variable {
+      name: "*"
+      label {
+        label: "retain"
+        value: "forever"
+      }
+    }
+    policy: KEEP
+  }
+  policy {
+    variable { name: "*" }
+    policy: KEEP
+    min_age: 0
+    max_age: 2419200000
+  }
+  policy {
+    variable: { name: "*" }
+    policy: KEEP
+    min_age: 2419200000
+    max_age: 157680000000
+    mutation {
+      sample_type: AVERAGE
+      sample_frequency: 3600000
+    }
+  }
+  interval: 300
+}
+"""
+
+NOW = "2024-01-31 00:00:00"
+
+
+def test_parse_text_proto_shapes():
+    msg = parse_text_proto(CONFIG)
+    assert [s["address"][0] for s in msg["server"]] == [
+        "10.0.0.1:8020", "10.0.0.2:8020"
+    ]
+    pols = msg["retention_policy"][0]["policy"]
+    assert len(pols) == 4
+    assert pols[0]["policy"] == ["DROP"]
+    assert pols[3]["mutation"][0]["sample_frequency"] == [3600000]
+
+
+def test_load_store_config():
+    cfg = load_store_config(CONFIG)
+    assert cfg.servers == ("10.0.0.1:8020", "10.0.0.2:8020")
+    assert cfg.retention_interval_s == 300
+    p = cfg.retention
+    assert [i.keep for i in p] == [False, True, True, True]
+    assert p[0].variables == ("/scratch/tmpvar",)
+    assert p[1].variables == ("*{retain=forever}",)
+    assert p[2].max_age == 2419200000 and p[2].min_age is None
+    assert p[3].mutations == (("mean", 3600000),)
+
+
+def test_loaded_policy_is_executable(spark):
+    cfg = load_store_config(CONFIG)
+    rows = [
+        ("/scratch/tmpvar", {"h": "a"}, dt.datetime(2024, 1, 30), 1.0),  # DROP
+        ("/m", {"retain": "forever"}, dt.datetime(1994, 1, 1), 2.0),     # kept raw
+        ("/m", {"h": "a"}, dt.datetime(2024, 1, 30), 3.0),               # young raw
+        ("/m", {"h": "a"}, dt.datetime(2023, 6, 1, 0, 10), 4.0),         # downsampled
+        ("/m", {"h": "a"}, dt.datetime(2023, 6, 1, 0, 20), 6.0),         # same hour
+        ("/m", {"h": "a"}, dt.datetime(1994, 1, 1), 7.0),                # past 5y: drop
+    ]
+    df = spark.createDataFrame(
+        [(n, l, t, v, None) for n, l, t, v in rows],
+        "name string, labels map<string,string>, ts timestamp, dval double, sval string",
+    )
+    out = apply_retention(df, list(cfg.retention), NOW)
+    got = sorted(r["dval"] for r in out.collect())
+    assert got == [2.0, 3.0, 5.0]  # 5.0 = hourly mean of 4.0, 6.0
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_text_proto("server { address: }")
+    with pytest.raises(ValueError):
+        parse_text_proto("server { unclosed")
+    with pytest.raises(ValueError):
+        load_store_config(
+            "retention_policy { policy { policy: KEEP mutation { sample_type: BOGUS } } }"
+        )
