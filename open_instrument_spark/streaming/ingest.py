@@ -64,6 +64,44 @@ def start_ingest(points_stream: DataFrame, dest_path: str, checkpoint: str,
     )
 
 
+_STREAM_AGGS = {
+    "sum": F.sum,
+    "average": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev_pop,
+    "count": F.count,
+}
+
+
+def windowed_agg(points_stream: DataFrame, kind: str = "sum",
+                 interval: str = "5 minutes", watermark: str = "10 minutes",
+                 label: str | None = None) -> DataFrame:
+    """The A-family over a stream: aligned tumbling windows per variable
+    name (A7), optionally grouped by a label value (A8), with any
+    incremental aggregate (A2-A5, A9-analog default interval left to the
+    caller). MEDIAN (A6) is deliberately absent: exact median is not an
+    incremental aggregate — it stays a batch/compaction-time op.
+
+    Same window alignment as the batch aggregation (SURVEY §7.0 #4), so
+    a closed streaming window equals the batch result for the same data
+    — asserted by test_streaming_windowed_agg_matches_batch. Watermark
+    bounds state; the INGEST path stays unwatermarked (late data policy,
+    §2.8) — this is the query-side trade, not the store's.
+    """
+    agg = _STREAM_AGGS[kind.lower()]("dval").alias("value")
+    keys = [F.col("name")]
+    if label is not None:
+        keys.append(F.col("labels").getItem(label).alias("label_value"))
+    out = (
+        points_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", interval), *keys)
+        .agg(agg)
+    )
+    key_names = ["name"] + (["label_value"] if label is not None else [])
+    return out.select(F.col("window.start").alias("ts"), *key_names, "value")
+
+
 def windowed_rate_sum(points_stream: DataFrame, interval: str = "5 minutes",
                       watermark: str = "10 minutes") -> DataFrame:
     """Streaming analog of the flagship aggregation: per-name windowed

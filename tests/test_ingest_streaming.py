@@ -502,3 +502,38 @@ def test_streaming_rate_matches_batch_across_batches(spark, tmp_path):
         for r in mutate.rate(pts(b1 + b2)).collect()
     }
     assert got == want and len(got) == 3  # a:0→1, a:1→3, b:1→2 (reset dropped)
+
+
+def test_streaming_windowed_agg_matches_batch(spark, points, tmp_path):
+    """A closed streaming window must equal the batch aggregation of the
+    same data over the same aligned window (A2/A7/A8 over a stream)."""
+    from open_instrument_spark.operators import aggregate as agg_ops
+    from open_instrument_spark.streaming.ingest import windowed_agg
+
+    src = str(tmp_path / "wa_src")
+    pts = points.limit(2000)
+    pts.write.parquet(src)
+    stream = read_points_stream(spark, src)
+    q = (
+        windowed_agg(stream, kind="average", interval="1 hour",
+                     watermark="1 hour", label="user_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wa")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ts"], r["name"], r["label_value"]): round(r["value"], 9)
+        for r in spark.table("wa").collect()
+    }
+    assert got  # at least one window closed under the watermark
+    want_all = {
+        (r["ts"], r["name"], r["label_value"]): round(r["value"], 9)
+        for r in agg_ops.aggregate_by_label(pts, "average", "user_id", 3_600_000).collect()
+    }
+    # append mode emits only watermark-closed windows; each emitted window
+    # must match the batch value exactly
+    for k, v in got.items():
+        assert want_all[k] == v, k
