@@ -70,3 +70,36 @@ def test_scrape_export_per_row_ts_and_ingest_compose(spark):
     out = ingest_batch(pts, source_host="h1", now="2024-01-31 00:00:00")
     rows = [(r["name"], r["labels"], r["dval"]) for r in out.collect()]
     assert rows == [("/a", {"hostname": "h1"}, 1.0)]
+
+
+# Property: the scrape parser is a true inverse of the canonical
+# series-key rendering (same strategies as test_series_key_property.py).
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from open_instrument_spark.model import series_key  # noqa: E402
+
+KEY = st.from_regex(r"[a-z][a-z0-9_]{0,7}", fullmatch=True)
+VALUE = (
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", min_codepoint=32, max_codepoint=126, exclude_characters="\\"
+        ),
+        min_size=1,
+        max_size=12,
+    )
+    .filter(lambda v: v == v.strip() or any(c in v for c in ' ,{}="'))
+)
+LABELS = st.dictionaries(KEY, VALUE, min_size=0, max_size=4)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(labels=LABELS)
+def test_parse_variable_inverts_canonical_key(spark, labels):
+    df = spark.createDataFrame(
+        [("/test/var", labels)], "name string, labels map<string,string>"
+    )
+    key = df.select(series_key().alias("k")).first()["k"]
+    name, parsed = parse_variable(key)
+    assert name == "/test/var"
+    assert parsed == labels

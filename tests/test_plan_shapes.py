@@ -125,3 +125,17 @@ def test_near_dup_exact_requires_opt_in(spark, tables):
     # modulus slice and explicit full-scan both still work
     near_dup_pairs(emb, modulus=10)
     near_dup_pairs(emb, allow_full_scan=True)
+
+
+def test_list_max_variables_is_distributed_topk(spark, tables):
+    """The capped List must compile to TakeOrderedAndProject over the
+    series-cardinality grouped table — a distributed top-k, not a global
+    sort materializing every series in one task."""
+    from open_instrument_spark.operators.select import list_series
+    from open_instrument_spark.model import events_to_points
+
+    pts = events_to_points(tables.table("events"))
+    df = list_series(pts, "/events/*", max_age_ms=7 * 86_400_000,
+                     max_variables=40, now="2024-01-31 00:00:00")
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
