@@ -71,9 +71,32 @@ def shingles(text_col, k: int = 5):
     return let(words(text_col), build)
 
 
+def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float
+                    ) -> DataFrame:
+    """Exact Jaccard on candidate pairs against the full per-doc shingle
+    arrays — the shared verify stage of ngram_jaccard_pairs and
+    minhash_lsh_pairs. ``sh``: (doc_id, sh array); ``cand``: (a_id, b_id)
+    (possibly broadcast-hinted). Output: (a_id, b_id, jaccard)."""
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        sa.join(cand, "a_id")
+        .join(sb, "b_id")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
-                        threshold: float = 0.5, max_bucket: int | None = 1000
-                        ) -> DataFrame:
+                        threshold: float = 0.5, max_bucket: int | None = 1000,
+                        log_dropped: bool = True) -> DataFrame:
     """EXACT near-dup pairs by word-k-gram Jaccard ≥ threshold.
 
     Any pair with J > 0 shares a shingle, so the shared-shingle self-join
@@ -86,8 +109,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     shingle shared by 10⁶ docs would otherwise make a 10¹² -row join
     bucket. Values stay exact; the only effect is recall: a pair whose
     EVERY shared shingle is ultra-common is missed. The number of
-    dropped shingles is computed and logged — never a silent cap.
-    ``max_bucket=None`` disables the guard (full recall, quadratic risk).
+    dropped shingles is computed and logged (``log_dropped=True``, an
+    EAGER count job at plan-build time — pass ``log_dropped=False`` for
+    fully lazy construction). ``max_bucket=None`` disables the guard
+    (full recall, quadratic risk) and keeps construction lazy.
     Output: (a_id, b_id, jaccard).
     """
     sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
@@ -96,14 +121,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
         freq = track_persist(
             ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
         )
-        n_dropped = freq.filter(F.col("_n") > max_bucket).count()
-        if n_dropped:
-            _log.warning(
-                "ngram_jaccard_pairs: %d shingle(s) appear in > %d docs and are "
-                "excluded from candidate generation (jaccard values stay exact; "
-                "pairs sharing ONLY such shingles are missed)",
-                n_dropped, max_bucket,
-            )
+        if log_dropped:
+            n_dropped = freq.filter(F.col("_n") > max_bucket).count()
+            if n_dropped:
+                _log.warning(
+                    "ngram_jaccard_pairs: %d shingle(s) appear in > %d docs and are "
+                    "excluded from candidate generation (jaccard values stay exact; "
+                    "pairs sharing ONLY such shingles are missed)",
+                    n_dropped, max_bucket,
+                )
         ds = ds.join(freq.filter(F.col("_n") <= max_bucket), "shingle", "left_semi")
     a = ds.alias("a")
     b = ds.alias("b")
@@ -115,21 +141,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     )
     # Exact verify on the full shingle arrays (the filter above shaped
     # only the candidate set, not the similarity space).
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_jaccard(sh, cand, threshold)
 
 
 def _sigs_from_shingle_rows(sh: DataFrame, num_perm: int) -> DataFrame:
@@ -225,21 +237,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     # set itself is huge, pass broadcast_candidates=False.
     if broadcast_candidates:
         cand = F.broadcast(cand)
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
-        sa.join(cand, "a_id")
-        .join(sb, "b_id")
-        .withColumn("inter", inter)
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_jaccard(sh, cand, threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:

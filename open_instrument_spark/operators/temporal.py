@@ -48,45 +48,41 @@ def as_of_join(left: DataFrame, right: DataFrame, on: Sequence[str],
             "merge them and corrupt the as-of values)"
         )
 
+    # The right row travels as ONE struct so the as-of fill picks a whole
+    # row atomically: per-column last(ignorenulls) would synthesize a row
+    # mixing columns from different duplicate right rows when some values
+    # are NULL. Struct ordering (field-lexicographic: ts, then values)
+    # also makes duplicate (key, ts) right rows resolve deterministically
+    # to the greatest value tuple — same convention as ingest.dedup.
     r = right.select(
         *on,
         F.col(ts).alias(ts),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        F.struct(
+            F.col(ts).alias("_rts"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        ).alias("_r"),
         F.lit(0).alias("_side"),
     )
     l = left.withColumn("_side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
-    # Right-ts source column staged before the window so every last()
-    # references a plain attribute (keeps ONE Window node in the plan).
-    merged = merged.withColumn(
-        f"{prefix}{ts}", F.when(F.col("_side") == 0, F.col(ts))
-    )
 
-    # Duplicate (key, ts) right rows: order them by their value columns
-    # (asc, nulls first) so last() deterministically resolves to the
-    # greatest value tuple — same convention as sources.ingest.dedup.
     # Left rows sort after right rows at equal ts (_side 1 > 0), which
     # preserves ASOF <= visibility.
     w = (
         Window.partitionBy(*on)
-        .orderBy(
-            F.col(ts).asc(),
-            F.col("_side").asc(),
-            *[F.col(f"{prefix}{c}").asc_nulls_first() for c in value_cols],
-        )
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # One select (not chained withColumn): every last() must reference the
-    # ORIGINAL staged columns — overwriting them sequentially would make
-    # later windows order by already-filled values (nondeterministic) and
-    # split the plan into one Window node per column.
-    fill_cols = [*[f"{prefix}{c}" for c in value_cols], f"{prefix}{ts}"]
-    out = merged.select(
-        *[c for c in merged.columns if c not in fill_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
+    out = (
+        merged.withColumn("_filled", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_r")
     )
-
-    out = out.filter(F.col("_side") == 1).drop("_side")
+    out = out.select(
+        *[c for c in out.columns if c != "_filled"],
+        F.col("_filled._rts").alias(f"{prefix}{ts}"),
+        *[F.col(f"_filled.{prefix}{c}").alias(f"{prefix}{c}") for c in value_cols],
+    ).drop("_filled")
     if tolerance is not None:
         tol = F.expr(f"INTERVAL '{tolerance}'") if isinstance(tolerance, str) else tolerance
         stale = F.col(f"{prefix}{ts}") < (F.col(ts) - tol)

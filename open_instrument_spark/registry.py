@@ -1244,11 +1244,14 @@ WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 EXACT n-gram Jaccard near-dup pairs (shared-shingle join —
-    no approximation), over a corpus seeded with appended-tail near-dups."""
+    no approximation), over a corpus seeded with appended-tail near-dups.
+    max_bucket is PINNED to None: the oracle enumerates every shared-
+    shingle pair, so the candidate guard must be off here regardless of
+    the library default (the guard's behavior has its own pytest)."""
     from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
 
     corpus = _near_corpus(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, threshold=0.5)
+    return ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
 
 
 @query(
@@ -1973,11 +1976,18 @@ _PAST_WINDOW_ROWS_ONLY = [
     "ann_ivf_topk",
 ]
 
+# Hard raises, not asserts: under `python -O` an assert vanishes and the
+# rebuild below would silently DROP any registered query missing from
+# _ORDERED — the query would disappear from the driver contract.
 _ORDERED = DRIVER_WINDOW + _PAST_WINDOW_ORACLED + _PAST_WINDOW_ROWS_ONLY
-assert sorted(_ORDERED) == sorted(QUERIES), sorted(
-    set(_ORDERED) ^ set(QUERIES)
-)
-assert len(DRIVER_WINDOW) == 50 and all(n in ORACLES for n in DRIVER_WINDOW)
-assert all(n in ORACLES for n in _PAST_WINDOW_ORACLED)
-assert not any(n in ORACLES for n in _PAST_WINDOW_ROWS_ONLY)
+if sorted(_ORDERED) != sorted(QUERIES):
+    raise ValueError(
+        f"registry order list out of sync: {sorted(set(_ORDERED) ^ set(QUERIES))}"
+    )
+if len(DRIVER_WINDOW) != 50 or not all(n in ORACLES for n in DRIVER_WINDOW):
+    raise ValueError("DRIVER_WINDOW must be exactly 50 oracled queries")
+if not all(n in ORACLES for n in _PAST_WINDOW_ORACLED):
+    raise ValueError("_PAST_WINDOW_ORACLED entries must carry oracles")
+if any(n in ORACLES for n in _PAST_WINDOW_ROWS_ONLY):
+    raise ValueError("_PAST_WINDOW_ROWS_ONLY entries must not carry oracles")
 QUERIES = {n: QUERIES[n] for n in _ORDERED}

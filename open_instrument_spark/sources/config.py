@@ -76,6 +76,8 @@ def parse_text_proto(text: str) -> dict[str, list]:
             kind, val = toks[i]
             if kind == "punct" and val == ":":
                 i += 1
+                if i >= len(toks):
+                    raise ValueError(f"dangling value for field {name!r}")
                 kind, val = toks[i]
                 if kind == "punct" and val == "{":   # "name: { ... }"
                     sub, i = parse_msg(i + 1, True)

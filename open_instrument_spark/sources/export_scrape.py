@@ -106,7 +106,23 @@ def scrape_export(lines: DataFrame, scrape_ts, line_col: str = "value"
     """
     import pandas as pd
 
-    ts_col = scrape_ts if isinstance(scrape_ts, str) and scrape_ts in lines.columns else None
+    ts_col = None
+    if isinstance(scrape_ts, str):
+        if scrape_ts in lines.columns:
+            ts_col = scrape_ts
+        else:
+            # Fail fast on a typo'd column name: a string that is neither
+            # a column nor a parseable timestamp would otherwise cast to
+            # NULL and silently corrupt every sample's timestamp.
+            import datetime as _dt
+
+            try:
+                _dt.datetime.fromisoformat(scrape_ts)
+            except ValueError:
+                raise ValueError(
+                    f"scrape_ts {scrape_ts!r} is neither a column of `lines` "
+                    "nor an ISO timestamp literal"
+                ) from None
     src = lines.select(
         F.col(line_col).alias("_line"),
         (F.col(ts_col) if ts_col else F.lit(scrape_ts)).cast("timestamp").alias("_ts"),

@@ -91,10 +91,15 @@ def windowed_agg(points_stream: DataFrame, kind: str = "sum",
     """
     agg = _STREAM_AGGS[kind.lower()]("dval").alias("value")
     keys = [F.col("name")]
+    src = points_stream
     if label is not None:
+        # A10 drop-missing (Go MergeStreamsBy): streams lacking the
+        # grouping label are skipped, matching the batch
+        # aggregate_by_label default — not grouped under a NULL key.
+        src = src.filter(F.col("labels").getItem(label).isNotNull())
         keys.append(F.col("labels").getItem(label).alias("label_value"))
     out = (
-        points_stream.withWatermark("ts", watermark)
+        src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", interval), *keys)
         .agg(agg)
     )

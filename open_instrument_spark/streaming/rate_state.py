@@ -42,7 +42,11 @@ def _make_emitter(signed: bool):
     def _emit(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # Stable sort + dval tie-break: duplicate (series, ts) samples
+        # (which ingest.dedup normally removes upstream) resolve
+        # deterministically; the batch window is partition-order-arbitrary
+        # on such ties, so determinism here is the stronger contract.
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "dval"], kind="mergesort")
         if state.exists:
             last_us, last_v = state.get
         else:
@@ -58,7 +62,11 @@ def _make_emitter(signed: bool):
                 if signed or r >= 0:
                     out_t.append(us)
                     out_v.append(r)
-            if last_us is None or us > last_us:
+            # >= : a later equal-ts sample REPLACES the carried value
+            # (mirrors batch lag, where the last equal-ts row becomes the
+            # next row's predecessor; the equal-ts pair itself emits
+            # nothing under the t > pt guard on either path)
+            if last_us is None or us >= last_us:
                 last_us, last_v = us, dval
         state.update((int(last_us), float(last_v)))
         if out_t:

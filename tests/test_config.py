@@ -110,6 +110,8 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         parse_text_proto("server { unclosed")
     with pytest.raises(ValueError):
+        parse_text_proto("server { address:")  # truncated after ':'
+    with pytest.raises(ValueError):
         load_store_config(
             "retention_policy { policy { policy: KEEP mutation { sample_type: BOGUS } } }"
         )

@@ -103,3 +103,12 @@ def test_parse_variable_inverts_canonical_key(spark, labels):
     name, parsed = parse_variable(key)
     assert name == "/test/var"
     assert parsed == labels
+
+
+def test_scrape_ts_typo_raises(spark):
+    lines = spark.createDataFrame([("/a\t1",)], "value string")
+    with pytest.raises(ValueError, match="neither a column"):
+        scrape_export(lines, "scrape_time_typo")
+    # ISO literals and datetime objects still accepted
+    scrape_export(lines, "2024-01-30 12:00:00")
+    scrape_export(lines, TS)

@@ -537,3 +537,33 @@ def test_streaming_windowed_agg_matches_batch(spark, points, tmp_path):
     # must match the batch value exactly
     for k, v in got.items():
         assert want_all[k] == v, k
+
+
+def test_streaming_rate_duplicate_ts_matches_batch_convention(spark, tmp_path):
+    """Duplicate-timestamp samples: the later equal-ts value (greatest
+    dval, the ingest.dedup convention) must become the carried
+    predecessor, and the equal-ts pair itself emits nothing."""
+    import datetime as dt
+
+    from open_instrument_spark.streaming.rate_state import rate_stream
+
+    src = str(tmp_path / "dup_src")
+    dest = str(tmp_path / "dup_out")
+    schema = "series_key string, ts timestamp, dval double"
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 0, 0), 5.0),
+         ("a", dt.datetime(2024, 1, 1, 0, 1), 6.0)],
+        schema,
+    ).write.parquet(src)
+    q = (
+        rate_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: b.write.mode("append").parquet(dest))
+        .option("checkpointLocation", str(tmp_path / "dup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["ts"].minute, r["dval"]) for r in spark.read.parquet(dest).collect()]
+    assert rows == [(1, (6.0 - 5.0) / 60.0)]  # prev = 5.0 (greatest at t0)

@@ -133,3 +133,19 @@ def test_asof_single_window_node(spark):
     )
     plan = as_of_join(left, right, on=["key"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window") == 1, plan
+
+
+def test_asof_duplicate_right_rows_pick_one_row_atomically(spark):
+    """Duplicate right rows with NULLs in different columns: the as-of
+    fill must carry ONE row (the greatest tuple), never synthesize a row
+    mixing columns from different duplicates."""
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1.0)], "key string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 1.0, 9.0), ("a", _ts(5), 2.0, None)],
+        "key string, ts timestamp, w double, x double",
+    )
+    out = as_of_join(left, right, on=["key"]).collect()
+    # greatest tuple is (w=2.0, x=NULL) — x must NOT be backfilled to 9.0
+    assert [(r.r_w, r.r_x) for r in out] == [(2.0, None)]
