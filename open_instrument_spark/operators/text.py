@@ -167,3 +167,37 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id_toks(toks).alias("lang_pred"),
         fingerprint_toks(toks, raw).alias("fingerprint"),
     )
+
+
+# ---- scrubbing (corpus-prep cleanup) ---------------------------------------
+
+# Portable across Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+# lookaround, \x escapes and shorthand classes only.
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def scrub(docs: DataFrame, text_col: str = "text",
+          url_token: str = "", email_token: str = "") -> DataFrame:
+    """Corpus-prep scrubbing: strip (or tokenize) URLs and emails, drop
+    control characters, collapse whitespace — the standard cleanup pass
+    before dedup/quality filtering in a training-data pipeline.
+
+    Pure scan-project (four regexp passes, zero Python, no shuffle).
+    Counting order is part of the contract: ``n_urls`` on the raw text,
+    ``n_emails`` AFTER url removal (an address inside a URL query string
+    counts once, as a URL). Output adds (n_urls, n_emails, clean_text).
+    """
+    raw = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(raw, F.lit(URL_RE), 0))
+    t1 = F.regexp_replace(raw, URL_RE, url_token)
+    n_emails = F.size(F.regexp_extract_all(t1, F.lit(EMAIL_RE), 0))
+    t2 = F.regexp_replace(t1, EMAIL_RE, email_token)
+    t3 = F.regexp_replace(t2, CTRL_RE, " ")
+    clean = F.trim(F.regexp_replace(t3, r"\s+", " "))
+    return (
+        docs.withColumn("n_urls", n_urls)
+        .withColumn("n_emails", n_emails)
+        .withColumn("clean_text", clean)
+    )

@@ -985,6 +985,72 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts(load_tables(spark, sf_dir).table("documents"))
 
 
+@query(
+    "text_scrub",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' see https://ex.com/a?u=bob@x.io or mail bob@example.com' || chr(1) || 'tail'
+              ELSE text END AS t
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://\\S+')) AS n_urls,
+         regexp_replace(t, 'https?://\\S+', '', 'g') AS t1
+  FROM c
+),
+e AS (
+  SELECT doc_id, n_urls,
+         len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g') AS t2
+  FROM u
+),
+f AS (
+  SELECT doc_id, n_urls, n_emails,
+         trim(regexp_replace(regexp_replace(t2, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS clean
+  FROM e
+)
+SELECT doc_id, n_urls, n_emails, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS clean_len
+FROM f
+""",
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus scrubbing: URL/email strip + control-char and
+    whitespace normalization, over a corpus seeded with URLs (one
+    containing an embedded address — counted as a URL, not an email),
+    emails and a control byte on every 5th doc. Cleaned text compared by
+    md5 + length. Past the driver window: replayed against DuckDB by
+    tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.text import scrub
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://ex.com/a?u=bob@x.io or mail bob@example.com"),
+                F.lit(chr(1)),
+                F.lit("tail"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = scrub(seeded)
+    return out.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
+
 from open_instrument_spark.operators.corpus import (  # noqa: E402
     DEFAULT_WEIGHTS as _SPLIT_WEIGHTS,
     cumulative_thresholds as _split_thresholds,
@@ -1955,6 +2021,7 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
+    "text_scrub",
     "mutate_rate_chunked",
     "rle_encode_chunked",
     "mutate_min_resample",

@@ -174,3 +174,24 @@ def test_ngram_jaccard_max_bucket_candidate_guard(spark):
     assert all(f[pair] == j for pair, j in g.items())
     # the guard only ever shrinks the candidate set
     assert set(g) <= set(f)
+
+
+def test_text_scrub_semantics(spark):
+    from open_instrument_spark.operators.text import scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see http://a.io/x?e=c@d.io now"),        # email inside URL
+            (2, "mail me: bob@example.com  please"),
+            (3, "ctrl\x01chars\x1fhere   and\tspace"),
+            (4, "plain text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub(docs).collect()}
+    assert (out[1]["n_urls"], out[1]["n_emails"]) == (1, 0)  # URL wins
+    assert out[1]["clean_text"] == "see now"
+    assert (out[2]["n_urls"], out[2]["n_emails"]) == (0, 1)
+    assert out[2]["clean_text"] == "mail me: please"
+    assert out[3]["clean_text"] == "ctrl chars here and space"
+    assert out[4]["clean_text"] == "plain text"

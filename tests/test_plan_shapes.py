@@ -139,3 +139,10 @@ def test_list_max_variables_is_distributed_topk(spark, tables):
                      max_variables=40, now="2024-01-31 00:00:00")
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_text_scrub_is_shuffle_free(spark, tables):
+    from open_instrument_spark.operators.text import scrub
+
+    plan = plan_of(scrub(tables.table("documents")))
+    assert "Exchange" not in plan  # scan-project at any scale
