@@ -567,3 +567,72 @@ def test_streaming_rate_duplicate_ts_matches_batch_convention(spark, tmp_path):
     q.awaitTermination(120)
     rows = [(r["ts"].minute, r["dval"]) for r in spark.read.parquet(dest).collect()]
     assert rows == [(1, (6.0 - 5.0) / 60.0)]  # prev = 5.0 (greatest at t0)
+
+
+def test_rle_properties_random_series(spark):
+    """Hypothesis-style invariants on random series (fixed seed): runs
+    are maximal (adjacent runs differ in value), run lengths sum to the
+    point count, and run endpoints bracket the source timestamps."""
+    import random
+
+    import datetime as dt
+
+    rng = random.Random(7)
+    rows = []
+    for s in range(6):
+        vals = [float(rng.choice([1, 1, 1, 2, 3])) for _ in range(rng.randint(1, 40))]
+        rows += [
+            (f"s{s}", dt.datetime(2024, 1, 1, 0, 0, i), v, None)
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, dval double, sval string"
+    )
+    enc = rle_encode(df.withColumn("name", F.lit("/v"))
+                       .withColumn("labels", F.create_map().cast("map<string,string>")))
+    got = sorted(
+        ((r["series_key"], r["ts"], r["end_ts"], r["dval"], r["run_len"])
+         for r in enc.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    per_series: dict[str, list] = {}
+    for t in got:
+        per_series.setdefault(t[0], []).append(t)
+    n_rows = {k: sum(1 for r in rows if r[0] == k) for k in per_series}
+    for key, runs in per_series.items():
+        assert sum(r[4] for r in runs) == n_rows[key]
+        for a, b in zip(runs, runs[1:]):
+            assert a[3] != b[3], "adjacent runs must differ (maximality)"
+            assert a[2] < b[1], "runs must not overlap"
+        assert all(r[1] <= r[2] for r in runs)
+
+
+def test_retention_job_equals_declarative_apply(spark, points, tmp_path):
+    """The in-place store rewrite must land exactly the rows the
+    declarative apply_retention computes for the same policy — deletes,
+    downsampled bands and untouched recent partitions included."""
+    from open_instrument_spark.operators.retention import run_retention_job
+    from open_instrument_spark.operators import mutate
+
+    store = str(tmp_path / "eq_store")
+    pts = points
+    write_points(pts, store, n_buckets=2)
+    policy = [
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("mean", "1d"),)),
+    ]
+    now = "2024-02-10 00:00:00"  # pushes part of January past 4 weeks
+    run_retention_job(spark, store, policy, now, n_buckets=2)
+    got = {
+        (r["series_key"], r["ts"], round(r["dval"], 9))
+        for r in mutate._with_key(
+            spark.read.parquet(store).drop("dt", "bucket", "epoch")
+        ).select("series_key", "ts", "dval").collect()
+    }
+    want = {
+        (r["series_key"], r["ts"], round(r["dval"], 9))
+        for r in mutate._with_key(apply_retention(pts, policy, now))
+        .select("series_key", "ts", "dval").collect()
+    }
+    assert got == want and want
