@@ -149,3 +149,40 @@ def test_asof_duplicate_right_rows_pick_one_row_atomically(spark):
     out = as_of_join(left, right, on=["key"]).collect()
     # greatest tuple is (w=2.0, x=NULL) — x must NOT be backfilled to 9.0
     assert [(r.r_w, r.r_x) for r in out] == [(2.0, None)]
+
+
+def test_get_with_aggregation_equals_composed_operators(spark):
+    """S10: GetRequest with mutations + aggregation must compile to the
+    same result as composing the operators directly (match → rate →
+    label-grouped windowed sum)."""
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.operators import aggregate as agg_ops
+    from open_instrument_spark.operators import mutate, select
+    from open_instrument_spark.plans.api import GetRequest, get
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    pts = events_to_points(load_tables(spark, SF_SMOKE).table("events"))
+    out = get(
+        pts,
+        GetRequest(
+            variable="/events/*",
+            mutations=[("rate", None)],
+            aggregation="sum",
+            aggregation_labels=["user_id"],
+            sample_interval="6h",
+        ),
+    )
+    want = agg_ops.aggregate(
+        mutate.rate(select.match_variables(pts, "/events/*")),
+        "sum", ["user_id"], 21_600_000,
+    )
+    got_rows = {
+        (r["name"], r["label"], r["label_value"], r["ts"], round(r["value"], 9))
+        for r in out.collect()
+    }
+    want_rows = {
+        (r["name"], r["label"], r["label_value"], r["ts"], round(r["value"], 9))
+        for r in want.collect()
+    }
+    assert got_rows == want_rows and got_rows
