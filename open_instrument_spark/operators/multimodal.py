@@ -117,3 +117,75 @@ def blob_stats(media: DataFrame) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.greatest(F.lit(1), F.floor(F.col("meta.n_bytes") / 256).cast("int")).alias("n_frames"),
     )
+
+
+def resize(media: DataFrame, out_w: int = 16, out_h: int = 12,
+           fake: bool = False) -> DataFrame:
+    """Resize decoded images to (out_w, out_h).
+
+    Real resizing needs an image codec — not present in this container:
+    raises NotImplementedError unless ``fake=True``. The fake path is a
+    REAL nearest-neighbor sampler over the byte grid (meta width×height
+    from attach_blob), so schema/batch plumbing and the deterministic
+    output blob are fully testable. Output: MEDIA-shaped (doc_id, blob,
+    meta) with the resized dimensions."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs (PIL/opencv) are not available in this environment; "
+            "pass fake=True for the deterministic nearest-neighbor stub"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for blob, w, h in zip(pdf["blob"], pdf["width"], pdf["height"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                grid = np.resize(arr, (int(h), int(w)))  # pad by wrap, deterministic
+                ys = (np.arange(out_h) * int(h)) // out_h
+                xs = (np.arange(out_w) * int(w)) // out_w
+                blobs.append(grid[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    flat = media.select(
+        "doc_id", "blob",
+        F.col("meta.width").alias("width"), F.col("meta.height").alias("height"),
+    )
+    out = flat.mapInPandas(run, "doc_id long, blob binary")
+    meta = F.struct(
+        F.lit("image/fake").alias("mime"),
+        F.length("blob").cast("long").alias("n_bytes"),
+        F.lit(out_w).cast("int").alias("width"),
+        F.lit(out_h).cast("int").alias("height"),
+        F.lit(1).alias("channels"),
+    )
+    return out.select("doc_id", "blob", meta.alias("meta"))
+
+
+def feature_extract(media: DataFrame, dim: int = 64) -> DataFrame:
+    """REAL (codec-free) feature extraction: L1-normalized ``dim``-bin
+    byte histogram per blob as ``array<double>`` — the standard cheap
+    content signature, and schema-compatible with every embedding
+    operator here (cosine_topk / ann_* / near_dup_pairs_lsh), so media
+    dedup rides the existing similarity stack unchanged.
+    Output: (doc_id, embedding array<double>)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        width = 256 // dim
+        for pdf in batches:
+            feats = []
+            for blob in pdf["blob"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if len(arr) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr // width, minlength=dim).astype(np.float64)
+                feats.append(list(hist / hist.sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": feats})
+
+    return media.select("doc_id", "blob").mapInPandas(
+        run, "doc_id long, embedding array<double>"
+    )

@@ -195,3 +195,38 @@ def test_text_scrub_semantics(spark):
     assert out[2]["clean_text"] == "mail me: please"
     assert out[3]["clean_text"] == "ctrl chars here and space"
     assert out[4]["clean_text"] == "plain text"
+
+
+def test_multimodal_resize_and_feature_extract(spark):
+    """resize: deterministic nearest-neighbor stub with correct output
+    metadata; feature_extract: codec-free byte-histogram embeddings that
+    feed the similarity stack unchanged (media near-dup end-to-end)."""
+    docs = load_tables(spark, SF_SMOKE).table("documents").limit(40)
+    media = multimodal.attach_blob(docs)
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize(media)
+    small = multimodal.resize(media, out_w=8, out_h=6, fake=True)
+    rows = small.collect()
+    assert all(len(r["blob"]) == 48 and r["meta"]["width"] == 8 for r in rows)
+    # deterministic: same input → same bytes
+    again = {r["doc_id"]: bytes(r["blob"]) for r in
+             multimodal.resize(media, out_w=8, out_h=6, fake=True).collect()}
+    assert all(bytes(r["blob"]) == again[r["doc_id"]] for r in rows)
+
+    feats = multimodal.feature_extract(media, dim=64)
+    emb = feats.collect()
+    assert all(len(r["embedding"]) == 64 for r in emb)
+    assert all(abs(sum(r["embedding"]) - 1.0) < 1e-9 for r in emb)
+    # composes with the similarity stack: exact duplicate blobs are
+    # found by the LSH near-dup over the extracted features
+    dup_src = media.filter(F.col("doc_id") % 7 == 0)
+    dup_ids = [r["doc_id"] for r in dup_src.select("doc_id").collect()]
+    dup = dup_src.select((F.col("doc_id") + 10000).alias("doc_id"), "blob", "meta")
+    all_media = media.unionByName(dup)
+    pairs = similarity.near_dup_pairs_lsh(
+        multimodal.feature_extract(all_media, dim=64),
+        threshold=0.999, id_col="doc_id", vec_col="embedding", n_planes=3,
+    )
+    found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert dup_ids and {(d, d + 10000) for d in dup_ids} <= found

@@ -84,7 +84,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Driver-faithful mode: a bare default session — queries must
+        # self-normalize via prepare(), exactly as under the real driver.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("check_oracle")
     con = duck_connect(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only:
