@@ -1108,6 +1108,46 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pack_partitioned",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS bin_part
+  FROM documents
+)
+SELECT doc_id, n_tokens, bin_part,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              PARTITION BY bin_part ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 2048.0) AS BIGINT) AS bin
+FROM t
+""",
+)
+def corpus_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SCALE-path sequence packing: greedy prefix-sum bins within
+    each split partition (deterministic (bin_part, bin) identity, no
+    single-task global window). Past the driver window; replayed against
+    DuckDB by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        pack_greedy_partitioned,
+    )
+    from open_instrument_spark.operators.text import words
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    toks = hash_split(
+        docs.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
+    )
+    out = pack_greedy_partitioned(
+        toks.withColumnRenamed("split", "part"), "n_tokens", 2048, "part"
+    )
+    return out.select("doc_id", "n_tokens", "bin_part", "bin")
+
+
+@query(
     "corpus_clean_pipeline",
     oracle=f"""
 WITH base AS (
@@ -2022,6 +2062,7 @@ DRIVER_WINDOW = [
 
 _PAST_WINDOW_ORACLED = [
     "text_scrub",
+    "corpus_pack_partitioned",
     "mutate_rate_chunked",
     "rle_encode_chunked",
     "mutate_min_resample",
