@@ -1829,6 +1829,56 @@ def analytics_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "analytics_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped order priority (adapted to the synthetic schema:
+    o_orderpriority stands in for ship priority): selective dim filter broadcast
+    into the fact-fact join, decimal-exact revenue, distributed top-10
+    (TakeOrderedAndProject — no global sort). Past the driver window;
+    replayed against DuckDB by tests/test_oracle_parity.py."""
+    prepare(spark)
+    t = load_tables(spark, sf_dir)
+    cust = t.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t.table("orders").filter(F.col("o_orderdate") < "1995-03-15 00:00:00")
+    li = t.table("lineitem").filter(F.col("l_shipdate") > "1995-03-15 00:00:00")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    )
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+    return out
+
+
+@query(
     "api_get_chained",
     oracle=f"""
 WITH {P_CTE},
@@ -2063,6 +2113,7 @@ DRIVER_WINDOW = [
 _PAST_WINDOW_ORACLED = [
     "text_scrub",
     "corpus_pack_partitioned",
+    "analytics_shipping_priority",
     "mutate_rate_chunked",
     "rle_encode_chunked",
     "mutate_min_resample",
