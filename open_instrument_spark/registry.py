@@ -2041,6 +2041,48 @@ def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "user_id", gap="6 hours")
 
 
+@query(
+    "temporal_funnel",
+    oracle="""
+WITH l AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+j AS (
+  SELECT l.user_id, l.ts, r.ts AS r_ts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT user_id,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN r_ts IS NOT NULL
+                      AND r_ts >= ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted
+FROM j GROUP BY user_id
+""",
+)
+def temporal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, purchases whose most recent prior
+    view is within 1 hour (the as-of join with tolerance, then a
+    group-count) — the classic product-analytics composition of the
+    temporal operators. Past the driver window; replayed against DuckDB
+    (native ASOF JOIN + interval filter) by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.temporal import as_of_join
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts").distinct()
+    j = as_of_join(purch, views, on=["user_id"], tolerance="1 hour", value_cols=[])
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.when(F.col("r_ts").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_converted"),
+    )
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -2114,6 +2156,7 @@ _PAST_WINDOW_ORACLED = [
     "text_scrub",
     "corpus_pack_partitioned",
     "analytics_shipping_priority",
+    "temporal_funnel",
     "mutate_rate_chunked",
     "rle_encode_chunked",
     "mutate_min_resample",
