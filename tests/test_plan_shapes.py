@@ -146,3 +146,15 @@ def test_text_scrub_is_shuffle_free(spark, tables):
 
     plan = plan_of(scrub(tables.table("documents")))
     assert "Exchange" not in plan  # scan-project at any scale
+
+
+def test_q3_shape_is_broadcast_plus_topk(spark, tables):
+    """The Q3-shaped query must broadcast the filtered dim, shuffle-join
+    the facts once, and take the top-10 distributively."""
+    from open_instrument_spark import registry
+
+    plan = plan_of(registry.QUERIES["analytics_shipping_priority"](
+        spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
