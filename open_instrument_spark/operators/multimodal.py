@@ -171,10 +171,12 @@ def feature_extract(media: DataFrame, dim: int = 64) -> DataFrame:
     dedup rides the existing similarity stack unchanged.
     Output: (doc_id, embedding array<double>)."""
 
+    if not 1 <= dim <= 256:
+        raise ValueError(f"dim must be in [1, 256], got {dim}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        width = 256 // dim
         for pdf in batches:
             feats = []
             for blob in pdf["blob"]:
@@ -182,7 +184,11 @@ def feature_extract(media: DataFrame, dim: int = 64) -> DataFrame:
                 if len(arr) == 0:
                     feats.append([0.0] * dim)
                     continue
-                hist = np.bincount(arr // width, minlength=dim).astype(np.float64)
+                # byte b → bin b*dim//256, always in [0, dim) even when
+                # dim doesn't divide 256 (256//dim flooring would spill
+                # past dim-1 for e.g. dim=60).
+                bins = arr.astype(np.int64) * dim // 256
+                hist = np.bincount(bins, minlength=dim).astype(np.float64)
                 feats.append(list(hist / hist.sum()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": feats})
 

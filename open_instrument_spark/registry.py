@@ -1534,32 +1534,65 @@ def embed_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _near_dup_lsh_oracle(n_planes: int = 3, n_tables: int = 16, dim: int = 64,
+#: Pinned plane-count step function shared by the embed_near_dup query
+#: and its oracle: (max_corpus_size_inclusive, n_planes). Keeps bucket
+#: occupancy bounded as the corpus grows (auto_n_planes rationale) while
+#: staying finite enough to replay in static SQL — the oracle branches
+#: on COUNT(*) over the SAME steps, so Spark and DuckDB cannot silently
+#: diverge at any driver dataset scale (sf0.001/0.01/0.1 ⇒ ≤ 2000
+#: vectors). Beyond the last step the query raises loudly instead of
+#: auto-sizing past what the oracle can check.
+_NEAR_DUP_PLANE_STEPS: list[tuple[int, int]] = [(1000, 3), (2048, 5)]
+
+
+def _near_dup_planes_for(n: int) -> int:
+    for max_n, planes in _NEAR_DUP_PLANE_STEPS:
+        if n <= max_n:
+            return planes
+    raise ValueError(
+        f"embed_near_dup's oracle is pinned to corpora of ≤ "
+        f"{_NEAR_DUP_PLANE_STEPS[-1][0]} vectors (got {n}); for larger "
+        "corpora call similarity.near_dup_pairs_lsh(n_planes=None) "
+        "directly — auto-sized, recall-tested, but not hash-oracled"
+    )
+
+
+def _near_dup_lsh_oracle(n_tables: int = 16, dim: int = 64,
                          seed: int = 42, threshold: float = 0.4) -> str:
     """DuckDB twin of similarity.near_dup_pairs_lsh: the seeded
     hyperplanes are emitted as literal arrays (repr round-trips the exact
     float64), so the oracle replays the WHOLE approximate pipeline —
     bucketing, candidate generation, exact-cosine verify — not just the
-    output shape (same pattern as dedup_minhash_md5)."""
+    output shape (same pattern as dedup_minhash_md5). The per-table
+    bucket is a COUNT(*)-keyed CASE over _NEAR_DUP_PLANE_STEPS, matching
+    _near_dup_planes_for exactly."""
     from open_instrument_spark.operators.similarity import _planes
 
     def dot(plane):
         lit = ", ".join(repr(float(x)) for x in plane)
         return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
 
-    bucket_cols = []
-    for t in range(n_tables):
+    def bits_expr(t: int, n_planes: int) -> str:
         planes = _planes(dim, n_planes, seed=seed + 1000 * t)
-        bits = " + ".join(
+        return " + ".join(
             f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
             for i, p in enumerate(planes)
         )
-        bucket_cols.append(f"CAST({bits} AS BIGINT) AS b{t}")
+
+    bucket_cols = []
+    for t in range(n_tables):
+        branches = " ".join(
+            f"WHEN nn <= {max_n} THEN ({bits_expr(t, planes)})"
+            for max_n, planes in _NEAR_DUP_PLANE_STEPS
+        )
+        bucket_cols.append(f"CAST(CASE {branches} END AS BIGINT) AS b{t}")
     unpivot = "\n  UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(n_tables)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  (SELECT COUNT(*) FROM embeddings) AS nn
+           FROM embeddings),
 bk AS (SELECT vec_id, {", ".join(bucket_cols)} FROM e),
 bb AS (
   {unpivot}
@@ -1588,19 +1621,17 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact O(N²) slice (similarity.near_dup_pairs) stays available
     behind modulus/allow_full_scan and is recall-tested in pytest.
 
-    Plane count: pinned to 3 at oracle scale (≤1000 vectors — MUST match
-    the static oracle SQL) and auto-sized above it so bucket occupancy,
-    hence candidate volume, stays bounded as the corpus grows (the bench
-    runs this at 10× the oracle scale)."""
-    from open_instrument_spark.operators.similarity import (
-        auto_n_planes,
-        near_dup_pairs_lsh,
-    )
+    Plane count: a pinned step function of corpus size
+    (_NEAR_DUP_PLANE_STEPS) replayed branch-for-branch by the oracle's
+    COUNT(*)-keyed CASE, so the Spark and DuckDB candidate sets agree at
+    every driver dataset scale; raises loudly past the last step rather
+    than auto-sizing into a divergence (use near_dup_pairs_lsh directly
+    for unoracled larger corpora)."""
+    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
 
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
-    n = emb.count()
-    planes = 3 if n <= 1000 else auto_n_planes(n)
+    planes = _near_dup_planes_for(emb.count())
     return near_dup_pairs_lsh(emb, threshold=0.4, n_planes=planes)
 
 

@@ -173,11 +173,15 @@ def load_store_config(text: str) -> StoreConfig:
     servers = tuple(
         s.get("address", [""])[0] for s in msg.get("server", [])
     )
+    # Proto merge semantics for repeated retention_policy blocks:
+    # policies CONCATENATE across blocks; scalar interval keeps the
+    # last-seen value (openinstrument.proto repeated-field merge).
     retention: tuple[PolicyItem, ...] = ()
     interval = 600
     for rp in msg.get("retention_policy", []):
-        retention = tuple(_policy_item(p) for p in rp.get("policy", []))
-        interval = rp.get("interval", [600])[0]
+        retention += tuple(_policy_item(p) for p in rp.get("policy", []))
+        if "interval" in rp:
+            interval = rp["interval"][0]
     return StoreConfig(
         servers=servers, retention=retention, retention_interval_s=interval
     )

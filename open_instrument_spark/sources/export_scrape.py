@@ -39,9 +39,12 @@ def parse_variable(s: str) -> tuple[str, dict[str, str]]:
 
     Mirrors lib/variable.cc:21-45 ``FromString``: optional label block,
     comma-separated ``k=v`` pairs, values optionally double-quoted with
-    ``\\"`` escapes (the exporter quotes any value containing a
-    non-value character, variable.cc:71-105). Raises ValueError on
-    malformed input."""
+    backslash escapes (the exporter quotes any value containing a
+    non-value character and escapes both ``"`` and ``,`` —
+    variable.cc:71-105 ``QuoteValue``/``IsValueQuoteChar``; the parser
+    side uses ``boost::escaped_list_separator``, which treats ``\\`` as
+    a general escape consuming the next character). Raises ValueError
+    on malformed input."""
     s = s.strip()
     if "{" not in s:
         return s, {}
@@ -63,8 +66,10 @@ def parse_variable(s: str) -> tuple[str, dict[str, str]]:
             closed = False
             while i < n:
                 c = body[i]
-                if c == "\\" and i + 1 < n and body[i + 1] == '"':
-                    out.append('"')
+                if c == "\\" and i + 1 < n:
+                    # General escape: \" \, \\ and any other \x → x
+                    # (boost::escaped_list_separator semantics).
+                    out.append(body[i + 1])
                     i += 2
                     continue
                 if c == '"':
