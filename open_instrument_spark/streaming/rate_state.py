@@ -85,9 +85,16 @@ def rate_stream(points_stream: DataFrame, signed: bool = False) -> DataFrame:
     """Per-series rate of a points stream; append-mode output (each rate
     row emitted once, when its sample arrives). ``signed=True`` keeps
     negative rates (M2). NoTimeout: series state lives as long as the
-    query — the reference never expires live series either."""
+    query — the reference never expires live series either.
+
+    Non-numeric samples (dval NULL — e.g. string-valued points) are
+    filtered BEFORE the state machine, matching the batch operator which
+    rates numeric samples only; letting them through would poison the
+    carried ``last_v`` with NaN and corrupt the next numeric sample's
+    rate."""
     return (
         points_stream.select("series_key", "ts", "dval")
+        .where("dval IS NOT NULL")
         .groupBy("series_key")
         .applyInPandasWithState(
             _make_emitter(signed),

@@ -569,6 +569,36 @@ def test_streaming_rate_duplicate_ts_matches_batch_convention(spark, tmp_path):
     assert rows == [(1, (6.0 - 5.0) / 60.0)]  # prev = 5.0 (greatest at t0)
 
 
+def test_streaming_rate_skips_non_numeric_samples(spark, tmp_path):
+    """A string-valued sample (dval NULL) must not poison the carried
+    state: the surrounding numeric samples pair across it, exactly as the
+    batch operator (which rates numeric samples only) would."""
+    import datetime as dt
+
+    from open_instrument_spark.streaming.rate_state import rate_stream
+
+    src = str(tmp_path / "null_src")
+    dest = str(tmp_path / "null_out")
+    schema = "series_key string, ts timestamp, dval double"
+    spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+         ("a", dt.datetime(2024, 1, 1, 0, 1), None),   # string sample
+         ("a", dt.datetime(2024, 1, 1, 0, 2), 7.0)],
+        schema,
+    ).write.parquet(src)
+    q = (
+        rate_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _e: b.write.mode("append").parquet(dest))
+        .option("checkpointLocation", str(tmp_path / "null_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r["ts"].minute, r["dval"]) for r in spark.read.parquet(dest).collect()]
+    assert rows == [(2, (7.0 - 1.0) / 120.0)]  # paired across the NULL
+
+
 def test_rle_properties_random_series(spark):
     """Hypothesis-style invariants on random series (fixed seed): runs
     are maximal (adjacent runs differ in value), run lengths sum to the
