@@ -94,6 +94,43 @@ def _verify_jaccard(sh: DataFrame, cand: DataFrame, threshold: float
     )
 
 
+def _observe_dropped(freq: DataFrame, max_bucket: int) -> DataFrame:
+    """Attach a lazy dropped-shingle metric to the frequency plan.
+
+    ``observe()`` adds a CollectMetrics node — zero extra jobs, zero
+    extra passes; the metric materializes as a side effect of whichever
+    action first executes the plan. A daemon watcher thread blocks on
+    ``Observation.get`` and logs then; if the caller never executes the
+    plan, the thread idles harmlessly (daemon ⇒ never blocks exit)."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = freq.observe(
+        obs,
+        F.sum((F.col("_n") > max_bucket).cast("long")).alias("dropped"),
+    )
+
+    def _log_when_executed() -> None:
+        try:
+            n_dropped = obs.get["dropped"]  # blocks until first action
+        except Exception:
+            return
+        if n_dropped:
+            _log.warning(
+                "ngram_jaccard_pairs: %d shingle(s) appear in > %d docs and are "
+                "excluded from candidate generation (jaccard values stay exact; "
+                "pairs sharing ONLY such shingles are missed)",
+                n_dropped, max_bucket,
+            )
+
+    threading.Thread(
+        target=_log_when_executed, name="ngram-dropped-log", daemon=True
+    ).start()
+    return out
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
                         threshold: float = 0.5, max_bucket: int | None = 1000,
                         log_dropped: bool = True) -> DataFrame:
@@ -109,27 +146,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     shingle shared by 10⁶ docs would otherwise make a 10¹² -row join
     bucket. Values stay exact; the only effect is recall: a pair whose
     EVERY shared shingle is ultra-common is missed. The number of
-    dropped shingles is computed and logged (``log_dropped=True``, an
-    EAGER count job at plan-build time — pass ``log_dropped=False`` for
-    fully lazy construction). ``max_bucket=None`` disables the guard
-    (full recall, quadratic risk) and keeps construction lazy.
-    Output: (a_id, b_id, jaccard).
+    dropped shingles is logged via ``observe()`` (``log_dropped=True``):
+    a CollectMetrics node rides the shingle-frequency pass the plan
+    already makes, so construction stays fully LAZY — no job runs until
+    the caller executes the plan, at which point a watcher thread logs
+    the metric. ``max_bucket=None`` disables the guard (full recall,
+    quadratic risk). Output: (a_id, b_id, jaccard).
     """
     sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
     ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
     if max_bucket is not None:
-        freq = track_persist(
-            ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
-        )
+        freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_n"))
         if log_dropped:
-            n_dropped = freq.filter(F.col("_n") > max_bucket).count()
-            if n_dropped:
-                _log.warning(
-                    "ngram_jaccard_pairs: %d shingle(s) appear in > %d docs and are "
-                    "excluded from candidate generation (jaccard values stay exact; "
-                    "pairs sharing ONLY such shingles are missed)",
-                    n_dropped, max_bucket,
-                )
+            freq = _observe_dropped(freq, max_bucket)
+        freq = track_persist(freq)
         ds = ds.join(freq.filter(F.col("_n") <= max_bucket), "shingle", "left_semi")
     a = ds.alias("a")
     b = ds.alias("b")

@@ -176,6 +176,28 @@ def test_ngram_jaccard_max_bucket_candidate_guard(spark):
     assert set(g) <= set(f)
 
 
+def test_ngram_jaccard_plan_build_is_action_free(spark):
+    """Constructing ngram_jaccard_pairs (incl. the default
+    log_dropped=True dropped-shingle metric) must run ZERO Spark jobs —
+    the metric rides the plan via observe(), not an eager count. Jobs
+    are detected by tagging a job group and asserting it stays empty."""
+    docs = spark.createDataFrame(
+        [(i, f"some document number {i} with plenty of words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+    group = "ngram-plan-build-probe"
+    sc.setJobGroup(group, "plan build must not launch jobs")
+    try:
+        df = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.3,
+                                       max_bucket=10, log_dropped=True)
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+    finally:
+        sc.setJobGroup("", "")
+    # and the plan still executes fine afterwards
+    assert df.count() >= 0
+
+
 def test_text_scrub_semantics(spark):
     from open_instrument_spark.operators.text import scrub
 
