@@ -7,6 +7,15 @@ Prints ONE JSON line:
 Each query is materialized with a noop write (full execution, no driver
 collect) — the same shape a cluster run would have. Times are wall-clock
 per query after a warm-up of the session + file listing.
+
+Methodology (r3): each query runs N times (default 3, env
+SPARK_GRAFT_BENCH_N); repetitions are interleaved round-robin across the
+whole suite so a transient host-load spike lands on every query equally
+instead of biasing whichever one it straddles. Reported per-query time
+is the MEDIAN, with min/max spread in "spread"; "value" is the sum of
+medians. Single-shot wall-clock at this scale has ~±30% run-to-run
+variance (SCALE.md) — medians make round-over-round comparison
+meaningful.
 """
 
 from __future__ import annotations
@@ -68,6 +77,7 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     spark = get_spark("oi-bench")
 
     # Warm up (not counted): JVM + codegen + file listing for both table
@@ -75,13 +85,21 @@ def main() -> None:
     materialize(registry.QUERIES["flagship_rate_sum"](spark, sf_dir))
     materialize(registry.QUERIES["dedup_exact"](spark, sf_dir))
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.monotonic()
-        materialize(fn(spark, sf_dir))
-        times[name] = round(time.monotonic() - t0, 3)
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            t0 = time.monotonic()
+            materialize(fn(spark, sf_dir))
+            runs[name].append(round(time.monotonic() - t0, 3))
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    times = {name: round(median(ts), 3) for name, ts in runs.items()}
+    spread = {name: [min(ts), max(ts)] for name, ts in runs.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -90,6 +108,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "n_runs": n_runs,
                 "sf": _sf_of(sf_dir),
             }
         )
