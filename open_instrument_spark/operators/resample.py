@@ -51,8 +51,52 @@ from open_instrument_spark.operators.mutate import SERIES_KEY_COL, _with_key
 _US = 1_000  # ms → µs
 
 
-def uniform_average(points: DataFrame, interval, max_gap_interpolate: int | None = None
-                    ) -> DataFrame:
+def _chunked_lag_state(pts: DataFrame, chunk) -> DataFrame:
+    """Bounded-task (lag, series-min) state for grid resampling — the
+    resample twin of ``mutate._pairwise_chunked``.
+
+    Adds ``_pt``/``_pv`` (previous sample's epoch-µs/value) and ``_ts0``
+    (series' first epoch-µs, the grid anchor) WITHOUT any whole-series
+    window: the lag runs within (series, time-chunk); each chunk's first
+    row takes its predecessor from the previous non-empty chunk's tail,
+    and ``_ts0`` is a min over the chunk-cardinality tail table. Task
+    size is bounded by points-per-chunk at any series length. Requires a
+    ``_t`` epoch-µs column."""
+    chunk_us = parse_duration_ms(chunk) * _US
+    pts = pts.withColumn("_c", F.floor(F.col("_t") / F.lit(chunk_us)))
+    wc = Window.partitionBy(SERIES_KEY_COL, "_c").orderBy("_t")
+    df = (
+        pts.withColumn("_pt0", F.lag("_t").over(wc))
+        .withColumn("_pv0", F.lag("dval").over(wc))
+    )
+    tails = pts.groupBy(SERIES_KEY_COL, "_c").agg(
+        F.max_by(
+            F.struct(F.col("dval").alias("v"), F.col("_t").alias("t")), "_t"
+        ).alias("_tail"),
+        F.min("_t").alias("_cmin"),
+    )
+    wprev = Window.partitionBy(SERIES_KEY_COL).orderBy("_c")
+    state = tails.select(
+        SERIES_KEY_COL,
+        "_c",
+        F.lag("_tail").over(wprev).alias("_ptail"),
+        F.min("_cmin").over(Window.partitionBy(SERIES_KEY_COL)).alias("_ts0"),
+    )
+    df = df.join(state, [SERIES_KEY_COL, "_c"], "left")
+    use_tail = F.col("_pt0").isNull()
+    return (
+        df.withColumn(
+            "_pt", F.when(use_tail, F.col("_ptail.t")).otherwise(F.col("_pt0"))
+        )
+        .withColumn(
+            "_pv", F.when(use_tail, F.col("_ptail.v")).otherwise(F.col("_pv0"))
+        )
+        .drop("_pt0", "_pv0", "_ptail", "_c")
+    )
+
+
+def uniform_average(points: DataFrame, interval, max_gap_interpolate: int | None = None,
+                    chunk=None) -> DataFrame:
     """M4 AVERAGE resample (C++ UniformTimeSeries) as pure DataFrame ops.
 
     Output: one row per series per grid point in
@@ -60,28 +104,33 @@ def uniform_average(points: DataFrame, interval, max_gap_interpolate: int | None
     All grid arithmetic in epoch-µs longs (the reference uses ms; µs is
     its lossless refinement for our µs-precision timestamps).
 
-    Scale note: like all per-series windows, one series = one task. The
-    chunked handoff pattern (mutate._pairwise_chunked) applies here too —
-    each output depends on one consecutive input pair plus the series'
-    FIRST timestamp (the grid anchor), which is a series-cardinality
-    groupBy-join away.
+    Scale note: ``Window.partitionBy(series_key)`` places a whole series
+    in one task. ``chunk`` (duration, e.g. "1d") switches to the bounded
+    two-phase plan (:func:`_chunked_lag_state` — lag within (series,
+    chunk) + previous-chunk-tail handoff; the grid anchor comes from the
+    chunk-tail table) with IDENTICAL results: each output row depends
+    only on one consecutive input pair plus the series' first timestamp.
     """
     interval_us = parse_duration_ms(interval) * _US
     pts = _with_key(points)
     t_us = (epoch_seconds("ts") * 1_000_000).cast("long")
-
-    w = Window.partitionBy(SERIES_KEY_COL).orderBy("ts")
-    wall = Window.partitionBy(SERIES_KEY_COL)
+    pts = pts.withColumn("_t", t_us)
 
     i = F.lit(interval_us)
     base = (F.col("_ts0") - F.col("_ts0") % i).alias("base")
 
+    if chunk is None:
+        w = Window.partitionBy(SERIES_KEY_COL).orderBy("_t")
+        wall = Window.partitionBy(SERIES_KEY_COL)
+        df = (
+            pts.withColumn("_pt", F.lag("_t").over(w))
+            .withColumn("_pv", F.lag("dval").over(w))
+            .withColumn("_ts0", F.min("_t").over(wall))
+        )
+    else:
+        df = _chunked_lag_state(pts, chunk)
     df = (
-        pts.withColumn("_t", t_us)
-        .withColumn("_pt", F.lag("_t").over(w))
-        .withColumn("_pv", F.lag("dval").over(w))
-        .withColumn("_ts0", F.min("_t").over(wall))
-        .filter(F.col("_pt").isNotNull() & (F.col("_t") > F.col("_pt")))
+        df.filter(F.col("_pt").isNotNull() & (F.col("_t") > F.col("_pt")))
         .withColumn("_base", base)
         # smallest grid point > prev ts (grid ≡ base mod interval)
         .withColumn("_g_lo", F.col("_pt") + (i - (F.col("_pt") - F.col("_base")) % i))
@@ -330,16 +379,21 @@ def apply_kernel(points: DataFrame, kind: str, interval,
         )
 
     out = pts.groupBy("_b").applyInPandas(run, _OUT_SCHEMA)
-    # Restore the full points schema so kernels compose with every other
-    # operator (retention bands, pipeline chaining into _bucketed, ...).
-    # name comes EXACTLY from the canonical key (prefix before '{');
-    # labels come from a series-cardinality dim joined back on the key —
-    # nulling them instead would silently merge distinct series on any
-    # later series_key recomputation (e.g. a retention rewrite).
-    # restore_labels=False skips the dim join for consumers that project
-    # labels away (the join is correctness-critical when output is
-    # WRITTEN BACK as points, e.g. retention bands — see test
-    # test_kernel_retention_preserves_series_identity).
+    return _restore_points_schema(out, keyed, restore_labels)
+
+
+def _restore_points_schema(out: DataFrame, keyed: DataFrame,
+                           restore_labels: bool) -> DataFrame:
+    """Restore the full points schema so resamples compose with every
+    other operator (retention bands, pipeline chaining into _bucketed,
+    ...). name comes EXACTLY from the canonical key (prefix before '{');
+    labels come from a series-cardinality dim joined back on the key —
+    nulling them instead would silently merge distinct series on any
+    later series_key recomputation (e.g. a retention rewrite).
+    restore_labels=False skips the dim join for consumers that project
+    labels away (the join is correctness-critical when output is
+    WRITTEN BACK as points, e.g. retention bands — see test
+    test_kernel_retention_preserves_series_identity)."""
     if restore_labels:
         dim = keyed.select(SERIES_KEY_COL, "labels").dropDuplicates([SERIES_KEY_COL])
         out = out.join(dim, SERIES_KEY_COL, "left")
@@ -355,9 +409,131 @@ def apply_kernel(points: DataFrame, kind: str, interval,
     )
 
 
-def interpolate(points: DataFrame, interval, **kw) -> DataFrame:
-    """M7 NONE+sample_frequency (Go Interpolate)."""
-    return apply_kernel(points, "interpolate", interval, **kw)
+def _interpolate_sql(points: DataFrame, interval, chunk=None,
+                     restore_labels: bool = True) -> DataFrame:
+    """M7 Go Interpolate (mutations/mutations.go:90-137) as PURE Spark
+    SQL — no Python on the data path.
+
+    Derivation (why the single-pass channel loop is expressible
+    declaratively): the kernel's state after any prefix is (prev_t,
+    prev_v) of the last ACCEPTED input, with pending = the smallest grid
+    point (grid = absolute multiples of interval) > prev_t. An input is
+    accepted iff it reaches pending, i.e. iff its grid CELL
+    (cell(t) = t - t % interval) exceeds the previous input's cell —
+    every input between two accepted ones shares the accepted one's
+    cell, so acceptance is a pure lag condition. The interpolation pair
+    for an accepted input is therefore (first input of the previous
+    input's cell) — except when that cell is the series' FIRST cell,
+    where the kernel anchors at (ts0 - ts0 % interval, vals0)
+    (mutations.go:99-105). Emitted grid points for an accepted input t:
+    (prev cell .. cell(t)], value = prev_v + (v - prev_v) *
+    ((g - prev_t) / (t - prev_t)) — bit-identical IEEE ops to the
+    kernel. An on-grid FIRST input additionally passes through
+    (mutations.go:100-102).
+
+    Plan: one lag window per series (or the bounded per-(series, chunk)
+    lag + tail handoff when ``chunk`` is set), a cell-cardinality
+    first-of-cell aggregate joined back on (series, prev_cell), a
+    series-cardinality anchor-cell aggregate, then explode — every stage
+    map-side-combinable, codegen'd, and task-bounded with ``chunk``.
+    Validated row-identical to interpolate_kernel (golden vectors +
+    whole-table equivalence tests)."""
+    interval_us = parse_duration_ms(interval) * _US
+    i = F.lit(interval_us)
+    keyed = _with_key(points)
+    pts = (
+        keyed.withColumn("_t", (epoch_seconds("ts") * 1_000_000).cast("long"))
+        .withColumn("_cell", F.col("_t") - F.col("_t") % i)
+    )
+    if chunk is None:
+        w = Window.partitionBy(SERIES_KEY_COL).orderBy("_t")
+        df = pts.withColumn("_pcell", F.lag("_cell").over(w))
+    else:
+        chunk_us = parse_duration_ms(chunk) * _US
+        pts_c = pts.withColumn("_c", F.floor(F.col("_t") / F.lit(chunk_us)))
+        wc = Window.partitionBy(SERIES_KEY_COL, "_c").orderBy("_t")
+        df = pts_c.withColumn("_pcell0", F.lag("_cell").over(wc))
+        tails = pts_c.groupBy(SERIES_KEY_COL, "_c").agg(
+            F.max_by("_cell", "_t").alias("_tcell")
+        )
+        wprev = Window.partitionBy(SERIES_KEY_COL).orderBy("_c")
+        state = tails.select(
+            SERIES_KEY_COL, "_c", F.lag("_tcell").over(wprev).alias("_ptcell")
+        )
+        df = df.join(state, [SERIES_KEY_COL, "_c"], "left").withColumn(
+            "_pcell", F.coalesce("_pcell0", "_ptcell")
+        )
+
+    # first input of each (series, cell) — the interpolation predecessor
+    firsts = pts.groupBy(SERIES_KEY_COL, "_cell").agg(
+        F.min_by(
+            F.struct(F.col("_t").alias("t"), F.col("dval").alias("v")), "_t"
+        ).alias("_f")
+    )
+    prevs = firsts.select(
+        SERIES_KEY_COL,
+        F.col("_cell").alias("_pcell"),
+        F.col("_f.t").alias("_ft"),
+        F.col("_f.v").alias("_pv"),
+    )
+    # series-cardinality anchor: the first cell, whose pair timestamp is
+    # the grid base (ts0 - ts0 % interval), not ts0 itself
+    anchors = pts.groupBy(SERIES_KEY_COL).agg(F.min("_cell").alias("_c0"))
+
+    accepted = (
+        df.filter(F.col("_pcell").isNotNull() & (F.col("_cell") > F.col("_pcell")))
+        .join(prevs, [SERIES_KEY_COL, "_pcell"])
+        .join(anchors, SERIES_KEY_COL)
+        .withColumn(
+            "_pt",
+            F.when(F.col("_pcell") == F.col("_c0"), F.col("_pcell")).otherwise(
+                F.col("_ft")
+            ),
+        )
+        .withColumn("_g", F.explode(F.sequence(F.col("_pcell") + i, "_cell", i)))
+        .select(
+            SERIES_KEY_COL,
+            F.timestamp_micros(F.col("_g")).alias("ts"),
+            (
+                F.col("_pv")
+                + (F.col("dval") - F.col("_pv"))
+                * (
+                    (F.col("_g") - F.col("_pt")).cast("double")
+                    / (F.col("_t") - F.col("_pt")).cast("double")
+                )
+            ).alias("dval"),
+        )
+    )
+    # on-grid first input passes through (mutations.go:100-102) — derived
+    # from a series-cardinality min_by, NOT by reusing the lag subtree
+    # (which the union would duplicate into a second full pass)
+    first_rows = pts.groupBy(SERIES_KEY_COL).agg(
+        F.min_by(
+            F.struct(F.col("ts"), F.col("dval"), F.col("_t")), "_t"
+        ).alias("_fr")
+    )
+    passthrough = first_rows.filter(F.col("_fr._t") % i == 0).select(
+        SERIES_KEY_COL,
+        F.col("_fr.ts").alias("ts"),
+        F.col("_fr.dval").alias("dval"),
+    )
+    out = passthrough.unionByName(accepted)
+    return _restore_points_schema(out, keyed, restore_labels)
+
+
+def interpolate(points: DataFrame, interval, chunk=None, impl: str = "sql",
+                **kw) -> DataFrame:
+    """M7 NONE+sample_frequency (Go Interpolate).
+
+    Default ``impl="sql"`` runs the pure-SQL plan (:func:`_interpolate_sql`
+    — distributed, codegen'd, ``chunk``-boundable); ``impl="kernel"``
+    keeps the reference-shaped Arrow grouped-map kernel (golden-tested,
+    used as the equivalence cross-check)."""
+    if impl == "kernel":
+        if chunk is not None:
+            raise ValueError("chunk= requires impl='sql'")
+        return apply_kernel(points, "interpolate", interval, **kw)
+    return _interpolate_sql(points, interval, chunk=chunk, **kw)
 
 
 def mean_anchored(points: DataFrame, interval, **kw) -> DataFrame:

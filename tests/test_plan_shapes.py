@@ -158,3 +158,40 @@ def test_q3_shape_is_broadcast_plus_topk(spark, tables):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolate_sql_plan_has_no_python(spark, tables):
+    """Default M7 is the pure-SQL plan: zero Python on the data path
+    (the Arrow grouped-map kernel remains opt-in via impl='kernel')."""
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.operators import resample
+
+    pts = events_to_points(tables.table("events"))
+    plan = plan_of(resample.interpolate(pts, "1d", restore_labels=False))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunked_resample_has_bounded_exchanges(spark, tables):
+    """chunk= variants of M4/M7 must not depend on any whole-series
+    ts-ordered window (the unbounded one-task-per-series shape); their
+    per-(series, chunk) lag window must exist and total exchanges stay
+    bounded."""
+    import re
+
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.operators import resample
+
+    pts = events_to_points(tables.table("events"))
+    for df in (
+        resample.uniform_average(pts, "6h", chunk="1d"),
+        resample.interpolate(pts, "6h", chunk="1d", restore_labels=False),
+    ):
+        plan = plan_of(df)
+        assert re.search(r"windowspecdefinition\(series_key#\d+, _c#\d+L?, _t#", plan)
+        assert not re.search(r"windowspecdefinition\(series_key#\d+, _t#", plan)
+        assert not re.search(r"windowspecdefinition\(series_key#\d+, ts#", plan)
+        # plan-size-bounded (incl. BroadcastExchange of the tiny
+        # series-/cell-cardinality sides), not data-dependent
+        assert plan.count("Exchange") <= 12

@@ -116,3 +116,46 @@ def test_uniform_max_gap(spark):
     out = resample.uniform_average(df, 60, max_gap_interpolate=3).orderBy("ts").collect()
     got_t = [int(r["ts"].timestamp() * 1_000_000) // 1000 for r in out]
     assert got_t == [60, 120, 180, 240, 300, 360, 420, 900]
+
+
+# ---------------------------------------------------------------------------
+# whole-table equivalence: SQL ≡ kernel, chunked ≡ unchunked (real events)
+# ---------------------------------------------------------------------------
+
+def _events_points(spark):
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    return events_to_points(load_tables(spark, SF_SMOKE).table("events"))
+
+
+def _rows(df):
+    return sorted(
+        (r["series_key"], r["ts"], r["dval"])
+        for r in df.select("series_key", "ts", "dval").collect()
+    )
+
+
+def test_interpolate_sql_equals_kernel_on_events(spark):
+    """The pure-SQL M7 plan must be ROW-IDENTICAL (bit-exact floats —
+    same IEEE ops in the same order) to the reference-shaped Arrow
+    kernel over the full sf0.001 events table."""
+    pts = _events_points(spark)
+    sql = _rows(resample.interpolate(pts, "6h"))
+    kernel = _rows(resample.interpolate(pts, "6h", impl="kernel"))
+    assert sql == kernel and len(sql) > 0
+
+
+def test_interpolate_chunked_equals_unchunked(spark):
+    pts = _events_points(spark)
+    plain = _rows(resample.interpolate(pts, "6h"))
+    chunked = _rows(resample.interpolate(pts, "6h", chunk="2d"))
+    assert plain == chunked and len(plain) > 0
+
+
+def test_uniform_average_chunked_equals_unchunked(spark):
+    pts = _events_points(spark)
+    plain = _rows(resample.uniform_average(pts, "6h"))
+    chunked = _rows(resample.uniform_average(pts, "6h", chunk="2d"))
+    assert plain == chunked and len(plain) > 0
