@@ -686,16 +686,56 @@ def resample_uniform_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
-@query("resample_interpolate_go")
+@query(
+    "resample_interpolate_go",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, epoch_us(ts) AS t, ts, dval,
+         epoch_us(ts) - epoch_us(ts) % {_UNIFORM_I_US} AS cell
+  FROM p
+),
+w AS (
+  SELECT series_key, t, dval, cell,
+         lag(cell) OVER (PARTITION BY series_key ORDER BY t) AS pcell
+  FROM b
+),
+firsts AS (
+  SELECT series_key, cell, arg_min(t, t) AS ft, arg_min(dval, t) AS fv
+  FROM b GROUP BY 1, 2
+),
+anchors AS (SELECT series_key, min(cell) AS c0 FROM b GROUP BY 1),
+acc AS (
+  SELECT w.series_key, w.t, w.dval, w.pcell, w.cell,
+         CASE WHEN w.pcell = a.c0 THEN w.pcell ELSE f.ft END AS pt, f.fv AS pv
+  FROM w
+  JOIN firsts f ON w.series_key = f.series_key AND w.pcell = f.cell
+  JOIN anchors a ON w.series_key = a.series_key
+  WHERE w.pcell IS NOT NULL AND w.cell > w.pcell
+),
+pass AS (
+  SELECT series_key, arg_min(ts, t) AS ts, arg_min(dval, t) AS dval,
+         min(t) AS t0
+  FROM b GROUP BY series_key
+)
+SELECT series_key, make_timestamp(g) AS ts,
+       pv + (dval - pv) * (CAST(g - pt AS DOUBLE) / CAST(t - pt AS DOUBLE)) AS dval
+FROM acc, unnest(generate_series(pcell + {_UNIFORM_I_US}, cell, {_UNIFORM_I_US})) AS u(g)
+UNION ALL
+SELECT series_key, ts, dval FROM pass WHERE t0 % {_UNIFORM_I_US} = 0
+""",
+)
 def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 Go Interpolate (NONE + sample_frequency): sequential per-series
-    kernel (applyInPandas) — reference-exact semantics incl. skipping
-    non-boundary-crossing inputs; golden-tested vs mutations_test.go.
-    No SQL oracle (single-pass channel semantics aren't relational);
-    driver records the rows-only check."""
+    """M7 Go Interpolate (NONE + sample_frequency,
+    mutations/mutations.go:90-137): daily grid, inputs accepted only when
+    they cross a grid cell, linear interpolation anchored at the grid
+    base for the first cell. Pure-SQL plan (resample._interpolate_sql),
+    golden-tested vs mutations_test.go AND row-identical to the Arrow
+    kernel; the oracle replays the relational derivation in DuckDB."""
     from open_instrument_spark.operators import resample
 
-    return resample.interpolate(_pts(spark, sf_dir), "1d", restore_labels=False)
+    out = resample.interpolate(_pts(spark, sf_dir), "1d", restore_labels=False)
+    return out.select("series_key", "ts", "dval")
 
 
 @query("resample_mean_anchored")
@@ -2196,10 +2236,10 @@ _PAST_WINDOW_ORACLED = [
     "agg_max_by_name",
     "agg_median_by_name",
     "agg_avg_by_label_user",
+    "resample_interpolate_go",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
-    "resample_interpolate_go",
     "resample_mean_anchored",
     "resample_min_anchored",
     "resample_max_anchored",
