@@ -2,12 +2,13 @@
 
 Media payloads are opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-Pandas UDFs over ``mapInPandas``. The actual codecs (PIL/ffmpeg/…) are
-NOT in this container, so the decode step is STUBBED: ``decode_image``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder derives dimensions from the payload bytes —
-making the Spark-side plumbing (schema, batch shape, partitioning) real
-and testable end-to-end.
+Pandas UDFs over ``mapInPandas``. ``decode_image`` performs a REAL
+header decode — PNG/JPEG/GIF/BMP dimensions parsed from the container
+bytes in pure Python (no codec needed). Pixel-level work (``resize``)
+still needs codecs (PIL/ffmpeg/…) that are NOT in this container, so it
+raises ``NotImplementedError`` unless ``fake=True``, a deterministic
+stub that keeps the Spark-side plumbing (schema, batch shape,
+partitioning) real and testable end-to-end.
 
 Scale notes: binary columns ride Parquet as-is (no row-group bloat if
 media is chunked ≤ a few MB); `mapInPandas` streams Arrow record
@@ -45,18 +46,95 @@ def attach_blob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", blob.alias("blob"), meta.alias("meta"))
 
 
-def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode blobs to (doc_id, width, height, channels, mean_byte).
+# --------------------------------------------------------------------------
+# Real (codec-free) image HEADER decode: container formats carry their
+# dimensions in the first bytes — parsing them needs no pixel codec.
+# --------------------------------------------------------------------------
 
-    Real decode needs an image codec — not present in this container:
-    raises NotImplementedError unless ``fake=True`` (deterministic stub
-    consistent with attach_blob's metadata arithmetic).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers that carry frame dimensions (C0–CF minus DHT C4,
+# JPG C8, DAC CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(b: bytes):
+    """Parse (mime, width, height, channels) from raw image bytes —
+    PNG / JPEG / GIF / BMP, pure Python, header-only (no pixel decode).
+    Returns None when the payload is not a recognized image container.
+    """
+    if b.startswith(_PNG_SIG) and len(b) >= 26 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("image/png", w, h, _PNG_CHANNELS.get(b[25], 0))
+    if b.startswith(b"\xff\xd8"):
+        i, n = 2, len(b)
+        while i + 3 < n:
+            if b[i] != 0xFF:
+                return None  # desynced marker stream
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no length field
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in _JPEG_SOF:
+                if i + 9 >= n:
+                    return None
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("image/jpeg", w, h, b[i + 9])
+            i += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("image/gif", w, h, 3)
+    if b.startswith(b"BM") and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        return ("image/bmp", w, h, 3)
+    return None
+
+
+def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode blobs to (doc_id, mime, width, height, channels, mean_byte).
+
+    Default path is a REAL header decode: PNG/JPEG/GIF/BMP dimensions and
+    channel counts parsed straight from the container bytes (pure Python,
+    no codec — :func:`parse_image_header`); unrecognized payloads yield
+    NULL mime/dims. ``mean_byte`` is over the encoded payload (pixel-level
+    stats need a codec, which this container lacks). ``fake=True`` keeps
+    the deterministic stub consistent with attach_blob's synthetic
+    metadata arithmetic for end-to-end plumbing tests on text blobs.
     """
     if not fake:
-        raise NotImplementedError(
-            "image codecs (PIL/opencv) are not available in this environment; "
-            "pass fake=True for the deterministic stub decoder"
+        out_schema = (
+            "doc_id long, mime string, width int, height int, "
+            "channels int, mean_byte double"
         )
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    b = bytes(blob)
+                    hdr = parse_image_header(b)
+                    mime, w, h, c = hdr if hdr else (None, None, None, None)
+                    mean = round(float(sum(b)) / len(b), 6) if b else 0.0
+                    rows.append((doc_id, mime, w, h, c, mean))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "mime", "width", "height", "channels",
+                        "mean_byte",
+                    ],
+                )
+
+        return media.select("doc_id", "blob").mapInPandas(run_real, out_schema)
 
     out_schema = "doc_id long, width int, height int, channels int, mean_byte double"
 

@@ -122,12 +122,56 @@ def test_exact_dedup_groups(spark, docs):
     assert out.filter(F.col("is_dup") & (F.col("rep_id") >= 100000)).count() == 0
 
 
-def test_decode_image_stub_raises(spark, docs):
+def test_decode_image_fake_and_nonimage(spark, docs):
     media = multimodal.attach_blob(docs.limit(5))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media, fake=False)
     fake = multimodal.decode_image(media, fake=True).collect()
     assert len(fake) == 5 and all(r["channels"] == 3 for r in fake)
+    # real header decode on non-image payloads (text blobs): NULL dims
+    real = multimodal.decode_image(media, fake=False).collect()
+    assert len(real) == 5
+    assert all(r["mime"] is None and r["width"] is None for r in real)
+    assert all(r["mean_byte"] > 0 for r in real)
+
+
+def test_multimodal_decode_real_headers(spark):
+    """REAL image-header decode over the checked-in container fixtures,
+    read through Spark's binaryFile source (the 100 TB ingest shape:
+    blobs land as binary columns, dims come from the header bytes)."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    raw = (
+        spark.read.format("binaryFile").load(fix + "/tiny_*")
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"), "content"
+        )
+    )
+    media = raw.select(
+        F.xxhash64("fname").alias("doc_id"),
+        F.col("content").alias("blob"),
+        F.lit(None)
+        .cast("struct<mime:string,n_bytes:bigint,width:int,height:int,channels:int>")
+        .alias("meta"),
+        "fname",
+    )
+    rows = {
+        r["fname"]: r
+        for r in multimodal.decode_image(media, fake=False)
+        .join(media.select("doc_id", "fname"), "doc_id")
+        .collect()
+    }
+    assert len(rows) == 4
+    exp = {
+        "tiny_7x5.png": ("image/png", 7, 5, 3),
+        "tiny_11x8.jpg": ("image/jpeg", 11, 8, 3),
+        "tiny_9x4.gif": ("image/gif", 9, 4, 3),
+        "tiny_6x3.bmp": ("image/bmp", 6, 3, 3),
+    }
+    for fname, (mime, w, h, c) in exp.items():
+        r = rows[fname]
+        assert (r["mime"], r["width"], r["height"], r["channels"]) == (mime, w, h, c)
+    with pytest.raises(NotImplementedError):  # pixel work still needs codecs
+        multimodal.resize(media.drop("fname"))
 
 
 def test_near_dup_lsh_recall_vs_exact(spark):
