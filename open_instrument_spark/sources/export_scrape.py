@@ -34,6 +34,88 @@ from pyspark.sql import functions as F
 from open_instrument_spark.model import POINTS_SCHEMA
 
 
+# Value chars that never need quoting (variable.cc:71-77 IsValueChar):
+# letters, digits, '_- . */' (space included).
+_NON_VALUE_CHAR = r"[^a-zA-Z0-9_.\- */]"
+
+
+def canonical_variable(name, labels) -> Column:
+    """Render (name, labels-map) to the exporter's canonical
+    ``name{k=v,...}`` string — JVM-side (HOFs + regexp, no Python).
+
+    Mirrors lib/variable.cc:47-69 ``ToString``: labels in key order,
+    empty-valued labels skipped, values containing any non-value char
+    double-quoted with ``,`` and ``"`` backslash-escaped
+    (variable.cc:91-105 ``QuoteValue``). Two lossless refinements over
+    the reference: backslashes are escaped too (the reference leaves
+    them raw, which its own boost escaped_list_separator parse then
+    eats — rendering them unparseable), and no leading comma when the
+    FIRST label is empty-valued (ToString's ``i != begin()`` comma test
+    emits ``{,k=v}`` there)."""
+    name = F.col(name) if isinstance(name, str) else name
+    labels = F.col(labels) if isinstance(labels, str) else labels
+    entries = F.filter(
+        F.array_sort(F.map_entries(labels)),
+        lambda e: e["value"].isNotNull() & (e["value"] != ""),
+    )
+
+    def fmt(e):
+        v = e["value"]
+        quoted = F.concat(
+            F.lit('"'),
+            F.regexp_replace(v, r'([,"\\])', r"\\$1"),
+            F.lit('"'),
+        )
+        return F.concat(
+            e["key"],
+            F.lit("="),
+            F.when(v.rlike(_NON_VALUE_CHAR), quoted).otherwise(v),
+        )
+
+    body = F.array_join(F.transform(entries, fmt), ",")
+    return F.when(
+        F.size(entries) > 0, F.concat(name, F.lit("{"), body, F.lit("}"))
+    ).otherwise(name)
+
+
+def render_export(points: DataFrame, value_format: str | None = None
+                  ) -> DataFrame:
+    """The /export page RENDERER — inverse of :func:`scrape_export`.
+
+    One output row per stream: ``variable<TAB>value[<TAB>value...]``
+    with values in timestamp order (lib/exported_vars.cc:63-86
+    ``ExportToString`` walks each variable's ValueStream in order).
+    Doubles render via Spark's double→string cast (shortest round-trip
+    form, the analogue of the reference's lexical_cast) unless
+    ``value_format`` (a printf pattern like ``%.6f``) pins a fixed
+    width; string samples pass through raw (exported_vars.cc:81-82).
+
+    Entirely JVM-side: one shuffle on the canonical variable string,
+    sort_array inside the aggregate — no Python, no window. Output
+    column: ``line``. Note the format itself cannot carry timestamps;
+    ``scrape_export`` assigns them at scrape time, so the lossless
+    round-trip is over (name, labels, value)."""
+    var = canonical_variable("name", "labels")
+    raw_val = F.when(
+        F.col("dval").isNotNull(),
+        (
+            F.format_string(value_format, F.col("dval"))
+            if value_format
+            else F.col("dval").cast("string")
+        ),
+    ).otherwise(F.col("sval"))
+    per = points.select(
+        var.alias("_var"),
+        F.struct(F.col("ts"), raw_val.alias("v")).alias("_tv"),
+    )
+    return per.groupBy("_var").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("_tv")), lambda s: s["v"]),
+            "\t",
+        ).alias("_vals")
+    ).select(F.concat("_var", F.lit("\t"), "_vals").alias("line"))
+
+
 def parse_variable(s: str) -> tuple[str, dict[str, str]]:
     """Concrete ``name{k=v,...}`` string → (name, labels).
 
