@@ -953,6 +953,46 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+# DuckDB twin of export_scrape.canonical_variable's quoting: quote when
+# any non-value char (variable.cc:71-77) or trim-unstable, escaping
+# , " \ with backslash.
+def _quote_label_sql(col: str) -> str:
+    return (
+        f"CASE WHEN regexp_matches({col}, '[^a-zA-Z0-9_. */-]') "
+        f"OR {col} != trim({col}) "
+        f"THEN '\"' || regexp_replace({col}, '([,\\x22\\\\])', '\\\\\\1', 'g') || '\"' "
+        f"ELSE {col} END"
+    )
+
+
+@query(
+    "export_render",
+    oracle=f"""
+WITH {P_CTE},
+v AS (
+  SELECT name || '{{' ||
+           CASE WHEN k IS NOT NULL AND k != ''
+                THEN 'k=' || {_quote_label_sql('k')} || ',' ELSE '' END ||
+           'user_id=' || {_quote_label_sql('user_id')} || '}}' AS var,
+         ts, printf('%.6f', dval) AS val
+  FROM p
+)
+SELECT var || chr(9) || string_agg(val, chr(9) ORDER BY ts, val) AS line
+FROM v GROUP BY var
+""",
+)
+def export_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 inverse: render points back to the /export text page —
+    ``variable<TAB>value...`` per stream, canonical quoting
+    (exported_vars.cc:63-86 ExportToString, variable.cc:47-105
+    ToString/QuoteValue). %.6f value format pins a cross-engine float
+    rendering; round-trip with the scrape parser is property-tested in
+    test_export_scrape.py."""
+    from open_instrument_spark.sources.export_scrape import render_export
+
+    return render_export(_pts(spark, sf_dir), value_format="%.6f")
+
+
 # ===========================================================================
 # §2.9 LLM-pipeline operators: text analysis, dedup, similarity, multimodal
 # ===========================================================================
@@ -2237,6 +2277,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_median_by_name",
     "agg_avg_by_label_user",
     "resample_interpolate_go",
+    "export_render",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

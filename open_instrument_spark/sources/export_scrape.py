@@ -66,10 +66,15 @@ def canonical_variable(name, labels) -> Column:
             F.regexp_replace(v, r'([,"\\])', r"\\$1"),
             F.lit('"'),
         )
+        # quote on any non-value char (reference rule) OR on leading/
+        # trailing whitespace — unquoted values are whitespace-trimmed on
+        # parse, so trim-unstable values only survive inside quotes
         return F.concat(
             e["key"],
             F.lit("="),
-            F.when(v.rlike(_NON_VALUE_CHAR), quoted).otherwise(v),
+            F.when(
+                v.rlike(_NON_VALUE_CHAR) | (v != F.trim(v)), quoted
+            ).otherwise(v),
         )
 
     body = F.array_join(F.transform(entries, fmt), ",")

@@ -173,17 +173,27 @@ def test_render_scrape_round_trip(spark, streams):
     )
     lines = render_export(pts)
     back = scrape_export(lines, TS, line_col="line")
+    def key(t):
+        return (t[0], t[1], t[2] is None, t[2] or 0.0, t[3] or "")
+
     got = sorted(
-        (r["name"], tuple(sorted((r["labels"] or {}).items())), r["dval"], r["sval"])
-        for r in back.collect()
+        (
+            (r["name"], tuple(sorted((r["labels"] or {}).items())), r["dval"],
+             r["sval"])
+            for r in back.collect()
+        ),
+        key=key,
     )
     # renderer merges streams by canonical variable; labels maps with the
     # same canonical form are one stream — compare as multisets of points
     want = sorted(
-        (name, tuple(sorted(labels.items())), dv, sv)
-        for name, labels, samples in streams
-        for dv, sv in (
-            ((s, None) if isinstance(s, float) else (None, s)) for s in samples
-        )
+        (
+            (name, tuple(sorted(labels.items())), dv, sv)
+            for name, labels, samples in streams
+            for dv, sv in (
+                ((s, None) if isinstance(s, float) else (None, s)) for s in samples
+            )
+        ),
+        key=key,
     )
     assert got == want
