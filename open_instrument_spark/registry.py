@@ -953,6 +953,56 @@ def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+@query(
+    "ingest_validate_strict",
+    oracle=f"""
+WITH dirty AS (
+  SELECT CASE WHEN event_id % 61 = 0 THEN '/events/bad:' || event_type
+              ELSE '/events/' || event_type END AS name,
+         CASE WHEN event_id % 53 = 0 THEN 'bad key' ELSE 'user_id' END AS lkey,
+         CAST(user_id AS VARCHAR) AS lval,
+         ts, value AS dval
+  FROM events
+)
+SELECT name || '{{' || lkey || '=' || lval || '}}' AS series_key, ts, dval
+FROM dirty
+WHERE NOT (regexp_matches(name, '^/\\S+$') AND length(name) >= 2
+  AND ts <= TIMESTAMP '{NOW}' + INTERVAL 1 SECOND
+  AND regexp_matches(name, '^/[A-Za-z0-9._\\-/*,]+$')
+  AND regexp_matches(lkey, '^[A-Za-z0-9._\\-/*]+$'))
+""",
+)
+def ingest_validate_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 strict-charset mode, returning the DEAD-LETTER side: names
+    containing chars outside the declared charset (lib/variable.h:28-29
+    — ':' passes the runtime ``^/\\S+$`` check but not strict mode) and
+    label keys outside theirs (variable.h:30-31 — embedded space) are
+    rejected by ``rejected(strict=True)``."""
+    from open_instrument_spark.sources.ingest import rejected
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    dirty = ev.select(
+        F.when(
+            F.col("event_id") % 61 == 0,
+            F.concat(F.lit("/events/bad:"), F.col("event_type")),
+        )
+        .otherwise(F.concat(F.lit("/events/"), F.col("event_type")))
+        .alias("name"),
+        F.create_map(
+            F.when(F.col("event_id") % 53 == 0, F.lit("bad key")).otherwise(
+                F.lit("user_id")
+            ),
+            F.col("user_id").cast("string"),
+        ).alias("labels"),
+        F.col("ts"),
+        F.col("value").alias("dval"),
+        F.lit(None).cast("string").alias("sval"),
+    )
+    out = mutate._with_key(rejected(dirty, now=NOW, strict=True))
+    return out.select("series_key", "ts", "dval")
+
+
 # DuckDB twin of export_scrape.canonical_variable's quoting: quote when
 # any non-value char (variable.cc:71-77) or trim-unstable, escaping
 # , " \ with backslash.
@@ -2220,7 +2270,6 @@ DRIVER_WINDOW = [
     "select_last_n_per_series",
     "select_max_variables",
     "list_series",
-    "list_max_variables",
     "mutate_rate",
     "mutate_rate_signed",
     "mutate_delta",
@@ -2253,21 +2302,23 @@ DRIVER_WINDOW = [
     "embed_near_dup",
     "multimodal_blob_stats",
     "multimodal_frame_sample",
-    "multimodal_decode_fake",
     "analytics_pricing_summary",
     "analytics_revenue_by_nation",
     "analytics_top_orders_per_customer",
+    "analytics_shipping_priority",
     "api_get_chained",
     "api_get_fanout",
     "temporal_asof_join",
     "temporal_sessionize",
+    "temporal_funnel",
 ]
 
 _PAST_WINDOW_ORACLED = [
     "text_scrub",
     "corpus_pack_partitioned",
-    "analytics_shipping_priority",
-    "temporal_funnel",
+    "list_max_variables",
+    "multimodal_decode_fake",
+    "ingest_validate_strict",
     "mutate_rate_chunked",
     "rle_encode_chunked",
     "mutate_min_resample",

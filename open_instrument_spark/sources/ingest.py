@@ -26,6 +26,14 @@ from open_instrument_spark.model import series_key
 
 NAME_RE = r"^/\S+$"  # starts with /, no whitespace, len>=2 (store.cc:414-417)
 
+# Strict mode: the charset the reference DECLARES (lib/variable.h:22-33)
+# rather than the looser check its server RUNS (store.cc:414-417).
+#   variable name chars:  a-z A-Z 0-9 . _ - / * ,
+#   label name chars:     a-z A-Z 0-9 . _ - / *
+#   label values:         any UTF-8 except NUL
+STRICT_NAME_RE = r"^/[A-Za-z0-9._\-/*,]+$"
+STRICT_LABEL_KEY_RE = r"^[A-Za-z0-9._\-/*]+$"
+
 
 def default_hostname(points: DataFrame, source_host) -> DataFrame:
     """S2: force a ``hostname`` label when absent (server/store.cc:405-409).
@@ -38,16 +46,40 @@ def default_hostname(points: DataFrame, source_host) -> DataFrame:
     return points.withColumn("labels", labels)
 
 
-def _valid_predicate(now=None, max_future_s: int = 1):
+def _valid_predicate(now=None, max_future_s: int = 1, strict: bool = False):
     """Single source of truth for S3+S4 validity — validate() and
-    rejected() must partition the input exactly."""
+    rejected() must partition the input exactly.
+
+    ``strict=True`` additionally enforces the charset the reference
+    declares (lib/variable.h:22-33): name chars, label-key chars, and
+    NUL-free label values. Every component is coalesced to a non-null
+    boolean so validate()/rejected() stay an exact partition even on
+    null labels/values.
+    """
     ok_name = F.col("name").rlike(NAME_RE) & (F.length("name") >= 2)
     now_expr = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
     ok_ts = F.col("ts") <= now_expr + F.expr(f"INTERVAL {max_future_s} SECOND")
-    return ok_name & ok_ts
+    ok = ok_name & ok_ts
+    if strict:
+        ok_strict_name = F.col("name").rlike(STRICT_NAME_RE)
+        ok_keys = F.coalesce(
+            F.forall(F.map_keys("labels"), lambda k: k.rlike(STRICT_LABEL_KEY_RE)),
+            F.lit(True),
+        )
+        ok_vals = F.coalesce(
+            F.forall(
+                F.map_values("labels"),
+                lambda v: ~F.coalesce(v.contains(F.lit(chr(0))), F.lit(False)),
+            ),
+            F.lit(True),
+        )
+        ok = ok & ok_strict_name & ok_keys & ok_vals
+    return ok
 
 
-def validate(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
+def validate(
+    points: DataFrame, now=None, max_future_s: int = 1, strict: bool = False
+) -> DataFrame:
     """S3 name validation + S4 future-timestamp guard.
 
     Invalid names (not ``^/\\S+$`` or len<2) are rejected
@@ -56,14 +88,20 @@ def validate(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
     server/store.cc:435-438). OLD data is kept — the reference only
     warns at >1 y (store.cc:439-440) and our streaming path must not
     watermark-drop late data (SURVEY.md §2.8).
+
+    ``strict=True`` opts into the charset the reference declares
+    (lib/variable.h:22-33) on top of the runtime check — see
+    ``_valid_predicate``.
     """
-    return points.filter(_valid_predicate(now, max_future_s))
+    return points.filter(_valid_predicate(now, max_future_s, strict))
 
 
-def rejected(points: DataFrame, now=None, max_future_s: int = 1) -> DataFrame:
+def rejected(
+    points: DataFrame, now=None, max_future_s: int = 1, strict: bool = False
+) -> DataFrame:
     """Dead-letter complement of validate() (the reference counts these,
     store.cc:416,437)."""
-    return points.filter(~_valid_predicate(now, max_future_s))
+    return points.filter(~_valid_predicate(now, max_future_s, strict))
 
 
 def dedup(points: DataFrame) -> DataFrame:
