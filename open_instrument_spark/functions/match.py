@@ -32,6 +32,8 @@ from enum import Enum
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from open_instrument_spark.canonical import parse_label_body
+
 
 class LabelOp(Enum):
     EQ = "eq"          # {k=v}
@@ -67,39 +69,14 @@ class VariableMatcher:
 
     @staticmethod
     def _parse_labels(body: str) -> dict[str, LabelSpec]:
-        """CSV-style k=v parsing with quoted values and escaped quotes,
-        mirroring lib/variable.cc:21-105."""
+        """Label-block parse via THE shared grammar kernel
+        (canonical.parse_label_body — the same scanner the /export
+        parser uses, mirroring lib/variable.cc:21-105), then the
+        matcher-grammar interpretation of the raw values: bare ``*`` →
+        presence, empty → absence, ``/re/`` → regex, else equality
+        (variable.go:136-150)."""
         labels: dict[str, LabelSpec] = {}
-        i, n = 0, len(body)
-        while i < n:
-            eq = body.index("=", i)
-            key = body[i:eq].strip()
-            i = eq + 1
-            if i < n and body[i] == '"':  # quoted value
-                i += 1
-                out = []
-                while i < n:
-                    c = body[i]
-                    if c == "\\" and i + 1 < n and body[i + 1] == '"':
-                        out.append('"')
-                        i += 2
-                        continue
-                    if c == '"':
-                        i += 1
-                        break
-                    out.append(c)
-                    i += 1
-                value = "".join(out)
-                while i < n and body[i] != ",":
-                    i += 1
-                i += 1  # skip comma
-            else:
-                comma = body.find(",", i)
-                if comma == -1:
-                    value, i = body[i:], n
-                else:
-                    value, i = body[i:comma], comma + 1
-                value = value.strip()
+        for key, value in parse_label_body(body).items():
             if value == "*":
                 labels[key] = LabelSpec(LabelOp.PRESENT)
             elif value == "":

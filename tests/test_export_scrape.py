@@ -80,15 +80,12 @@ from hypothesis import strategies as st  # noqa: E402
 from open_instrument_spark.model import series_key  # noqa: E402
 
 KEY = st.from_regex(r"[a-z][a-z0-9_]{0,7}", fullmatch=True)
-VALUE = (
-    st.text(
-        alphabet=st.characters(
-            codec="ascii", min_codepoint=32, max_codepoint=126, exclude_characters="\\"
-        ),
-        min_size=1,
-        max_size=12,
-    )
-    .filter(lambda v: v == v.strip() or any(c in v for c in ' ,{}="'))
+# Full printable ASCII incl. backslash — the round-5 shared kernel
+# escapes \ , " so every printable value round-trips.
+VALUE = st.text(
+    alphabet=st.characters(codec="ascii", min_codepoint=32, max_codepoint=126),
+    min_size=1,
+    max_size=12,
 )
 LABELS = st.dictionaries(KEY, VALUE, min_size=0, max_size=4)
 
