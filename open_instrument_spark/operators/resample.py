@@ -202,10 +202,19 @@ def uniform_series_kernel(ts: np.ndarray, vals: np.ndarray, interval: int
     return np.array(out_t, dtype=np.int64), np.array(out_v)
 
 
-def interpolate_kernel(ts: np.ndarray, vals: np.ndarray, interval: int
+def interpolate_kernel(ts: np.ndarray, vals: np.ndarray, interval: int,
+                       max_gap: int | None = None
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Reference-exact Go Interpolate (mutations/mutations.go:90-137),
-    minus its duplicate-emit on exact boundary hits (see module doc)."""
+    minus its duplicate-emit on exact boundary hits (see module doc).
+
+    ``max_gap`` adds the proto's ``max_gap_interpolate`` semantics
+    (lib/openinstrument.proto:45-52, ignored by both reference code
+    paths): a gap between accepted inputs longer than max_gap·interval
+    is left unfilled — except a real input landing exactly ON a grid
+    point, which still passes through (it is a real value, not a fill;
+    same carve-out as uniform_average's). Emission arithmetic matches
+    the SQL plan bit-for-bit (prev_v + rate at pct == 1)."""
     out_t, out_v = [], []
     if len(ts) == 0:
         return np.array(out_t, dtype=np.int64), np.array(out_v)
@@ -220,11 +229,17 @@ def interpolate_kernel(ts: np.ndarray, vals: np.ndarray, interval: int
         if t < pending:
             continue  # non-crossing inputs are skipped (mutations.go:112)
         rate = v - prev_v
-        while pending <= t:
-            pct = (pending - prev_t) / (t - prev_t)
-            out_t.append(pending)
-            out_v.append(prev_v + rate * pct)
-            pending += interval
+        if max_gap is not None and t - prev_t > max_gap * interval:
+            if t % interval == 0:  # exact grid hit passes through
+                out_t.append(t)
+                out_v.append(prev_v + rate)
+            pending = t - t % interval + interval
+        else:
+            while pending <= t:
+                pct = (pending - prev_t) / (t - prev_t)
+                out_t.append(pending)
+                out_v.append(prev_v + rate * pct)
+                pending += interval
         if prev_t < t:
             prev_t, prev_v = t, v  # single emit even on exact boundary
     return np.array(out_t, dtype=np.int64), np.array(out_v)
@@ -302,7 +317,8 @@ _KERNELS = {
 
 def apply_kernel(points: DataFrame, kind: str, interval,
                  n_buckets: int | None = None,
-                 restore_labels: bool = True) -> DataFrame:
+                 restore_labels: bool = True,
+                 kernel_kwargs: dict | None = None) -> DataFrame:
     """Run a per-series kernel via applyInPandas. Grid math in epoch-µs.
 
     Scale note: grouping directly on series_key makes one Arrow batch per
@@ -315,6 +331,10 @@ def apply_kernel(points: DataFrame, kind: str, interval,
     grouping it replaces.
     """
     kernel = _KERNELS[kind]
+    if kernel_kwargs:
+        import functools
+
+        kernel = functools.partial(kernel, **kernel_kwargs)
     interval_us = parse_duration_ms(interval) * _US
     keyed = _with_key(points)
     pts = keyed.select(
@@ -410,6 +430,7 @@ def _restore_points_schema(out: DataFrame, keyed: DataFrame,
 
 
 def _interpolate_sql(points: DataFrame, interval, chunk=None,
+                     max_gap_interpolate: int | None = None,
                      restore_labels: bool = True) -> DataFrame:
     """M7 Go Interpolate (mutations/mutations.go:90-137) as PURE Spark
     SQL — no Python on the data path.
@@ -490,7 +511,27 @@ def _interpolate_sql(points: DataFrame, interval, chunk=None,
                 F.col("_ft")
             ),
         )
-        .withColumn("_g", F.explode(F.sequence(F.col("_pcell") + i, "_cell", i)))
+    )
+    if max_gap_interpolate is not None:
+        # proto max_gap_interpolate (lib/openinstrument.proto:45-52):
+        # a gap between accepted inputs longer than N·interval is left
+        # unfilled — but an accepted input landing exactly ON a grid
+        # point still passes through (real value, not a fill; the
+        # formula at _g == _t degenerates to prev_v + rate, matching
+        # interpolate_kernel bit-for-bit).
+        gap_ok = (F.col("_t") - F.col("_pt")) <= F.lit(max_gap_interpolate) * i
+        exact_hit = F.col("_cell") == F.col("_t")
+        accepted = accepted.withColumn(
+            "_g_lo",
+            F.when(gap_ok, F.col("_pcell") + i).otherwise(
+                F.when(exact_hit, F.col("_cell")).otherwise(F.col("_cell") + i)
+            ),
+        ).filter(F.col("_g_lo") <= F.col("_cell"))
+    else:
+        accepted = accepted.withColumn("_g_lo", F.col("_pcell") + i)
+    accepted = (
+        accepted
+        .withColumn("_g", F.explode(F.sequence("_g_lo", "_cell", i)))
         .select(
             SERIES_KEY_COL,
             F.timestamp_micros(F.col("_g")).alias("ts"),
@@ -522,18 +563,30 @@ def _interpolate_sql(points: DataFrame, interval, chunk=None,
 
 
 def interpolate(points: DataFrame, interval, chunk=None, impl: str = "sql",
-                **kw) -> DataFrame:
+                max_gap_interpolate: int | None = None, **kw) -> DataFrame:
     """M7 NONE+sample_frequency (Go Interpolate).
 
     Default ``impl="sql"`` runs the pure-SQL plan (:func:`_interpolate_sql`
     — distributed, codegen'd, ``chunk``-boundable); ``impl="kernel"``
     keeps the reference-shaped Arrow grouped-map kernel (golden-tested,
-    used as the equivalence cross-check)."""
+    used as the equivalence cross-check). ``max_gap_interpolate`` caps
+    gap filling per the proto semantics (lib/openinstrument.proto:45-52)
+    on BOTH impls — the reference's own code paths ignore the field."""
     if impl == "kernel":
         if chunk is not None:
             raise ValueError("chunk= requires impl='sql'")
-        return apply_kernel(points, "interpolate", interval, **kw)
-    return _interpolate_sql(points, interval, chunk=chunk, **kw)
+        return apply_kernel(
+            points, "interpolate", interval,
+            kernel_kwargs=(
+                {"max_gap": max_gap_interpolate}
+                if max_gap_interpolate is not None else None
+            ),
+            **kw,
+        )
+    return _interpolate_sql(
+        points, interval, chunk=chunk,
+        max_gap_interpolate=max_gap_interpolate, **kw
+    )
 
 
 def mean_anchored(points: DataFrame, interval, **kw) -> DataFrame:

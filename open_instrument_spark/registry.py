@@ -738,6 +738,72 @@ def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+_MAX_GAP_N = 2  # proto max_gap_interpolate: gaps > 2 grid intervals unfilled
+
+
+@query(
+    "resample_interpolate_max_gap",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, epoch_us(ts) AS t, ts, dval,
+         epoch_us(ts) - epoch_us(ts) % {_UNIFORM_I_US} AS cell
+  FROM p
+),
+w AS (
+  SELECT series_key, t, dval, cell,
+         lag(cell) OVER (PARTITION BY series_key ORDER BY t) AS pcell
+  FROM b
+),
+firsts AS (
+  SELECT series_key, cell, arg_min(t, t) AS ft, arg_min(dval, t) AS fv
+  FROM b GROUP BY 1, 2
+),
+anchors AS (SELECT series_key, min(cell) AS c0 FROM b GROUP BY 1),
+acc AS (
+  SELECT w.series_key, w.t, w.dval, w.pcell, w.cell,
+         CASE WHEN w.pcell = a.c0 THEN w.pcell ELSE f.ft END AS pt, f.fv AS pv
+  FROM w
+  JOIN firsts f ON w.series_key = f.series_key AND w.pcell = f.cell
+  JOIN anchors a ON w.series_key = a.series_key
+  WHERE w.pcell IS NOT NULL AND w.cell > w.pcell
+),
+gated AS (
+  SELECT *,
+         CASE WHEN t - pt <= {_MAX_GAP_N} * {_UNIFORM_I_US}
+                THEN pcell + {_UNIFORM_I_US}
+              WHEN cell = t THEN cell
+              ELSE cell + {_UNIFORM_I_US} END AS g_lo
+  FROM acc
+),
+pass AS (
+  SELECT series_key, arg_min(ts, t) AS ts, arg_min(dval, t) AS dval,
+         min(t) AS t0
+  FROM b GROUP BY series_key
+)
+SELECT series_key, make_timestamp(g) AS ts,
+       pv + (dval - pv) * (CAST(g - pt AS DOUBLE) / CAST(t - pt AS DOUBLE)) AS dval
+FROM gated, unnest(generate_series(g_lo, cell, {_UNIFORM_I_US})) AS u(g)
+WHERE g_lo <= cell
+UNION ALL
+SELECT series_key, ts, dval FROM pass WHERE t0 % {_UNIFORM_I_US} = 0
+""",
+)
+def resample_interpolate_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 + proto ``max_gap_interpolate`` (lib/openinstrument.proto:45-52):
+    gaps between accepted inputs longer than N grid intervals are left
+    unfilled (an accepted input exactly ON the grid still passes
+    through). Same pure-SQL plan as resample_interpolate_go with the
+    fill range gated; the oracle replays the gate in DuckDB."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.interpolate(
+        _pts(spark, sf_dir), "1d", max_gap_interpolate=_MAX_GAP_N,
+        restore_labels=False,
+    )
+    return out.select("series_key", "ts", "dval")
+
+
 @query("resample_mean_anchored")
 def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 Go Mean with reference-exact data-anchored buckets (first-ts
@@ -2328,6 +2394,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_median_by_name",
     "agg_avg_by_label_user",
     "resample_interpolate_go",
+    "resample_interpolate_max_gap",
     "export_render",
 ]
 

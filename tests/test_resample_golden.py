@@ -109,6 +109,49 @@ def test_interpolate_spark_golden(spark):
     _check(np.array(got_t), np.array(got_v), INTERP_OUT)
 
 
+def test_interpolate_max_gap_kernel():
+    # proto max_gap_interpolate on M7 (lib/openinstrument.proto:45-52).
+    # Accepted pairs on INTERP_IN at 300: (0→330) gap 330, (330→975) gap
+    # 645. max_gap=2 (cap 600): first gap fills grid 300, second is left
+    # unfilled (975 is not on-grid, so no pass-through either).
+    t, v = _arr(INTERP_IN)
+    out_t, out_v = resample.interpolate_kernel(t, v, 300, max_gap=2)
+    _check(out_t, out_v, [(0, 20.0), (300, 121.81818181818181)])
+    # max_gap=1 (cap 300): both gaps too long → only the on-grid first
+    # input passes through.
+    out_t, out_v = resample.interpolate_kernel(t, v, 300, max_gap=1)
+    _check(out_t, out_v, [(0, 20.0)])
+
+
+def test_interpolate_max_gap_exact_hit_passthrough():
+    # A long-gap input landing exactly ON a grid point is a real value,
+    # not a fill — it still passes through (value = prev_v + rate).
+    t, v = _arr([(0, 20), (61, 40), (330, 132), (900, 258)])
+    out_t, out_v = resample.interpolate_kernel(t, v, 300, max_gap=1)
+    _check(out_t, out_v, [(0, 20.0), (900, 258.0)])
+
+
+def test_interpolate_max_gap_sql_matches_kernel(spark):
+    # The pure-SQL plan (default impl) and the chunked variant reproduce
+    # the kernel's max_gap behavior row-for-row on both vectors.
+    for pairs, mg, expected in [
+        (INTERP_IN, 2, [(0, 20.0), (300, 121.81818181818181)]),
+        (INTERP_IN, 1, [(0, 20.0)]),
+        ([(0, 20), (61, 40), (330, 132), (900, 258)], 1,
+         [(0, 20.0), (900, 258.0)]),
+    ]:
+        df = _points_df(spark, pairs, interval_scale_us=1000)
+        for kw in [{}, {"chunk": 400}]:  # 400 ms chunks split the series
+            out = (
+                resample.interpolate(df, 300, max_gap_interpolate=mg, **kw)
+                .orderBy("ts")
+                .collect()
+            )
+            got_t = [int(r["ts"].timestamp() * 1_000_000) // 1000 for r in out]
+            got_v = [r["dval"] for r in out]
+            _check(np.array(got_t), np.array(got_v), expected)
+
+
 def test_uniform_max_gap(spark):
     # proto max_gap_interpolate semantics: the 470→900 µs-gap (430 units,
     # > 3×60) is left unfilled except the exact hit at 900.
