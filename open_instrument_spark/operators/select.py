@@ -76,7 +76,7 @@ def cap_variables(points: DataFrame, max_variables: int) -> DataFrame:
 def list_series(points: DataFrame, pattern: str | None = None,
                 max_age_ms: int = DEFAULT_LIST_MAX_AGE_MS,
                 max_variables: int | None = None,
-                now=None) -> DataFrame:
+                now=None, ordered: bool = False) -> DataFrame:
     """S11 List RPC: distinct matched series with a freshness filter
     (server/store.cc:342-379; Go max_age go/src/store.go:204-206).
 
@@ -84,6 +84,13 @@ def list_series(points: DataFrame, pattern: str | None = None,
     datastore.go:298-307); here Catalyst column-pruning delivers the same
     — the scan reads only (name, labels, ts).
     Output: (name, labels, series_key, last_ts).
+
+    Ordering: ``max_variables`` always sorts (the O2 canonical-key order
+    is what makes the truncation deterministic, go/src/list.go:86-95,
+    and orderBy+limit compiles to a distributed top-k). Without it the
+    sort is opt-in via ``ordered=True`` — at 10⁸ series an unconditional
+    global sort is an avoidable exchange when the caller doesn't need
+    ordered output (VERDICT r3 nit #2).
     """
     pts = points
     if pattern:
@@ -98,7 +105,9 @@ def list_series(points: DataFrame, pattern: str | None = None,
         grouped = grouped.filter(
             F.col("last_ts") >= now_expr - F.expr(f"INTERVAL {max_age_ms} MILLISECOND")
         )
-    grouped = grouped.orderBy(SERIES_KEY_COL)  # O2: canonical-key order, go/src/list.go:86-95
     if max_variables:
-        grouped = grouped.limit(max_variables)  # F8 analog for List
+        # F8 analog for List: top-k in canonical-key order (O2)
+        grouped = grouped.orderBy(SERIES_KEY_COL).limit(max_variables)
+    elif ordered:
+        grouped = grouped.orderBy(SERIES_KEY_COL)  # O2 on request
     return grouped.select("name", "labels", SERIES_KEY_COL, "last_ts")

@@ -141,6 +141,23 @@ def test_list_max_variables_is_distributed_topk(spark, tables):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_list_series_unordered_has_no_global_sort(spark, tables):
+    """Without max_variables/ordered=True, List must not pay a global
+    sort over the series dimension (VERDICT r3 nit #2): the plan's only
+    exchange is the groupBy; ordered=True opts back into the O2 sort."""
+    from open_instrument_spark.operators.select import list_series
+    from open_instrument_spark.model import events_to_points
+
+    pts = events_to_points(tables.table("events"))
+    kw = dict(max_age_ms=7 * 86_400_000, now="2024-01-31 00:00:00")
+    # the SortAggregate's local per-partition sorts are fine; a GLOBAL
+    # sort shows up as a rangepartitioning exchange
+    assert "rangepartitioning" not in plan_of(list_series(pts, "/events/*", **kw))
+    assert "rangepartitioning" in plan_of(
+        list_series(pts, "/events/*", ordered=True, **kw)
+    )
+
+
 def test_text_scrub_is_shuffle_free(spark, tables):
     from open_instrument_spark.operators.text import scrub
 
