@@ -59,6 +59,13 @@ HEADLINE = [
     "api_get_chained",
     "temporal_asof_join",
     "temporal_sessionize",
+    # r2/r3 additions, first benched r5 (their r5 numbers are the
+    # baseline for later rounds): funnel + Q3-shaped composition,
+    # renderer inverse, fully-oracled MinHash pipeline.
+    "temporal_funnel",
+    "analytics_shipping_priority",
+    "export_render",
+    "dedup_minhash_md5",
 ]
 
 

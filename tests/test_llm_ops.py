@@ -3,6 +3,8 @@ exact baselines, and the multimodal stub contract."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -333,3 +335,30 @@ def test_multimodal_resize_and_feature_extract(spark):
     )
     found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert dup_ids and {(d, d + 10000) for d in dup_ids} <= found
+
+
+def test_near_dup_oracle_pin_covers_driver_datasets():
+    """Growth-proofing for the embed_near_dup oracle window (VERDICT r3
+    nit #4): the plane-count step function is pinned so Spark and the
+    static DuckDB oracle branch identically — but only up to the last
+    step. If the driver's embeddings fixtures ever grow past that pin,
+    embed_near_dup would fail the correctness window BY CONSTRUCTION
+    (it raises rather than auto-sizing past what the oracle can check).
+    This test turns that silent future failure into a loud local one:
+    bump _NEAR_DUP_PLANE_STEPS in the same commit that grows FIXTURES."""
+    import pyarrow.parquet as pq
+
+    from open_instrument_spark.registry import _NEAR_DUP_PLANE_STEPS
+
+    last_pinned = _NEAR_DUP_PLANE_STEPS[-1][0]
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        path = f"/root/testdata/{sf}/embeddings.parquet"
+        if not os.path.exists(path):
+            continue
+        n = pq.ParquetFile(path).metadata.num_rows
+        assert n <= last_pinned, (
+            f"{sf}/embeddings.parquet has {n} vectors but the "
+            f"embed_near_dup oracle is pinned to ≤ {last_pinned}: extend "
+            "_NEAR_DUP_PLANE_STEPS (and thereby the oracle's CASE "
+            "branches) in the same change"
+        )
