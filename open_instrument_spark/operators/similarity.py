@@ -149,24 +149,9 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
-    if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count())
-    tables = [
-        _planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
-    ]
-    bucketed = base.select(
-        "id", F.posexplode(lsh_buckets_all("v", tables)).alias("table", "bucket")
-    )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .distinct()
+    cand = near_dup_candidates(
+        embeddings, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        id_col=id_col, vec_col=vec_col, seed=seed,
     )
     # Per-doc norms computed ONCE (N sqrt-folds) instead of per pair
     # (2·|candidates| folds) — same IEEE expression on the same array, so
@@ -186,6 +171,42 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def near_dup_candidates(embeddings: DataFrame, n_planes: int | None = None,
+                        n_tables: int = 16, dim: int = 64,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 42) -> DataFrame:
+    """The candidate stage of :func:`near_dup_pairs_lsh` on its own:
+    distinct (a_id, b_id) pairs sharing a random-hyperplane bucket in
+    ANY table (equi-join on (table, bucket) — never a cross product).
+
+    Exposed separately because |candidates| is THE scale-determining
+    quantity of the pipeline — the verify stage is linear in it — so
+    probes (tools/scale_probe.py) count it directly to check that
+    auto_n_planes keeps candidate growth ~linear in corpus size."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count())
+    tables = [
+        _planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    bucketed = base.select(
+        "id", F.posexplode(lsh_buckets_all("v", tables)).alias("table", "bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
     )
 
 

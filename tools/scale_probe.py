@@ -1,10 +1,22 @@
-"""Scale-linearity probe: time key operators on 1x and 10x the sf0.1
-events table (100 k rows; 10x = union of shifted copies with disjoint
-user ids — same skew profile, 1 M rows) and report the runtime ratio. A ratio well under 10 means local
-runtime is overhead-dominated and the data path has headroom; a ratio
-near or above 10 flags an operator whose plan degrades super-linearly.
+"""Scale-linearity probe: time key operators at 1x/10x/100x the sf0.1
+events table (100 k → 1 M → 10 M rows) and 1x/10x the embeddings table
+(2 k → 20 k vectors), reporting per-tier runtime ratios, the LSH
+candidate-pair count (the scale-determining intermediate of the near-dup
+pipeline), and the process-tree peak RSS watermark after each tier.
 
-Usage: python tools/scale_probe.py [sf_dir]   # one JSON line
+Copies are id-shifted (events) / dimension-rotated (embeddings) so the
+skew/density profile stays realistic; the multiplier is a broadcast
+crossJoin with a k-row range — one scan of the base data regardless of
+k, unlike a k-branch union whose plan would grow with k.
+
+A runtime ratio well under the data ratio means local runtime is
+overhead-dominated and the data path has headroom; a ratio at or above
+it flags an operator whose plan degrades super-linearly. Candidate
+counts for the LSH should grow ~linearly in corpus size (auto_n_planes
+keeps bucket occupancy bounded).
+
+Usage: python tools/scale_probe.py [sf_dir]        # one JSON line
+       SPARK_GRAFT_PROBE_MULTS=1,10,100 overrides the events tiers.
 """
 
 from __future__ import annotations
@@ -26,23 +38,40 @@ from open_instrument_spark.operators.temporal import as_of_join
 from open_instrument_spark.session import get_spark, prepare
 from open_instrument_spark.sources.tables import load_tables
 
-MULT = 10
-
 
 def multiplied(ev, k: int):
-    out = ev
-    for i in range(1, k):
-        out = out.unionByName(
-            ev.select(
-                (F.col("event_id") + i * 10_000_000).alias("event_id"),
-                "ts",
-                (F.col("user_id") + i * 10_000).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-    return out
+    """k id-shifted copies via one broadcast crossJoin (single scan)."""
+    if k == 1:
+        return ev
+    copies = ev.sparkSession.range(k).select(F.col("id").cast("int").alias("_i"))
+    return ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("_i").cast("long") * 10_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("_i") * 10_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def multiplied_emb(emb, k: int):
+    """k× embeddings via ROTATED copies (dims cycled per copy): rotations
+    of random vectors are ~orthogonal to their originals, so copies add
+    corpus mass without planting artificial near-dup pairs — output
+    density stays realistic and the probe measures candidate-generation
+    scaling, not a quadratic output explosion."""
+    base = emb.select("vec_id", "embedding")
+    if k == 1:
+        return base
+    copies = emb.sparkSession.range(k).select(F.col("id").cast("int").alias("_i"))
+    rot = F.concat(
+        F.slice(F.col("embedding"), F.col("_i") % 64 + 1, F.lit(64) - F.col("_i") % 64),
+        F.slice(F.col("embedding"), F.lit(1), F.col("_i") % 64),
+    )
+    return base.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("_i").cast("long") * 1_000_000).alias("vec_id"),
+        rot.alias("embedding"),
+    )
 
 
 def operators(ev):
@@ -62,36 +91,54 @@ def operators(ev):
     }
 
 
-def multiplied_emb(emb, k: int):
-    """k× embeddings via ROTATED copies (dims cycled per copy): rotations
-    of random vectors are ~orthogonal to their originals, so copies add
-    corpus mass without planting artificial near-dup pairs — output
-    density stays realistic and the probe measures candidate-generation
-    scaling, not a quadratic output explosion."""
-    base = emb.select("vec_id", "embedding")
-    out = base
-    for i in range(1, k):
-        rot = F.concat(
-            F.slice(F.col("embedding"), i + 1, 64 - i),
-            F.slice(F.col("embedding"), 1, i),
-        )
-        out = out.unionByName(
-            base.select(
-                (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
-                rot.alias("embedding"),
-            )
-        )
-    return out
+def peak_rss_mb() -> int:
+    """Max RSS watermark (VmHWM) of the live process tree — the Python
+    driver, the Spark JVM, and any Arrow/pandas workers, MB. getrusage's
+    RUSAGE_CHILDREN only counts REAPED children; the JVM is still
+    running, so we walk /proc instead. Monotonic per process — record
+    per tier so the tier that raised the watermark is visible."""
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    hwm_kb: dict[int, int] = {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid_s}/status") as f:
+                ppid = hwm = 0
+                for line in f:
+                    if line.startswith("PPid:"):
+                        ppid = int(line.split()[1])
+                    elif line.startswith("VmHWM:"):
+                        hwm = int(line.split()[1])  # kB
+        except OSError:
+            continue
+        pid = int(pid_s)
+        children.setdefault(ppid, []).append(pid)
+        hwm_kb[pid] = hwm
+    total, stack = 0, [me]
+    while stack:
+        pid = stack.pop()
+        total += hwm_kb.get(pid, 0)
+        stack.extend(children.get(pid, []))
+    return total // 1024
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mults = [
+        int(m) for m in os.environ.get("SPARK_GRAFT_PROBE_MULTS", "1,10,100").split(",")
+    ]
+    emb_mults = [m for m in (1, 10) if m <= max(mults)]
     spark = get_spark("scale-probe")
     prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
     emb = load_tables(spark, sf_dir).table("embeddings")
 
-    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
+    from open_instrument_spark.operators.similarity import (
+        near_dup_candidates,
+        near_dup_pairs_lsh,
+    )
 
     def run(df) -> float:
         t0 = time.monotonic()
@@ -99,25 +146,44 @@ def main() -> None:
         return time.monotonic() - t0
 
     # warm every operator (codegen, Arrow/pandas init, file listing) so
-    # the measured x1 runs aren't cold while x10 runs are warm
+    # the measured x1 runs aren't cold while x10/x100 runs are warm
     for df in operators(ev).values():
         run(df)
     run(near_dup_pairs_lsh(emb, threshold=0.4))
 
-    report = {}
-    for label, k in (("x1", 1), ("x10", MULT)):
+    report: dict[str, dict] = {}
+    peaks: dict[str, int] = {}
+    for k in mults:
+        label = f"x{k}"
         big = multiplied(ev, k)
         for name, df in operators(big).items():
             report.setdefault(name, {})[label] = round(run(df), 2)
+        peaks[label] = peak_rss_mb()
+    for k in emb_mults:
+        label = f"x{k}"
+        big_emb = multiplied_emb(emb, k)
         # auto plane count rises with N, keeping bucket occupancy (and so
         # candidate volume per vector) bounded — the probe times the
-        # whole pipeline including the sizing count()
+        # whole pipeline including the sizing count(), and counts the
+        # candidate pairs (the verify stage is linear in them)
         report.setdefault("near_dup_lsh", {})[label] = round(
-            run(near_dup_pairs_lsh(multiplied_emb(emb, k), threshold=0.4)), 2
+            run(near_dup_pairs_lsh(big_emb, threshold=0.4)), 2
         )
+        report.setdefault("near_dup_candidates", {})[label] = near_dup_candidates(
+            big_emb
+        ).count()
+        peaks[f"emb_{label}"] = peak_rss_mb()
     for name, r in report.items():
-        r["ratio"] = round(r["x10"] / max(r["x1"], 1e-9), 2)
-    print(json.dumps({"sf": sf_dir, "mult": MULT, "operators": report}))
+        tiers = sorted(
+            (int(t[1:]), v) for t, v in r.items() if t.startswith("x")
+        )
+        (k0, v0), (kn, vn) = tiers[0], tiers[-1]
+        r["ratio"] = round(vn / max(v0, 1e-9), 2)
+        r["data_ratio"] = kn // k0
+    print(json.dumps({
+        "sf": sf_dir, "mults": mults, "emb_mults": emb_mults,
+        "operators": report, "peak_rss_mb": peaks,
+    }))
     spark.stop()
 
 
