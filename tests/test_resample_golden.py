@@ -202,3 +202,21 @@ def test_uniform_average_chunked_equals_unchunked(spark):
     plain = _rows(resample.uniform_average(pts, "6h"))
     chunked = _rows(resample.uniform_average(pts, "6h", chunk="2d"))
     assert plain == chunked and len(plain) > 0
+
+
+def test_interpolate_max_gap_sql_equals_kernel_on_events(spark):
+    """max_gap path over the full sf0.001 events table: the pure-SQL
+    plan, its chunked variant, and the Arrow kernel must be
+    ROW-IDENTICAL (bit-exact floats), and the cap must actually bite
+    (fewer rows than the uncapped plan)."""
+    pts = _events_points(spark)
+    sql = _rows(resample.interpolate(pts, "6h", max_gap_interpolate=2))
+    kernel = _rows(
+        resample.interpolate(pts, "6h", impl="kernel", max_gap_interpolate=2)
+    )
+    chunked = _rows(
+        resample.interpolate(pts, "6h", chunk="2d", max_gap_interpolate=2)
+    )
+    assert sql == kernel == chunked and len(sql) > 0
+    uncapped = _rows(resample.interpolate(pts, "6h"))
+    assert len(sql) < len(uncapped)
