@@ -270,22 +270,36 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     return _verify_jaccard(sh, cand, threshold)
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc from token xxhash64s — per-bit sign sums as
-    64 conditional aggregates, fully inside codegen (no Python).
-    Output: (doc_id, simhash)."""
+def simhash(docs: DataFrame, text_col: str = "text",
+            portable: bool = False) -> DataFrame:
+    """SimHash per doc — per-bit sign sums as conditional aggregates,
+    fully inside codegen (no Python). Output: (doc_id, simhash).
+
+    Default: 64-bit fingerprint from token xxhash64s (fast path).
+    ``portable=True``: 60-bit fingerprint from the first 15 hex chars of
+    md5 (the same engine-portable-hash trade as
+    :func:`minhash_lsh_pairs_portable`) — 15 nibbles fit a signed BIGINT
+    in any engine and are nibble-extractable in ANSI SQL, so the ENTIRE
+    pipeline replays in the DuckDB oracle (dedup_simhash_md5)."""
+    n_bits = 60 if portable else 64
     tok = docs.select(
         "doc_id", F.explode(words(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if portable:
+        tok = tok.withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
+    else:
+        tok = tok.withColumn("h", F.xxhash64("tok"))
     sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy("doc_id").agg(*sums)
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -294,15 +308,18 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3
-                  ) -> DataFrame:
+def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 × 16-bit bands; any pair
+    Pigeonhole banding: split the fingerprint into 4 equal bands (16 bits
+    each; 15 with ``portable=True``'s 60-bit fingerprint); any pair
     within Hamming ≤ 3 agrees exactly on ≥1 band ⇒ candidates via 4
     equi-joins, then exact popcount verify. Output: (a_id, b_id, hamming).
     """
-    sh = simhash(docs, text_col)
+    band_bits = 15 if portable else 16
+    band_mask = (1 << band_bits) - 1
+    sh = simhash(docs, text_col, portable=portable)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -311,8 +328,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bh"),
                     )
                     for b in range(4)

@@ -1637,6 +1637,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs.unionByName(near), max_hamming=3)
 
 
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup.simhash_pairs(portable=True): the 60-bit
+    md5-prefix token hash is re-derived nibble-by-nibble (15 hex chars →
+    signed BIGINT in any engine), the per-bit sign sums are 60 generated
+    conditional aggregates, and banding/popcount replay the Spark plan
+    exactly — the WHOLE approximate pipeline is hash-gated, same pattern
+    as dedup_minhash_md5 / embed_near_dup."""
+    def digit(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+
+    # bit i (0 = LSB of the 60-bit value) lives in hex char 15 - i//4
+    # (1-indexed from the most significant nibble), bit i%4 of the nibble
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({digit(15 - i // 4)} >> {i % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    bands = ", ".join(
+        f"((simhash >> {b * 15}) & 32767) AS bh{b}" for b in range(4)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, bh{b} AS bh FROM bnd"
+        for b in range(4)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 11 = 0
+),
+tok AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS t FROM corpus
+),
+h AS (SELECT doc_id, md5(t) AS m FROM tok),
+s AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s),
+bnd AS (SELECT doc_id, simhash, {bands} FROM fp),
+bb AS (
+  {unpivot}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+@query("dedup_simhash_md5", oracle=_simhash_md5_oracle())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SimHash with PORTABLE hashing (60-bit md5-prefix token hash,
+    4 × 15-bit pigeonhole bands, popcount verify): the ENTIRE pipeline —
+    fingerprints, which candidates the bands surface, Hamming verify —
+    is reproduced by the DuckDB oracle and hash-gated, upgrading SimHash
+    from rows-only to fully oracled (the xxhash64 variant dedup_simhash
+    stays the fast path; same trade as dedup_minhash_md5)."""
+    from open_instrument_spark.operators.dedup import simhash_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return simhash_pairs(docs.unionByName(near), max_hamming=3, portable=True)
+
+
 _COS_SQL = (
     "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / "
     "(sqrt(list_sum(list_transform(a.v, x -> x * x))) * "
@@ -1831,11 +1906,69 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_lsh(emb, threshold=0.4, n_planes=planes)
 
 
-@query("ann_lsh_topk")
+def _ann_lsh_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                    n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+                    seed: int = 42) -> str:
+    """DuckDB twin of similarity.ann_lsh_topk: the seeded hyperplanes
+    are emitted as literal arrays (repr round-trips the exact float64),
+    so the oracle replays the WHOLE approximate pipeline — per-table
+    bucketing, which candidates share a bucket with each query, exact
+    cosine, deterministic (cos DESC, n_id) rank — not just the output
+    shape. Same pattern as _near_dup_lsh_oracle (r3-proven: identical
+    IEEE dot expressions agree across engines at these scales)."""
+    from open_instrument_spark.operators.similarity import _planes
+
+    def dot(plane):
+        lit = ", ".join(repr(float(x)) for x in plane)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    def bits_expr(t: int) -> str:
+        planes = _planes(dim, n_planes, seed=seed + 1000 * t)
+        return " + ".join(
+            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    bucket_cols = ", ".join(
+        f"CAST(({bits_expr(t)}) AS BIGINT) AS b{t}" for t in range(n_tables)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk"
+        for t in range(n_tables)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, {bucket_cols} FROM e),
+bb AS (
+  {unpivot}
+),
+qq AS (SELECT vec_id AS q_id, t, bucket FROM bb WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT qq.q_id, n.vec_id AS n_id
+  FROM bb n JOIN qq ON n.t = qq.t AND n.bucket = qq.bucket
+                   AND n.vec_id != qq.q_id
+),
+scored AS (
+  SELECT c.q_id, c.n_id, {_COS_SQL} AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 ANN: random-hyperplane LSH (8 tables × 6 planes) candidate
-    buckets + exact cosine rank. Approximate by construction → rows-only;
-    recall vs brute force is pytest-asserted."""
+    buckets + exact cosine rank. Upgraded rows-only → fully oracled in
+    r5: the seeded planes make the approximate pipeline deterministic,
+    so the oracle replays it end-to-end (recall vs brute force stays
+    pytest-asserted on top)."""
     from open_instrument_spark.operators.similarity import ann_lsh_topk as _ann
 
     prepare(spark)
@@ -2396,6 +2529,8 @@ _PAST_WINDOW_ORACLED = [
     "resample_interpolate_go",
     "resample_interpolate_max_gap",
     "export_render",
+    "dedup_simhash_md5",
+    "ann_lsh_topk",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
@@ -2404,7 +2539,6 @@ _PAST_WINDOW_ROWS_ONLY = [
     "resample_max_anchored",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_lsh_topk",
     "ann_ivf_topk",
 ]
 
