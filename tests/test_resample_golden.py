@@ -220,3 +220,15 @@ def test_interpolate_max_gap_sql_equals_kernel_on_events(spark):
     assert sql == kernel == chunked and len(sql) > 0
     uncapped = _rows(resample.interpolate(pts, "6h"))
     assert len(sql) < len(uncapped)
+
+
+def test_uniform_max_gap_chunked_equals_unchunked(spark):
+    """The M4 max_gap gate sits downstream of the chunk branch — pin that
+    the chunked two-phase plan reproduces it row-for-row on real data."""
+    pts = _events_points(spark)
+    plain = _rows(resample.uniform_average(pts, "6h", max_gap_interpolate=2))
+    chunked = _rows(
+        resample.uniform_average(pts, "6h", max_gap_interpolate=2, chunk="2d")
+    )
+    assert plain == chunked and len(plain) > 0
+    assert len(plain) < len(_rows(resample.uniform_average(pts, "6h")))
