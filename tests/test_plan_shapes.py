@@ -212,3 +212,15 @@ def test_chunked_resample_has_bounded_exchanges(spark, tables):
         # plan-size-bounded (incl. BroadcastExchange of the tiny
         # series-/cell-cardinality sides), not data-dependent
         assert plan.count("Exchange") <= 12
+
+
+def test_interpolate_unchunked_plan_is_join_free(spark, tables):
+    """The r5 window-form M7 plan: the unchunked, label-free variant
+    must compile to windows + one aggregate union — no join operators at
+    all (the former plan paid two sort-merge joins)."""
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.operators import resample
+
+    pts = events_to_points(tables.table("events"))
+    plan = plan_of(resample.interpolate(pts, "6h", restore_labels=False))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
