@@ -34,6 +34,7 @@ from open_instrument_spark.model import events_to_points
 from open_instrument_spark.operators import aggregate as agg
 from open_instrument_spark.operators import mutate
 from open_instrument_spark.operators.rle import rle_encode
+from open_instrument_spark.operators.resample import interpolate
 from open_instrument_spark.operators.temporal import as_of_join
 from open_instrument_spark.session import get_spark, prepare
 from open_instrument_spark.sources.tables import load_tables
@@ -88,6 +89,7 @@ def operators(ev):
         "mean_resample": mutate.mean_resample(pts, "1h", carry_labels=False),
         "rle_encode": rle_encode(pts),
         "asof_join": as_of_join(purch, views, on=["user_id"]),
+        "interpolate_sql": interpolate(pts, "1h", restore_labels=False),
     }
 
 
