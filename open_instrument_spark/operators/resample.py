@@ -35,6 +35,18 @@ Two reference kernels exist:
 say gaps longer than N·interval are left unfilled; BOTH reference code
 paths ignore the field and fill everything. We implement the proto
 semantics as an optional cap (None = reference behavior).
+
+Domain precondition: grid resamples assume NON-NEGATIVE epoch
+timestamps (ts ≥ 1970). The reference's own grid math uses C/Go
+truncated ``%``/``/`` (counter.cc:21, mutations.go:103), which for
+negative epochs anchors the grid at the CEILING multiple — Spark/Java
+``%`` reproduces that exactly, but Python/numpy floor-``%`` (the
+kernels) does not, and the cell-crossing acceptance equivalence the SQL
+plan is derived from breaks below zero. Metric timestamps are
+epoch-positive by construction (collectors stamp at scrape time), so we
+pin the real domain with a hypothesis equivalence test
+(test_interpolate_sql_equals_kernel_randomized) rather than chase
+reference-faithful pre-1970 behavior all three ways.
 """
 
 from __future__ import annotations

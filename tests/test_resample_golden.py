@@ -232,3 +232,73 @@ def test_uniform_max_gap_chunked_equals_unchunked(spark):
     )
     assert plain == chunked and len(plain) > 0
     assert len(plain) < len(_rows(resample.uniform_average(pts, "6h")))
+
+
+# ---------------------------------------------------------------------------
+# randomized equivalence: SQL ≡ kernel over arbitrary positive-epoch series
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# One series: strictly increasing non-negative µs timestamps with gaps
+# spanning many grid cells, float values incl. negatives.
+_TS = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=2, max_size=25
+).map(lambda deltas: [sum(deltas[: i + 1]) for i in range(len(deltas))])
+_SERIES = _TS.flatmap(
+    lambda ts: st.tuples(
+        st.just(ts),
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=len(ts), max_size=len(ts),
+        ),
+    )
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.lists(_SERIES, min_size=1, max_size=6))
+def test_interpolate_sql_equals_kernel_randomized(spark, data):
+    """Hypothesis-driven whole-plan equivalence on the engine's declared
+    domain (non-negative epoch timestamps): for random multi-series
+    inputs the pure-SQL window plan must reproduce interpolate_kernel
+    row-for-row, bit-exact. (Pre-1970 timestamps are OUTSIDE the grid
+    resamples' domain — see the module docstring note — so strategies
+    stay non-negative, mirroring real metric data.)"""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    interval_ms = 7       # Spark-side grid (parse_duration_ms int = ms)
+    interval_us = 7000    # kernel-side, same grid in µs
+    rows = []
+    expect = []
+    for s_idx, (ts, vals) in enumerate(data):
+        # dedup equal timestamps (kernel and plan both assume sorted
+        # unique ts per series — the ingest dedup contract)
+        seen = {}
+        for t, v in zip(ts, vals):
+            seen[t * 1000] = v  # ts units → µs, deltas cross 0-7 cells
+        ts_u = sorted(seen)
+        vals_u = [seen[t] for t in ts_u]
+        name = f"/hyp/{s_idx}"
+        rows += [(name, {"s": str(s_idx)}, t, v) for t, v in zip(ts_u, vals_u)]
+        out_t, out_v = resample.interpolate_kernel(
+            np.array(ts_u, dtype=np.int64), np.array(vals_u), interval_us
+        )
+        key = name + "{s=" + str(s_idx) + "}"
+        expect += [(key, int(t), float(v)) for t, v in zip(out_t, out_v)]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, t long, dval double"
+    ).select(
+        "name", "labels", F.timestamp_micros("t").alias("ts"), "dval",
+        F.lit(None).cast("string").alias("sval"),
+    )
+    got = sorted(
+        (r["series_key"], int(r["ts"].timestamp() * 1_000_000), r["dval"])
+        for r in resample.interpolate(df, interval_ms, restore_labels=False)
+        .select("series_key", "ts", "dval").collect()
+    )
+    assert got == sorted(expect)
