@@ -302,3 +302,43 @@ def test_interpolate_sql_equals_kernel_randomized(spark, data):
         .select("series_key", "ts", "dval").collect()
     )
     assert got == sorted(expect)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.lists(_SERIES, min_size=1, max_size=6))
+def test_uniform_sql_equals_kernel_randomized(spark, data):
+    """Same hypothesis harness for M4: the lag+explode SQL plan vs the
+    reference-exact uniform_series_kernel on random multi-series input
+    over the declared (non-negative epoch) domain."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    interval_ms, interval_us = 7, 7000
+    rows, expect = [], []
+    for s_idx, (ts, vals) in enumerate(data):
+        seen = {}
+        for t, v in zip(ts, vals):
+            seen[t * 1000] = v
+        ts_u = sorted(seen)
+        vals_u = [seen[t] for t in ts_u]
+        name = f"/hyp/{s_idx}"
+        rows += [(name, {"s": str(s_idx)}, t, v) for t, v in zip(ts_u, vals_u)]
+        out_t, out_v = resample.uniform_series_kernel(
+            np.array(ts_u, dtype=np.int64), np.array(vals_u), interval_us
+        )
+        key = name + "{s=" + str(s_idx) + "}"
+        expect += [(key, int(t), float(v)) for t, v in zip(out_t, out_v)]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, t long, dval double"
+    ).select(
+        "name", "labels", F.timestamp_micros("t").alias("ts"), "dval",
+        F.lit(None).cast("string").alias("sval"),
+    )
+    got = sorted(
+        (r["series_key"], int(r["ts"].timestamp() * 1_000_000), r["dval"])
+        for r in resample.uniform_average(df, interval_ms)
+        .select("series_key", "ts", "dval").collect()
+    )
+    assert got == sorted(expect)
