@@ -64,7 +64,12 @@ def render_export(points: DataFrame, value_format: str | None = None
     sort_array inside the aggregate — no Python, no window. Output
     column: ``line``. Note the format itself cannot carry timestamps;
     ``scrape_export`` assigns them at scrape time, so the lossless
-    round-trip is over (name, labels, value)."""
+    round-trip is over (name, labels, value). One inherited format
+    limit: the grammar (lib/variable.cc:91-105) defines no escape for
+    TAB/newline, so a label value or string sample containing them
+    yields a line the scraper mis-splits — same failure as the
+    reference's exporter; printable-ASCII values (the round-trip
+    property tests' domain) are lossless."""
     var = canonical_variable("name", "labels")
     raw_val = F.when(
         F.col("dval").isNotNull(),
