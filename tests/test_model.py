@@ -34,3 +34,36 @@ def test_empty_labels_omitted(spark):
     assert _key(spark, "/v", {"a": "", "b": "x"}) == "/v{b=x}"
     assert _key(spark, "/v", {"a": ""}) == "/v"
     assert _key(spark, "/v", None) == "/v"
+
+
+def test_driver_label_values_never_need_quoting(spark):
+    """Growth-proofing for every oracle that renders series_key by plain
+    concatenation ('user_id=' || user_id || ...): valid only while the
+    driver datasets' label values contain no characters the canonical
+    grammar quotes. If FIXTURES ever grow a label value with a non-value
+    char (or trim-unstable whitespace), this fails loudly — update the
+    oracle SQL to quote alongside."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from open_instrument_spark.canonical import NON_VALUE_CHAR_RE
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.sources.tables import load_tables
+
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        path = f"/root/testdata/{sf}"
+        if not os.path.exists(path):
+            continue
+        pts = events_to_points(load_tables(spark, path).table("events"))
+        vals = pts.select(
+            F.explode(F.map_values("labels")).alias("v")
+        ).filter(
+            F.col("v").rlike(NON_VALUE_CHAR_RE) | (F.col("v") != F.trim("v"))
+        )
+        bad = vals.limit(5).collect()
+        assert not bad, (
+            f"{sf}: label values {[r['v'] for r in bad]} would be quoted "
+            "by the canonical grammar — plain-concat oracle series_key "
+            "rendering no longer matches; update the oracle SQL"
+        )
