@@ -738,6 +738,20 @@ def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+@query("resample_interpolate_chunked", oracle=ORACLES["resample_interpolate_go"])
+def resample_interpolate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 with the bounded-task ``chunk=`` two-phase plan (per-(series,
+    chunk) lag + tail-struct handoff): must be row-identical to the
+    single-window form, so it shares resample_interpolate_go's oracle —
+    the same exact-hash gate that proves rate/RLE chunked twins."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.interpolate(
+        _pts(spark, sf_dir), "1d", chunk="7d", restore_labels=False
+    )
+    return out.select("series_key", "ts", "dval")
+
+
 _MAX_GAP_N = 2  # proto max_gap_interpolate: gaps > 2 grid intervals unfilled
 
 
@@ -2527,6 +2541,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_median_by_name",
     "agg_avg_by_label_user",
     "resample_interpolate_go",
+    "resample_interpolate_chunked",
     "resample_interpolate_max_gap",
     "export_render",
     "dedup_simhash_md5",
