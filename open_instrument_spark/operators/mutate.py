@@ -274,14 +274,22 @@ RESAMPLES: dict[str, Callable] = {
 }
 
 
-def apply_mutation(points: DataFrame, kind: str, interval=None) -> DataFrame:
+def apply_mutation(points: DataFrame, kind: str, interval=None,
+                   max_gap_interpolate: int | None = None) -> DataFrame:
     """Dispatch one mutation spec (StreamMutation analog,
     lib/openinstrument.proto:24-52). AVERAGE/MIN/MAX require an interval
-    (validation mirror of server/store.cc:277-283)."""
+    (validation mirror of server/store.cc:277-283).
+    ``max_gap_interpolate`` mirrors the proto's per-mutation gap cap
+    (proto:51, honored by the grid interpolators — the reference's code
+    paths ignore the field, DIVERGENCES.md D12)."""
     from open_instrument_spark.operators import resample as _resample
 
     kind = kind.lower()
     if kind in MUTATIONS:
+        if max_gap_interpolate is not None:
+            raise ValueError(
+                f"max_gap_interpolate applies to grid interpolators, not {kind!r}"
+            )
         return MUTATIONS[kind](points)
     interval_resamples = dict(
         RESAMPLES,
@@ -296,22 +304,36 @@ def apply_mutation(points: DataFrame, kind: str, interval=None) -> DataFrame:
     if kind in interval_resamples:
         if interval is None:
             raise ValueError(f"mutation {kind!r} requires a sample interval")
-        return interval_resamples[kind](points, interval)
+        fn = interval_resamples[kind]
+        if max_gap_interpolate is not None:
+            if fn not in (_resample.uniform_average, _resample.interpolate):
+                raise ValueError(
+                    f"max_gap_interpolate applies to grid interpolators, not {kind!r}"
+                )
+            return fn(points, interval, max_gap_interpolate=max_gap_interpolate)
+        return fn(points, interval)
     if kind in ("none", "identity"):
+        if max_gap_interpolate is not None:
+            raise ValueError(
+                f"max_gap_interpolate applies to grid interpolators, not {kind!r}"
+            )
         return points
     raise ValueError(f"unknown mutation {kind!r}")
 
 
 def pipeline(points: DataFrame, specs: Sequence[tuple]) -> DataFrame:
     """Go-style chaining (go/src/store.go:102-131): each mutation feeds
-    the next. specs = [(kind, interval-or-None), ...]."""
+    the next. specs = [(kind, interval-or-None[, max_gap]), ...] — the
+    optional third element is the proto's per-mutation
+    ``max_gap_interpolate`` (lib/openinstrument.proto:51)."""
     out = points
-    for kind, interval in specs:
-        out = apply_mutation(out, kind, interval)
+    for spec in specs:
+        out = apply_mutation(out, *spec)
     return out
 
 
 def fan_out(points: DataFrame, specs: Sequence[tuple]) -> list[DataFrame]:
     """C++-style fan-out (server/store.cc:140-147): each mutation applies
-    independently to the raw stream, one output stream per mutation."""
-    return [apply_mutation(points, kind, interval) for kind, interval in specs]
+    independently to the raw stream, one output stream per mutation.
+    specs as in :func:`pipeline` (optional third element = max_gap)."""
+    return [apply_mutation(points, *spec) for spec in specs]

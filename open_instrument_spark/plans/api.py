@@ -33,7 +33,9 @@ class GetRequest:
     variable: str
     min_timestamp: dt.datetime | None = None
     max_timestamp: dt.datetime | None = None
-    mutations: list[tuple] = field(default_factory=list)      # [(kind, interval|None)]
+    # [(kind, interval|None[, max_gap_interpolate])] — optional third
+    # element mirrors the proto's per-mutation gap cap (proto:51)
+    mutations: list[tuple] = field(default_factory=list)
     aggregation: str | None = None                            # sum/average/min/max/median
     aggregation_labels: list[str] = field(default_factory=list)
     sample_interval: int | str = DEFAULT_SAMPLE_INTERVAL_MS

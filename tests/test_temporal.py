@@ -186,3 +186,38 @@ def test_get_with_aggregation_equals_composed_operators(spark):
         for r in want.collect()
     }
     assert got_rows == want_rows and got_rows
+
+
+def test_get_request_mutation_max_gap(spark):
+    """The proto's per-mutation max_gap_interpolate (proto:51) flows
+    through the GetRequest surface: a 3-tuple mutation spec caps gap
+    filling identically to calling the resample directly, and the cap
+    is rejected on non-interpolating mutations."""
+    import pytest as _pytest
+
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.plans.api import GetRequest, get
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    pts = events_to_points(load_tables(spark, SF_SMOKE).table("events"))
+    req = GetRequest(variable="/events/*", mutations=[("interpolate", "1d", 2)])
+    via_api = {
+        (r["series_key"], r["ts"], r["dval"])
+        for r in get(pts, req).select("series_key", "ts", "dval").collect()
+    }
+    direct = {
+        (r["series_key"], r["ts"], r["dval"])
+        for r in resample.interpolate(
+            pts.filter(pts.name.startswith("/events/")), "1d",
+            max_gap_interpolate=2,
+        ).select("series_key", "ts", "dval").collect()
+    }
+    assert via_api == direct and len(via_api) > 0
+    # fewer rows than uncapped (the cap bites)
+    uncapped = get(pts, GetRequest(variable="/events/*",
+                                   mutations=[("interpolate", "1d")]))
+    assert len(via_api) < uncapped.count()
+    with _pytest.raises(ValueError, match="grid interpolators"):
+        get(pts, GetRequest(variable="/events/*", mutations=[("rate", None, 2)]))
