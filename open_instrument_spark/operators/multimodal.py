@@ -4,11 +4,12 @@ Media payloads are opaque ``binary`` columns + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs over ``mapInPandas``. ``decode_image`` performs a REAL
 header decode — PNG/JPEG/GIF/BMP dimensions parsed from the container
-bytes in pure Python (no codec needed). Pixel-level work (``resize``)
-still needs codecs (PIL/ffmpeg/…) that are NOT in this container, so it
-raises ``NotImplementedError`` unless ``fake=True``, a deterministic
-stub that keeps the Spark-side plumbing (schema, batch shape,
-partitioning) real and testable end-to-end.
+bytes in pure Python. ``resize`` performs REAL pixel decode + resize +
+re-encode for PNG and uncompressed BMP (r5: pure numpy + stdlib zlib,
+:mod:`operators.imagecodec` — no PIL/opencv needed); only entropy-coded
+formats (JPEG DCT+Huffman, GIF LZW) remain codec-gated, failing per-row
+with ``on_error="raise"|"skip"``. ``fake=True`` keeps the deterministic
+byte-grid stub for plumbing tests on non-image blobs.
 
 Scale notes: binary columns ride Parquet as-is (no row-group bloat if
 media is chunked ≤ a few MB); `mapInPandas` streams Arrow record
@@ -198,20 +199,59 @@ def blob_stats(media: DataFrame) -> DataFrame:
 
 
 def resize(media: DataFrame, out_w: int = 16, out_h: int = 12,
-           fake: bool = False) -> DataFrame:
-    """Resize decoded images to (out_w, out_h).
+           fake: bool = False, on_error: str = "raise") -> DataFrame:
+    """Resize images to (out_w, out_h).
 
-    Real resizing needs an image codec — not present in this container:
-    raises NotImplementedError unless ``fake=True``. The fake path is a
-    REAL nearest-neighbor sampler over the byte grid (meta width×height
-    from attach_blob), so schema/batch plumbing and the deterministic
-    output blob are fully testable. Output: MEDIA-shaped (doc_id, blob,
-    meta) with the resized dimensions."""
+    The REAL path (default, r5) decodes actual pixels for PNG and
+    uncompressed BMP via the pure-numpy/stdlib codec
+    (:mod:`operators.imagecodec` — zlib + scanline unfiltering; no
+    PIL/opencv needed), nearest-neighbor resizes, and re-encodes as PNG
+    (lossless for 1-4 channels). Entropy-coded payloads (JPEG/GIF) and
+    non-image blobs fail per-row: ``on_error="raise"`` (default)
+    propagates, ``on_error="skip"`` drops them (the dead-letter pattern
+    for mixed-format corpora). ``fake=True`` keeps the deterministic
+    byte-grid sampler over attach_blob's synthetic metadata for
+    plumbing tests on text blobs. Output: MEDIA-shaped
+    (doc_id, blob, meta) with the resized dimensions."""
     if not fake:
-        raise NotImplementedError(
-            "image codecs (PIL/opencv) are not available in this environment; "
-            "pass fake=True for the deterministic nearest-neighbor stub"
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from open_instrument_spark.operators.imagecodec import (
+                decode_pixels,
+                encode_png,
+                resize_nearest,
+            )
+
+            for pdf in batches:
+                rows = []
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    try:
+                        _mime, arr = decode_pixels(bytes(blob))
+                    except (NotImplementedError, ValueError):
+                        if on_error == "raise":
+                            raise
+                        continue
+                    small = resize_nearest(arr, out_w, out_h)
+                    rows.append(
+                        (doc_id, encode_png(small), int(small.shape[2]))
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "blob", "channels"]
+                )
+
+        out = media.select("doc_id", "blob").mapInPandas(
+            run_real, "doc_id long, blob binary, channels int"
         )
+        meta = F.struct(
+            F.lit("image/png").alias("mime"),
+            F.length("blob").cast("long").alias("n_bytes"),
+            F.lit(out_w).cast("int").alias("width"),
+            F.lit(out_h).cast("int").alias("height"),
+            F.col("channels").alias("channels"),
+        )
+        return out.select("doc_id", "blob", meta.alias("meta"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

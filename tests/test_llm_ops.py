@@ -209,8 +209,26 @@ def test_multimodal_decode_real_headers(spark):
     for fname, (mime, w, h, c) in exp.items():
         r = rows[fname]
         assert (r["mime"], r["width"], r["height"], r["channels"]) == (mime, w, h, c)
-    with pytest.raises(NotImplementedError):  # pixel work still needs codecs
-        multimodal.resize(media.drop("fname"))
+    # REAL pixel resize (r5): PNG + uncompressed BMP decode/resize/
+    # re-encode with the pure-numpy codec; the entropy-coded fixtures
+    # (JPEG/GIF) are skipped under on_error="skip" and fail the batch
+    # under the default on_error="raise".
+    resized = {
+        r["fname"]: r
+        for r in multimodal.resize(
+            media.drop("fname"), out_w=4, out_h=3, on_error="skip"
+        )
+        .join(media.select("doc_id", "fname"), "doc_id")
+        .collect()
+    }
+    assert set(resized) == {"tiny_7x5.png", "tiny_6x3.bmp"}
+    from open_instrument_spark.operators.imagecodec import decode_png
+
+    for r in resized.values():
+        assert (r["meta"]["width"], r["meta"]["height"]) == (4, 3)
+        assert decode_png(bytes(r["blob"])).shape[:2] == (3, 4)
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.resize(media.drop("fname"), on_error="raise").collect()
 
 
 def test_near_dup_lsh_recall_vs_exact(spark):
@@ -309,8 +327,11 @@ def test_multimodal_resize_and_feature_extract(spark):
     docs = load_tables(spark, SF_SMOKE).table("documents").limit(40)
     media = multimodal.attach_blob(docs)
 
-    with pytest.raises(NotImplementedError):
-        multimodal.resize(media)
+    # text blobs are not image containers: the real path fails per-row
+    # (and yields nothing under on_error="skip")
+    with pytest.raises(Exception, match="unrecognized image container"):
+        multimodal.resize(media).collect()
+    assert multimodal.resize(media, on_error="skip").count() == 0
     small = multimodal.resize(media, out_w=8, out_h=6, fake=True)
     rows = small.collect()
     assert all(len(r["blob"]) == 48 and r["meta"]["width"] == 8 for r in rows)

@@ -1,0 +1,186 @@
+"""Pure-numpy pixel codec (operators/imagecodec.py): encode/decode
+round-trips over random images, all five PNG scanline filters on a
+reference-built file, BMP layout edge cases (row padding, top-down),
+and the resize kernel."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_instrument_spark.operators.imagecodec import (
+    decode_bmp,
+    decode_png,
+    decode_pixels,
+    encode_bmp,
+    encode_png,
+    resize_nearest,
+)
+
+
+def _rand_img(rng, h, w, c):
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip(h, w, c, seed):
+    img = _rand_img(np.random.default_rng(seed), h, w, c)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 12), w=st.integers(1, 12), seed=st.integers(0, 2**31))
+def test_bmp_roundtrip(h, w, seed):
+    # w not divisible by 4 exercises the row-padding path
+    img = _rand_img(np.random.default_rng(seed), h, w, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG whose rows use the GIVEN filter types — exercises
+    the decoder's Sub/Up/Average/Paeth reconstruction, which our own
+    encoder (always filter 0) never emits."""
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else cc
+
+    stride = w * c
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = img[y].tobytes()
+        out = bytearray()
+        for x in range(stride):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - a) & 0xFF
+            elif f == 2:
+                v = (row[x] - b) & 0xFF
+            elif f == 3:
+                v = (row[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (row[x] - paeth(a, b, cc)) & 0xFF
+            out.append(v)
+        raw.append(f)
+        raw.extend(out)
+        prev = row
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_decode():
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        img = _rand_img(rng, 9, 6, c)
+        b = _png_with_filters(img, [0, 1, 2, 3, 4])
+        assert np.array_equal(decode_png(b), img)
+
+
+def test_png_palette_decodes_to_rgb():
+    # 2-entry palette, 4x2 checkerboard of indices
+    plte = b"\x10\x20\x30\xff\x00\x80"
+    idx = np.array([[0, 1, 0, 1], [1, 0, 1, 0]], dtype=np.uint8)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    b = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    out = decode_png(b)
+    assert out.shape == (2, 4, 3)
+    assert tuple(out[0, 0]) == (0x10, 0x20, 0x30)
+    assert tuple(out[0, 1]) == (0xFF, 0x00, 0x80)
+
+
+def test_bmp_topdown_and_32bit():
+    img = _rand_img(np.random.default_rng(3), 2, 3, 3)
+    # hand-build a TOP-DOWN (negative height) 24-bit BMP
+    w, h = 3, 2
+    row_bytes = (w * 3 + 3) // 4 * 4
+    pad = row_bytes - w * 3
+    body = b"".join(img[y, :, ::-1].tobytes() + bytes(pad) for y in range(h))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    assert np.array_equal(decode_bmp(header + info + body), img)
+    # 32-bit BGRA
+    rgba = _rand_img(np.random.default_rng(4), 2, 2, 4)
+    body32 = b"".join(
+        rgba[y][:, [2, 1, 0, 3]].tobytes() for y in range(1, -1, -1)
+    )
+    header32 = b"BM" + struct.pack("<IHHI", 54 + len(body32), 0, 0, 54)
+    info32 = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0, len(body32),
+                         2835, 2835, 0, 0)
+    assert np.array_equal(decode_bmp(header32 + info32 + body32), rgba)
+
+
+def test_decode_pixels_dispatch_and_entropy_gate():
+    img = _rand_img(np.random.default_rng(5), 4, 4, 3)
+    assert decode_pixels(encode_png(img))[0] == "image/png"
+    assert decode_pixels(encode_bmp(img))[0] == "image/bmp"
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_pixels(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(NotImplementedError, match="GIF"):
+        decode_pixels(b"GIF89ajunkjunk")
+    with pytest.raises(ValueError):
+        decode_pixels(b"not an image")
+
+
+def test_resize_nearest_shape_and_identity():
+    img = _rand_img(np.random.default_rng(6), 8, 6, 3)
+    assert resize_nearest(img, 3, 4).shape == (4, 3, 3)
+    assert np.array_equal(resize_nearest(img, 6, 8), img)  # same-size = identity
+
+
+def test_checked_in_fixtures_decode():
+    """The spec-built fixture files decode to their known pixel
+    patterns (the PNG's generator formula; the BMP's all-zero rows)."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    png_img = decode_png(open(os.path.join(fix, "tiny_7x5.png"), "rb").read())
+    assert png_img.shape == (5, 7, 3)
+    for y in range(5):
+        for x in range(7):
+            assert tuple(png_img[y, x]) == (x * 37 % 256, y * 53 % 256, 128)
+    bmp_img = decode_bmp(open(os.path.join(fix, "tiny_6x3.bmp"), "rb").read())
+    assert bmp_img.shape == (3, 6, 3) and not bmp_img.any()
