@@ -1,12 +1,13 @@
 """Pure-numpy/stdlib pixel codecs for the multimodal operators (§2.9).
 
-The container has no PIL/opencv/ffmpeg, but two mainstream formats need
-no external codec at all: uncompressed BMP is headers + raw BGR(A) rows,
-and PNG is stdlib ``zlib`` + the five spec scanline filters. Implementing
-both turns the multimodal ``resize``/decode path from a stub into a real
-pixel pipeline for every non-entropy-coded payload; JPEG (DCT+Huffman)
-and GIF (LZW) stay honestly out of scope — ``decode_pixels`` raises
-``NotImplementedError`` for them with the reason.
+The container has no PIL/opencv/ffmpeg, but three mainstream formats
+need no external codec at all: uncompressed BMP is headers + raw BGR(A)
+rows, PNG is stdlib ``zlib`` + the five spec scanline filters, and GIF's
+LZW is ~50 lines of pure Python (spec appendix F). Implementing them
+turns the multimodal ``resize``/decode path from a stub into a real
+pixel pipeline for everything but JPEG; JPEG (DCT+Huffman) stays
+honestly out of scope — ``decode_pixels`` raises ``NotImplementedError``
+for it with the reason.
 
 All decoders return ``uint8`` arrays shaped (height, width, channels)
 with RGB(A) channel order; encoders are exact inverses
@@ -196,21 +197,181 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------- GIF
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW (GIF89a spec appendix F): variable-width codes
+    LSB-first, CLEAR resets the table, EOI ends; the code width grows
+    when the table reaches 2^width (capped at 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh_table():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh_table()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh_table()
+                width = min_code_size + 1
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """First frame of a non-interlaced GIF87a/89a → (h, w, 3) uint8 RGB.
+
+    Full LZW decode in pure Python (spec appendix F), global/local color
+    tables, extension-block skipping. Interlaced frames raise. Truncated
+    pixel streams (degenerate-but-viewable files) are padded with
+    palette entry 0, matching how viewers render them."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    flags = b[10]
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        i += 3 * n
+    while i < len(b):
+        block = b[i]
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            iflags = b[i + 9]
+            i += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                i += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while i < len(b) and b[i]:
+                size = b[i]
+                data += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            w, h = w or sw, h or sh
+            idx = _lzw_decode(min_code, bytes(data), w * h)
+            idx = (idx + [0] * (w * h - len(idx)))[: w * h]
+            arr = np.asarray(idx, dtype=np.int64)
+            arr = np.clip(arr, 0, len(table) - 1)
+            return table[arr].reshape(h, w, 3)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF without an image block")
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) palette indices + (n, 3) palette → single-frame GIF89a.
+
+    Spec-valid trivial LZW: a CLEAR code before every pixel keeps the
+    code table empty so every code is a literal root — inefficient but
+    exactly decodable by any conformant reader (and by
+    :func:`decode_gif`, giving the round-trip property test)."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = len(palette)
+    depth = max(1, (n - 1).bit_length())
+    table_n = 1 << depth
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    min_code = max(2, depth)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = bits = 0
+    data = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    for px in idx.reshape(-1):
+        emit(clear)
+        emit(int(px))
+    emit(eoi)
+    if bits:
+        data.append(acc & 0xFF)
+    sub = b"".join(
+        bytes([min(255, len(data) - j)]) + bytes(data[j : j + 255])
+        for j in range(0, len(data), 255)
+    ) + b"\x00"
+    header = (
+        b"GIF89a" + struct.pack("<HH", w, h)
+        + bytes([0x80 | (depth - 1), 0, 0]) + pal.tobytes()
+    )
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" \
+        + bytes([min_code]) + sub
+    return header + img + b"\x3b"
+
+
 # ------------------------------------------------------------------ dispatch
 def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
     """Raw image bytes → (mime, (h, w, c) uint8 array).
 
-    Real decode for PNG and uncompressed BMP; JPEG/GIF raise
-    NotImplementedError (entropy codecs — DCT+Huffman / LZW — are out of
-    scope without a codec library); anything else ValueError."""
+    Real decode for PNG, uncompressed BMP and non-interlaced GIF (pure
+    Python LZW); JPEG raises NotImplementedError (DCT+Huffman stays out
+    of scope without a codec library); anything else ValueError."""
     if b.startswith(_PNG_SIG):
         return "image/png", decode_png(b)
     if b.startswith(b"BM"):
         return "image/bmp", decode_bmp(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif", decode_gif(b)
     if b.startswith(b"\xff\xd8"):
         raise NotImplementedError("JPEG entropy decode needs a codec library")
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError("GIF LZW decode needs a codec library")
     raise ValueError("unrecognized image container")
 
 

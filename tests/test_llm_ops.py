@@ -209,10 +209,10 @@ def test_multimodal_decode_real_headers(spark):
     for fname, (mime, w, h, c) in exp.items():
         r = rows[fname]
         assert (r["mime"], r["width"], r["height"], r["channels"]) == (mime, w, h, c)
-    # REAL pixel resize (r5): PNG + uncompressed BMP decode/resize/
-    # re-encode with the pure-numpy codec; the entropy-coded fixtures
-    # (JPEG/GIF) are skipped under on_error="skip" and fail the batch
-    # under the default on_error="raise".
+    # REAL pixel resize (r5): PNG + uncompressed BMP + GIF decode/
+    # resize/re-encode with the pure-numpy codec; the JPEG fixture
+    # (DCT+Huffman) is skipped under on_error="skip" and fails the
+    # batch under the default on_error="raise".
     resized = {
         r["fname"]: r
         for r in multimodal.resize(
@@ -221,7 +221,7 @@ def test_multimodal_decode_real_headers(spark):
         .join(media.select("doc_id", "fname"), "doc_id")
         .collect()
     }
-    assert set(resized) == {"tiny_7x5.png", "tiny_6x3.bmp"}
+    assert set(resized) == {"tiny_7x5.png", "tiny_6x3.bmp", "tiny_9x4.gif"}
     from open_instrument_spark.operators.imagecodec import decode_png
 
     for r in resized.values():

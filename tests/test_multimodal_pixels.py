@@ -15,9 +15,11 @@ from hypothesis import strategies as st
 
 from open_instrument_spark.operators.imagecodec import (
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_pixels,
     encode_bmp,
+    encode_gif,
     encode_png,
     resize_nearest,
 )
@@ -157,12 +159,99 @@ def test_decode_pixels_dispatch_and_entropy_gate():
     img = _rand_img(np.random.default_rng(5), 4, 4, 3)
     assert decode_pixels(encode_png(img))[0] == "image/png"
     assert decode_pixels(encode_bmp(img))[0] == "image/bmp"
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    assert decode_pixels(encode_gif(idx, pal))[0] == "image/gif"
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_pixels(b"\xff\xd8\xff\xe0junk")
-    with pytest.raises(NotImplementedError, match="GIF"):
-        decode_pixels(b"GIF89ajunkjunk")
     with pytest.raises(ValueError):
         decode_pixels(b"not an image")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    n_colors=st.integers(2, 17),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_roundtrip_trivial_lzw(h, w, n_colors, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def _lzw_encode_greedy(min_code: int, pixels: list[int]) -> bytes:
+    """A REAL greedy LZW encoder (table growth, width bumps, emits the
+    patterns that trigger the decoder's KwKwK branch) — test-only, to
+    exercise decode paths the trivial clear-per-pixel encoder never
+    produces."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    run: tuple = ()
+    for p in pixels:
+        cand = run + (p,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # GIF early-change: width grows when next_code EXCEEDS the
+            # current width's range on the encoder side
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        run = (p,)
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    n_colors=st.integers(2, 4),
+    seed=st.integers(0, 2**31),
+)
+def test_gif_greedy_lzw_decodes(h, w, n_colors, seed):
+    """Low-cardinality random frames through a REAL greedy LZW encoder:
+    long runs force table growth, code-width increases and KwKwK."""
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    min_code = 2
+    data = _lzw_encode_greedy(min_code, list(idx.reshape(-1)))
+    sub = b"".join(
+        bytes([min(255, len(data) - j)]) + data[j : j + 255]
+        for j in range(0, len(data), 255)
+    ) + b"\x00"
+    b = (
+        b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0])
+        + pal.tobytes()
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([min_code]) + sub + b"\x3b"
+    )
+    assert np.array_equal(decode_gif(b), pal[idx])
 
 
 def test_resize_nearest_shape_and_identity():
@@ -184,3 +273,14 @@ def test_checked_in_fixtures_decode():
             assert tuple(png_img[y, x]) == (x * 37 % 256, y * 53 % 256, 128)
     bmp_img = decode_bmp(open(os.path.join(fix, "tiny_6x3.bmp"), "rb").read())
     assert bmp_img.shape == (3, 6, 3) and not bmp_img.any()
+
+
+def test_checked_in_gif_fixture_decodes_with_padding():
+    """tiny_9x4.gif carries a degenerate (truncated) LZW stream — real
+    viewers render it; the decoder pads the missing pixels with palette
+    entry 0 instead of failing."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+    img = decode_gif(open(os.path.join(fix, "tiny_9x4.gif"), "rb").read())
+    assert img.shape == (4, 9, 3)
