@@ -383,3 +383,46 @@ def test_near_dup_oracle_pin_covers_driver_datasets():
             "_NEAR_DUP_PLANE_STEPS (and thereby the oracle's CASE "
             "branches) in the same change"
         )
+
+
+def test_audio_stats_real_wav_end_to_end(spark):
+    """audio_stats over real PCM WAV blobs built with the stdlib wave
+    writer: exact rate/frames/duration and hand-checked RMS/peak; text
+    blobs dead-letter under on_error='skip' and fail under 'raise'."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_bytes(rate, pcm):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(pcm.shape[1])
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(pcm.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(11)
+    pcm_a = rng.integers(-32768, 32768, size=(8000, 1))
+    pcm_b = rng.integers(-32768, 32768, size=(4410, 2))
+    rows = [
+        (1, bytearray(wav_bytes(16000, pcm_a))),
+        (2, bytearray(wav_bytes(44100, pcm_b))),
+        (3, bytearray(b"this is not audio")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in
+           multimodal.audio_stats(media, on_error="skip").collect()}
+    assert set(got) == {1, 2}
+    a = got[1]
+    assert (a["sample_rate"], a["n_frames"], a["n_channels"]) == (16000, 8000, 1)
+    assert a["duration_s"] == 0.5
+    xa = pcm_a.astype(float) / 32768.0
+    assert abs(a["rms"] - float(np.sqrt((xa ** 2).mean()))) < 1e-6
+    assert abs(a["peak"] - float(np.abs(xa).max())) < 1e-6
+    b = got[2]
+    assert (b["sample_rate"], b["n_channels"]) == (44100, 2)
+    assert b["duration_s"] == 0.1
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        multimodal.audio_stats(media).collect()

@@ -284,3 +284,80 @@ def test_checked_in_gif_fixture_decodes_with_padding():
     fix = os.path.join(os.path.dirname(__file__), "fixtures")
     img = decode_gif(open(os.path.join(fix, "tiny_9x4.gif"), "rb").read())
     assert img.shape == (4, 9, 3)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) decode — round-trips against the stdlib wave writer
+# ---------------------------------------------------------------------------
+
+from open_instrument_spark.operators.audiocodec import decode_wav  # noqa: E402
+
+
+def _stdlib_wav(rate, channels, sampwidth, frames_bytes):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(sampwidth)
+        f.setframerate(rate)
+        f.writeframes(frames_bytes)
+    return buf.getvalue()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+    n=st.integers(1, 200),
+    seed=st.integers(0, 2**31),
+)
+def test_wav_16bit_roundtrip_vs_stdlib(rate, channels, n, seed):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32768, size=(n, channels)).astype("<i2")
+    b = _stdlib_wav(rate, channels, 2, pcm.tobytes())
+    got_rate, x = decode_wav(b)
+    assert got_rate == rate and x.shape == (n, channels)
+    assert np.array_equal((x * 32768.0).astype("<i2"), pcm)
+
+
+def test_wav_8_24_and_float_formats():
+    rng = np.random.default_rng(9)
+    # unsigned 8-bit via stdlib
+    u8 = rng.integers(0, 256, size=(50, 1)).astype(np.uint8)
+    rate, x = decode_wav(_stdlib_wav(8000, 1, 1, u8.tobytes()))
+    assert np.allclose(x[:, 0], (u8[:, 0].astype(float) - 128) / 128)
+    # 24-bit via stdlib (sampwidth 3)
+    v = rng.integers(-(1 << 23), 1 << 23, size=40)
+    raw = b"".join(int(s).to_bytes(3, "little", signed=True) for s in v)
+    rate, x = decode_wav(_stdlib_wav(16000, 1, 3, raw))
+    assert np.allclose(x[:, 0] * (1 << 23), v)
+    # IEEE float32: hand-build (stdlib wave writes only PCM)
+    import struct as _s
+
+    f = rng.random(30).astype("<f4") * 2 - 1
+    body = f.tobytes()
+    fmt = _s.pack("<HHIIHH", 3, 1, 22050, 22050 * 4, 4, 32)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(body)) + body
+    )
+    rate, x = decode_wav(wav)
+    assert rate == 22050 and np.allclose(x[:, 0], f.astype(np.float64))
+
+
+def test_wav_rejects_compressed_and_junk():
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    wav = (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="codec library"):
+        decode_wav(wav)
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
