@@ -78,3 +78,85 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
             return rate, x[: frames * channels].reshape(frames, channels)
         i += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("WAV without a data chunk")
+
+
+# ------------------------------------------------------------------- video
+# Header-level (codec-free) video container parsing: AVI is RIFF like
+# WAV (avih carries µs-per-frame, frame count, dimensions); MP4 is a
+# box tree (mvhd carries timescale+duration, tkhd the track size).
+# Frame DATA stays codec-gated; the metadata a manifest/quality pass
+# needs is all in the headers.
+
+def parse_video_header(b: bytes):
+    """Raw container bytes → (mime, width, height, n_frames, duration_s)
+    for AVI and MP4/ISO-BMFF, or None if not a recognized container.
+    Pure byte-walking, no codec."""
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # hdrl LIST → avih chunk: us_per_frame, ..., total_frames,
+        # ..., width, height (MainAVIHeader layout)
+        i, n = 12, len(b)
+        while i + 8 <= n:
+            tag = b[i : i + 4]
+            size = int.from_bytes(b[i + 4 : i + 8], "little")
+            if tag == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+                j = i + 12
+                while j + 8 <= i + 8 + size:
+                    ctag = b[j : j + 4]
+                    csize = int.from_bytes(b[j + 4 : j + 8], "little")
+                    if ctag == b"avih":
+                        body = b[j + 8 : j + 8 + csize]
+                        usec = int.from_bytes(body[0:4], "little")
+                        frames = int.from_bytes(body[16:20], "little")
+                        w = int.from_bytes(body[32:36], "little")
+                        h = int.from_bytes(body[36:40], "little")
+                        dur = round(frames * usec / 1e6, 6) if usec else 0.0
+                        return ("video/x-msvideo", w, h, frames, dur)
+                    j += 8 + csize + (csize & 1)
+            i += 8 + size + (size & 1)
+        return None
+    # MP4 / ISO-BMFF: top-level box walk; first box should be ftyp
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        def walk(lo: int, hi: int, path: tuple):
+            """Yield (path, lo, hi) for boxes, recursing into containers."""
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(b[i : i + 4], "big")
+                tag = b[i + 4 : i + 8]
+                if size == 1:  # 64-bit largesize
+                    size = int.from_bytes(b[i + 8 : i + 16], "big")
+                    body_lo = i + 16
+                elif size == 0:  # to end of file
+                    size = hi - i
+                    body_lo = i + 8
+                else:
+                    body_lo = i + 8
+                if size < 8 or i + size > hi:
+                    return
+                yield path + (tag,), body_lo, i + size
+                if tag in (b"moov", b"trak", b"mdia"):
+                    yield from walk(body_lo, i + size, path + (tag,))
+                i += size
+
+        dur_s = 0.0
+        w = h = 0
+        for path, lo, hi in walk(0, len(b), ()):
+            box = path[-1]
+            if box == b"mvhd" and path[:-1] == (b"moov",):
+                ver = b[lo]
+                if ver == 1:
+                    ts = int.from_bytes(b[lo + 20 : lo + 24], "big")
+                    dur = int.from_bytes(b[lo + 24 : lo + 32], "big")
+                else:
+                    ts = int.from_bytes(b[lo + 12 : lo + 16], "big")
+                    dur = int.from_bytes(b[lo + 16 : lo + 20], "big")
+                dur_s = round(dur / ts, 6) if ts else 0.0
+            elif box == b"tkhd":
+                # width/height are 16.16 fixed point at the end of tkhd
+                tw = int.from_bytes(b[hi - 8 : hi - 4], "big") >> 16
+                th = int.from_bytes(b[hi - 4 : hi], "big") >> 16
+                if tw and th:
+                    w, h = tw, th
+        if dur_s or w:
+            return ("video/mp4", w, h, 0, dur_s)
+        return None
+    return None

@@ -363,3 +363,41 @@ def audio_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
             )
 
     return media.select("doc_id", "blob").mapInPandas(run, out_schema)
+
+
+def video_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL video-container metadata decode (r5): AVI (RIFF avih) and
+    MP4/ISO-BMFF (mvhd/tkhd box walk) parsed header-level in pure
+    Python (:func:`operators.audiocodec.parse_video_header`) — the
+    manifest columns a video training-data pass filters on. Frame DATA
+    stays codec-gated (that's :func:`frame_sample`'s byte-level job).
+    Unrecognized blobs fail per-row or drop, same contract as
+    :func:`resize`/:func:`audio_stats`.
+    Output: (doc_id, mime, width, height, n_frames, duration_s)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    out_schema = (
+        "doc_id long, mime string, width int, height int, "
+        "n_frames long, duration_s double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_instrument_spark.operators.audiocodec import parse_video_header
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                hdr = parse_video_header(bytes(blob))
+                if hdr is None:
+                    if on_error == "raise":
+                        raise ValueError("unrecognized video container")
+                    continue
+                mime, w, h, frames, dur = hdr
+                rows.append((doc_id, mime, w, h, frames, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "width", "height",
+                         "n_frames", "duration_s"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(run, out_schema)

@@ -426,3 +426,25 @@ def test_audio_stats_real_wav_end_to_end(spark):
     assert b["duration_s"] == 0.1
     with pytest.raises(Exception, match="RIFF/WAVE"):
         multimodal.audio_stats(media).collect()
+
+
+def test_video_stats_end_to_end(spark):
+    """video_stats over spec-built AVI/MP4 blobs through mapInPandas;
+    non-video blobs dead-letter under skip and fail under raise."""
+    from tests.test_multimodal_pixels import _avi, _mp4
+
+    rows = [
+        (1, bytearray(_avi(320, 240, 120, 41667))),
+        (2, bytearray(_mp4(1920, 1080, 600, 9000))),
+        (3, bytearray(b"definitely not video")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in
+           multimodal.video_stats(media, on_error="skip").collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["mime"], got[1]["width"], got[1]["height"],
+            got[1]["n_frames"]) == ("video/x-msvideo", 320, 240, 120)
+    assert (got[2]["mime"], got[2]["width"], got[2]["height"],
+            got[2]["duration_s"]) == ("video/mp4", 1920, 1080, 15.0)
+    with pytest.raises(Exception, match="video container"):
+        multimodal.video_stats(media).collect()

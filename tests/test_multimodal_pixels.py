@@ -361,3 +361,50 @@ def test_wav_rejects_compressed_and_junk():
         decode_wav(wav)
     with pytest.raises(ValueError):
         decode_wav(b"not audio at all")
+
+
+# ---------------------------------------------------------------------------
+# video container header parse (AVI RIFF / MP4 box tree), spec-built bytes
+# ---------------------------------------------------------------------------
+
+from open_instrument_spark.operators.audiocodec import parse_video_header  # noqa: E402
+
+
+def _avi(w, h, frames, usec_per_frame):
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       usec_per_frame, 0, 0, 0x10, frames, 0, 1, 0, w, h,
+                       0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    movi = b"LIST" + struct.pack("<I", 4) + b"movi"
+    body = b"AVI " + lst + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4(w, h, timescale, duration):
+    def box(tag, payload):
+        return struct.pack(">I", len(payload) + 8) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">II", timescale, duration)
+               + bytes(80))
+    tkhd = box(b"tkhd", bytes(74) + struct.pack(">II", w << 16, h << 16))
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_parse_avi_header():
+    b = _avi(640, 480, 300, 33333)
+    assert parse_video_header(b) == ("video/x-msvideo", 640, 480, 300, 9.9999)
+
+
+def test_parse_mp4_header():
+    b = _mp4(1280, 720, 1000, 12500)
+    assert parse_video_header(b) == ("video/mp4", 1280, 720, 0, 12.5)
+
+
+def test_parse_video_rejects_non_video():
+    assert parse_video_header(b"not a container") is None
+    img = _rand_img(np.random.default_rng(1), 2, 2, 3)
+    assert parse_video_header(encode_png(img)) is None
