@@ -250,10 +250,10 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
 
 
 def decode_gif(b: bytes) -> np.ndarray:
-    """First frame of a non-interlaced GIF87a/89a → (h, w, 3) uint8 RGB.
+    """First frame of a GIF87a/89a → (h, w, 3) uint8 RGB.
 
     Full LZW decode in pure Python (spec appendix F), global/local color
-    tables, extension-block skipping. Interlaced frames raise. Truncated
+    tables, extension-block skipping, 4-pass interlace reorder. Truncated
     pixel streams (degenerate-but-viewable files) are padded with
     palette entry 0, matching how viewers render them."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -284,8 +284,7 @@ def decode_gif(b: bytes) -> np.ndarray:
                 n = 2 << (iflags & 0x07)
                 table = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
                 i += 3 * n
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF")
+            interlaced = bool(iflags & 0x40)
             if table is None:
                 raise ValueError("GIF image without a color table")
             min_code = b[i]
@@ -300,7 +299,19 @@ def decode_gif(b: bytes) -> np.ndarray:
             idx = (idx + [0] * (w * h - len(idx)))[: w * h]
             arr = np.asarray(idx, dtype=np.int64)
             arr = np.clip(arr, 0, len(table) - 1)
-            return table[arr].reshape(h, w, 3)
+            img = table[arr].reshape(h, w, 3)
+            if interlaced:
+                # GIF 4-pass interlace (spec appendix E): stored row
+                # order is passes over rows 0,8,16… / 4,12… / 2,6… /
+                # 1,3… — scatter back to natural order.
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img
         elif block == 0x3B:  # trailer
             break
         else:

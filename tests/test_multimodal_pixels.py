@@ -408,3 +408,23 @@ def test_parse_video_rejects_non_video():
     assert parse_video_header(b"not a container") is None
     img = _rand_img(np.random.default_rng(1), 2, 2, 3)
     assert parse_video_header(encode_png(img)) is None
+
+
+def test_gif_interlaced_decodes():
+    """Interlaced frames: rows are stored in the 4-pass order; patching
+    the encoder's flag byte and permuting rows must decode back to the
+    natural-order image."""
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    h, w = 11, 5
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    b = bytearray(encode_gif(idx[order], pal))  # rows in storage order
+    depth = 2  # 4-entry palette
+    flags_at = 13 + 3 * (1 << depth) + 9  # image-descriptor flags byte
+    assert b[flags_at] == 0
+    b[flags_at] = 0x40
+    assert np.array_equal(decode_gif(bytes(b)), pal[idx])
