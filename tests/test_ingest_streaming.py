@@ -803,3 +803,70 @@ def test_streaming_scrape_ingest_agg_composition(spark, tmp_path):
     assert got  # at least one window closed under the watermark
     for k, v in got.items():
         assert want[k] == v, k
+
+
+def test_streaming_interpolate_matches_batch_across_batches(spark, tmp_path):
+    """M7 streaming interpolate: the per-series (prev, pending) state
+    must survive micro-batch boundaries so grid points crossing a batch
+    boundary emit exactly once and bit-identical to the batch operator
+    — incl. the max_gap cap and the on-grid-first-sample passthrough."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.interpolate_state import interpolate_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    # 10 s grid. series a starts ON the grid (passthrough), crosses
+    # several cells incl. a multi-cell gap; series b starts off-grid.
+    b1 = [("a", 0, 10.0), ("a", 7, 17.0), ("a", 13, 23.0)]
+    b2 = [("a", 41, 51.0), ("b", 5, 4.0), ("b", 12, 6.0)]
+    b3 = [("a", 52, 60.0), ("b", 33, 12.0)]
+
+    for mg, tag in [(None, "plain"), (2, "mg")]:
+        src = str(tmp_path / f"i_src_{tag}")
+        dest = str(tmp_path / f"i_out_{tag}")
+        os.makedirs(src, exist_ok=True)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+
+            def sink(batch, _epoch):
+                batch.write.mode("append").parquet(dest)
+
+            q = (
+                interpolate_stream(stream, "10s", max_gap_interpolate=mg)
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / f"i_ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for b in (b1, b2, b3):
+            pts(b).write.mode("append").parquet(src)
+            run_once()
+
+        got = {
+            (r["series_key"], r["ts"], r["dval"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        batch_in = pts(b1 + b2 + b3).select(
+            F.lit("/s").alias("name"),
+            F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+            "ts", "dval", F.lit(None).cast("string").alias("sval"),
+        )
+        want = {
+            (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+            for r in resample.interpolate(
+                batch_in, "10s", max_gap_interpolate=mg, restore_labels=False
+            ).select("series_key", "ts", "dval").collect()
+        }
+        assert got == want and len(got) > 0, tag
