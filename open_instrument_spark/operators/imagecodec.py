@@ -230,6 +230,8 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
             if code == eoi:
                 return out
             if prev is None:
+                if code not in table:
+                    raise ValueError(f"bad LZW code {code}")
                 entry = table[code]
             elif code in table:
                 entry = table[code]
@@ -255,7 +257,15 @@ def decode_gif(b: bytes) -> np.ndarray:
     Full LZW decode in pure Python (spec appendix F), global/local color
     tables, extension-block skipping, 4-pass interlace reorder. Truncated
     pixel streams (degenerate-but-viewable files) are padded with
-    palette entry 0, matching how viewers render them."""
+    palette entry 0, matching how viewers render them.
+
+    Frame-local return: the image descriptor's left/top offsets and the
+    logical-screen size are intentionally ignored — a first frame smaller
+    than the screen is returned at FRAME dimensions, not composited onto
+    a screen-sized canvas. Header-level tools (and ``decode_image``'s
+    header path) report the logical-screen dimensions, which may differ;
+    pipelines comparing the two should compare against the frame
+    descriptor's (w, h)."""
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(b[6:8], "little")
@@ -374,13 +384,23 @@ def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
 
     Real decode for PNG, uncompressed BMP and non-interlaced GIF (pure
     Python LZW); JPEG raises NotImplementedError (DCT+Huffman stays out
-    of scope without a codec library); anything else ValueError."""
-    if b.startswith(_PNG_SIG):
-        return "image/png", decode_png(b)
-    if b.startswith(b"BM"):
-        return "image/bmp", decode_bmp(b)
-    if b[:6] in (b"GIF87a", b"GIF89a"):
-        return "image/gif", decode_gif(b)
+    of scope without a codec library); anything else ValueError.
+
+    Failure contract: EVERY corrupt-payload failure surfaces as
+    ValueError — internal decoder exceptions on malformed bytes
+    (``zlib.error`` from a corrupt IDAT, ``KeyError``/``IndexError``/
+    ``struct.error`` from truncated structures) are normalized here so
+    ``on_error="skip"`` callers can dead-letter a mixed corpus without a
+    single bad blob killing the job."""
+    try:
+        if b.startswith(_PNG_SIG):
+            return "image/png", decode_png(b)
+        if b.startswith(b"BM"):
+            return "image/bmp", decode_bmp(b)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return "image/gif", decode_gif(b)
+    except (zlib.error, KeyError, IndexError, struct.error) as e:
+        raise ValueError(f"corrupt image payload: {type(e).__name__}: {e}") from e
     if b.startswith(b"\xff\xd8"):
         raise NotImplementedError("JPEG entropy decode needs a codec library")
     raise ValueError("unrecognized image container")

@@ -168,6 +168,32 @@ def test_decode_pixels_dispatch_and_entropy_gate():
         decode_pixels(b"not an image")
 
 
+def test_decode_pixels_normalizes_corrupt_payloads_to_valueerror():
+    """The dead-letter contract: EVERY corrupt payload surfaces as
+    ValueError from decode_pixels, never a raw zlib.error / KeyError /
+    struct.error that would slip past on_error="skip" handlers."""
+    img = _rand_img(np.random.default_rng(7), 6, 6, 3)
+
+    # PNG with a corrupt IDAT (zlib.error internally)
+    png = bytearray(encode_png(img))
+    idat = png.index(b"IDAT")
+    png[idat + 8] ^= 0xFF  # flip a byte inside the deflate stream
+    with pytest.raises(ValueError, match="corrupt image payload"):
+        decode_pixels(bytes(png))
+
+    # GIF with an out-of-range first LZW code (KeyError internally):
+    # hand-build a stream whose first code is far past the root table.
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    gif = bytearray(encode_gif(np.zeros((2, 2), dtype=np.uint8), pal))
+    # image data: descriptor ends with min_code_size then sub-blocks;
+    # overwrite the first data byte with an all-ones code word.
+    dsc = gif.index(b"\x2c")
+    sub_lo = dsc + 10 + 1 + 1  # descriptor + min_code + first sub-len
+    gif[sub_lo] = 0xFF
+    with pytest.raises(ValueError):
+        decode_pixels(bytes(gif))
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     h=st.integers(1, 10),
