@@ -282,6 +282,42 @@ def resize(media: DataFrame, out_w: int = 16, out_h: int = 12,
     return out.select("doc_id", "blob", meta.alias("meta"))
 
 
+def pixel_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """REAL pixel decode → per-image dimension + content-checksum
+    columns: (doc_id, width, height, channels, pix_sum) where pix_sum is
+    the integer sum of all decoded uint8 samples. The cheap full-decode
+    integrity pass of an image pipeline — and, over arithmetic fixtures
+    (:mod:`sources.media_synth`), the column set that lets a SQL oracle
+    verify the whole decode/resize/re-encode path value-exactly.
+    Same per-row dead-letter contract as :func:`resize`."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    out_schema = (
+        "doc_id long, width int, height int, channels int, pix_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_instrument_spark.operators.imagecodec import decode_pixels
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    _mime, arr = decode_pixels(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                h, w, c = arr.shape
+                rows.append((doc_id, w, h, c, int(arr.sum(dtype="int64"))))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "pix_sum"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(run, out_schema)
+
+
 def feature_extract(media: DataFrame, dim: int = 64) -> DataFrame:
     """REAL (codec-free) feature extraction: L1-normalized ``dim``-bin
     byte histogram per blob as ``array<double>`` — the standard cheap

@@ -2083,6 +2083,120 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "width", "height", "channels", "mean_byte")
 
 
+# The three REAL-codec multimodal gates (r6): spec-built containers whose
+# decoded content is doc_id arithmetic (sources/media_synth.py), so the
+# pure-Python WAV/AVI/MP4/PNG readers' outputs are DuckDB-replayable
+# value-exactly. Constants below mirror media_synth literally.
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS n_frames,
+         unnest(range(16 + doc_id % 32)) AS k
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_frames,
+         ((doc_id * 31 + k * 17) % 128) * 2 AS sv
+  FROM f
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       n_frames,
+       1 AS n_channels,
+       round(n_frames / 8000.0, 6) AS duration_s,
+       round(sqrt(avg(pow((sv - 128) / 128.0, 2))), 6) AS rms,
+       round(max(abs((sv - 128) / 128.0)), 6) AS peak
+FROM s
+GROUP BY doc_id, n_frames
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal audio: REAL RIFF/PCM WAV decode
+    (operators/audiocodec.py) over spec-built 8-bit mono fixtures —
+    rate / frame count / duration / RMS / peak all recomputed by the
+    oracle as doc_id arithmetic (samples are even bytes, so every
+    amplitude is an exact 6-decimal k/64 — no round-half ties)."""
+    from open_instrument_spark.operators.multimodal import audio_stats
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return audio_stats(attach_synth_media(docs, "wav"))
+
+
+@query(
+    "multimodal_video_stats",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'video/x-msvideo'
+            ELSE 'video/mp4' END AS mime,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 320 + (doc_id % 8) * 16
+                 ELSE 320 + doc_id % 17 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 240 + (doc_id % 6) * 16
+                 ELSE 180 + doc_id % 29 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 50
+                 ELSE 0 END AS BIGINT) AS n_frames,
+       round(CASE WHEN doc_id % 2 = 0
+                  THEN (100 + doc_id % 50) * 40000 / 1000000.0
+                  ELSE (1000 + doc_id % 977) / 1000.0 END, 6) AS duration_s
+FROM documents
+""",
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal video: REAL container-header decode — RIFF-AVI
+    avih (even doc_ids) and ISO-BMFF mvhd/tkhd box walk (odd doc_ids),
+    operators/audiocodec.py:parse_video_header — over spec-built
+    fixtures; dimensions / frame counts / durations recomputed by the
+    oracle as doc_id arithmetic."""
+    from open_instrument_spark.operators.multimodal import video_stats
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return video_stats(attach_synth_media(docs, "video"))
+
+
+@query(
+    "multimodal_resize_real",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 7 + ((y.y * d.h) // 6) * 13
+          + ((x.x * d.w) // 8) * 3 + c.c) % 256 AS v
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(6)) AS y) y
+  CROSS JOIN (SELECT unnest(range(8)) AS x) x
+  CROSS JOIN (SELECT unnest(range(3)) AS c) c
+)
+SELECT doc_id,
+       8 AS width, 6 AS height, 3 AS channels,
+       CAST(sum(v) AS BIGINT) AS pix_sum
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: the REAL pixel path end-to-end — PNG decode →
+    nearest-neighbor resize to 8×6 → PNG re-encode → decode again for
+    pixel stats (operators/imagecodec.py). Fixture pixels are doc_id
+    arithmetic, so the oracle replays the resize's index math
+    (``ys = y*h // 6``, ``xs = x*w // 8``) and the summed sample values
+    in SQL — a value-exact gate over the whole codec chain."""
+    from open_instrument_spark.operators.multimodal import pixel_stats, resize
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    small = resize(attach_synth_media(docs, "png"), out_w=8, out_h=6)
+    return pixel_stats(small)
+
+
 # ===========================================================================
 # Generic analytics extensions (engine breadth + bench headliners): the
 # reference has no joins (SURVEY.md §2.6) — these demonstrate the joins/
@@ -2546,6 +2660,9 @@ _PAST_WINDOW_ORACLED = [
     "export_render",
     "dedup_simhash_md5",
     "ann_lsh_topk",
+    "multimodal_audio_stats",
+    "multimodal_video_stats",
+    "multimodal_resize_real",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
