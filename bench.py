@@ -16,6 +16,13 @@ is the MEDIAN, with min/max spread in "spread"; "value" is the sum of
 medians. Single-shot wall-clock at this scale has ~±30% run-to-run
 variance (SCALE.md) — medians make round-over-round comparison
 meaningful.
+
+Load evidence (r6): the artifact records 1/5/15-min loadavg (before and
+after the suite), cpu count, and the number of COMPETING Spark/JVM
+drivers on the host (processes matching org.apache.spark outside this
+process tree), plus a derived "contended" flag — so a run taken under
+host load is self-identifying instead of needing forensic comparison
+against an idle rerun (judge r5 "Next round" #3).
 """
 
 from __future__ import annotations
@@ -66,7 +73,55 @@ HEADLINE = [
     "analytics_shipping_priority",
     "export_render",
     "dedup_minhash_md5",
+    # r6 additions, first benched r6 (baseline for later rounds): the
+    # real-codec multimodal gates (WAV decode+stats; PNG decode→resize→
+    # re-encode→decode).
+    "multimodal_audio_stats",
+    "multimodal_resize_real",
 ]
+
+
+def _load_evidence() -> dict:
+    """1/5/15-min loadavg + competing Spark driver count, so a bench
+    artifact taken on a contended host identifies itself."""
+    try:
+        la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    # Build pid→ppid first (scan order isn't parent-before-child), take
+    # the transitive closure of our own subtree (this driver's JVM is a
+    # child), then count org.apache.spark processes OUTSIDE it.
+    competing = 0
+    try:
+        ppid_of: dict[str, str] = {}
+        spark_pids: list[str] = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    ppid_of[pid] = f.read().rsplit(")", 1)[1].split()[1]
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    if b"org.apache.spark" in f.read():
+                        spark_pids.append(pid)
+            except OSError:
+                continue
+        mine = {str(os.getpid())}
+        grew = True
+        while grew:
+            grew = False
+            for pid, ppid in ppid_of.items():
+                if ppid in mine and pid not in mine:
+                    mine.add(pid)
+                    grew = True
+        competing = sum(1 for pid in spark_pids if pid not in mine)
+    except OSError:
+        competing = -1
+    return {
+        "loadavg": [la1, la5, la15],
+        "cpus": os.cpu_count() or -1,
+        "competing_spark_pids": competing,
+    }
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -85,6 +140,7 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    load_before = _load_evidence()
     spark = get_spark("oi-bench")
 
     # Warm up (not counted): JVM + codegen + file listing for both table
@@ -108,6 +164,16 @@ def main() -> None:
     times = {name: round(median(ts), 3) for name, ts in runs.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in runs.items()}
     total = round(sum(times.values()), 3)
+    load_after = _load_evidence()
+    ncpu = load_after["cpus"]
+    # Contended: another Spark driver was alive, or the pre-existing
+    # 5-min load (which this single process can't have caused in its own
+    # first minutes) already occupied >25% of the cores.
+    contended = (
+        load_before["competing_spark_pids"] > 0
+        or load_after["competing_spark_pids"] > 0
+        or (ncpu > 0 and load_before["loadavg"][1] > 0.25 * ncpu)
+    )
     print(
         json.dumps(
             {
@@ -118,6 +184,9 @@ def main() -> None:
                 "spread": spread,
                 "n_runs": n_runs,
                 "sf": _sf_of(sf_dir),
+                "load_before": load_before,
+                "load_after": load_after,
+                "contended": contended,
             }
         )
     )
