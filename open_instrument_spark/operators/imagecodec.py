@@ -5,9 +5,10 @@ need no external codec at all: uncompressed BMP is headers + raw BGR(A)
 rows, PNG is stdlib ``zlib`` + the five spec scanline filters, and GIF's
 LZW is ~50 lines of pure Python (spec appendix F). Implementing them
 turns the multimodal ``resize``/decode path from a stub into a real
-pixel pipeline for everything but JPEG; JPEG (DCT+Huffman) stays
-honestly out of scope — ``decode_pixels`` raises ``NotImplementedError``
-for it with the reason.
+pixel pipeline; baseline JPEG joined in r6 via the pure-numpy
+DCT+Huffman codec (:mod:`operators.jpegcodec`), leaving only
+progressive/arithmetic JPEG honestly gated behind
+``NotImplementedError`` with the reason.
 
 All decoders return ``uint8`` arrays shaped (height, width, channels)
 with RGB(A) channel order; encoders are exact inverses
@@ -382,9 +383,11 @@ def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
 def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
     """Raw image bytes → (mime, (h, w, c) uint8 array).
 
-    Real decode for PNG, uncompressed BMP and non-interlaced GIF (pure
-    Python LZW); JPEG raises NotImplementedError (DCT+Huffman stays out
-    of scope without a codec library); anything else ValueError.
+    Real decode for PNG, uncompressed BMP, GIF (pure Python LZW) and —
+    since r6 — baseline/extended-sequential Huffman JPEG
+    (:mod:`operators.jpegcodec`, pure-numpy DCT + Huffman).
+    Progressive/arithmetic/12-bit JPEG raises NotImplementedError with
+    the reason; anything else ValueError.
 
     Failure contract: EVERY corrupt-payload failure surfaces as
     ValueError — internal decoder exceptions on malformed bytes
@@ -399,10 +402,12 @@ def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
             return "image/bmp", decode_bmp(b)
         if b[:6] in (b"GIF87a", b"GIF89a"):
             return "image/gif", decode_gif(b)
+        if b.startswith(b"\xff\xd8"):
+            from open_instrument_spark.operators.jpegcodec import decode_jpeg
+
+            return "image/jpeg", decode_jpeg(b)
     except (zlib.error, KeyError, IndexError, struct.error) as e:
         raise ValueError(f"corrupt image payload: {type(e).__name__}: {e}") from e
-    if b.startswith(b"\xff\xd8"):
-        raise NotImplementedError("JPEG entropy decode needs a codec library")
     raise ValueError("unrecognized image container")
 
 

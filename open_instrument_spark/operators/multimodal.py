@@ -5,10 +5,12 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 Pandas UDFs over ``mapInPandas``. ``decode_image`` performs a REAL
 header decode — PNG/JPEG/GIF/BMP dimensions parsed from the container
 bytes in pure Python. ``resize`` performs REAL pixel decode + resize +
-re-encode for PNG, uncompressed BMP and non-interlaced GIF (r5: pure
-numpy + stdlib zlib + a ~50-line LZW, :mod:`operators.imagecodec` — no
-PIL/opencv needed); only JPEG (DCT+Huffman) remains codec-gated,
-failing per-row with ``on_error="raise"|"skip"``. ``fake=True`` keeps the deterministic
+re-encode for PNG, uncompressed BMP, GIF (r5: pure numpy + stdlib
+zlib + a ~50-line LZW, :mod:`operators.imagecodec` — no PIL/opencv
+needed) and baseline JPEG (r6: pure-numpy DCT + Huffman,
+:mod:`operators.jpegcodec`); only progressive/arithmetic JPEG remains
+codec-gated, failing per-row with ``on_error="raise"|"skip"``.
+``fake=True`` keeps the deterministic
 byte-grid stub for plumbing tests on non-image blobs.
 
 Scale notes: binary columns ride Parquet as-is (no row-group bloat if
@@ -203,11 +205,12 @@ def resize(media: DataFrame, out_w: int = 16, out_h: int = 12,
     """Resize images to (out_w, out_h).
 
     The REAL path (default, r5) decodes actual pixels for PNG,
-    uncompressed BMP and non-interlaced GIF via the pure-numpy/stdlib
-    codec (:mod:`operators.imagecodec` — zlib + scanline unfiltering +
-    pure-Python LZW; no PIL/opencv needed), nearest-neighbor resizes,
-    and re-encodes as PNG (lossless for 1-4 channels). JPEG payloads
-    (DCT+Huffman needs a codec library) and non-image blobs fail
+    uncompressed BMP, GIF via the pure-numpy/stdlib codec
+    (:mod:`operators.imagecodec` — zlib + scanline unfiltering +
+    pure-Python LZW; no PIL/opencv needed) and baseline JPEG (r6,
+    :mod:`operators.jpegcodec`), nearest-neighbor resizes,
+    and re-encodes as PNG (lossless for 1-4 channels). Progressive/
+    arithmetic JPEG and non-image blobs fail
     per-row: ``on_error="raise"`` (default)
     propagates, ``on_error="skip"`` drops them (the dead-letter pattern
     for mixed-format corpora). ``fake=True`` keeps the deterministic

@@ -354,7 +354,6 @@ def ann_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     query (the inverted-file pruning that makes 100 TB ANN tractable);
     final top-k is one shuffle on q_id. Output: (q_id, n_id, rank, cos).
     """
-    spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -363,7 +362,43 @@ def ann_ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         base.orderBy("n_id").limit(train_n).select("v").toPandas()["v"].tolist()
     )
     C = _kmeans(train, min(n_cells, len(train)), seed=seed)
+    return _ivf_search(base, C, query_ids, k, n_probe)
 
+
+def seeded_centroids(dim: int = 64, n_cells: int = 32, seed: int = 7) -> np.ndarray:
+    """L2-normalized seeded Gaussian cell centers — the data-independent
+    stand-in for trained k-means centroids. Exists so the IVF SEARCH
+    pipeline (assignment → probe → rank) can be replayed by a static SQL
+    oracle that embeds the same centroids as literals (the ann_lsh_topk
+    planes trick); quality-wise random cells are a legitimate, if
+    unTuned, IVF configuration (quantization error just isn't
+    minimized)."""
+    rng = np.random.RandomState(seed)
+    C = rng.standard_normal((n_cells, dim))
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def ann_ivf_topk_seeded(embeddings: DataFrame, query_ids: list[int],
+                        k: int = 10, n_cells: int = 32, n_probe: int = 4,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding", seed: int = 7) -> DataFrame:
+    """:func:`ann_ivf_topk` with :func:`seeded_centroids` instead of a
+    k-means train — the fully-oracled twin (centroids are seed-determined
+    SQL literals; the whole assignment/probe/rank pipeline hash-gates).
+    Output: (q_id, n_id, rank, cos)."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    return _ivf_search(base, seeded_centroids(dim, n_cells, seed), query_ids,
+                       k, n_probe)
+
+
+def _ivf_search(base: DataFrame, C: np.ndarray, query_ids: list[int],
+                k: int, n_probe: int) -> DataFrame:
+    """Shared IVF search given centroids: Arrow-batched cell assignment,
+    driver-side probe-list build for the bounded query set, broadcast
+    equi-join on cell, exact cosine + rank."""
+    spark = base.sparkSession
     assigned = base.withColumn("cell", ivf_assign("v", C))
 
     # Queries are an explicit, bounded list: probe their n_probe nearest

@@ -870,3 +870,72 @@ def test_streaming_interpolate_matches_batch_across_batches(spark, tmp_path):
             ).select("series_key", "ts", "dval").collect()
         }
         assert got == want and len(got) > 0, tag
+
+
+def test_streaming_uniform_matches_batch_across_batches(spark, tmp_path):
+    """M4 streaming uniform resample: the per-series (base, prev) state
+    must survive micro-batch boundaries so grid points whose straddling
+    input pair crosses a batch boundary emit exactly once and
+    bit-identical to the batch operator — incl. the max_gap cap, the
+    never-emitted (even on-grid) first sample, and multi-cell fills."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.uniform_state import uniform_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    # 10 s grid. series a starts ON the grid (must NOT pass through in
+    # M4), pairs cross batch boundaries, one multi-cell gap; series b
+    # starts off-grid and lands exactly on a grid point mid-stream.
+    b1 = [("a", 0, 10.0), ("a", 7, 17.0), ("a", 13, 23.0)]
+    b2 = [("a", 41, 51.0), ("b", 5, 4.0), ("b", 12, 6.0)]
+    b3 = [("a", 52, 60.0), ("b", 30, 12.0), ("b", 33, 13.0)]
+
+    for mg, tag in [(None, "plain"), (2, "mg")]:
+        src = str(tmp_path / f"u_src_{tag}")
+        dest = str(tmp_path / f"u_out_{tag}")
+        os.makedirs(src, exist_ok=True)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+
+            def sink(batch, _epoch):
+                batch.write.mode("append").parquet(dest)
+
+            q = (
+                uniform_stream(stream, "10s", max_gap_interpolate=mg)
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / f"u_ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for b in (b1, b2, b3):
+            pts(b).write.mode("append").parquet(src)
+            run_once()
+
+        got = {
+            (r["series_key"], r["ts"], r["dval"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        batch_in = pts(b1 + b2 + b3).select(
+            F.lit("/s").alias("name"),
+            F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+            "ts", "dval", F.lit(None).cast("string").alias("sval"),
+        )
+        want = {
+            (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+            for r in resample.uniform_average(
+                batch_in, "10s", max_gap_interpolate=mg
+            ).select("series_key", "ts", "dval").collect()
+        }
+        assert got == want and len(got) > 0, tag

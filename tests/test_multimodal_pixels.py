@@ -156,14 +156,22 @@ def test_bmp_topdown_and_32bit():
 
 
 def test_decode_pixels_dispatch_and_entropy_gate():
+    from open_instrument_spark.operators.jpegcodec import encode_jpeg
+
     img = _rand_img(np.random.default_rng(5), 4, 4, 3)
     assert decode_pixels(encode_png(img))[0] == "image/png"
     assert decode_pixels(encode_bmp(img))[0] == "image/bmp"
     pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
     idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
     assert decode_pixels(encode_gif(idx, pal))[0] == "image/gif"
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    assert decode_pixels(encode_jpeg(img))[0] == "image/jpeg"
+    # truncated JPEG (valid SOI, no SOF/SOS) is corrupt, not unsupported
+    with pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0junk")
+    # progressive stays honestly gated
+    prog = b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big") + bytes(9)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_pixels(prog)
     with pytest.raises(ValueError):
         decode_pixels(b"not an image")
 
@@ -454,3 +462,80 @@ def test_gif_interlaced_decodes():
     assert b[flags_at] == 0
     b[flags_at] = 0x40
     assert np.array_equal(decode_gif(bytes(b)), pal[idx])
+
+
+# ------------------------------------------------------------------- JPEG
+def _max_err(a, b):
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_gray_roundtrip_near_lossless(h, w, seed):
+    """quality=100 quantizes with all-ones tables: the only loss is
+    DCT/rounding noise, bounded to a few LSB."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _rand_img(np.random.default_rng(seed), h, w, 1)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (h, w, 1)
+    assert _max_err(out, img) <= 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 17),
+    w=st.integers(1, 17),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_rgb_roundtrip_near_lossless(h, w, seed):
+    """RGB adds two color-space conversions (float, rounded once at the
+    end) on top of the DCT noise — still a few LSB at quality=100."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _rand_img(np.random.default_rng(seed), h, w, 3)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert out.shape == (h, w, 3)
+    assert _max_err(out, img) <= 4
+
+
+def test_jpeg_420_subsampling_decodes():
+    """4:2:0 exercises the multi-block MCU layout and the chroma
+    upsampling path; on a chroma-constant image subsampling is lossless
+    up to the usual rounding."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    # luma varies per pixel, chroma constant (gray image in RGB form)
+    y = rng.integers(0, 256, size=(19, 21), dtype=np.uint8)
+    img = np.stack([y, y, y], axis=2)
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsample=True))
+    assert out.shape == (19, 21, 3)
+    assert _max_err(out, img) <= 4
+
+
+def test_jpeg_low_quality_still_decodes_to_right_shape():
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _rand_img(np.random.default_rng(3), 24, 16, 3)
+    out = decode_jpeg(encode_jpeg(img, quality=25))
+    assert out.shape == (24, 16, 3)
+    # lossy but sane: mean error well under a uniform-noise baseline
+    err = np.abs(out.astype(np.int64) - img.astype(np.int64)).mean()
+    assert err < 64
+
+
+def test_jpeg_header_and_pixel_decoders_agree_on_dimensions():
+    from open_instrument_spark.operators.jpegcodec import encode_jpeg
+    from open_instrument_spark.operators.multimodal import parse_image_header
+
+    img = _rand_img(np.random.default_rng(9), 13, 29, 3)
+    blob = encode_jpeg(img, quality=90)
+    mime, w, h, _c = parse_image_header(blob)
+    assert (mime, w, h) == ("image/jpeg", 29, 13)
+    mime2, arr = decode_pixels(blob)
+    assert mime2 == "image/jpeg" and arr.shape[:2] == (13, 29)

@@ -127,10 +127,13 @@ def peak_rss_mb() -> int:
 
 
 def main() -> None:
+    from bench import _load_evidence  # repo root on sys.path (line 29)
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mults = [
         int(m) for m in os.environ.get("SPARK_GRAFT_PROBE_MULTS", "1,10,100").split(",")
     ]
+    load_before = _load_evidence()
     emb_mults = [m for m in (1, 10) if m <= max(mults)]
     spark = get_spark("scale-probe")
     prepare(spark)
@@ -182,9 +185,18 @@ def main() -> None:
         (k0, v0), (kn, vn) = tiers[0], tiers[-1]
         r["ratio"] = round(vn / max(v0, 1e-9), 2)
         r["data_ratio"] = kn // k0
+    load_after = _load_evidence()
+    ncpu = load_after["cpus"]
+    contended = (
+        load_before["competing_spark_pids"] > 0
+        or load_after["competing_spark_pids"] > 0
+        or (ncpu > 0 and load_before["loadavg"][1] > 0.25 * ncpu)
+    )
     print(json.dumps({
         "sf": sf_dir, "mults": mults, "emb_mults": emb_mults,
         "operators": report, "peak_rss_mb": peaks,
+        "load_before": load_before, "load_after": load_after,
+        "contended": contended,
     }))
     spark.stop()
 
