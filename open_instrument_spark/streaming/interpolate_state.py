@@ -1,6 +1,6 @@
 """Stateful streaming M7 interpolate (Go Interpolate as a stream
-operator) — the third member of the stateful-mutation family
-(``rate_state``, ``rle_state``).
+operator) — a member of the stateful-mutation family
+(``rate_state``, ``rle_state``, ``uniform_state``).
 
 The batch ``resample.interpolate`` needs each series' total order; on a
 stream the same single-pass channel loop the reference runs
