@@ -1,0 +1,1160 @@
+"""§2.9 LLM-pipeline queries: text analysis, exact/MinHash/SimHash
+dedup, embedding similarity + ANN, corpus management, multimodal
+codecs. See registry.py for the oracle-parity conventions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_instrument_spark.registry_base import query
+from open_instrument_spark.session import prepare
+from open_instrument_spark.sources.tables import load_tables
+
+# ===========================================================================
+# §2.9 LLM-pipeline operators: text analysis, dedup, similarity, multimodal
+# ===========================================================================
+
+# DuckDB twin of text.words(): lower → strip non-letters → split on \s+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '')"
+)
+_SW = {
+    "en": "['the','and','of','to','in','is','you','that','it','for']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein','ich','auf']",
+    "fr": "['le','la','et','les','des','un','une','est','pour','que']",
+    "es": "['el','los','se','del','las','por','con','para','una','su']",
+}
+_HITS = {
+    lg: f"len(list_filter(w, t -> list_contains({lst}, t)))" for lg, lst in _SW.items()
+}
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
+),
+feat AS (
+  SELECT doc_id, text, w,
+         length(text) AS n_chars,
+         len(w) AS n_words,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
+         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
+         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_wlen
+  FROM base
+)
+SELECT doc_id, n_chars, n_words, n_tokens,
+       round(praw, 6) AS punct_ratio,
+       round(sraw, 6) AS stopword_ratio,
+       round(
+         least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
+         (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         least(1.0, sraw * 5.0) * 0.2 +
+         (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
+       CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+            WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+            WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+            WHEN s_es >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+            ELSE 'und' END AS lang_pred,
+       CASE WHEN len(w) >= 3 THEN
+         list_min(list_transform(range(len(w) - 2),
+                  i -> md5(array_to_string(w[i+1:i+3], ' '))))
+       ELSE md5(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'))) END AS fingerprint
+FROM feat
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 text analysis: char/word/BPE-token counts, punctuation and
+    stopword ratios, composite quality score, heuristic language ID,
+    min-hash fingerprint — one JVM-side scan-project."""
+    from open_instrument_spark.operators.text import text_stats as _ts
+
+    prepare(spark)
+    return _ts(load_tables(spark, sf_dir).table("documents"))
+
+
+@query(
+    "text_scrub",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' see https://ex.com/a?u=bob@x.io or mail bob@example.com' || chr(1) || 'tail'
+              ELSE text END AS t
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://\\S+')) AS n_urls,
+         regexp_replace(t, 'https?://\\S+', '', 'g') AS t1
+  FROM c
+),
+e AS (
+  SELECT doc_id, n_urls,
+         len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g') AS t2
+  FROM u
+),
+f AS (
+  SELECT doc_id, n_urls, n_emails,
+         trim(regexp_replace(regexp_replace(t2, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS clean
+  FROM e
+)
+SELECT doc_id, n_urls, n_emails, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS clean_len
+FROM f
+""",
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus scrubbing: URL/email strip + control-char and
+    whitespace normalization, over a corpus seeded with URLs (one
+    containing an embedded address — counted as a URL, not an email),
+    emails and a control byte on every 5th doc. Cleaned text compared by
+    md5 + length. Past the driver window: replayed against DuckDB by
+    tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.text import scrub
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://ex.com/a?u=bob@x.io or mail bob@example.com"),
+                F.lit(chr(1)),
+                F.lit("tail"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = scrub(seeded)
+    return out.select(
+        "doc_id",
+        "n_urls",
+        "n_emails",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+    )
+
+
+from open_instrument_spark.operators.corpus import (  # noqa: E402
+    DEFAULT_WEIGHTS as _SPLIT_WEIGHTS,
+    cumulative_thresholds as _split_thresholds,
+)
+
+_T = _split_thresholds(_SPLIT_WEIGHTS)
+_T_TRAIN, _T_VAL = _T["train"], _T["val"]
+
+
+@query(
+    "corpus_hash_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: deterministic 90/5/5 train/val/test split by md5
+    of doc_id — stable across runs/engines/cluster sizes, and adding
+    documents never reassigns existing ones (unlike random splits)."""
+    from open_instrument_spark.operators.corpus import hash_split
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id")
+    return hash_split(docs).select("doc_id", "split")
+
+
+@query(
+    "corpus_pack_greedy",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 2048.0) AS BIGINT) AS bin
+FROM t
+""",
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: contiguous sequence packing — documents fill
+    consecutive ~2048-token bins by cumulative word count (the standard
+    one-pass approximation of first-fit packing)."""
+    from open_instrument_spark.operators.corpus import pack_greedy
+    from open_instrument_spark.operators.text import words
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    toks = docs.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
+    return pack_greedy(toks, "n_tokens", 2048).select("doc_id", "n_tokens", "bin")
+
+
+@query(
+    "corpus_pack_partitioned",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS bin_part
+  FROM documents
+)
+SELECT doc_id, n_tokens, bin_part,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              PARTITION BY bin_part ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 2048.0) AS BIGINT) AS bin
+FROM t
+""",
+)
+def corpus_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SCALE-path sequence packing: greedy prefix-sum bins within
+    each split partition (deterministic (bin_part, bin) identity, no
+    single-task global window). Past the driver window; replayed against
+    DuckDB by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        pack_greedy_partitioned,
+    )
+    from open_instrument_spark.operators.text import words
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    toks = hash_split(
+        docs.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
+    )
+    out = pack_greedy_partitioned(
+        toks.withColumnRenamed("split", "part"), "n_tokens", 2048, "part"
+    )
+    return out.select("doc_id", "n_tokens", "bin_part", "bin")
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w,
+         min(doc_id) OVER (PARTITION BY text) AS rep
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, rep,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
+         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
+         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_wlen
+  FROM base
+),
+q AS (
+  SELECT doc_id, rep,
+         round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
+               (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+               least(1.0, sraw * 5.0) * 0.2 +
+               (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
+         s_en, greatest(s_en, s_de, s_fr, s_es) AS s_best
+  FROM feat
+)
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM q
+WHERE doc_id = rep AND quality >= 0.75 AND s_en >= s_best AND s_best > 0
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 capstone: the standard corpus-cleaning pipeline composed from
+    the engine's own operators — exact dedup (keep representatives) →
+    quality >= 0.75 and language = en → deterministic split assignment.
+    One declarative plan end-to-end."""
+    from open_instrument_spark.operators.corpus import split_column
+    from open_instrument_spark.operators.dedup import exact_dedup
+    from open_instrument_spark.operators.text import text_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    # dedup BEFORE tokenizing: quality/lang depend only on the row's own
+    # text, so scoring duplicate rows would be wasted regex work.
+    reps = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    survivors = docs.join(reps, "doc_id")
+    keep = (
+        text_stats(survivors)
+        .select("doc_id", "quality", "lang_pred")
+        .filter((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
+    )
+    return keep.select(
+        "doc_id", split_column(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split")
+    )
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest({_WORDS_SQL}) AS word FROM documents
+),
+c AS (
+  SELECT word, count(*) AS n FROM w GROUP BY word
+),
+r AS (
+  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c
+)
+SELECT word, n, rank FROM r WHERE rank <= 100
+""",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: global vocabulary top-100 by frequency — explode
+    words → count → rank. Map-side partial counts make the shuffle
+    vocabulary-sized, not corpus-sized; the final rank runs on the
+    (small) vocabulary table. Deterministic tie-break on the word."""
+    from pyspark.sql import Window
+
+    from open_instrument_spark.operators.text import words
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    counts = (
+        docs.select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — a DISTRIBUTED
+    # top-k over the vocabulary (an unpartitioned rank window would drag
+    # the whole vocab into one task); rank is then assigned on ≤100 rows.
+    top = counts.orderBy(F.col("n").desc(), "word").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "word")
+    return top.withColumn("rank", F.row_number().over(w)).select("word", "n", "rank")
+
+
+_DUP_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 7th doc (id+100000) — the
+    deterministic duplicate corpus used by the dedup oracles."""
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+WITH {_DUP_CORPUS_SQL},
+reps AS (
+  SELECT md5(text) AS h, min(doc_id) AS rep_id, count(*) AS group_size
+  FROM corpus GROUP BY 1
+)
+SELECT c.doc_id, r.rep_id, c.doc_id != r.rep_id AS is_dup, r.group_size
+FROM corpus c JOIN reps r ON md5(c.text) = r.h
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 exact dedup: content-hash groups with min-id representative,
+    over a corpus seeded with known exact duplicates."""
+    from open_instrument_spark.operators.dedup import exact_dedup
+
+    prepare(spark)
+    return exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+_NEAR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz yy xx ww vv' FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _NEAR_CORPUS_SQL (near-dup seeding: every 11th doc
+    duplicated with an appended tail, id+200000). One definition shared
+    by dedup_ngram_jaccard and dedup_minhash_lsh and mirrored by the
+    oracle CTE. (dedup_simhash intentionally seeds EXACT copies — no
+    tail — and keeps its own corpus.)"""
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           '[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '') AS w
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS shingles
+  FROM toks
+),
+ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 EXACT n-gram Jaccard near-dup pairs (shared-shingle join —
+    no approximation), over a corpus seeded with appended-tail near-dups.
+    max_bucket is PINNED to None: the oracle enumerates every shared-
+    shingle pair, so the candidate guard must be off here regardless of
+    the library default (the guard's behavior has its own pytest)."""
+    from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _near_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
+
+
+@query(
+    "dedup_minhash_md5",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+                         i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(16),
+           i -> list_min(list_transform(s, x -> md5(x || '#' || i)))) AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(sg[b*4 + 1] || sg[b*4 + 2] || sg[b*4 + 3] || sg[b*4 + 4]) AS bh
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.a_id, c.b_id,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) AS na, len(sb.s) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+""",
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 MinHash-LSH with PORTABLE hashing (md5 signatures + band
+    keys, 16 perms × 4 bands): the ENTIRE approximate pipeline —
+    including exactly which candidate pairs LSH surfaces — is
+    reproduced by the DuckDB oracle and hash-gated. The xxhash64
+    variant (dedup_minhash_lsh) stays the fast path; this proves the
+    algorithm, not just the output shape."""
+    from open_instrument_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    return minhash_lsh_pairs_portable(_near_corpus(spark, sf_dir), threshold=0.5)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 MinHash-LSH near-dup (64 perms, 16 bands × 4 rows, exact
+    Jaccard verify on candidates). xxhash64 signatures aren't portable to
+    the oracle engine → rows-only driver check; recall vs the exact
+    ngram_jaccard pairs is pytest-asserted."""
+    from open_instrument_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_near_corpus(spark, sf_dir), threshold=0.5)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SimHash near-dup (64-bit sign-aggregate fingerprint, 16-bit
+    band candidate join, popcount verify). Rows-only (xxhash64)."""
+    from open_instrument_spark.operators.dedup import simhash_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return simhash_pairs(docs.unionByName(near), max_hamming=3)
+
+
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """DuckDB twin of dedup.simhash_pairs(portable=True): the 60-bit
+    md5-prefix token hash is re-derived nibble-by-nibble (15 hex chars →
+    signed BIGINT in any engine), the per-bit sign sums are 60 generated
+    conditional aggregates, and banding/popcount replay the Spark plan
+    exactly — the WHOLE approximate pipeline is hash-gated, same pattern
+    as dedup_minhash_md5 / embed_near_dup."""
+    def digit(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
+
+    # bit i (0 = LSB of the 60-bit value) lives in hex char 15 - i//4
+    # (1-indexed from the most significant nibble), bit i%4 of the nibble
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (({digit(15 - i // 4)} >> {i % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    bands = ", ".join(
+        f"((simhash >> {b * 15}) & 32767) AS bh{b}" for b in range(4)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, bh{b} AS bh FROM bnd"
+        for b in range(4)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 11 = 0
+),
+tok AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS t FROM corpus
+),
+h AS (SELECT doc_id, md5(t) AS m FROM tok),
+s AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s),
+bnd AS (SELECT doc_id, simhash, {bands} FROM fp),
+bb AS (
+  {unpivot}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+@query("dedup_simhash_md5", oracle=_simhash_md5_oracle())
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SimHash with PORTABLE hashing (60-bit md5-prefix token hash,
+    4 × 15-bit pigeonhole bands, popcount verify): the ENTIRE pipeline —
+    fingerprints, which candidates the bands surface, Hamming verify —
+    is reproduced by the DuckDB oracle and hash-gated, upgrading SimHash
+    from rows-only to fully oracled (the xxhash64 variant dedup_simhash
+    stays the fast path; same trade as dedup_minhash_md5)."""
+    from open_instrument_spark.operators.dedup import simhash_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return simhash_pairs(docs.unionByName(near), max_hamming=3, portable=True)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / "
+    "(sqrt(list_sum(list_transform(a.v, x -> x * x))) * "
+    "sqrt(list_sum(list_transform(b.v, x -> x * x))))"
+)
+
+
+@query(
+    "embed_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS_SQL} AS cos
+  FROM e a JOIN e b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 10
+""",
+)
+def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 brute-force cosine top-10 for query vectors 0-4: broadcast
+    queries × corpus, zip_with dot product, windowed rank."""
+    from open_instrument_spark.operators.similarity import cosine_topk
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "embed_quantize_uint8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e,
+         list_min(e) AS vmin,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, vmin, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(e, x -> CAST(floor((x - vmin) / scale) AS BIGINT))
+         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+  FROM s
+)
+SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum, qv[1] AS q_first, qv[64] AS q_last
+FROM q
+""",
+)
+def embed_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding storage compression: per-vector UINT8 quantization
+    (levels 0-255; affine min/max, floor — banker's-rounding differences
+    between engines make round() non-portable). Constant vectors keep
+    scale 0 and all-zero levels (dropping them would corrupt the ANN
+    index this feeds). Pure Column expressions, one scan-project; 4x
+    smaller vectors. Compared via scalar digests of the quantized array
+    (sum + endpoints)."""
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", e.alias("_e")).select(
+        "vec_id",
+        "_e",
+        F.array_min("_e").alias("vmin"),
+        ((F.array_max("_e") - F.array_min("_e")) / 255.0).alias("scale"),
+    )
+    qv = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            "_e", lambda x: F.floor((x - F.col("vmin")) / F.col("scale")).cast("long")
+        ),
+    ).otherwise(F.transform("_e", lambda x: F.lit(0).cast("long")))
+    out = staged.withColumn("_qv", qv).select(
+        "vec_id",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.element_at("_qv", 1).alias("q_first"),
+        F.element_at("_qv", 64).alias("q_last"),
+    )
+    return out
+
+
+#: Pinned plane-count step function shared by the embed_near_dup query
+#: and its oracle: (max_corpus_size_inclusive, n_planes). Keeps bucket
+#: occupancy bounded as the corpus grows (auto_n_planes rationale) while
+#: staying finite enough to replay in static SQL — the oracle branches
+#: on COUNT(*) over the SAME steps, so Spark and DuckDB cannot silently
+#: diverge at any driver dataset scale (sf0.001/0.01/0.1 ⇒ ≤ 2000
+#: vectors). Beyond the last step the query raises loudly instead of
+#: auto-sizing past what the oracle can check.
+_NEAR_DUP_PLANE_STEPS: list[tuple[int, int]] = [(1000, 3), (2048, 5)]
+
+
+def _near_dup_planes_for(n: int) -> int:
+    for max_n, planes in _NEAR_DUP_PLANE_STEPS:
+        if n <= max_n:
+            return planes
+    raise ValueError(
+        f"embed_near_dup's oracle is pinned to corpora of ≤ "
+        f"{_NEAR_DUP_PLANE_STEPS[-1][0]} vectors (got {n}); for larger "
+        "corpora call similarity.near_dup_pairs_lsh(n_planes=None) "
+        "directly — auto-sized, recall-tested, but not hash-oracled"
+    )
+
+
+def _near_dup_lsh_oracle(n_tables: int = 16, dim: int = 64,
+                         seed: int = 42, threshold: float = 0.4) -> str:
+    """DuckDB twin of similarity.near_dup_pairs_lsh: the seeded
+    hyperplanes are emitted as literal arrays (repr round-trips the exact
+    float64), so the oracle replays the WHOLE approximate pipeline —
+    bucketing, candidate generation, exact-cosine verify — not just the
+    output shape (same pattern as dedup_minhash_md5). The per-table
+    bucket is a COUNT(*)-keyed CASE over _NEAR_DUP_PLANE_STEPS, matching
+    _near_dup_planes_for exactly."""
+    from open_instrument_spark.operators.similarity import _planes
+
+    def dot(plane):
+        lit = ", ".join(repr(float(x)) for x in plane)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    def bits_expr(t: int, n_planes: int) -> str:
+        planes = _planes(dim, n_planes, seed=seed + 1000 * t)
+        return " + ".join(
+            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    bucket_cols = []
+    for t in range(n_tables):
+        branches = " ".join(
+            f"WHEN nn <= {max_n} THEN ({bits_expr(t, planes)})"
+            for max_n, planes in _NEAR_DUP_PLANE_STEPS
+        )
+        bucket_cols.append(f"CAST(CASE {branches} END AS BIGINT) AS b{t}")
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  (SELECT COUNT(*) FROM embeddings) AS nn
+           FROM embeddings),
+bk AS (SELECT vec_id, {", ".join(bucket_cols)} FROM e),
+bb AS (
+  {unpivot}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bb a JOIN bb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pr AS (
+  SELECT c.a_id, c.b_id,
+         list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2])) /
+         (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
+          sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+)
+SELECT a_id, b_id, round(cos, 6) AS cos FROM pr WHERE cos >= {threshold}
+"""
+
+
+@query("embed_near_dup", oracle=_near_dup_lsh_oracle())
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding-cosine near-duplicate pairs (cos ≥ 0.4) via the
+    SCALE path: hyperplane-LSH candidate buckets (equi-join, never a
+    cross product) + exact cosine verify. The oracle replays the same
+    seeded bucketing, so the full approximate pipeline is hash-gated;
+    the exact O(N²) slice (similarity.near_dup_pairs) stays available
+    behind modulus/allow_full_scan and is recall-tested in pytest.
+
+    Plane count: a pinned step function of corpus size
+    (_NEAR_DUP_PLANE_STEPS) replayed branch-for-branch by the oracle's
+    COUNT(*)-keyed CASE, so the Spark and DuckDB candidate sets agree at
+    every driver dataset scale; raises loudly past the last step rather
+    than auto-sizing into a divergence (use near_dup_pairs_lsh directly
+    for unoracled larger corpora)."""
+    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    planes = _near_dup_planes_for(emb.count())
+    return near_dup_pairs_lsh(emb, threshold=0.4, n_planes=planes)
+
+
+def _ann_lsh_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                    n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+                    seed: int = 42) -> str:
+    """DuckDB twin of similarity.ann_lsh_topk: the seeded hyperplanes
+    are emitted as literal arrays (repr round-trips the exact float64),
+    so the oracle replays the WHOLE approximate pipeline — per-table
+    bucketing, which candidates share a bucket with each query, exact
+    cosine, deterministic (cos DESC, n_id) rank — not just the output
+    shape. Same pattern as _near_dup_lsh_oracle (r3-proven: identical
+    IEEE dot expressions agree across engines at these scales)."""
+    from open_instrument_spark.operators.similarity import _planes
+
+    def dot(plane):
+        lit = ", ".join(repr(float(x)) for x in plane)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    def bits_expr(t: int) -> str:
+        planes = _planes(dim, n_planes, seed=seed + 1000 * t)
+        return " + ".join(
+            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    bucket_cols = ", ".join(
+        f"CAST(({bits_expr(t)}) AS BIGINT) AS b{t}" for t in range(n_tables)
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk"
+        for t in range(n_tables)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, {bucket_cols} FROM e),
+bb AS (
+  {unpivot}
+),
+qq AS (SELECT vec_id AS q_id, t, bucket FROM bb WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT qq.q_id, n.vec_id AS n_id
+  FROM bb n JOIN qq ON n.t = qq.t AND n.bucket = qq.bucket
+                   AND n.vec_id != qq.q_id
+),
+scored AS (
+  SELECT c.q_id, c.n_id, {_COS_SQL} AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN: random-hyperplane LSH (8 tables × 6 planes) candidate
+    buckets + exact cosine rank. Upgraded rows-only → fully oracled in
+    r5: the seeded planes make the approximate pipeline deterministic,
+    so the oracle replays it end-to-end (recall vs brute force stays
+    pytest-asserted on top)."""
+    from open_instrument_spark.operators.similarity import ann_lsh_topk as _ann
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return _ann(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN, inverted-file variant: spherical-k-means cells (trained
+    on a deterministic sample), Arrow-batched cell assignment, n_probe=4
+    of 32 cells searched per query with exact cosine rank. The k-means
+    TRAIN is data-dependent (not SQL-expressible) → rows-only; the
+    search pipeline itself is fully hash-gated via the seeded twin
+    (``ann_ivf_seeded_topk``); recall vs brute force pytest-asserted."""
+    from open_instrument_spark.operators.similarity import ann_ivf_topk as _ann
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return _ann(emb, [0, 1, 2, 3, 4], k=10)
+
+
+def _ann_ivf_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                    n_cells: int = 32, n_probe: int = 4, dim: int = 64,
+                    seed: int = 7) -> str:
+    """DuckDB twin of similarity.ann_ivf_topk_seeded: the seeded
+    centroids are emitted as literal arrays (repr round-trips the exact
+    float64), so the WHOLE IVF search pipeline replays in SQL — argmax
+    cell assignment (first-max, matching numpy argmax via
+    list_indexof-of-max), per-query top-n_probe cell ranking, cell
+    equi-join pruning, exact cosine + deterministic rank. Only the
+    k-means TRAIN stays outside the gate (ann_ivf_topk, rows-only).
+    Cosine/argmax cross-engine IEEE agreement follows the
+    _ann_lsh_oracle precedent (r3-proven at these scales); scale/probe
+    order is invariant to the |v| normalization the Spark side applies
+    before its matmul."""
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    C = seeded_centroids(dim, n_cells, seed)
+
+    def dot(c) -> str:
+        lit = ", ".join(repr(float(x)) for x in c)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    ds = ",\n    ".join(dot(c) for c in C)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM e),
+asg AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell
+  FROM d),
+qd AS (
+  SELECT vec_id AS q_id, unnest(ds) AS dq, unnest(range({n_cells})) AS cell
+  FROM d WHERE vec_id IN ({ids})),
+qp AS (
+  SELECT q_id, cell FROM (
+    SELECT q_id, cell,
+           row_number() OVER (PARTITION BY q_id ORDER BY dq DESC, cell) AS r
+    FROM qd) WHERE r <= {n_probe}),
+cand AS (
+  SELECT p.q_id, n.vec_id AS n_id
+  FROM qp p JOIN asg n ON n.cell = p.cell AND n.vec_id != p.q_id),
+scored AS (
+  SELECT c.q_id, c.n_id, {_COS_SQL} AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM scored
+)
+SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("ann_ivf_seeded_topk", oracle=_ann_ivf_oracle())
+def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN IVF, fully-oracled twin (r6): seeded-centroid cells
+    stand in for the k-means train, making every stage of the IVF
+    SEARCH path — Arrow argmax assignment, driver probe-list build,
+    broadcast cell equi-join, exact cosine rank — replayable by the
+    DuckDB oracle with the centroids as literals. Closes the r5 verdict
+    item: only the non-SQL-expressible train remains rows-only."""
+    from open_instrument_spark.operators.similarity import ann_ivf_topk_seeded
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return ann_ivf_topk_seeded(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@query(
+    "multimodal_blob_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+       CAST(1 + octet_length(encode(text)) % 48 AS INTEGER) AS height,
+       greatest(1, CAST(floor(octet_length(encode(text)) / 256) AS INTEGER)) AS n_frames
+FROM documents
+""",
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: typed-metadata manifest pass over binary payload
+    columns (no decode) — pure JVM."""
+    from open_instrument_spark.operators.multimodal import attach_blob, blob_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return blob_stats(attach_blob(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(range(greatest(1, CAST(floor(n / 256) AS INTEGER)))) AS frame_idx,
+         text, n
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       length(substr(text, frame_idx * 256 + 1, 256)) AS frame_len,
+       md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_md5
+FROM frames WHERE frame_idx % 4 = 0
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: strided frame sampling over the byte stream via
+    mapInPandas (Arrow batches), checksums per frame — the oracle
+    reproduces the byte arithmetic on the ASCII payload."""
+    from open_instrument_spark.operators.multimodal import attach_blob, frame_sample
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    out = frame_sample(attach_blob(docs), frame_bytes=256, stride=4)
+    return out.select("doc_id", "frame_idx", "frame_len", "frame_md5")
+
+
+@query(
+    "multimodal_decode_fake",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         list_sum(list_transform(range(length(text)),
+                  i -> unicode(substr(text, i + 1, 1)))) AS byte_sum
+  FROM documents
+)
+SELECT doc_id,
+       CAST(1 + n % 64 AS INTEGER) AS width,
+       CAST(1 + n % 48 AS INTEGER) AS height,
+       3 AS channels,
+       round(CAST(byte_sum AS DOUBLE) / n, 6) AS mean_byte
+FROM m
+""",
+)
+def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: the stubbed deterministic decoder (mapInPandas
+    over binary blobs). Real codecs are absent in this container — the
+    stub derives dimensions/mean-byte from payload bytes; the oracle
+    replays the arithmetic over ASCII codepoints."""
+    from open_instrument_spark.operators.multimodal import attach_blob, decode_image
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    out = decode_image(attach_blob(docs), fake=True)
+    return out.select("doc_id", "width", "height", "channels", "mean_byte")
+
+
+# The three REAL-codec multimodal gates (r6): spec-built containers whose
+# decoded content is doc_id arithmetic (sources/media_synth.py), so the
+# pure-Python WAV/AVI/MP4/PNG readers' outputs are DuckDB-replayable
+# value-exactly. Constants below mirror media_synth literally.
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS n_frames,
+         unnest(range(16 + doc_id % 32)) AS k
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_frames,
+         ((doc_id * 31 + k * 17) % 128) * 2 AS sv
+  FROM f
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       n_frames,
+       1 AS n_channels,
+       round(n_frames / 8000.0, 6) AS duration_s,
+       round(sqrt(avg(pow((sv - 128) / 128.0, 2))), 6) AS rms,
+       round(max(abs((sv - 128) / 128.0)), 6) AS peak
+FROM s
+GROUP BY doc_id, n_frames
+""",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal audio: REAL RIFF/PCM WAV decode
+    (operators/audiocodec.py) over spec-built 8-bit mono fixtures —
+    rate / frame count / duration / RMS / peak all recomputed by the
+    oracle as doc_id arithmetic (samples are even bytes, so every
+    amplitude is an exact 6-decimal k/64 — no round-half ties)."""
+    from open_instrument_spark.operators.multimodal import audio_stats
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return audio_stats(attach_synth_media(docs, "wav"))
+
+
+@query(
+    "multimodal_video_stats",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'video/x-msvideo'
+            ELSE 'video/mp4' END AS mime,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 320 + (doc_id % 8) * 16
+                 ELSE 320 + doc_id % 17 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 240 + (doc_id % 6) * 16
+                 ELSE 180 + doc_id % 29 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 50
+                 ELSE 0 END AS BIGINT) AS n_frames,
+       round(CASE WHEN doc_id % 2 = 0
+                  THEN (100 + doc_id % 50) * 40000 / 1000000.0
+                  ELSE (1000 + doc_id % 977) / 1000.0 END, 6) AS duration_s
+FROM documents
+""",
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal video: REAL container-header decode — RIFF-AVI
+    avih (even doc_ids) and ISO-BMFF mvhd/tkhd box walk (odd doc_ids),
+    operators/audiocodec.py:parse_video_header — over spec-built
+    fixtures; dimensions / frame counts / durations recomputed by the
+    oracle as doc_id arithmetic."""
+    from open_instrument_spark.operators.multimodal import video_stats
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return video_stats(attach_synth_media(docs, "video"))
+
+
+@query(
+    "multimodal_resize_real",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 7 + ((y.y * d.h) // 6) * 13
+          + ((x.x * d.w) // 8) * 3 + c.c) % 256 AS v
+  FROM dims d
+  CROSS JOIN (SELECT unnest(range(6)) AS y) y
+  CROSS JOIN (SELECT unnest(range(8)) AS x) x
+  CROSS JOIN (SELECT unnest(range(3)) AS c) c
+)
+SELECT doc_id,
+       8 AS width, 6 AS height, 3 AS channels,
+       CAST(sum(v) AS BIGINT) AS pix_sum
+FROM px
+GROUP BY doc_id
+""",
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal: the REAL pixel path end-to-end — PNG decode →
+    nearest-neighbor resize to 8×6 → PNG re-encode → decode again for
+    pixel stats (operators/imagecodec.py). Fixture pixels are doc_id
+    arithmetic, so the oracle replays the resize's index math
+    (``ys = y*h // 6``, ``xs = x*w // 8``) and the summed sample values
+    in SQL — a value-exact gate over the whole codec chain."""
+    from open_instrument_spark.operators.multimodal import pixel_stats, resize
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    small = resize(attach_synth_media(docs, "png"), out_w=8, out_h=6)
+    return pixel_stats(small)
+
+

@@ -1,0 +1,1047 @@
+"""TSDB-core queries: flagship, selection F1-F9/S11, mutations M1-M9,
+aggregations A2-A8, grid resampling M4/M7, retention W1, RLE W3,
+ingest S1-S5, /export render. See registry.py for the oracle-parity
+conventions these follow."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators import aggregate as agg_ops
+from open_instrument_spark.operators import mutate, select
+from open_instrument_spark.registry_base import (
+    NOW,
+    ORACLES,
+    P_CTE,
+    R_CTE,
+    _bucket_sql,
+    _pts,
+    _raw,
+    query,
+)
+from open_instrument_spark.session import prepare
+from open_instrument_spark.sources.tables import load_tables
+
+# ===========================================================================
+# Flagship (SURVEY.md §7.2 step 1): scan → filter → per-series rate →
+# epoch-aligned 5-minute windows → sum by variable name.
+# ===========================================================================
+
+@query(
+    "flagship_rate_sum",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT name,
+       {_bucket_sql(300_000)} AS ts,
+       round(sum((dval - pv) / (t - pt)), 6) AS sum_rate
+FROM r
+WHERE pt IS NOT NULL AND t > pt AND (dval - pv) / (t - pt) >= 0
+GROUP BY 1, 2
+""",
+)
+def flagship_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum of per-second rates of every /events/* series, 5-min tumbling
+    windows, grouped by variable name (M1 + A3/A7)."""
+    pts = _pts(spark, sf_dir)
+    rated = mutate.rate(pts)
+    out = agg_ops.aggregate_by_name(rated, "sum", 300_000)
+    return out.select("name", "ts", F.round("value", 6).alias("sum_rate"))
+
+
+def run_entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke check: flagship at sf0.001."""
+    return flagship_rate_sum(spark, "/root/testdata/sf0.001")
+
+
+# ===========================================================================
+# Selection: F1-F9 + S11 List
+# ===========================================================================
+
+@query(
+    "select_exact_name_label_range",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval
+FROM p
+WHERE name = '/events/click' AND user_id = '7'
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def select_exact_name_label_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 exact name + F3 label equality + F7 inclusive time range."""
+    pts = select.match_variables(_pts(spark, sf_dir), "/events/click{user_id=7}")
+    pts = select.time_range(pts, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return _raw(pts)
+
+
+@query(
+    "select_prefix_glob",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE name LIKE '/events/s%'
+""",
+)
+def select_prefix_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 trailing-star prefix glob."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/s*"))
+
+
+@query(
+    "select_label_present",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE k IS NOT NULL
+""",
+)
+def select_label_present(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 label presence ({k=*})."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=*}"))
+
+
+@query(
+    "select_label_absent",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE k IS NULL
+""",
+)
+def select_label_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 label absence ({k=}) — Go-only feature, supported."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=}"))
+
+
+@query(
+    "select_label_regex",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval FROM p WHERE regexp_full_match(k, '4[0-9]')
+""",
+)
+def select_label_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 anchored label regex ({k=/4[0-9]/}) — C++-only feature, supported."""
+    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=/4[0-9]/}"))
+
+
+@query(
+    "select_last_n_per_series",
+    oracle=f"""
+WITH {P_CTE},
+ranked AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts DESC, dval DESC) AS rn
+  FROM p
+)
+SELECT series_key, ts, dval FROM ranked WHERE rn <= 2
+""",
+)
+def select_last_n_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 max_values: newest 2 values per series (go/src/store.go:151-153).
+    Uses the library operator directly — its (dval, sval) desc tie-break
+    matches the oracle's ts DESC, dval DESC ordering."""
+    out = select.last_n_per_series(_pts(spark, sf_dir), 2)
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "select_max_variables",
+    oracle=f"""
+WITH {P_CTE},
+kept AS (SELECT DISTINCT series_key FROM p ORDER BY series_key LIMIT 25)
+SELECT p.series_key, p.ts, p.dval FROM p JOIN kept USING (series_key)
+""",
+)
+def select_max_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 max_variables: first 25 series in canonical-key order."""
+    return _raw(select.cap_variables(_pts(spark, sf_dir), 25))
+
+
+@query(
+    "list_series",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, series_key, max(ts) AS last_ts
+FROM p
+GROUP BY name, series_key
+HAVING max(ts) >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+""",
+)
+def list_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 List RPC: distinct fresh series (max_age = 7 d of pinned NOW)."""
+    out = select.list_series(
+        _pts(spark, sf_dir), "/events/*", max_age_ms=7 * 86_400_000, now=NOW
+    )
+    return out.select("name", "series_key", "last_ts")
+
+
+@query(
+    "list_max_variables",
+    oracle=f"""
+WITH {P_CTE},
+g AS (
+  SELECT name, series_key, max(ts) AS last_ts
+  FROM p
+  GROUP BY name, series_key
+  HAVING max(ts) >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+)
+SELECT name, series_key, last_ts FROM g ORDER BY series_key LIMIT 40
+""",
+)
+def list_max_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11×F8 interaction: List RPC truncated by max_variables
+    (server/store.cc:365-367) — first 40 fresh series in canonical-key
+    order. Deterministic because series_key is unique per group."""
+    out = select.list_series(
+        _pts(spark, sf_dir), "/events/*", max_age_ms=7 * 86_400_000,
+        max_variables=40, now=NOW,
+    )
+    return out.select("name", "series_key", "last_ts")
+
+
+# ===========================================================================
+# Per-stream mutations M1-M3, M5, M6, M8, M9
+# ===========================================================================
+
+_RATE_EXPR = "(dval - pv) / (t - pt)"
+
+
+@query(
+    "mutate_rate",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, {_RATE_EXPR} AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND {_RATE_EXPR} >= 0
+""",
+)
+def mutate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 RATE per second, negatives dropped. Compared EXACTLY (the same
+    IEEE ops run on both engines)."""
+    return _raw(mutate.rate(_pts(spark, sf_dir)))
+
+
+@query(
+    "mutate_rate_chunked",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, {_RATE_EXPR} AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND {_RATE_EXPR} >= 0
+""",
+)
+def mutate_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 RATE via the two-phase CHUNKED plan (bounded task size for
+    arbitrarily long series: within-chunk lags + per-chunk boundary
+    handoff). Same oracle as mutate_rate — the exact-match gate proves
+    the chunked algorithm bitwise-identical to the single-window one."""
+    return _raw(mutate.rate(_pts(spark, sf_dir), chunk="1d"))
+
+
+@query(
+    "mutate_rate_signed",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, {_RATE_EXPR} AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt
+""",
+)
+def mutate_rate_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 RATE_SIGNED: negatives kept."""
+    return _raw(mutate.rate_signed(_pts(spark, sf_dir)))
+
+
+@query(
+    "mutate_delta",
+    oracle=f"""
+WITH {P_CTE}, {R_CTE}
+SELECT series_key, ts, dval - pv AS dval
+FROM r WHERE pt IS NOT NULL AND t > pt AND dval - pv >= 0
+""",
+)
+def mutate_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 DELTA with the C++ >=0 filter."""
+    return _raw(mutate.delta(_pts(spark, sf_dir)))
+
+
+@query(
+    "mutate_latest_daily",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, {_bucket_sql(86_400_000)} AS bts, ts, dval,
+         row_number() OVER (PARTITION BY series_key, {_bucket_sql(86_400_000)}
+                            ORDER BY ts DESC, dval DESC) AS rn
+  FROM p
+)
+SELECT series_key, bts AS ts, dval FROM b WHERE rn = 1
+""",
+)
+def mutate_latest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 LATEST per 1-day bucket (retention downsampling shape,
+    config.txt:37-47). Row selection — compared exactly."""
+    out = mutate.latest(_pts(spark, sf_dir), "1d")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_latest_string_daily",
+    oracle="""
+WITH sp AS (
+  SELECT '/meta/agent{host=' || CAST(user_id AS VARCHAR) || '}' AS series_key,
+         ts, max(event_type) AS sval
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT series_key,
+         make_timestamp(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                        * 86400000 * 1000) AS bts,
+         ts, sval,
+         row_number() OVER (PARTITION BY series_key,
+                            CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                            ORDER BY ts DESC) AS rn
+  FROM sp
+)
+SELECT series_key, bts AS ts, sval FROM b WHERE rn = 1
+""",
+)
+def mutate_latest_string_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 LATEST over STRING samples: the reference stores string series
+    (os-name etc., lib/openinstrument.proto:75-76), RLE-compresses them
+    and downsamples via daily LATEST (config.txt:37-47) — strings are
+    never aggregated. Points synthesized from events (event_type as the
+    string sample, one '/meta/agent' series per host)."""
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    # max() per (host, ts) makes exact-timestamp ties deterministic in
+    # both engines (LATEST itself orders only by ts).
+    sp = (
+        ev.groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("sval"))
+        .select(
+            F.lit("/meta/agent").alias("name"),
+            F.create_map(F.lit("host"), F.col("user_id").cast("string")).alias("labels"),
+            "ts",
+            F.lit(None).cast("double").alias("dval"),
+            "sval",
+        )
+    )
+    out = mutate.latest(sp, "1d")
+    return out.select("series_key", "ts", "sval")
+
+
+@query(
+    "mutate_mean_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(3_600_000)} AS ts, round(avg(dval), 6) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_mean_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 AVERAGE resample: hourly mean per series (aligned semantics)."""
+    out = mutate.mean_resample(_pts(spark, sf_dir), "1h")
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+@query(
+    "mutate_min_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(3_600_000)} AS ts, min(dval) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_min_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 MIN resample: hourly min (selection — exact)."""
+    out = mutate.min_resample(_pts(spark, sf_dir), "1h")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_max_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(3_600_000)} AS ts, max(dval) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_max_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 MAX resample: hourly max (selection — exact)."""
+    out = mutate.max_resample(_pts(spark, sf_dir), "1h")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_stddev_resample",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, {_bucket_sql(21_600_000)} AS ts, round(stddev_pop(dval), 6) AS dval
+FROM p GROUP BY 1, 2
+""",
+)
+def mutate_stddev_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 population stddev per 6-h bucket."""
+    out = mutate.stddev_resample(_pts(spark, sf_dir), "6h")
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+# ===========================================================================
+# Cross-stream aggregations A2-A8
+# ===========================================================================
+
+def _agg_by_name(spark, sf_dir, kind, interval_ms, round_out=True):
+    out = agg_ops.aggregate_by_name(_pts(spark, sf_dir), kind, interval_ms)
+    val = F.round("value", 6).alias("value") if round_out else F.col("value")
+    return out.select("name", "ts", val)
+
+
+@query(
+    "agg_sum_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, round(sum(dval), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_sum_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A7: hourly SUM across all streams per variable name."""
+    return _agg_by_name(spark, sf_dir, "sum", 3_600_000)
+
+
+@query(
+    "agg_avg_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, round(avg(dval), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_avg_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A7: hourly AVERAGE across streams per name."""
+    return _agg_by_name(spark, sf_dir, "average", 3_600_000)
+
+
+@query(
+    "agg_min_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, min(dval) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_min_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A7: hourly MIN (exact)."""
+    return _agg_by_name(spark, sf_dir, "min", 3_600_000, round_out=False)
+
+
+@query(
+    "agg_max_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts, max(dval) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_max_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A7: hourly MAX — true max, the reference's 0-init bug
+    (lib/protobuf.cc:109-120) deliberately not reproduced."""
+    return _agg_by_name(spark, sf_dir, "max", 3_600_000, round_out=False)
+
+
+@query(
+    "agg_median_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(21_600_000)} AS ts, round(median(dval), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_median_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7: 6-hourly MEDIAN (continuous-interpolated; declared
+    divergence from the reference's upper-median, SURVEY.md §7.0 #5)."""
+    return _agg_by_name(spark, sf_dir, "median", 21_600_000)
+
+
+@query(
+    "agg_median_upper_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(21_600_000)} AS ts,
+       list_sort(list(dval))[CAST(floor(count(*) / 2) AS INT) + 1] AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_median_upper_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 reference-exact MEDIAN: sorted bucket's element [n/2] — the
+    upper median, middle pair never averaged (lib/protobuf.cc:135-142).
+    Row selection, so values compare exactly (no rounding)."""
+    return _agg_by_name(spark, sf_dir, "median_upper", 21_600_000, round_out=False)
+
+
+@query(
+    "agg_multi_label_sum",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, 'user_id' AS label, user_id AS label_value,
+       {_bucket_sql(21_600_000)} AS ts, round(sum(dval), 6) AS value
+FROM p GROUP BY 1, 3, 4
+UNION ALL
+SELECT name, 'k' AS label, k AS label_value,
+       {_bucket_sql(21_600_000)} AS ts, round(sum(dval), 6) AS value
+FROM p WHERE k IS NOT NULL AND k != '' GROUP BY 1, 3, 4
+""",
+)
+def agg_multi_label_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 multi-label fan-out (server/store.cc:190-249 loops the agg's
+    label list): each label yields an independent grouping, union-tagged
+    with the grouping label name."""
+    out = agg_ops.aggregate(
+        _pts(spark, sf_dir), "sum", ["user_id", "k"], 21_600_000
+    )
+    return out.select(
+        "name", "label", "label_value", "ts", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "agg_avg_by_label_user",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, user_id AS label_value, {_bucket_sql(21_600_000)} AS ts,
+       round(avg(dval), 6) AS value
+FROM p GROUP BY 1, 2, 3
+""",
+)
+def agg_avg_by_label_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: AVERAGE grouped by the user_id label, 6-h windows."""
+    out = agg_ops.aggregate_by_label(_pts(spark, sf_dir), "average", "user_id", 21_600_000)
+    return out.select("name", "label_value", "ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "agg_sum_by_label_k",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, k AS label_value, {_bucket_sql(21_600_000)} AS ts,
+       round(sum(dval), 6) AS value
+FROM p WHERE k IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def agg_sum_by_label_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 + A10 drop-missing: SUM grouped by the sparse k label; streams
+    lacking the label are skipped (openinstrument.go:151-206)."""
+    out = agg_ops.aggregate_by_label(_pts(spark, sf_dir), "sum", "k", 21_600_000)
+    return out.select("name", "label_value", "ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "agg_retained_single_labels",
+    oracle=f"""
+WITH {P_CTE},
+members AS (SELECT DISTINCT name, user_id, k FROM p WHERE k IS NOT NULL),
+ret AS (
+  SELECT name, user_id, CASE WHEN count(*) = 1 THEN min(k) END AS retained_k
+  FROM members GROUP BY name, user_id
+),
+a AS (
+  SELECT name, user_id AS label_value, {_bucket_sql(86_400_000)} AS ts,
+         round(avg(dval), 6) AS value
+  FROM p GROUP BY 1, 2, 3
+)
+SELECT a.name, a.label_value, a.ts, a.value, ret.retained_k
+FROM a LEFT JOIN ret ON a.name = ret.name AND a.label_value = ret.user_id
+""",
+)
+def agg_retained_single_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 single-valued label retention (server/store.cc:208-227): daily
+    AVERAGE by user_id, keeping the k label when the group's member
+    streams carry exactly one distinct k value."""
+    out = agg_ops.aggregate_by_label(
+        _pts(spark, sf_dir), "average", "user_id", 86_400_000, retain_single_valued=True
+    )
+    return out.select(
+        "name",
+        "label_value",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.col("retained_labels").getItem("k").alias("retained_k"),
+    )
+
+
+# ===========================================================================
+# Grid resampling M4/M7 (interpolation)
+# ===========================================================================
+
+_UNIFORM_I_US = 86_400_000_000  # 1 day grid
+
+
+@query(
+    "resample_uniform_avg",
+    oracle=f"""
+WITH {P_CTE},
+w AS (
+  SELECT series_key, epoch_us(ts) AS t, dval,
+         lag(epoch_us(ts)) OVER win AS pt, lag(dval) OVER win AS pv,
+         min(epoch_us(ts)) OVER (PARTITION BY series_key) AS t0
+  FROM p WINDOW win AS (PARTITION BY series_key ORDER BY ts)
+),
+pairs AS (
+  SELECT series_key, t, dval, pt, pv,
+         t0 - t0 % {_UNIFORM_I_US} AS base,
+         pt + ({_UNIFORM_I_US} - (pt - (t0 - t0 % {_UNIFORM_I_US})) % {_UNIFORM_I_US}) AS g_lo,
+         t - (t - (t0 - t0 % {_UNIFORM_I_US})) % {_UNIFORM_I_US} AS g_hi
+  FROM w WHERE pt IS NOT NULL AND t > pt
+)
+SELECT series_key, make_timestamp(g) AS ts,
+       CASE WHEN g = t THEN dval
+            ELSE (dval - pv) / (t - pt) * (g - pt) + pv END AS dval
+FROM pairs, unnest(generate_series(g_lo, g_hi, {_UNIFORM_I_US})) AS u(g)
+WHERE g_lo <= g_hi
+""",
+)
+def resample_uniform_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 C++ UniformTimeSeries (AVERAGE + sample_frequency): daily grid,
+    linear interpolation between straddling points — pure Spark
+    sequence+explode, golden-tested against lib/counter_test.cc."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.uniform_average(_pts(spark, sf_dir), "1d")
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "resample_interpolate_go",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, epoch_us(ts) AS t, ts, dval,
+         epoch_us(ts) - epoch_us(ts) % {_UNIFORM_I_US} AS cell
+  FROM p
+),
+w AS (
+  SELECT series_key, t, dval, cell,
+         lag(cell) OVER (PARTITION BY series_key ORDER BY t) AS pcell
+  FROM b
+),
+firsts AS (
+  SELECT series_key, cell, arg_min(t, t) AS ft, arg_min(dval, t) AS fv
+  FROM b GROUP BY 1, 2
+),
+anchors AS (SELECT series_key, min(cell) AS c0 FROM b GROUP BY 1),
+acc AS (
+  SELECT w.series_key, w.t, w.dval, w.pcell, w.cell,
+         CASE WHEN w.pcell = a.c0 THEN w.pcell ELSE f.ft END AS pt, f.fv AS pv
+  FROM w
+  JOIN firsts f ON w.series_key = f.series_key AND w.pcell = f.cell
+  JOIN anchors a ON w.series_key = a.series_key
+  WHERE w.pcell IS NOT NULL AND w.cell > w.pcell
+),
+pass AS (
+  SELECT series_key, arg_min(ts, t) AS ts, arg_min(dval, t) AS dval,
+         min(t) AS t0
+  FROM b GROUP BY series_key
+)
+SELECT series_key, make_timestamp(g) AS ts,
+       pv + (dval - pv) * (CAST(g - pt AS DOUBLE) / CAST(t - pt AS DOUBLE)) AS dval
+FROM acc, unnest(generate_series(pcell + {_UNIFORM_I_US}, cell, {_UNIFORM_I_US})) AS u(g)
+UNION ALL
+SELECT series_key, ts, dval FROM pass WHERE t0 % {_UNIFORM_I_US} = 0
+""",
+)
+def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 Go Interpolate (NONE + sample_frequency,
+    mutations/mutations.go:90-137): daily grid, inputs accepted only when
+    they cross a grid cell, linear interpolation anchored at the grid
+    base for the first cell. Pure-SQL plan (resample._interpolate_sql),
+    golden-tested vs mutations_test.go AND row-identical to the Arrow
+    kernel; the oracle replays the relational derivation in DuckDB."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.interpolate(_pts(spark, sf_dir), "1d", restore_labels=False)
+    return out.select("series_key", "ts", "dval")
+
+
+@query("resample_interpolate_chunked", oracle=ORACLES["resample_interpolate_go"])
+def resample_interpolate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 with the bounded-task ``chunk=`` two-phase plan (per-(series,
+    chunk) lag + tail-struct handoff): must be row-identical to the
+    single-window form, so it shares resample_interpolate_go's oracle —
+    the same exact-hash gate that proves rate/RLE chunked twins."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.interpolate(
+        _pts(spark, sf_dir), "1d", chunk="7d", restore_labels=False
+    )
+    return out.select("series_key", "ts", "dval")
+
+
+_MAX_GAP_N = 2  # proto max_gap_interpolate: gaps > 2 grid intervals unfilled
+
+
+@query(
+    "resample_interpolate_max_gap",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, epoch_us(ts) AS t, ts, dval,
+         epoch_us(ts) - epoch_us(ts) % {_UNIFORM_I_US} AS cell
+  FROM p
+),
+w AS (
+  SELECT series_key, t, dval, cell,
+         lag(cell) OVER (PARTITION BY series_key ORDER BY t) AS pcell
+  FROM b
+),
+firsts AS (
+  SELECT series_key, cell, arg_min(t, t) AS ft, arg_min(dval, t) AS fv
+  FROM b GROUP BY 1, 2
+),
+anchors AS (SELECT series_key, min(cell) AS c0 FROM b GROUP BY 1),
+acc AS (
+  SELECT w.series_key, w.t, w.dval, w.pcell, w.cell,
+         CASE WHEN w.pcell = a.c0 THEN w.pcell ELSE f.ft END AS pt, f.fv AS pv
+  FROM w
+  JOIN firsts f ON w.series_key = f.series_key AND w.pcell = f.cell
+  JOIN anchors a ON w.series_key = a.series_key
+  WHERE w.pcell IS NOT NULL AND w.cell > w.pcell
+),
+gated AS (
+  SELECT *,
+         CASE WHEN t - pt <= {_MAX_GAP_N} * {_UNIFORM_I_US}
+                THEN pcell + {_UNIFORM_I_US}
+              WHEN cell = t THEN cell
+              ELSE cell + {_UNIFORM_I_US} END AS g_lo
+  FROM acc
+),
+pass AS (
+  SELECT series_key, arg_min(ts, t) AS ts, arg_min(dval, t) AS dval,
+         min(t) AS t0
+  FROM b GROUP BY series_key
+)
+SELECT series_key, make_timestamp(g) AS ts,
+       pv + (dval - pv) * (CAST(g - pt AS DOUBLE) / CAST(t - pt AS DOUBLE)) AS dval
+FROM gated, unnest(generate_series(g_lo, cell, {_UNIFORM_I_US})) AS u(g)
+WHERE g_lo <= cell
+UNION ALL
+SELECT series_key, ts, dval FROM pass WHERE t0 % {_UNIFORM_I_US} = 0
+""",
+)
+def resample_interpolate_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 + proto ``max_gap_interpolate`` (lib/openinstrument.proto:45-52):
+    gaps between accepted inputs longer than N grid intervals are left
+    unfilled (an accepted input exactly ON the grid still passes
+    through). Same pure-SQL plan as resample_interpolate_go with the
+    fill range gated; the oracle replays the gate in DuckDB."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.interpolate(
+        _pts(spark, sf_dir), "1d", max_gap_interpolate=_MAX_GAP_N,
+        restore_labels=False,
+    )
+    return out.select("series_key", "ts", "dval")
+
+
+@query("resample_mean_anchored")
+def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 Go Mean with reference-exact data-anchored buckets (first-ts
+    anchor, stamped at last-in-bucket ts) — golden-tested; rows-only."""
+    from open_instrument_spark.operators import resample
+
+    return resample.mean_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+
+
+@query("resample_min_anchored")
+def resample_min_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 Go Min with reference-exact anchored buckets
+    (mutations/mutations.go:139-164) — golden-tested; rows-only."""
+    from open_instrument_spark.operators import resample
+
+    return resample.min_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+
+
+@query("resample_max_anchored")
+def resample_max_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 Go Max with reference-exact anchored buckets
+    (mutations/mutations.go:166-191) — golden-tested; rows-only."""
+    from open_instrument_spark.operators import resample
+
+    return resample.max_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+
+
+# ===========================================================================
+# Retention W1, RLE W3, ingest S1-S5
+# ===========================================================================
+
+_D7 = 7 * 86_400_000
+_D21 = 21 * 86_400_000
+
+
+@query(
+    "retention_policy",
+    oracle=f"""
+WITH {P_CTE},
+aged AS (
+  SELECT *, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) * 1000 AS age FROM p
+),
+pol AS (
+  SELECT *, CASE WHEN name LIKE '/events/error%' THEN 0
+                 WHEN age <= {_D7} THEN 1
+                 WHEN age >= {_D7} AND age <= {_D21} THEN 2
+                 ELSE -1 END AS pol
+  FROM aged
+)
+SELECT series_key, ts, round(dval, 6) AS dval FROM pol WHERE pol IN (0, 1)
+UNION ALL
+SELECT series_key, {_bucket_sql(86_400_000)} AS ts, round(avg(dval), 6) AS dval
+FROM pol WHERE pol = 2 GROUP BY series_key, 2
+""",
+)
+def retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 first-match retention (lib/retention_policy_manager.cc:20-47):
+    /events/error* kept raw forever; everything else kept raw <= 7 d,
+    downsampled to daily means between 7 and 21 d, default-DROPped
+    beyond (ages relative to pinned NOW)."""
+    from open_instrument_spark.operators.retention import PolicyItem, apply_retention
+
+    policy = [
+        PolicyItem(("/events/error*",), keep=True),
+        PolicyItem(("/events/*",), keep=True, max_age="7d"),
+        PolicyItem(("/events/*",), keep=True, min_age="7d", max_age="21d",
+                   mutations=(("mean", "1d"),)),
+    ]
+    out = apply_retention(_pts(spark, sf_dir), policy, NOW)
+    out = mutate._with_key(out)
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
+
+
+@query(
+    "rle_encode",
+    oracle=f"""
+WITH {P_CTE},
+chg AS (
+  SELECT series_key, ts, dval,
+         CASE WHEN dval IS NOT DISTINCT FROM lag(dval) OVER w THEN 0 ELSE 1 END AS c
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts)
+),
+rid AS (
+  SELECT *, sum(c) OVER (PARTITION BY series_key ORDER BY ts) AS run FROM chg
+)
+SELECT series_key, min(ts) AS ts, max(ts) AS end_ts, max(dval) AS dval,
+       count(*) AS run_len
+FROM rid GROUP BY series_key, run
+""",
+)
+def rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RLE: collapse per-series runs of equal values into
+    (ts, end_ts, value) records (server/disk_datastore.cc:91-110)."""
+    from open_instrument_spark.operators.rle import rle_encode as _rle
+
+    out = _rle(_pts(spark, sf_dir))
+    return out.select("series_key", "ts", "end_ts", "dval", "run_len")
+
+
+@query(
+    "rle_encode_chunked",
+    oracle=f"""
+WITH {P_CTE},
+chg AS (
+  SELECT series_key, ts, dval,
+         CASE WHEN dval IS NOT DISTINCT FROM lag(dval) OVER w THEN 0 ELSE 1 END AS c
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts)
+),
+rid AS (
+  SELECT *, sum(c) OVER (PARTITION BY series_key ORDER BY ts) AS run FROM chg
+)
+SELECT series_key, min(ts) AS ts, max(ts) AS end_ts, max(dval) AS dval,
+       count(*) AS run_len
+FROM rid GROUP BY series_key, run
+""",
+)
+def rle_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RLE via the bounded-task two-phase plan (encode within
+    time-chunks, merge runs across boundaries). Same oracle as
+    rle_encode — the exact-match gate proves the chunked algorithm
+    identical to the single-window one."""
+    from open_instrument_spark.operators.rle import rle_encode as _rle
+
+    out = _rle(_pts(spark, sf_dir), chunk="1d")
+    return out.select("series_key", "ts", "end_ts", "dval", "run_len")
+
+
+@query(
+    "ingest_validate",
+    oracle=f"""
+WITH dirty AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN 'bad name'
+              ELSE '/events/' || event_type END AS name,
+         CAST(user_id AS VARCHAR) AS user_id,
+         CASE WHEN event_id % 89 = 0 THEN ts + INTERVAL 10 YEAR ELSE ts END AS ts,
+         value AS dval
+  FROM events
+)
+SELECT name || '{{user_id=' || user_id || '}}' AS series_key, ts, dval
+FROM dirty
+WHERE regexp_matches(name, '^/\\S+$') AND length(name) >= 2
+  AND ts <= TIMESTAMP '{NOW}' + INTERVAL 1 SECOND
+""",
+)
+def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 ingest validation on a deliberately dirtied stream: bad
+    variable names and far-future timestamps are rejected
+    (server/store.cc:414-417,435-438)."""
+    from open_instrument_spark.sources.ingest import validate
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    dirty = ev.select(
+        F.when(F.col("event_id") % 97 == 0, F.lit("bad name"))
+        .otherwise(F.concat(F.lit("/events/"), F.col("event_type")))
+        .alias("name"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
+        F.when(F.col("event_id") % 89 == 0, F.col("ts") + F.expr("INTERVAL 10 YEARS"))
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+        F.col("value").alias("dval"),
+        F.lit(None).cast("string").alias("sval"),
+    )
+    out = mutate._with_key(validate(dirty, now=NOW))
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "ingest_hostname_default",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name || '{{hostname=h' || CAST(CAST(user_id AS BIGINT) % 3 AS VARCHAR) || ',' ||
+       CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
+       'user_id=' || user_id || '}}' AS series_key,
+       ts, dval
+FROM p
+""",
+)
+def ingest_hostname_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 hostname label defaulting (server/store.cc:405-409): absent
+    hostname label is filled from the source address (emulated as
+    h<user_id%3>)."""
+    from open_instrument_spark.sources.ingest import default_hostname
+
+    pts = _pts(spark, sf_dir)
+    host = F.concat(F.lit("h"), (F.col("labels").getItem("user_id").cast("long") % 3).cast("string"))
+    out = default_hostname(pts, host)
+    from open_instrument_spark.model import series_key as _sk
+
+    return out.select(_sk().alias("series_key"), "ts", "dval")
+
+
+@query(
+    "ingest_dedup",
+    oracle=f"""
+WITH {P_CTE}
+SELECT DISTINCT series_key, ts, dval FROM (
+  SELECT series_key, ts, dval FROM p
+  UNION ALL
+  SELECT series_key, ts, dval FROM p
+)
+""",
+)
+def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/§2.8 exactly-once dedup: replaying the same batch twice (the
+    reference's WAL double-append hazard) yields each (series, ts)
+    sample once."""
+    from open_instrument_spark.sources.ingest import dedup
+
+    pts = _pts(spark, sf_dir)
+    replayed = pts.unionByName(pts)
+    out = mutate._with_key(dedup(replayed))
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "ingest_validate_strict",
+    oracle=f"""
+WITH dirty AS (
+  SELECT CASE WHEN event_id % 61 = 0 THEN '/events/bad:' || event_type
+              ELSE '/events/' || event_type END AS name,
+         CASE WHEN event_id % 53 = 0 THEN 'bad key' ELSE 'user_id' END AS lkey,
+         CAST(user_id AS VARCHAR) AS lval,
+         ts, value AS dval
+  FROM events
+)
+SELECT name || '{{' || lkey || '=' || lval || '}}' AS series_key, ts, dval
+FROM dirty
+WHERE NOT (regexp_matches(name, '^/\\S+$') AND length(name) >= 2
+  AND ts <= TIMESTAMP '{NOW}' + INTERVAL 1 SECOND
+  AND regexp_matches(name, '^/[A-Za-z0-9._\\-/*,]+$')
+  AND regexp_matches(lkey, '^[A-Za-z0-9._\\-/*]+$'))
+""",
+)
+def ingest_validate_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 strict-charset mode, returning the DEAD-LETTER side: names
+    containing chars outside the declared charset (lib/variable.h:28-29
+    — ':' passes the runtime ``^/\\S+$`` check but not strict mode) and
+    label keys outside theirs (variable.h:30-31 — embedded space) are
+    rejected by ``rejected(strict=True)``."""
+    from open_instrument_spark.sources.ingest import rejected
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    dirty = ev.select(
+        F.when(
+            F.col("event_id") % 61 == 0,
+            F.concat(F.lit("/events/bad:"), F.col("event_type")),
+        )
+        .otherwise(F.concat(F.lit("/events/"), F.col("event_type")))
+        .alias("name"),
+        F.create_map(
+            F.when(F.col("event_id") % 53 == 0, F.lit("bad key")).otherwise(
+                F.lit("user_id")
+            ),
+            F.col("user_id").cast("string"),
+        ).alias("labels"),
+        F.col("ts"),
+        F.col("value").alias("dval"),
+        F.lit(None).cast("string").alias("sval"),
+    )
+    out = mutate._with_key(rejected(dirty, now=NOW, strict=True))
+    return out.select("series_key", "ts", "dval")
+
+
+# DuckDB twin of export_scrape.canonical_variable's quoting: quote when
+# any non-value char (variable.cc:71-77) or trim-unstable, escaping
+# , " \ with backslash.
+def _quote_label_sql(col: str) -> str:
+    return (
+        f"CASE WHEN regexp_matches({col}, '[^a-zA-Z0-9_. */-]') "
+        f"OR {col} != trim({col}) "
+        f"THEN '\"' || regexp_replace({col}, '([,\\x22\\\\])', '\\\\\\1', 'g') || '\"' "
+        f"ELSE {col} END"
+    )
+
+
+@query(
+    "export_render",
+    oracle=f"""
+WITH {P_CTE},
+v AS (
+  SELECT name || '{{' ||
+           CASE WHEN k IS NOT NULL AND k != ''
+                THEN 'k=' || {_quote_label_sql('k')} || ',' ELSE '' END ||
+           'user_id=' || {_quote_label_sql('user_id')} || '}}' AS var,
+         ts, printf('%.6f', dval) AS val
+  FROM p
+)
+SELECT var || chr(9) || string_agg(val, chr(9) ORDER BY ts, val) AS line
+FROM v GROUP BY var
+""",
+)
+def export_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 inverse: render points back to the /export text page —
+    ``variable<TAB>value...`` per stream, canonical quoting
+    (exported_vars.cc:63-86 ExportToString, variable.cc:47-105
+    ToString/QuoteValue). %.6f value format pins a cross-engine float
+    rendering; round-trip with the scrape parser is property-tested in
+    test_export_scrape.py."""
+    from open_instrument_spark.sources.export_scrape import render_export
+
+    return render_export(_pts(spark, sf_dir), value_format="%.6f")
+
+

@@ -23,2626 +23,25 @@ spans 2024-01) for operators whose reference semantics reference "now"
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from open_instrument_spark.operators import aggregate as agg_ops
-from open_instrument_spark.operators import mutate, select
-from open_instrument_spark.session import prepare
-from open_instrument_spark.sources.tables import load_tables, points_from_dir
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-NOW = "2024-01-31 00:00:00"
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-    return deco
-
-
-def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark)
-    return points_from_dir(spark, sf_dir)
-
-
-# DuckDB twin of model.events_to_points + model.series_key for the events
-# mapping (two labels, keys pre-sorted k < user_id; quoting never
-# triggers on these values).
-P_CTE = """
-p0 AS (
-  SELECT '/events/' || event_type AS name,
-         CAST(user_id AS VARCHAR) AS user_id,
-         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 3 != 0
-              THEN json_extract_string(props, '$.k') END AS k,
-         ts,
-         value AS dval
-  FROM events
-),
-p AS (
-  SELECT name, user_id, k,
-         name || '{' ||
-           CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
-           'user_id=' || user_id || '}' AS series_key,
-         ts, dval
-  FROM p0
-)
-"""
-
-# lag-pair CTE shared by the rate/delta oracles (window = one series)
-R_CTE = """
-r AS (
-  SELECT name, series_key, ts,
-         dval, lag(dval) OVER w AS pv,
-         epoch(ts) AS t, lag(epoch(ts)) OVER w AS pt
-  FROM p
-  WINDOW w AS (PARTITION BY series_key ORDER BY ts)
-)
-"""
-
-
-def _bucket_sql(interval_ms: int, ts: str = "ts") -> str:
-    return (
-        f"make_timestamp(CAST(floor(epoch_ms({ts}) / {interval_ms}) AS BIGINT)"
-        f" * {interval_ms} * 1000)"
-    )
-
-
-def _raw(points: DataFrame) -> DataFrame:
-    """Standard raw-points output shape: (series_key, ts, dval)."""
-    pts = mutate._with_key(points)
-    return pts.select("series_key", "ts", "dval")
-
-
-# ===========================================================================
-# Flagship (SURVEY.md §7.2 step 1): scan → filter → per-series rate →
-# epoch-aligned 5-minute windows → sum by variable name.
-# ===========================================================================
-
-@query(
-    "flagship_rate_sum",
-    oracle=f"""
-WITH {P_CTE}, {R_CTE}
-SELECT name,
-       {_bucket_sql(300_000)} AS ts,
-       round(sum((dval - pv) / (t - pt)), 6) AS sum_rate
-FROM r
-WHERE pt IS NOT NULL AND t > pt AND (dval - pv) / (t - pt) >= 0
-GROUP BY 1, 2
-""",
-)
-def flagship_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sum of per-second rates of every /events/* series, 5-min tumbling
-    windows, grouped by variable name (M1 + A3/A7)."""
-    pts = _pts(spark, sf_dir)
-    rated = mutate.rate(pts)
-    out = agg_ops.aggregate_by_name(rated, "sum", 300_000)
-    return out.select("name", "ts", F.round("value", 6).alias("sum_rate"))
-
-
-def run_entry(spark: SparkSession) -> DataFrame:
-    """Driver smoke check: flagship at sf0.001."""
-    return flagship_rate_sum(spark, "/root/testdata/sf0.001")
-
-
-# ===========================================================================
-# Selection: F1-F9 + S11 List
-# ===========================================================================
-
-@query(
-    "select_exact_name_label_range",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, ts, dval
-FROM p
-WHERE name = '/events/click' AND user_id = '7'
-  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
-""",
-)
-def select_exact_name_label_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 exact name + F3 label equality + F7 inclusive time range."""
-    pts = select.match_variables(_pts(spark, sf_dir), "/events/click{user_id=7}")
-    pts = select.time_range(pts, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
-    return _raw(pts)
-
-
-@query(
-    "select_prefix_glob",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, ts, dval FROM p WHERE name LIKE '/events/s%'
-""",
-)
-def select_prefix_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 trailing-star prefix glob."""
-    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/s*"))
-
-
-@query(
-    "select_label_present",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, ts, dval FROM p WHERE k IS NOT NULL
-""",
-)
-def select_label_present(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 label presence ({k=*})."""
-    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=*}"))
-
-
-@query(
-    "select_label_absent",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, ts, dval FROM p WHERE k IS NULL
-""",
-)
-def select_label_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 label absence ({k=}) — Go-only feature, supported."""
-    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=}"))
-
-
-@query(
-    "select_label_regex",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, ts, dval FROM p WHERE regexp_full_match(k, '4[0-9]')
-""",
-)
-def select_label_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6 anchored label regex ({k=/4[0-9]/}) — C++-only feature, supported."""
-    return _raw(select.match_variables(_pts(spark, sf_dir), "/events/*{k=/4[0-9]/}"))
-
-
-@query(
-    "select_last_n_per_series",
-    oracle=f"""
-WITH {P_CTE},
-ranked AS (
-  SELECT series_key, ts, dval,
-         row_number() OVER (PARTITION BY series_key ORDER BY ts DESC, dval DESC) AS rn
-  FROM p
-)
-SELECT series_key, ts, dval FROM ranked WHERE rn <= 2
-""",
-)
-def select_last_n_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 max_values: newest 2 values per series (go/src/store.go:151-153).
-    Uses the library operator directly — its (dval, sval) desc tie-break
-    matches the oracle's ts DESC, dval DESC ordering."""
-    out = select.last_n_per_series(_pts(spark, sf_dir), 2)
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "select_max_variables",
-    oracle=f"""
-WITH {P_CTE},
-kept AS (SELECT DISTINCT series_key FROM p ORDER BY series_key LIMIT 25)
-SELECT p.series_key, p.ts, p.dval FROM p JOIN kept USING (series_key)
-""",
-)
-def select_max_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F8 max_variables: first 25 series in canonical-key order."""
-    return _raw(select.cap_variables(_pts(spark, sf_dir), 25))
-
-
-@query(
-    "list_series",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, series_key, max(ts) AS last_ts
-FROM p
-GROUP BY name, series_key
-HAVING max(ts) >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY
-""",
-)
-def list_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11 List RPC: distinct fresh series (max_age = 7 d of pinned NOW)."""
-    out = select.list_series(
-        _pts(spark, sf_dir), "/events/*", max_age_ms=7 * 86_400_000, now=NOW
-    )
-    return out.select("name", "series_key", "last_ts")
-
-
-@query(
-    "list_max_variables",
-    oracle=f"""
-WITH {P_CTE},
-g AS (
-  SELECT name, series_key, max(ts) AS last_ts
-  FROM p
-  GROUP BY name, series_key
-  HAVING max(ts) >= TIMESTAMP '{NOW}' - INTERVAL 7 DAY
-)
-SELECT name, series_key, last_ts FROM g ORDER BY series_key LIMIT 40
-""",
-)
-def list_max_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11×F8 interaction: List RPC truncated by max_variables
-    (server/store.cc:365-367) — first 40 fresh series in canonical-key
-    order. Deterministic because series_key is unique per group."""
-    out = select.list_series(
-        _pts(spark, sf_dir), "/events/*", max_age_ms=7 * 86_400_000,
-        max_variables=40, now=NOW,
-    )
-    return out.select("name", "series_key", "last_ts")
-
-
-# ===========================================================================
-# Per-stream mutations M1-M3, M5, M6, M8, M9
-# ===========================================================================
-
-_RATE_EXPR = "(dval - pv) / (t - pt)"
-
-
-@query(
-    "mutate_rate",
-    oracle=f"""
-WITH {P_CTE}, {R_CTE}
-SELECT series_key, ts, {_RATE_EXPR} AS dval
-FROM r WHERE pt IS NOT NULL AND t > pt AND {_RATE_EXPR} >= 0
-""",
-)
-def mutate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 RATE per second, negatives dropped. Compared EXACTLY (the same
-    IEEE ops run on both engines)."""
-    return _raw(mutate.rate(_pts(spark, sf_dir)))
-
-
-@query(
-    "mutate_rate_chunked",
-    oracle=f"""
-WITH {P_CTE}, {R_CTE}
-SELECT series_key, ts, {_RATE_EXPR} AS dval
-FROM r WHERE pt IS NOT NULL AND t > pt AND {_RATE_EXPR} >= 0
-""",
-)
-def mutate_rate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1 RATE via the two-phase CHUNKED plan (bounded task size for
-    arbitrarily long series: within-chunk lags + per-chunk boundary
-    handoff). Same oracle as mutate_rate — the exact-match gate proves
-    the chunked algorithm bitwise-identical to the single-window one."""
-    return _raw(mutate.rate(_pts(spark, sf_dir), chunk="1d"))
-
-
-@query(
-    "mutate_rate_signed",
-    oracle=f"""
-WITH {P_CTE}, {R_CTE}
-SELECT series_key, ts, {_RATE_EXPR} AS dval
-FROM r WHERE pt IS NOT NULL AND t > pt
-""",
-)
-def mutate_rate_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 RATE_SIGNED: negatives kept."""
-    return _raw(mutate.rate_signed(_pts(spark, sf_dir)))
-
-
-@query(
-    "mutate_delta",
-    oracle=f"""
-WITH {P_CTE}, {R_CTE}
-SELECT series_key, ts, dval - pv AS dval
-FROM r WHERE pt IS NOT NULL AND t > pt AND dval - pv >= 0
-""",
-)
-def mutate_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3 DELTA with the C++ >=0 filter."""
-    return _raw(mutate.delta(_pts(spark, sf_dir)))
-
-
-@query(
-    "mutate_latest_daily",
-    oracle=f"""
-WITH {P_CTE},
-b AS (
-  SELECT series_key, {_bucket_sql(86_400_000)} AS bts, ts, dval,
-         row_number() OVER (PARTITION BY series_key, {_bucket_sql(86_400_000)}
-                            ORDER BY ts DESC, dval DESC) AS rn
-  FROM p
-)
-SELECT series_key, bts AS ts, dval FROM b WHERE rn = 1
-""",
-)
-def mutate_latest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 LATEST per 1-day bucket (retention downsampling shape,
-    config.txt:37-47). Row selection — compared exactly."""
-    out = mutate.latest(_pts(spark, sf_dir), "1d")
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "mutate_latest_string_daily",
-    oracle="""
-WITH sp AS (
-  SELECT '/meta/agent{host=' || CAST(user_id AS VARCHAR) || '}' AS series_key,
-         ts, max(event_type) AS sval
-  FROM events GROUP BY 1, 2
-),
-b AS (
-  SELECT series_key,
-         make_timestamp(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
-                        * 86400000 * 1000) AS bts,
-         ts, sval,
-         row_number() OVER (PARTITION BY series_key,
-                            CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
-                            ORDER BY ts DESC) AS rn
-  FROM sp
-)
-SELECT series_key, bts AS ts, sval FROM b WHERE rn = 1
-""",
-)
-def mutate_latest_string_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 LATEST over STRING samples: the reference stores string series
-    (os-name etc., lib/openinstrument.proto:75-76), RLE-compresses them
-    and downsamples via daily LATEST (config.txt:37-47) — strings are
-    never aggregated. Points synthesized from events (event_type as the
-    string sample, one '/meta/agent' series per host)."""
-    prepare(spark)
-    ev = load_tables(spark, sf_dir).table("events")
-    # max() per (host, ts) makes exact-timestamp ties deterministic in
-    # both engines (LATEST itself orders only by ts).
-    sp = (
-        ev.groupBy("user_id", "ts")
-        .agg(F.max("event_type").alias("sval"))
-        .select(
-            F.lit("/meta/agent").alias("name"),
-            F.create_map(F.lit("host"), F.col("user_id").cast("string")).alias("labels"),
-            "ts",
-            F.lit(None).cast("double").alias("dval"),
-            "sval",
-        )
-    )
-    out = mutate.latest(sp, "1d")
-    return out.select("series_key", "ts", "sval")
-
-
-@query(
-    "mutate_mean_resample",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, {_bucket_sql(3_600_000)} AS ts, round(avg(dval), 6) AS dval
-FROM p GROUP BY 1, 2
-""",
-)
-def mutate_mean_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 AVERAGE resample: hourly mean per series (aligned semantics)."""
-    out = mutate.mean_resample(_pts(spark, sf_dir), "1h")
-    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
-
-
-@query(
-    "mutate_min_resample",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, {_bucket_sql(3_600_000)} AS ts, min(dval) AS dval
-FROM p GROUP BY 1, 2
-""",
-)
-def mutate_min_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 MIN resample: hourly min (selection — exact)."""
-    out = mutate.min_resample(_pts(spark, sf_dir), "1h")
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "mutate_max_resample",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, {_bucket_sql(3_600_000)} AS ts, max(dval) AS dval
-FROM p GROUP BY 1, 2
-""",
-)
-def mutate_max_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 MAX resample: hourly max (selection — exact)."""
-    out = mutate.max_resample(_pts(spark, sf_dir), "1h")
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "mutate_stddev_resample",
-    oracle=f"""
-WITH {P_CTE}
-SELECT series_key, {_bucket_sql(21_600_000)} AS ts, round(stddev_pop(dval), 6) AS dval
-FROM p GROUP BY 1, 2
-""",
-)
-def mutate_stddev_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9 population stddev per 6-h bucket."""
-    out = mutate.stddev_resample(_pts(spark, sf_dir), "6h")
-    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
-
-
-# ===========================================================================
-# Cross-stream aggregations A2-A8
-# ===========================================================================
-
-def _agg_by_name(spark, sf_dir, kind, interval_ms, round_out=True):
-    out = agg_ops.aggregate_by_name(_pts(spark, sf_dir), kind, interval_ms)
-    val = F.round("value", 6).alias("value") if round_out else F.col("value")
-    return out.select("name", "ts", val)
-
-
-@query(
-    "agg_sum_by_name",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, {_bucket_sql(3_600_000)} AS ts, round(sum(dval), 6) AS value
-FROM p GROUP BY 1, 2
-""",
-)
-def agg_sum_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3+A7: hourly SUM across all streams per variable name."""
-    return _agg_by_name(spark, sf_dir, "sum", 3_600_000)
-
-
-@query(
-    "agg_avg_by_name",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, {_bucket_sql(3_600_000)} AS ts, round(avg(dval), 6) AS value
-FROM p GROUP BY 1, 2
-""",
-)
-def agg_avg_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2+A7: hourly AVERAGE across streams per name."""
-    return _agg_by_name(spark, sf_dir, "average", 3_600_000)
-
-
-@query(
-    "agg_min_by_name",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, {_bucket_sql(3_600_000)} AS ts, min(dval) AS value
-FROM p GROUP BY 1, 2
-""",
-)
-def agg_min_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5+A7: hourly MIN (exact)."""
-    return _agg_by_name(spark, sf_dir, "min", 3_600_000, round_out=False)
-
-
-@query(
-    "agg_max_by_name",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, {_bucket_sql(3_600_000)} AS ts, max(dval) AS value
-FROM p GROUP BY 1, 2
-""",
-)
-def agg_max_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4+A7: hourly MAX — true max, the reference's 0-init bug
-    (lib/protobuf.cc:109-120) deliberately not reproduced."""
-    return _agg_by_name(spark, sf_dir, "max", 3_600_000, round_out=False)
-
-
-@query(
-    "agg_median_by_name",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, {_bucket_sql(21_600_000)} AS ts, round(median(dval), 6) AS value
-FROM p GROUP BY 1, 2
-""",
-)
-def agg_median_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6+A7: 6-hourly MEDIAN (continuous-interpolated; declared
-    divergence from the reference's upper-median, SURVEY.md §7.0 #5)."""
-    return _agg_by_name(spark, sf_dir, "median", 21_600_000)
-
-
-@query(
-    "agg_median_upper_by_name",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, {_bucket_sql(21_600_000)} AS ts,
-       list_sort(list(dval))[CAST(floor(count(*) / 2) AS INT) + 1] AS value
-FROM p GROUP BY 1, 2
-""",
-)
-def agg_median_upper_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 reference-exact MEDIAN: sorted bucket's element [n/2] — the
-    upper median, middle pair never averaged (lib/protobuf.cc:135-142).
-    Row selection, so values compare exactly (no rounding)."""
-    return _agg_by_name(spark, sf_dir, "median_upper", 21_600_000, round_out=False)
-
-
-@query(
-    "agg_multi_label_sum",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, 'user_id' AS label, user_id AS label_value,
-       {_bucket_sql(21_600_000)} AS ts, round(sum(dval), 6) AS value
-FROM p GROUP BY 1, 3, 4
-UNION ALL
-SELECT name, 'k' AS label, k AS label_value,
-       {_bucket_sql(21_600_000)} AS ts, round(sum(dval), 6) AS value
-FROM p WHERE k IS NOT NULL AND k != '' GROUP BY 1, 3, 4
-""",
-)
-def agg_multi_label_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 multi-label fan-out (server/store.cc:190-249 loops the agg's
-    label list): each label yields an independent grouping, union-tagged
-    with the grouping label name."""
-    out = agg_ops.aggregate(
-        _pts(spark, sf_dir), "sum", ["user_id", "k"], 21_600_000
-    )
-    return out.select(
-        "name", "label", "label_value", "ts", F.round("value", 6).alias("value")
-    )
-
-
-@query(
-    "agg_avg_by_label_user",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, user_id AS label_value, {_bucket_sql(21_600_000)} AS ts,
-       round(avg(dval), 6) AS value
-FROM p GROUP BY 1, 2, 3
-""",
-)
-def agg_avg_by_label_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: AVERAGE grouped by the user_id label, 6-h windows."""
-    out = agg_ops.aggregate_by_label(_pts(spark, sf_dir), "average", "user_id", 21_600_000)
-    return out.select("name", "label_value", "ts", F.round("value", 6).alias("value"))
-
-
-@query(
-    "agg_sum_by_label_k",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name, k AS label_value, {_bucket_sql(21_600_000)} AS ts,
-       round(sum(dval), 6) AS value
-FROM p WHERE k IS NOT NULL
-GROUP BY 1, 2, 3
-""",
-)
-def agg_sum_by_label_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 + A10 drop-missing: SUM grouped by the sparse k label; streams
-    lacking the label are skipped (openinstrument.go:151-206)."""
-    out = agg_ops.aggregate_by_label(_pts(spark, sf_dir), "sum", "k", 21_600_000)
-    return out.select("name", "label_value", "ts", F.round("value", 6).alias("value"))
-
-
-@query(
-    "agg_retained_single_labels",
-    oracle=f"""
-WITH {P_CTE},
-members AS (SELECT DISTINCT name, user_id, k FROM p WHERE k IS NOT NULL),
-ret AS (
-  SELECT name, user_id, CASE WHEN count(*) = 1 THEN min(k) END AS retained_k
-  FROM members GROUP BY name, user_id
-),
-a AS (
-  SELECT name, user_id AS label_value, {_bucket_sql(86_400_000)} AS ts,
-         round(avg(dval), 6) AS value
-  FROM p GROUP BY 1, 2, 3
-)
-SELECT a.name, a.label_value, a.ts, a.value, ret.retained_k
-FROM a LEFT JOIN ret ON a.name = ret.name AND a.label_value = ret.user_id
-""",
-)
-def agg_retained_single_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 single-valued label retention (server/store.cc:208-227): daily
-    AVERAGE by user_id, keeping the k label when the group's member
-    streams carry exactly one distinct k value."""
-    out = agg_ops.aggregate_by_label(
-        _pts(spark, sf_dir), "average", "user_id", 86_400_000, retain_single_valued=True
-    )
-    return out.select(
-        "name",
-        "label_value",
-        "ts",
-        F.round("value", 6).alias("value"),
-        F.col("retained_labels").getItem("k").alias("retained_k"),
-    )
-
-
-# ===========================================================================
-# Grid resampling M4/M7 (interpolation)
-# ===========================================================================
-
-_UNIFORM_I_US = 86_400_000_000  # 1 day grid
-
-
-@query(
-    "resample_uniform_avg",
-    oracle=f"""
-WITH {P_CTE},
-w AS (
-  SELECT series_key, epoch_us(ts) AS t, dval,
-         lag(epoch_us(ts)) OVER win AS pt, lag(dval) OVER win AS pv,
-         min(epoch_us(ts)) OVER (PARTITION BY series_key) AS t0
-  FROM p WINDOW win AS (PARTITION BY series_key ORDER BY ts)
-),
-pairs AS (
-  SELECT series_key, t, dval, pt, pv,
-         t0 - t0 % {_UNIFORM_I_US} AS base,
-         pt + ({_UNIFORM_I_US} - (pt - (t0 - t0 % {_UNIFORM_I_US})) % {_UNIFORM_I_US}) AS g_lo,
-         t - (t - (t0 - t0 % {_UNIFORM_I_US})) % {_UNIFORM_I_US} AS g_hi
-  FROM w WHERE pt IS NOT NULL AND t > pt
-)
-SELECT series_key, make_timestamp(g) AS ts,
-       CASE WHEN g = t THEN dval
-            ELSE (dval - pv) / (t - pt) * (g - pt) + pv END AS dval
-FROM pairs, unnest(generate_series(g_lo, g_hi, {_UNIFORM_I_US})) AS u(g)
-WHERE g_lo <= g_hi
-""",
-)
-def resample_uniform_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 C++ UniformTimeSeries (AVERAGE + sample_frequency): daily grid,
-    linear interpolation between straddling points — pure Spark
-    sequence+explode, golden-tested against lib/counter_test.cc."""
-    from open_instrument_spark.operators import resample
-
-    out = resample.uniform_average(_pts(spark, sf_dir), "1d")
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "resample_interpolate_go",
-    oracle=f"""
-WITH {P_CTE},
-b AS (
-  SELECT series_key, epoch_us(ts) AS t, ts, dval,
-         epoch_us(ts) - epoch_us(ts) % {_UNIFORM_I_US} AS cell
-  FROM p
-),
-w AS (
-  SELECT series_key, t, dval, cell,
-         lag(cell) OVER (PARTITION BY series_key ORDER BY t) AS pcell
-  FROM b
-),
-firsts AS (
-  SELECT series_key, cell, arg_min(t, t) AS ft, arg_min(dval, t) AS fv
-  FROM b GROUP BY 1, 2
-),
-anchors AS (SELECT series_key, min(cell) AS c0 FROM b GROUP BY 1),
-acc AS (
-  SELECT w.series_key, w.t, w.dval, w.pcell, w.cell,
-         CASE WHEN w.pcell = a.c0 THEN w.pcell ELSE f.ft END AS pt, f.fv AS pv
-  FROM w
-  JOIN firsts f ON w.series_key = f.series_key AND w.pcell = f.cell
-  JOIN anchors a ON w.series_key = a.series_key
-  WHERE w.pcell IS NOT NULL AND w.cell > w.pcell
-),
-pass AS (
-  SELECT series_key, arg_min(ts, t) AS ts, arg_min(dval, t) AS dval,
-         min(t) AS t0
-  FROM b GROUP BY series_key
-)
-SELECT series_key, make_timestamp(g) AS ts,
-       pv + (dval - pv) * (CAST(g - pt AS DOUBLE) / CAST(t - pt AS DOUBLE)) AS dval
-FROM acc, unnest(generate_series(pcell + {_UNIFORM_I_US}, cell, {_UNIFORM_I_US})) AS u(g)
-UNION ALL
-SELECT series_key, ts, dval FROM pass WHERE t0 % {_UNIFORM_I_US} = 0
-""",
-)
-def resample_interpolate_go(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 Go Interpolate (NONE + sample_frequency,
-    mutations/mutations.go:90-137): daily grid, inputs accepted only when
-    they cross a grid cell, linear interpolation anchored at the grid
-    base for the first cell. Pure-SQL plan (resample._interpolate_sql),
-    golden-tested vs mutations_test.go AND row-identical to the Arrow
-    kernel; the oracle replays the relational derivation in DuckDB."""
-    from open_instrument_spark.operators import resample
-
-    out = resample.interpolate(_pts(spark, sf_dir), "1d", restore_labels=False)
-    return out.select("series_key", "ts", "dval")
-
-
-@query("resample_interpolate_chunked", oracle=ORACLES["resample_interpolate_go"])
-def resample_interpolate_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 with the bounded-task ``chunk=`` two-phase plan (per-(series,
-    chunk) lag + tail-struct handoff): must be row-identical to the
-    single-window form, so it shares resample_interpolate_go's oracle —
-    the same exact-hash gate that proves rate/RLE chunked twins."""
-    from open_instrument_spark.operators import resample
-
-    out = resample.interpolate(
-        _pts(spark, sf_dir), "1d", chunk="7d", restore_labels=False
-    )
-    return out.select("series_key", "ts", "dval")
-
-
-_MAX_GAP_N = 2  # proto max_gap_interpolate: gaps > 2 grid intervals unfilled
-
-
-@query(
-    "resample_interpolate_max_gap",
-    oracle=f"""
-WITH {P_CTE},
-b AS (
-  SELECT series_key, epoch_us(ts) AS t, ts, dval,
-         epoch_us(ts) - epoch_us(ts) % {_UNIFORM_I_US} AS cell
-  FROM p
-),
-w AS (
-  SELECT series_key, t, dval, cell,
-         lag(cell) OVER (PARTITION BY series_key ORDER BY t) AS pcell
-  FROM b
-),
-firsts AS (
-  SELECT series_key, cell, arg_min(t, t) AS ft, arg_min(dval, t) AS fv
-  FROM b GROUP BY 1, 2
-),
-anchors AS (SELECT series_key, min(cell) AS c0 FROM b GROUP BY 1),
-acc AS (
-  SELECT w.series_key, w.t, w.dval, w.pcell, w.cell,
-         CASE WHEN w.pcell = a.c0 THEN w.pcell ELSE f.ft END AS pt, f.fv AS pv
-  FROM w
-  JOIN firsts f ON w.series_key = f.series_key AND w.pcell = f.cell
-  JOIN anchors a ON w.series_key = a.series_key
-  WHERE w.pcell IS NOT NULL AND w.cell > w.pcell
-),
-gated AS (
-  SELECT *,
-         CASE WHEN t - pt <= {_MAX_GAP_N} * {_UNIFORM_I_US}
-                THEN pcell + {_UNIFORM_I_US}
-              WHEN cell = t THEN cell
-              ELSE cell + {_UNIFORM_I_US} END AS g_lo
-  FROM acc
-),
-pass AS (
-  SELECT series_key, arg_min(ts, t) AS ts, arg_min(dval, t) AS dval,
-         min(t) AS t0
-  FROM b GROUP BY series_key
-)
-SELECT series_key, make_timestamp(g) AS ts,
-       pv + (dval - pv) * (CAST(g - pt AS DOUBLE) / CAST(t - pt AS DOUBLE)) AS dval
-FROM gated, unnest(generate_series(g_lo, cell, {_UNIFORM_I_US})) AS u(g)
-WHERE g_lo <= cell
-UNION ALL
-SELECT series_key, ts, dval FROM pass WHERE t0 % {_UNIFORM_I_US} = 0
-""",
-)
-def resample_interpolate_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M7 + proto ``max_gap_interpolate`` (lib/openinstrument.proto:45-52):
-    gaps between accepted inputs longer than N grid intervals are left
-    unfilled (an accepted input exactly ON the grid still passes
-    through). Same pure-SQL plan as resample_interpolate_go with the
-    fill range gated; the oracle replays the gate in DuckDB."""
-    from open_instrument_spark.operators import resample
-
-    out = resample.interpolate(
-        _pts(spark, sf_dir), "1d", max_gap_interpolate=_MAX_GAP_N,
-        restore_labels=False,
-    )
-    return out.select("series_key", "ts", "dval")
-
-
-@query("resample_mean_anchored")
-def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 Go Mean with reference-exact data-anchored buckets (first-ts
-    anchor, stamped at last-in-bucket ts) — golden-tested; rows-only."""
-    from open_instrument_spark.operators import resample
-
-    return resample.mean_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
-
-
-@query("resample_min_anchored")
-def resample_min_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 Go Min with reference-exact anchored buckets
-    (mutations/mutations.go:139-164) — golden-tested; rows-only."""
-    from open_instrument_spark.operators import resample
-
-    return resample.min_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
-
-
-@query("resample_max_anchored")
-def resample_max_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 Go Max with reference-exact anchored buckets
-    (mutations/mutations.go:166-191) — golden-tested; rows-only."""
-    from open_instrument_spark.operators import resample
-
-    return resample.max_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
-
-
-# ===========================================================================
-# Retention W1, RLE W3, ingest S1-S5
-# ===========================================================================
-
-_D7 = 7 * 86_400_000
-_D21 = 21 * 86_400_000
-
-
-@query(
-    "retention_policy",
-    oracle=f"""
-WITH {P_CTE},
-aged AS (
-  SELECT *, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) * 1000 AS age FROM p
-),
-pol AS (
-  SELECT *, CASE WHEN name LIKE '/events/error%' THEN 0
-                 WHEN age <= {_D7} THEN 1
-                 WHEN age >= {_D7} AND age <= {_D21} THEN 2
-                 ELSE -1 END AS pol
-  FROM aged
-)
-SELECT series_key, ts, round(dval, 6) AS dval FROM pol WHERE pol IN (0, 1)
-UNION ALL
-SELECT series_key, {_bucket_sql(86_400_000)} AS ts, round(avg(dval), 6) AS dval
-FROM pol WHERE pol = 2 GROUP BY series_key, 2
-""",
-)
-def retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 first-match retention (lib/retention_policy_manager.cc:20-47):
-    /events/error* kept raw forever; everything else kept raw <= 7 d,
-    downsampled to daily means between 7 and 21 d, default-DROPped
-    beyond (ages relative to pinned NOW)."""
-    from open_instrument_spark.operators.retention import PolicyItem, apply_retention
-
-    policy = [
-        PolicyItem(("/events/error*",), keep=True),
-        PolicyItem(("/events/*",), keep=True, max_age="7d"),
-        PolicyItem(("/events/*",), keep=True, min_age="7d", max_age="21d",
-                   mutations=(("mean", "1d"),)),
-    ]
-    out = apply_retention(_pts(spark, sf_dir), policy, NOW)
-    out = mutate._with_key(out)
-    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
-
-
-@query(
-    "rle_encode",
-    oracle=f"""
-WITH {P_CTE},
-chg AS (
-  SELECT series_key, ts, dval,
-         CASE WHEN dval IS NOT DISTINCT FROM lag(dval) OVER w THEN 0 ELSE 1 END AS c
-  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts)
-),
-rid AS (
-  SELECT *, sum(c) OVER (PARTITION BY series_key ORDER BY ts) AS run FROM chg
-)
-SELECT series_key, min(ts) AS ts, max(ts) AS end_ts, max(dval) AS dval,
-       count(*) AS run_len
-FROM rid GROUP BY series_key, run
-""",
-)
-def rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 RLE: collapse per-series runs of equal values into
-    (ts, end_ts, value) records (server/disk_datastore.cc:91-110)."""
-    from open_instrument_spark.operators.rle import rle_encode as _rle
-
-    out = _rle(_pts(spark, sf_dir))
-    return out.select("series_key", "ts", "end_ts", "dval", "run_len")
-
-
-@query(
-    "rle_encode_chunked",
-    oracle=f"""
-WITH {P_CTE},
-chg AS (
-  SELECT series_key, ts, dval,
-         CASE WHEN dval IS NOT DISTINCT FROM lag(dval) OVER w THEN 0 ELSE 1 END AS c
-  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts)
-),
-rid AS (
-  SELECT *, sum(c) OVER (PARTITION BY series_key ORDER BY ts) AS run FROM chg
-)
-SELECT series_key, min(ts) AS ts, max(ts) AS end_ts, max(dval) AS dval,
-       count(*) AS run_len
-FROM rid GROUP BY series_key, run
-""",
-)
-def rle_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 RLE via the bounded-task two-phase plan (encode within
-    time-chunks, merge runs across boundaries). Same oracle as
-    rle_encode — the exact-match gate proves the chunked algorithm
-    identical to the single-window one."""
-    from open_instrument_spark.operators.rle import rle_encode as _rle
-
-    out = _rle(_pts(spark, sf_dir), chunk="1d")
-    return out.select("series_key", "ts", "end_ts", "dval", "run_len")
-
-
-@query(
-    "ingest_validate",
-    oracle=f"""
-WITH dirty AS (
-  SELECT CASE WHEN event_id % 97 = 0 THEN 'bad name'
-              ELSE '/events/' || event_type END AS name,
-         CAST(user_id AS VARCHAR) AS user_id,
-         CASE WHEN event_id % 89 = 0 THEN ts + INTERVAL 10 YEAR ELSE ts END AS ts,
-         value AS dval
-  FROM events
-)
-SELECT name || '{{user_id=' || user_id || '}}' AS series_key, ts, dval
-FROM dirty
-WHERE regexp_matches(name, '^/\\S+$') AND length(name) >= 2
-  AND ts <= TIMESTAMP '{NOW}' + INTERVAL 1 SECOND
-""",
-)
-def ingest_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3+S4 ingest validation on a deliberately dirtied stream: bad
-    variable names and far-future timestamps are rejected
-    (server/store.cc:414-417,435-438)."""
-    from open_instrument_spark.sources.ingest import validate
-
-    prepare(spark)
-    ev = load_tables(spark, sf_dir).table("events")
-    dirty = ev.select(
-        F.when(F.col("event_id") % 97 == 0, F.lit("bad name"))
-        .otherwise(F.concat(F.lit("/events/"), F.col("event_type")))
-        .alias("name"),
-        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("labels"),
-        F.when(F.col("event_id") % 89 == 0, F.col("ts") + F.expr("INTERVAL 10 YEARS"))
-        .otherwise(F.col("ts"))
-        .alias("ts"),
-        F.col("value").alias("dval"),
-        F.lit(None).cast("string").alias("sval"),
-    )
-    out = mutate._with_key(validate(dirty, now=NOW))
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "ingest_hostname_default",
-    oracle=f"""
-WITH {P_CTE}
-SELECT name || '{{hostname=h' || CAST(CAST(user_id AS BIGINT) % 3 AS VARCHAR) || ',' ||
-       CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
-       'user_id=' || user_id || '}}' AS series_key,
-       ts, dval
-FROM p
-""",
-)
-def ingest_hostname_default(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 hostname label defaulting (server/store.cc:405-409): absent
-    hostname label is filled from the source address (emulated as
-    h<user_id%3>)."""
-    from open_instrument_spark.sources.ingest import default_hostname
-
-    pts = _pts(spark, sf_dir)
-    host = F.concat(F.lit("h"), (F.col("labels").getItem("user_id").cast("long") % 3).cast("string"))
-    out = default_hostname(pts, host)
-    from open_instrument_spark.model import series_key as _sk
-
-    return out.select(_sk().alias("series_key"), "ts", "dval")
-
-
-@query(
-    "ingest_dedup",
-    oracle=f"""
-WITH {P_CTE}
-SELECT DISTINCT series_key, ts, dval FROM (
-  SELECT series_key, ts, dval FROM p
-  UNION ALL
-  SELECT series_key, ts, dval FROM p
-)
-""",
-)
-def ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1/§2.8 exactly-once dedup: replaying the same batch twice (the
-    reference's WAL double-append hazard) yields each (series, ts)
-    sample once."""
-    from open_instrument_spark.sources.ingest import dedup
-
-    pts = _pts(spark, sf_dir)
-    replayed = pts.unionByName(pts)
-    out = mutate._with_key(dedup(replayed))
-    return out.select("series_key", "ts", "dval")
-
-
-@query(
-    "ingest_validate_strict",
-    oracle=f"""
-WITH dirty AS (
-  SELECT CASE WHEN event_id % 61 = 0 THEN '/events/bad:' || event_type
-              ELSE '/events/' || event_type END AS name,
-         CASE WHEN event_id % 53 = 0 THEN 'bad key' ELSE 'user_id' END AS lkey,
-         CAST(user_id AS VARCHAR) AS lval,
-         ts, value AS dval
-  FROM events
-)
-SELECT name || '{{' || lkey || '=' || lval || '}}' AS series_key, ts, dval
-FROM dirty
-WHERE NOT (regexp_matches(name, '^/\\S+$') AND length(name) >= 2
-  AND ts <= TIMESTAMP '{NOW}' + INTERVAL 1 SECOND
-  AND regexp_matches(name, '^/[A-Za-z0-9._\\-/*,]+$')
-  AND regexp_matches(lkey, '^[A-Za-z0-9._\\-/*]+$'))
-""",
-)
-def ingest_validate_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 strict-charset mode, returning the DEAD-LETTER side: names
-    containing chars outside the declared charset (lib/variable.h:28-29
-    — ':' passes the runtime ``^/\\S+$`` check but not strict mode) and
-    label keys outside theirs (variable.h:30-31 — embedded space) are
-    rejected by ``rejected(strict=True)``."""
-    from open_instrument_spark.sources.ingest import rejected
-
-    prepare(spark)
-    ev = load_tables(spark, sf_dir).table("events")
-    dirty = ev.select(
-        F.when(
-            F.col("event_id") % 61 == 0,
-            F.concat(F.lit("/events/bad:"), F.col("event_type")),
-        )
-        .otherwise(F.concat(F.lit("/events/"), F.col("event_type")))
-        .alias("name"),
-        F.create_map(
-            F.when(F.col("event_id") % 53 == 0, F.lit("bad key")).otherwise(
-                F.lit("user_id")
-            ),
-            F.col("user_id").cast("string"),
-        ).alias("labels"),
-        F.col("ts"),
-        F.col("value").alias("dval"),
-        F.lit(None).cast("string").alias("sval"),
-    )
-    out = mutate._with_key(rejected(dirty, now=NOW, strict=True))
-    return out.select("series_key", "ts", "dval")
-
-
-# DuckDB twin of export_scrape.canonical_variable's quoting: quote when
-# any non-value char (variable.cc:71-77) or trim-unstable, escaping
-# , " \ with backslash.
-def _quote_label_sql(col: str) -> str:
-    return (
-        f"CASE WHEN regexp_matches({col}, '[^a-zA-Z0-9_. */-]') "
-        f"OR {col} != trim({col}) "
-        f"THEN '\"' || regexp_replace({col}, '([,\\x22\\\\])', '\\\\\\1', 'g') || '\"' "
-        f"ELSE {col} END"
-    )
-
-
-@query(
-    "export_render",
-    oracle=f"""
-WITH {P_CTE},
-v AS (
-  SELECT name || '{{' ||
-           CASE WHEN k IS NOT NULL AND k != ''
-                THEN 'k=' || {_quote_label_sql('k')} || ',' ELSE '' END ||
-           'user_id=' || {_quote_label_sql('user_id')} || '}}' AS var,
-         ts, printf('%.6f', dval) AS val
-  FROM p
-)
-SELECT var || chr(9) || string_agg(val, chr(9) ORDER BY ts, val) AS line
-FROM v GROUP BY var
-""",
-)
-def export_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12 inverse: render points back to the /export text page —
-    ``variable<TAB>value...`` per stream, canonical quoting
-    (exported_vars.cc:63-86 ExportToString, variable.cc:47-105
-    ToString/QuoteValue). %.6f value format pins a cross-engine float
-    rendering; round-trip with the scrape parser is property-tested in
-    test_export_scrape.py."""
-    from open_instrument_spark.sources.export_scrape import render_export
-
-    return render_export(_pts(spark, sf_dir), value_format="%.6f")
-
-
-# ===========================================================================
-# §2.9 LLM-pipeline operators: text analysis, dedup, similarity, multimodal
-# ===========================================================================
-
-# DuckDB twin of text.words(): lower → strip non-letters → split on \s+
-_WORDS_SQL = (
-    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
-    "'[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '')"
-)
-_SW = {
-    "en": "['the','and','of','to','in','is','you','that','it','for']",
-    "de": "['der','die','und','das','ist','nicht','mit','ein','ich','auf']",
-    "fr": "['le','la','et','les','des','un','une','est','pour','que']",
-    "es": "['el','los','se','del','las','por','con','para','una','su']",
-}
-_HITS = {
-    lg: f"len(list_filter(w, t -> list_contains({lst}, t)))" for lg, lst in _SW.items()
-}
-
-
-@query(
-    "text_stats",
-    oracle=f"""
-WITH base AS (
-  SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
-),
-feat AS (
-  SELECT doc_id, text, w,
-         length(text) AS n_chars,
-         len(w) AS n_words,
-         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
-         CASE WHEN length(text) > 0 THEN
-           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-             / length(text) ELSE 0.0 END AS praw,
-         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
-         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
-         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
-         CASE WHEN len(w) > 0 THEN
-           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
-           ELSE 0.0 END AS mean_wlen
-  FROM base
-)
-SELECT doc_id, n_chars, n_words, n_tokens,
-       round(praw, 6) AS punct_ratio,
-       round(sraw, 6) AS stopword_ratio,
-       round(
-         least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
-         (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
-         least(1.0, sraw * 5.0) * 0.2 +
-         (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
-       CASE WHEN s_en >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
-            WHEN s_de >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
-            WHEN s_fr >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
-            WHEN s_es >= greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
-            ELSE 'und' END AS lang_pred,
-       CASE WHEN len(w) >= 3 THEN
-         list_min(list_transform(range(len(w) - 2),
-                  i -> md5(array_to_string(w[i+1:i+3], ' '))))
-       ELSE md5(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'))) END AS fingerprint
-FROM feat
-""",
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 text analysis: char/word/BPE-token counts, punctuation and
-    stopword ratios, composite quality score, heuristic language ID,
-    min-hash fingerprint — one JVM-side scan-project."""
-    from open_instrument_spark.operators.text import text_stats as _ts
-
-    prepare(spark)
-    return _ts(load_tables(spark, sf_dir).table("documents"))
-
-
-@query(
-    "text_scrub",
-    oracle="""
-WITH c AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 5 = 0
-              THEN text || ' see https://ex.com/a?u=bob@x.io or mail bob@example.com' || chr(1) || 'tail'
-              ELSE text END AS t
-  FROM documents
-),
-u AS (
-  SELECT doc_id,
-         len(regexp_extract_all(t, 'https?://\\S+')) AS n_urls,
-         regexp_replace(t, 'https?://\\S+', '', 'g') AS t1
-  FROM c
-),
-e AS (
-  SELECT doc_id, n_urls,
-         len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g') AS t2
-  FROM u
-),
-f AS (
-  SELECT doc_id, n_urls, n_emails,
-         trim(regexp_replace(regexp_replace(t2, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
-                             '\\s+', ' ', 'g')) AS clean
-  FROM e
-)
-SELECT doc_id, n_urls, n_emails, md5(clean) AS clean_md5,
-       CAST(length(clean) AS BIGINT) AS clean_len
-FROM f
-""",
-)
-def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 corpus scrubbing: URL/email strip + control-char and
-    whitespace normalization, over a corpus seeded with URLs (one
-    containing an embedded address — counted as a URL, not an email),
-    emails and a control byte on every 5th doc. Cleaned text compared by
-    md5 + length. Past the driver window: replayed against DuckDB by
-    tests/test_oracle_parity.py."""
-    from open_instrument_spark.operators.text import scrub
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    seeded = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" see https://ex.com/a?u=bob@x.io or mail bob@example.com"),
-                F.lit(chr(1)),
-                F.lit("tail"),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
-    )
-    out = scrub(seeded)
-    return out.select(
-        "doc_id",
-        "n_urls",
-        "n_emails",
-        F.md5("clean_text").alias("clean_md5"),
-        F.length("clean_text").cast("long").alias("clean_len"),
-    )
-
-
-from open_instrument_spark.operators.corpus import (  # noqa: E402
-    DEFAULT_WEIGHTS as _SPLIT_WEIGHTS,
-    cumulative_thresholds as _split_thresholds,
-)
-
-_T = _split_thresholds(_SPLIT_WEIGHTS)
-_T_TRAIN, _T_VAL = _T["train"], _T["val"]
-
-
-@query(
-    "corpus_hash_split",
-    oracle=f"""
-SELECT doc_id,
-       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
-            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
-            ELSE 'test' END AS split
-FROM documents
-""",
-)
-def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 corpus ops: deterministic 90/5/5 train/val/test split by md5
-    of doc_id — stable across runs/engines/cluster sizes, and adding
-    documents never reassigns existing ones (unlike random splits)."""
-    from open_instrument_spark.operators.corpus import hash_split
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id")
-    return hash_split(docs).select("doc_id", "split")
-
-
-@query(
-    "corpus_pack_greedy",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens FROM documents
-)
-SELECT doc_id, n_tokens,
-       CAST(floor(COALESCE(sum(n_tokens) OVER (
-              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-            ), 0) / 2048.0) AS BIGINT) AS bin
-FROM t
-""",
-)
-def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 corpus ops: contiguous sequence packing — documents fill
-    consecutive ~2048-token bins by cumulative word count (the standard
-    one-pass approximation of first-fit packing)."""
-    from open_instrument_spark.operators.corpus import pack_greedy
-    from open_instrument_spark.operators.text import words
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    toks = docs.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
-    return pack_greedy(toks, "n_tokens", 2048).select("doc_id", "n_tokens", "bin")
-
-
-@query(
-    "corpus_pack_partitioned",
-    oracle=f"""
-WITH t AS (
-  SELECT doc_id, len({_WORDS_SQL}) AS n_tokens,
-         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
-              WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
-              ELSE 'test' END AS bin_part
-  FROM documents
-)
-SELECT doc_id, n_tokens, bin_part,
-       CAST(floor(COALESCE(sum(n_tokens) OVER (
-              PARTITION BY bin_part ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-            ), 0) / 2048.0) AS BIGINT) AS bin
-FROM t
-""",
-)
-def corpus_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 SCALE-path sequence packing: greedy prefix-sum bins within
-    each split partition (deterministic (bin_part, bin) identity, no
-    single-task global window). Past the driver window; replayed against
-    DuckDB by tests/test_oracle_parity.py."""
-    from open_instrument_spark.operators.corpus import (
-        hash_split,
-        pack_greedy_partitioned,
-    )
-    from open_instrument_spark.operators.text import words
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    toks = hash_split(
-        docs.select("doc_id", F.size(words(F.col("text"))).alias("n_tokens"))
-    )
-    out = pack_greedy_partitioned(
-        toks.withColumnRenamed("split", "part"), "n_tokens", 2048, "part"
-    )
-    return out.select("doc_id", "n_tokens", "bin_part", "bin")
-
-
-@query(
-    "corpus_clean_pipeline",
-    oracle=f"""
-WITH base AS (
-  SELECT doc_id, text, {_WORDS_SQL} AS w,
-         min(doc_id) OVER (PARTITION BY text) AS rep
-  FROM documents
-),
-feat AS (
-  SELECT doc_id, rep,
-         CASE WHEN length(text) > 0 THEN
-           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-             / length(text) ELSE 0.0 END AS praw,
-         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
-         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
-         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
-         len(w) AS n_words,
-         CASE WHEN len(w) > 0 THEN
-           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
-           ELSE 0.0 END AS mean_wlen
-  FROM base
-),
-q AS (
-  SELECT doc_id, rep,
-         round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
-               (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
-               least(1.0, sraw * 5.0) * 0.2 +
-               (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
-         s_en, greatest(s_en, s_de, s_fr, s_es) AS s_best
-  FROM feat
-)
-SELECT doc_id,
-       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
-            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
-            ELSE 'test' END AS split
-FROM q
-WHERE doc_id = rep AND quality >= 0.75 AND s_en >= s_best AND s_best > 0
-""",
-)
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 capstone: the standard corpus-cleaning pipeline composed from
-    the engine's own operators — exact dedup (keep representatives) →
-    quality >= 0.75 and language = en → deterministic split assignment.
-    One declarative plan end-to-end."""
-    from open_instrument_spark.operators.corpus import split_column
-    from open_instrument_spark.operators.dedup import exact_dedup
-    from open_instrument_spark.operators.text import text_stats
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    # dedup BEFORE tokenizing: quality/lang depend only on the row's own
-    # text, so scoring duplicate rows would be wasted regex work.
-    reps = exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
-    survivors = docs.join(reps, "doc_id")
-    keep = (
-        text_stats(survivors)
-        .select("doc_id", "quality", "lang_pred")
-        .filter((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
-    )
-    return keep.select(
-        "doc_id", split_column(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split")
-    )
-
-
-@query(
-    "corpus_vocab_topk",
-    oracle=f"""
-WITH w AS (
-  SELECT unnest({_WORDS_SQL}) AS word FROM documents
-),
-c AS (
-  SELECT word, count(*) AS n FROM w GROUP BY word
-),
-r AS (
-  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM c
-)
-SELECT word, n, rank FROM r WHERE rank <= 100
-""",
-)
-def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 corpus ops: global vocabulary top-100 by frequency — explode
-    words → count → rank. Map-side partial counts make the shuffle
-    vocabulary-sized, not corpus-sized; the final rank runs on the
-    (small) vocabulary table. Deterministic tie-break on the word."""
-    from pyspark.sql import Window
-
-    from open_instrument_spark.operators.text import words
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    counts = (
-        docs.select(F.explode(words(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    # orderBy+limit compiles to TakeOrderedAndProject — a DISTRIBUTED
-    # top-k over the vocabulary (an unpartitioned rank window would drag
-    # the whole vocab into one task); rank is then assigned on ≤100 rows.
-    top = counts.orderBy(F.col("n").desc(), "word").limit(100)
-    w = Window.orderBy(F.col("n").desc(), "word")
-    return top.withColumn("rank", F.row_number().over(w)).select("word", "n", "rank")
-
-
-_DUP_CORPUS_SQL = """
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
-)
-"""
-
-
-def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ exact copies of every 7th doc (id+100000) — the
-    deterministic duplicate corpus used by the dedup oracles."""
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    return docs.unionByName(copies)
-
-
-@query(
-    "dedup_exact",
-    oracle=f"""
-WITH {_DUP_CORPUS_SQL},
-reps AS (
-  SELECT md5(text) AS h, min(doc_id) AS rep_id, count(*) AS group_size
-  FROM corpus GROUP BY 1
-)
-SELECT c.doc_id, r.rep_id, c.doc_id != r.rep_id AS is_dup, r.group_size
-FROM corpus c JOIN reps r ON md5(c.text) = r.h
-""",
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 exact dedup: content-hash groups with min-id representative,
-    over a corpus seeded with known exact duplicates."""
-    from open_instrument_spark.operators.dedup import exact_dedup
-
-    prepare(spark)
-    return exact_dedup(_dup_corpus(spark, sf_dir))
-
-
-_NEAR_CORPUS_SQL = """
-corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 200000, text || ' zz yy xx ww vv' FROM documents WHERE doc_id % 11 = 0
-)
-"""
-
-
-def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of _NEAR_CORPUS_SQL (near-dup seeding: every 11th doc
-    duplicated with an appended tail, id+200000). One definition shared
-    by dedup_ngram_jaccard and dedup_minhash_lsh and mirrored by the
-    oracle CTE. (dedup_simhash intentionally seeds EXACT copies — no
-    tail — and keeps its own corpus.)"""
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
-    )
-    return docs.unionByName(near)
-
-
-
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH {_NEAR_CORPUS_SQL},
-toks AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(regexp_replace(lower(text),
-           '[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '') AS w
-  FROM corpus
-),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(w) >= 5 THEN
-           list_distinct(list_transform(range(len(w) - 4),
-             i -> array_to_string(w[i+1:i+5], ' ')))
-         ELSE [array_to_string(w, ' ')] END AS shingles
-  FROM toks
-),
-ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT a_id, b_id,
-       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = a_id
-JOIN sizes sb ON sb.doc_id = b_id
-WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
-""",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 EXACT n-gram Jaccard near-dup pairs (shared-shingle join —
-    no approximation), over a corpus seeded with appended-tail near-dups.
-    max_bucket is PINNED to None: the oracle enumerates every shared-
-    shingle pair, so the candidate guard must be off here regardless of
-    the library default (the guard's behavior has its own pytest)."""
-    from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
-
-    corpus = _near_corpus(spark, sf_dir)
-    return ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
-
-
-@query(
-    "dedup_minhash_md5",
-    oracle=f"""
-WITH {_NEAR_CORPUS_SQL},
-toks AS (
-  SELECT doc_id, {_WORDS_SQL} AS w FROM corpus
-),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(w) >= 5 THEN
-           list_distinct(list_transform(range(len(w) - 4),
-                         i -> array_to_string(w[i+1:i+5], ' ')))
-         ELSE [array_to_string(w, ' ')] END AS s
-  FROM toks
-),
-sig AS (
-  SELECT doc_id,
-         list_transform(range(16),
-           i -> list_min(list_transform(s, x -> md5(x || '#' || i)))) AS sg
-  FROM sh
-),
-bands AS (
-  SELECT doc_id, b,
-         md5(sg[b*4 + 1] || sg[b*4 + 2] || sg[b*4 + 3] || sg[b*4 + 4]) AS bh
-  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM bands a JOIN bands b
-    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-),
-v AS (
-  SELECT c.a_id, c.b_id,
-         len(list_intersect(sa.s, sb.s)) AS inter,
-         len(sa.s) AS na, len(sb.s) AS nb
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a_id
-  JOIN sh sb ON sb.doc_id = c.b_id
-)
-SELECT a_id, b_id,
-       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
-""",
-)
-def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 MinHash-LSH with PORTABLE hashing (md5 signatures + band
-    keys, 16 perms × 4 bands): the ENTIRE approximate pipeline —
-    including exactly which candidate pairs LSH surfaces — is
-    reproduced by the DuckDB oracle and hash-gated. The xxhash64
-    variant (dedup_minhash_lsh) stays the fast path; this proves the
-    algorithm, not just the output shape."""
-    from open_instrument_spark.operators.dedup import minhash_lsh_pairs_portable
-
-    return minhash_lsh_pairs_portable(_near_corpus(spark, sf_dir), threshold=0.5)
-
-
-@query("dedup_minhash_lsh")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 MinHash-LSH near-dup (64 perms, 16 bands × 4 rows, exact
-    Jaccard verify on candidates). xxhash64 signatures aren't portable to
-    the oracle engine → rows-only driver check; recall vs the exact
-    ngram_jaccard pairs is pytest-asserted."""
-    from open_instrument_spark.operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(_near_corpus(spark, sf_dir), threshold=0.5)
-
-
-@query("dedup_simhash")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 SimHash near-dup (64-bit sign-aggregate fingerprint, 16-bit
-    band candidate join, popcount verify). Rows-only (xxhash64)."""
-    from open_instrument_spark.operators.dedup import simhash_pairs
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
-    )
-    return simhash_pairs(docs.unionByName(near), max_hamming=3)
-
-
-def _simhash_md5_oracle(max_hamming: int = 3) -> str:
-    """DuckDB twin of dedup.simhash_pairs(portable=True): the 60-bit
-    md5-prefix token hash is re-derived nibble-by-nibble (15 hex chars →
-    signed BIGINT in any engine), the per-bit sign sums are 60 generated
-    conditional aggregates, and banding/popcount replay the Spark plan
-    exactly — the WHOLE approximate pipeline is hash-gated, same pattern
-    as dedup_minhash_md5 / embed_near_dup."""
-    def digit(pos: int) -> str:
-        return f"(strpos('0123456789abcdef', substr(m, {pos}, 1)) - 1)"
-
-    # bit i (0 = LSB of the 60-bit value) lives in hex char 15 - i//4
-    # (1-indexed from the most significant nibble), bit i%4 of the nibble
-    bit_sums = ",\n         ".join(
-        f"SUM(CASE WHEN (({digit(15 - i // 4)} >> {i % 4}) & 1) = 1 "
-        f"THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(60)
-    )
-    fp = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
-    )
-    bands = ", ".join(
-        f"((simhash >> {b * 15}) & 32767) AS bh{b}" for b in range(4)
-    )
-    unpivot = "\n  UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, bh{b} AS bh FROM bnd"
-        for b in range(4)
-    )
-    return f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 11 = 0
-),
-tok AS (
-  SELECT doc_id, unnest({_WORDS_SQL}) AS t FROM corpus
-),
-h AS (SELECT doc_id, md5(t) AS m FROM tok),
-s AS (
-  SELECT doc_id,
-         {bit_sums}
-  FROM h GROUP BY doc_id
-),
-fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s),
-bnd AS (SELECT doc_id, simhash, {bands} FROM fp),
-bb AS (
-  {unpivot}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         bit_count(xor(a.simhash, b.simhash)) AS hamming
-  FROM bb a JOIN bb b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
-SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {max_hamming}
-"""
-
-
-@query("dedup_simhash_md5", oracle=_simhash_md5_oracle())
-def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 SimHash with PORTABLE hashing (60-bit md5-prefix token hash,
-    4 × 15-bit pigeonhole bands, popcount verify): the ENTIRE pipeline —
-    fingerprints, which candidates the bands surface, Hamming verify —
-    is reproduced by the DuckDB oracle and hash-gated, upgrading SimHash
-    from rows-only to fully oracled (the xxhash64 variant dedup_simhash
-    stays the fast path; same trade as dedup_minhash_md5)."""
-    from open_instrument_spark.operators.dedup import simhash_pairs
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
-    )
-    return simhash_pairs(docs.unionByName(near), max_hamming=3, portable=True)
-
-
-_COS_SQL = (
-    "list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / "
-    "(sqrt(list_sum(list_transform(a.v, x -> x * x))) * "
-    "sqrt(list_sum(list_transform(b.v, x -> x * x))))"
-)
-
-
-@query(
-    "embed_topk",
-    oracle=f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-scored AS (
-  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS_SQL} AS cos
-  FROM e a JOIN e b ON b.vec_id != a.vec_id
-  WHERE a.vec_id IN (0, 1, 2, 3, 4)
-),
-ranked AS (
-  SELECT q_id, n_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-  FROM scored
-)
-SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 10
-""",
-)
-def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 brute-force cosine top-10 for query vectors 0-4: broadcast
-    queries × corpus, zip_with dot product, windowed rank."""
-    from open_instrument_spark.operators.similarity import cosine_topk
-
-    prepare(spark)
-    emb = load_tables(spark, sf_dir).table("embeddings")
-    return cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
-
-
-@query(
-    "embed_quantize_uint8",
-    oracle="""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-s AS (
-  SELECT vec_id, e,
-         list_min(e) AS vmin,
-         (list_max(e) - list_min(e)) / 255.0 AS scale
-  FROM v
-),
-q AS (
-  SELECT vec_id, vmin, scale,
-         CASE WHEN scale > 0 THEN
-           list_transform(e, x -> CAST(floor((x - vmin) / scale) AS BIGINT))
-         ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
-  FROM s
-)
-SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
-       CAST(list_sum(qv) AS BIGINT) AS q_sum, qv[1] AS q_first, qv[64] AS q_last
-FROM q
-""",
-)
-def embed_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 embedding storage compression: per-vector UINT8 quantization
-    (levels 0-255; affine min/max, floor — banker's-rounding differences
-    between engines make round() non-portable). Constant vectors keep
-    scale 0 and all-zero levels (dropping them would corrupt the ANN
-    index this feeds). Pure Column expressions, one scan-project; 4x
-    smaller vectors. Compared via scalar digests of the quantized array
-    (sum + endpoints)."""
-    prepare(spark)
-    emb = load_tables(spark, sf_dir).table("embeddings")
-    e = F.transform("embedding", lambda x: x.cast("double"))
-    staged = emb.select("vec_id", e.alias("_e")).select(
-        "vec_id",
-        "_e",
-        F.array_min("_e").alias("vmin"),
-        ((F.array_max("_e") - F.array_min("_e")) / 255.0).alias("scale"),
-    )
-    qv = F.when(
-        F.col("scale") > 0,
-        F.transform(
-            "_e", lambda x: F.floor((x - F.col("vmin")) / F.col("scale")).cast("long")
-        ),
-    ).otherwise(F.transform("_e", lambda x: F.lit(0).cast("long")))
-    out = staged.withColumn("_qv", qv).select(
-        "vec_id",
-        F.round("vmin", 6).alias("vmin"),
-        F.round("scale", 6).alias("scale"),
-        F.aggregate("_qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.element_at("_qv", 1).alias("q_first"),
-        F.element_at("_qv", 64).alias("q_last"),
-    )
-    return out
-
-
-#: Pinned plane-count step function shared by the embed_near_dup query
-#: and its oracle: (max_corpus_size_inclusive, n_planes). Keeps bucket
-#: occupancy bounded as the corpus grows (auto_n_planes rationale) while
-#: staying finite enough to replay in static SQL — the oracle branches
-#: on COUNT(*) over the SAME steps, so Spark and DuckDB cannot silently
-#: diverge at any driver dataset scale (sf0.001/0.01/0.1 ⇒ ≤ 2000
-#: vectors). Beyond the last step the query raises loudly instead of
-#: auto-sizing past what the oracle can check.
-_NEAR_DUP_PLANE_STEPS: list[tuple[int, int]] = [(1000, 3), (2048, 5)]
-
-
-def _near_dup_planes_for(n: int) -> int:
-    for max_n, planes in _NEAR_DUP_PLANE_STEPS:
-        if n <= max_n:
-            return planes
-    raise ValueError(
-        f"embed_near_dup's oracle is pinned to corpora of ≤ "
-        f"{_NEAR_DUP_PLANE_STEPS[-1][0]} vectors (got {n}); for larger "
-        "corpora call similarity.near_dup_pairs_lsh(n_planes=None) "
-        "directly — auto-sized, recall-tested, but not hash-oracled"
-    )
-
-
-def _near_dup_lsh_oracle(n_tables: int = 16, dim: int = 64,
-                         seed: int = 42, threshold: float = 0.4) -> str:
-    """DuckDB twin of similarity.near_dup_pairs_lsh: the seeded
-    hyperplanes are emitted as literal arrays (repr round-trips the exact
-    float64), so the oracle replays the WHOLE approximate pipeline —
-    bucketing, candidate generation, exact-cosine verify — not just the
-    output shape (same pattern as dedup_minhash_md5). The per-table
-    bucket is a COUNT(*)-keyed CASE over _NEAR_DUP_PLANE_STEPS, matching
-    _near_dup_planes_for exactly."""
-    from open_instrument_spark.operators.similarity import _planes
-
-    def dot(plane):
-        lit = ", ".join(repr(float(x)) for x in plane)
-        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
-
-    def bits_expr(t: int, n_planes: int) -> str:
-        planes = _planes(dim, n_planes, seed=seed + 1000 * t)
-        return " + ".join(
-            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-
-    bucket_cols = []
-    for t in range(n_tables):
-        branches = " ".join(
-            f"WHEN nn <= {max_n} THEN ({bits_expr(t, planes)})"
-            for max_n, planes in _NEAR_DUP_PLANE_STEPS
-        )
-        bucket_cols.append(f"CAST(CASE {branches} END AS BIGINT) AS b{t}")
-    unpivot = "\n  UNION ALL ".join(
-        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk" for t in range(n_tables)
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                  (SELECT COUNT(*) FROM embeddings) AS nn
-           FROM embeddings),
-bk AS (SELECT vec_id, {", ".join(bucket_cols)} FROM e),
-bb AS (
-  {unpivot}
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM bb a JOIN bb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
-pr AS (
-  SELECT c.a_id, c.b_id,
-         list_sum(list_transform(list_zip(ea.v, eb.v), x -> x[1] * x[2])) /
-         (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
-          sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
-  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
-)
-SELECT a_id, b_id, round(cos, 6) AS cos FROM pr WHERE cos >= {threshold}
-"""
-
-
-@query("embed_near_dup", oracle=_near_dup_lsh_oracle())
-def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 embedding-cosine near-duplicate pairs (cos ≥ 0.4) via the
-    SCALE path: hyperplane-LSH candidate buckets (equi-join, never a
-    cross product) + exact cosine verify. The oracle replays the same
-    seeded bucketing, so the full approximate pipeline is hash-gated;
-    the exact O(N²) slice (similarity.near_dup_pairs) stays available
-    behind modulus/allow_full_scan and is recall-tested in pytest.
-
-    Plane count: a pinned step function of corpus size
-    (_NEAR_DUP_PLANE_STEPS) replayed branch-for-branch by the oracle's
-    COUNT(*)-keyed CASE, so the Spark and DuckDB candidate sets agree at
-    every driver dataset scale; raises loudly past the last step rather
-    than auto-sizing into a divergence (use near_dup_pairs_lsh directly
-    for unoracled larger corpora)."""
-    from open_instrument_spark.operators.similarity import near_dup_pairs_lsh
-
-    prepare(spark)
-    emb = load_tables(spark, sf_dir).table("embeddings")
-    planes = _near_dup_planes_for(emb.count())
-    return near_dup_pairs_lsh(emb, threshold=0.4, n_planes=planes)
-
-
-def _ann_lsh_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10,
-                    n_planes: int = 6, n_tables: int = 8, dim: int = 64,
-                    seed: int = 42) -> str:
-    """DuckDB twin of similarity.ann_lsh_topk: the seeded hyperplanes
-    are emitted as literal arrays (repr round-trips the exact float64),
-    so the oracle replays the WHOLE approximate pipeline — per-table
-    bucketing, which candidates share a bucket with each query, exact
-    cosine, deterministic (cos DESC, n_id) rank — not just the output
-    shape. Same pattern as _near_dup_lsh_oracle (r3-proven: identical
-    IEEE dot expressions agree across engines at these scales)."""
-    from open_instrument_spark.operators.similarity import _planes
-
-    def dot(plane):
-        lit = ", ".join(repr(float(x)) for x in plane)
-        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
-
-    def bits_expr(t: int) -> str:
-        planes = _planes(dim, n_planes, seed=seed + 1000 * t)
-        return " + ".join(
-            f"(CASE WHEN {dot(p)} >= 0 THEN {2 ** i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-
-    bucket_cols = ", ".join(
-        f"CAST(({bits_expr(t)}) AS BIGINT) AS b{t}" for t in range(n_tables)
-    )
-    unpivot = "\n  UNION ALL ".join(
-        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM bk"
-        for t in range(n_tables)
-    )
-    ids = ", ".join(str(i) for i in query_ids)
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bk AS (SELECT vec_id, {bucket_cols} FROM e),
-bb AS (
-  {unpivot}
-),
-qq AS (SELECT vec_id AS q_id, t, bucket FROM bb WHERE vec_id IN ({ids})),
-cand AS (
-  SELECT DISTINCT qq.q_id, n.vec_id AS n_id
-  FROM bb n JOIN qq ON n.t = qq.t AND n.bucket = qq.bucket
-                   AND n.vec_id != qq.q_id
-),
-scored AS (
-  SELECT c.q_id, c.n_id, {_COS_SQL} AS cos
-  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id
-),
-ranked AS (
-  SELECT q_id, n_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-  FROM scored
-)
-SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
-"""
-
-
-@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 ANN: random-hyperplane LSH (8 tables × 6 planes) candidate
-    buckets + exact cosine rank. Upgraded rows-only → fully oracled in
-    r5: the seeded planes make the approximate pipeline deterministic,
-    so the oracle replays it end-to-end (recall vs brute force stays
-    pytest-asserted on top)."""
-    from open_instrument_spark.operators.similarity import ann_lsh_topk as _ann
-
-    prepare(spark)
-    emb = load_tables(spark, sf_dir).table("embeddings")
-    return _ann(emb, [0, 1, 2, 3, 4], k=10)
-
-
-@query("ann_ivf_topk")
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 ANN, inverted-file variant: spherical-k-means cells (trained
-    on a deterministic sample), Arrow-batched cell assignment, n_probe=4
-    of 32 cells searched per query with exact cosine rank. The k-means
-    TRAIN is data-dependent (not SQL-expressible) → rows-only; the
-    search pipeline itself is fully hash-gated via the seeded twin
-    (``ann_ivf_seeded_topk``); recall vs brute force pytest-asserted."""
-    from open_instrument_spark.operators.similarity import ann_ivf_topk as _ann
-
-    prepare(spark)
-    emb = load_tables(spark, sf_dir).table("embeddings")
-    return _ann(emb, [0, 1, 2, 3, 4], k=10)
-
-
-def _ann_ivf_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10,
-                    n_cells: int = 32, n_probe: int = 4, dim: int = 64,
-                    seed: int = 7) -> str:
-    """DuckDB twin of similarity.ann_ivf_topk_seeded: the seeded
-    centroids are emitted as literal arrays (repr round-trips the exact
-    float64), so the WHOLE IVF search pipeline replays in SQL — argmax
-    cell assignment (first-max, matching numpy argmax via
-    list_indexof-of-max), per-query top-n_probe cell ranking, cell
-    equi-join pruning, exact cosine + deterministic rank. Only the
-    k-means TRAIN stays outside the gate (ann_ivf_topk, rows-only).
-    Cosine/argmax cross-engine IEEE agreement follows the
-    _ann_lsh_oracle precedent (r3-proven at these scales); scale/probe
-    order is invariant to the |v| normalization the Spark side applies
-    before its matmul."""
-    from open_instrument_spark.operators.similarity import seeded_centroids
-
-    C = seeded_centroids(dim, n_cells, seed)
-
-    def dot(c) -> str:
-        lit = ", ".join(repr(float(x)) for x in c)
-        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
-
-    ds = ",\n    ".join(dot(c) for c in C)
-    ids = ", ".join(str(i) for i in query_ids)
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-d AS (SELECT vec_id, v, [
-    {ds}] AS ds FROM e),
-asg AS (
-  SELECT vec_id, v,
-         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell
-  FROM d),
-qd AS (
-  SELECT vec_id AS q_id, unnest(ds) AS dq, unnest(range({n_cells})) AS cell
-  FROM d WHERE vec_id IN ({ids})),
-qp AS (
-  SELECT q_id, cell FROM (
-    SELECT q_id, cell,
-           row_number() OVER (PARTITION BY q_id ORDER BY dq DESC, cell) AS r
-    FROM qd) WHERE r <= {n_probe}),
-cand AS (
-  SELECT p.q_id, n.vec_id AS n_id
-  FROM qp p JOIN asg n ON n.cell = p.cell AND n.vec_id != p.q_id),
-scored AS (
-  SELECT c.q_id, c.n_id, {_COS_SQL} AS cos
-  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id
-),
-ranked AS (
-  SELECT q_id, n_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-  FROM scored
-)
-SELECT q_id, n_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
-"""
-
-
-@query("ann_ivf_seeded_topk", oracle=_ann_ivf_oracle())
-def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 ANN IVF, fully-oracled twin (r6): seeded-centroid cells
-    stand in for the k-means train, making every stage of the IVF
-    SEARCH path — Arrow argmax assignment, driver probe-list build,
-    broadcast cell equi-join, exact cosine rank — replayable by the
-    DuckDB oracle with the centroids as literals. Closes the r5 verdict
-    item: only the non-SQL-expressible train remains rows-only."""
-    from open_instrument_spark.operators.similarity import ann_ivf_topk_seeded
-
-    prepare(spark)
-    emb = load_tables(spark, sf_dir).table("embeddings")
-    return ann_ivf_topk_seeded(emb, [0, 1, 2, 3, 4], k=10)
-
-
-@query(
-    "multimodal_blob_stats",
-    oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(1 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
-       CAST(1 + octet_length(encode(text)) % 48 AS INTEGER) AS height,
-       greatest(1, CAST(floor(octet_length(encode(text)) / 256) AS INTEGER)) AS n_frames
-FROM documents
-""",
-)
-def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 multimodal: typed-metadata manifest pass over binary payload
-    columns (no decode) — pure JVM."""
-    from open_instrument_spark.operators.multimodal import attach_blob, blob_stats
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    return blob_stats(attach_blob(docs))
-
-
-@query(
-    "multimodal_frame_sample",
-    oracle="""
-WITH m AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
-),
-frames AS (
-  SELECT doc_id, unnest(range(greatest(1, CAST(floor(n / 256) AS INTEGER)))) AS frame_idx,
-         text, n
-  FROM m
-)
-SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       length(substr(text, frame_idx * 256 + 1, 256)) AS frame_len,
-       md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_md5
-FROM frames WHERE frame_idx % 4 = 0
-""",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 multimodal: strided frame sampling over the byte stream via
-    mapInPandas (Arrow batches), checksums per frame — the oracle
-    reproduces the byte arithmetic on the ASCII payload."""
-    from open_instrument_spark.operators.multimodal import attach_blob, frame_sample
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    out = frame_sample(attach_blob(docs), frame_bytes=256, stride=4)
-    return out.select("doc_id", "frame_idx", "frame_len", "frame_md5")
-
-
-@query(
-    "multimodal_decode_fake",
-    oracle="""
-WITH m AS (
-  SELECT doc_id, octet_length(encode(text)) AS n,
-         list_sum(list_transform(range(length(text)),
-                  i -> unicode(substr(text, i + 1, 1)))) AS byte_sum
-  FROM documents
-)
-SELECT doc_id,
-       CAST(1 + n % 64 AS INTEGER) AS width,
-       CAST(1 + n % 48 AS INTEGER) AS height,
-       3 AS channels,
-       round(CAST(byte_sum AS DOUBLE) / n, 6) AS mean_byte
-FROM m
-""",
-)
-def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 multimodal: the stubbed deterministic decoder (mapInPandas
-    over binary blobs). Real codecs are absent in this container — the
-    stub derives dimensions/mean-byte from payload bytes; the oracle
-    replays the arithmetic over ASCII codepoints."""
-    from open_instrument_spark.operators.multimodal import attach_blob, decode_image
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    out = decode_image(attach_blob(docs), fake=True)
-    return out.select("doc_id", "width", "height", "channels", "mean_byte")
-
-
-# The three REAL-codec multimodal gates (r6): spec-built containers whose
-# decoded content is doc_id arithmetic (sources/media_synth.py), so the
-# pure-Python WAV/AVI/MP4/PNG readers' outputs are DuckDB-replayable
-# value-exactly. Constants below mirror media_synth literally.
-
-@query(
-    "multimodal_audio_stats",
-    oracle="""
-WITH f AS (
-  SELECT doc_id,
-         CAST(16 + doc_id % 32 AS BIGINT) AS n_frames,
-         unnest(range(16 + doc_id % 32)) AS k
-  FROM documents
-),
-s AS (
-  SELECT doc_id, n_frames,
-         ((doc_id * 31 + k * 17) % 128) * 2 AS sv
-  FROM f
-)
-SELECT doc_id,
-       8000 AS sample_rate,
-       n_frames,
-       1 AS n_channels,
-       round(n_frames / 8000.0, 6) AS duration_s,
-       round(sqrt(avg(pow((sv - 128) / 128.0, 2))), 6) AS rms,
-       round(max(abs((sv - 128) / 128.0)), 6) AS peak
-FROM s
-GROUP BY doc_id, n_frames
-""",
-)
-def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 multimodal audio: REAL RIFF/PCM WAV decode
-    (operators/audiocodec.py) over spec-built 8-bit mono fixtures —
-    rate / frame count / duration / RMS / peak all recomputed by the
-    oracle as doc_id arithmetic (samples are even bytes, so every
-    amplitude is an exact 6-decimal k/64 — no round-half ties)."""
-    from open_instrument_spark.operators.multimodal import audio_stats
-    from open_instrument_spark.sources.media_synth import attach_synth_media
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    return audio_stats(attach_synth_media(docs, "wav"))
-
-
-@query(
-    "multimodal_video_stats",
-    oracle="""
-SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'video/x-msvideo'
-            ELSE 'video/mp4' END AS mime,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 320 + (doc_id % 8) * 16
-                 ELSE 320 + doc_id % 17 END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 240 + (doc_id % 6) * 16
-                 ELSE 180 + doc_id % 29 END AS INTEGER) AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 50
-                 ELSE 0 END AS BIGINT) AS n_frames,
-       round(CASE WHEN doc_id % 2 = 0
-                  THEN (100 + doc_id % 50) * 40000 / 1000000.0
-                  ELSE (1000 + doc_id % 977) / 1000.0 END, 6) AS duration_s
-FROM documents
-""",
-)
-def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 multimodal video: REAL container-header decode — RIFF-AVI
-    avih (even doc_ids) and ISO-BMFF mvhd/tkhd box walk (odd doc_ids),
-    operators/audiocodec.py:parse_video_header — over spec-built
-    fixtures; dimensions / frame counts / durations recomputed by the
-    oracle as doc_id arithmetic."""
-    from open_instrument_spark.operators.multimodal import video_stats
-    from open_instrument_spark.sources.media_synth import attach_synth_media
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    return video_stats(attach_synth_media(docs, "video"))
-
-
-@query(
-    "multimodal_resize_real",
-    oracle="""
-WITH dims AS (
-  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents
-),
-px AS (
-  SELECT d.doc_id,
-         (d.doc_id * 7 + ((y.y * d.h) // 6) * 13
-          + ((x.x * d.w) // 8) * 3 + c.c) % 256 AS v
-  FROM dims d
-  CROSS JOIN (SELECT unnest(range(6)) AS y) y
-  CROSS JOIN (SELECT unnest(range(8)) AS x) x
-  CROSS JOIN (SELECT unnest(range(3)) AS c) c
-)
-SELECT doc_id,
-       8 AS width, 6 AS height, 3 AS channels,
-       CAST(sum(v) AS BIGINT) AS pix_sum
-FROM px
-GROUP BY doc_id
-""",
-)
-def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.9 multimodal: the REAL pixel path end-to-end — PNG decode →
-    nearest-neighbor resize to 8×6 → PNG re-encode → decode again for
-    pixel stats (operators/imagecodec.py). Fixture pixels are doc_id
-    arithmetic, so the oracle replays the resize's index math
-    (``ys = y*h // 6``, ``xs = x*w // 8``) and the summed sample values
-    in SQL — a value-exact gate over the whole codec chain."""
-    from open_instrument_spark.operators.multimodal import pixel_stats, resize
-    from open_instrument_spark.sources.media_synth import attach_synth_media
-
-    prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
-    small = resize(attach_synth_media(docs, "png"), out_w=8, out_h=6)
-    return pixel_stats(small)
-
-
-# ===========================================================================
-# Generic analytics extensions (engine breadth + bench headliners): the
-# reference has no joins (SURVEY.md §2.6) — these demonstrate the joins/
-# windows the Spark engine adds for free, with decimal-exact oracles.
-# ===========================================================================
-
-@query(
-    "analytics_pricing_summary",
-    oracle="""
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-""",
-)
-def analytics_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: scan → pushed filter → 2-key
-    groupBy with decimal-exact sums (cross-engine deterministic)."""
-    prepare(spark)
-    li = load_tables(spark, sf_dir).table("lineitem")
-    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")
-    out = (
-        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity", 4)).alias("_sq"),
-            F.sum(dec("l_extendedprice", 4)).alias("_sbp"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-            ).alias("_sdp"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            F.col("_sq").cast("double").alias("sum_qty"),
-            F.col("_sbp").cast("double").alias("sum_base_price"),
-            F.col("_sdp").cast("double").alias("sum_disc_price"),
-            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-            "count_order",
-        )
-    )
-    return out
-
-
-@query(
-    "analytics_revenue_by_nation",
-    oracle="""
-SELECT n.n_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
-                CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
-       count(*) AS n_items
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-GROUP BY n.n_name
-""",
-)
-def analytics_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join revenue rollup: fact-fact shuffle join on orderkey,
-    then broadcast joins to the small customer/nation dims (the shape
-    Catalyst must get right at 100 TB: two big-table shuffles max,
-    dims never shuffled)."""
-    prepare(spark)
-    t = load_tables(spark, sf_dir)
-    li, orders, cust, nation = t.table("lineitem"), t.table("orders"), t.table("customer"), t.table("nation")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-    )
-    out = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(F.sum(rev).alias("_rev"), F.count(F.lit(1)).alias("n_items"))
-        .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_items")
-    )
-    return out
-
-
-@query(
-    "analytics_top_orders_per_customer",
-    oracle="""
-WITH ranked AS (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders
-)
-SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank
-FROM ranked WHERE rn <= 3
-""",
-)
-def analytics_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: the canonical top-k-per-group window
-    (single shuffle on the partition key, rank prune)."""
-    from pyspark.sql import Window
-
-    prepare(spark)
-    orders = load_tables(spark, sf_dir).table("orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
-    )
-
-
-@query(
-    "analytics_shipping_priority",
-    oracle="""
-SELECT l.l_orderkey,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
-                CAST(1 - l.l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
-       o.o_orderdate, o.o_orderpriority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, o_orderdate, l_orderkey
-LIMIT 10
-""",
-)
-def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped order priority (adapted to the synthetic schema:
-    o_orderpriority stands in for ship priority): selective dim filter broadcast
-    into the fact-fact join, decimal-exact revenue, distributed top-10
-    (TakeOrderedAndProject — no global sort). Past the driver window;
-    replayed against DuckDB by tests/test_oracle_parity.py."""
-    prepare(spark)
-    t = load_tables(spark, sf_dir)
-    cust = t.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = t.table("orders").filter(F.col("o_orderdate") < "1995-03-15 00:00:00")
-    li = t.table("lineitem").filter(F.col("l_shipdate") > "1995-03-15 00:00:00")
-    rev = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
-    )
-    out = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).alias("_rev"))
-        .select(
-            "l_orderkey",
-            F.col("_rev").cast("double").alias("revenue"),
-            "o_orderdate",
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
-        .limit(10)
-    )
-    return out
-
-
-@query(
-    "api_get_chained",
-    oracle=f"""
-WITH {P_CTE},
-rng AS (
-  SELECT * FROM p
-  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-    AND ts <= TIMESTAMP '2024-01-20 00:00:00'
-),
-r AS (
-  SELECT series_key, ts, dval, lag(dval) OVER w AS pv,
-         epoch(ts) AS t, lag(epoch(ts)) OVER w AS pt
-  FROM rng
-  WINDOW w AS (PARTITION BY series_key ORDER BY ts)
-),
-rated AS (
-  SELECT series_key, ts, (dval - pv) / (t - pt) AS dval
-  FROM r
-  WHERE pt IS NOT NULL AND t > pt AND (dval - pv) / (t - pt) >= 0
-),
-m AS (
-  SELECT series_key, {_bucket_sql(300_000)} AS ts, avg(dval) AS dval
-  FROM rated GROUP BY 1, 2
-),
-k AS (
-  SELECT series_key, ts, dval,
-         row_number() OVER (PARTITION BY series_key ORDER BY ts DESC) AS rn
-  FROM m
-)
-SELECT series_key, ts, round(dval, 6) AS dval FROM k WHERE rn <= 5
-""",
-)
-def api_get_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end GetRequest lifecycle (server/store.cc:105-274 shape):
-    trailing-* glob match → inclusive time range → Go-style CHAINED
-    mutation pipeline rate→5m-mean (M11 chaining, go/src/store.go:102-131)
-    → max_values last-N cap — all one declarative Catalyst plan."""
-    import datetime as dt
-
-    from open_instrument_spark.plans.api import GetRequest, get
-
-    out = get(
-        _pts(spark, sf_dir),
-        GetRequest(
-            variable="/events/*",
-            min_timestamp=dt.datetime(2024, 1, 10),
-            max_timestamp=dt.datetime(2024, 1, 20),
-            mutations=[("rate", None), ("mean", "5m")],
-            max_values=5,
-        ),
-    )
-    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
-
-
-@query(
-    "api_get_fanout",
-    oracle=f"""
-WITH {P_CTE}, {R_CTE}
-SELECT 'rate' AS mutation, series_key, ts, (dval - pv) / (t - pt) AS dval
-FROM r WHERE pt IS NOT NULL AND t > pt AND (dval - pv) / (t - pt) >= 0
-UNION ALL
-SELECT 'delta' AS mutation, series_key, ts, dval - pv AS dval
-FROM r WHERE pt IS NOT NULL AND t > pt AND dval - pv >= 0
-""",
-)
-def api_get_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C++ fan-out contract (M11): each requested mutation applies
-    independently to the RAW stream, one output stream per mutation
-    (server/store.cc:140-147; lib/openinstrument.proto:117-119).
-    Returned as a tagged union so the result is one DataFrame."""
-    from open_instrument_spark.plans.api import GetRequest, get
-
-    streams = get(
-        _pts(spark, sf_dir),
-        GetRequest(
-            variable="/events/*",
-            min_timestamp=None,
-            max_timestamp=None,
-            mutations=[("rate", None), ("delta", None)],
-            chain_mutations=False,
-        ),
-    )
-    tagged = [
-        s.select(F.lit(tag).alias("mutation"), "series_key", "ts", "dval")
-        for tag, s in zip(["rate", "delta"], streams)
-    ]
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.unionByName(t)
-    return out
-
-
-# ===========================================================================
-# Temporal extensions: as-of join + sessionization (operators/temporal.py)
-# ===========================================================================
-
-@query(
-    "temporal_asof_join",
-    oracle="""
-WITH l AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
-),
-r AS (
-  SELECT user_id, ts, max(value) AS r_value
-  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
-)
-SELECT l.user_id, l.ts, l.value, r.ts AS r_ts, r.r_value
-FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-""",
-)
-def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase gets the user's most recent prior-or-equal
-    view. Union + one window pass — one shuffle on user_id, no range join
-    (DuckDB's native ASOF JOIN is the oracle)."""
-    from open_instrument_spark.operators.temporal import as_of_join
-
-    prepare(spark)
-    ev = load_tables(spark, sf_dir).table("events")
-    left = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    right = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("value"))
-    )
-    out = as_of_join(left, right, on=["user_id"], value_cols=["value"])
-    return out.select("user_id", "ts", "value", "r_ts", "r_value")
-
-
-@query(
-    "temporal_sessionize",
-    oracle="""
-WITH e AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-),
-s AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS sid
-  FROM e
-)
-SELECT user_id,
-       min(ts) AS session_start,
-       max(ts) + INTERVAL 6 HOUR AS session_end,
-       count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
-FROM s GROUP BY user_id, sid
-""",
-)
-def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessions (6 h) per user via native session_window — the
-    same expression runs incrementally under Structured Streaming. Oracle:
-    gaps-and-islands SQL (session end = last event + gap, both engines)."""
-    from open_instrument_spark.operators.temporal import sessionize
-
-    prepare(spark)
-    ev = load_tables(spark, sf_dir).table("events")
-    return sessionize(ev, "user_id", gap="6 hours")
-
-
-@query(
-    "temporal_funnel",
-    oracle="""
-WITH l AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
-),
-r AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'view' GROUP BY user_id, ts
-),
-j AS (
-  SELECT l.user_id, l.ts, r.ts AS r_ts
-  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-)
-SELECT user_id,
-       count(*) AS n_purchases,
-       CAST(sum(CASE WHEN r_ts IS NOT NULL
-                      AND r_ts >= ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_converted
-FROM j GROUP BY user_id
-""",
-)
-def temporal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion funnel: per user, purchases whose most recent prior
-    view is within 1 hour (the as-of join with tolerance, then a
-    group-count) — the classic product-analytics composition of the
-    temporal operators. Past the driver window; replayed against DuckDB
-    (native ASOF JOIN + interval filter) by tests/test_oracle_parity.py."""
-    from open_instrument_spark.operators.temporal import as_of_join
-
-    prepare(spark)
-    ev = load_tables(spark, sf_dir).table("events")
-    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts").distinct()
-    j = as_of_join(purch, views, on=["user_id"], tolerance="1 hour", value_cols=[])
-    return j.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_purchases"),
-        F.sum(
-            F.when(F.col("r_ts").isNotNull(), 1).otherwise(0)
-        ).cast("long").alias("n_converted"),
-    )
-
+# Shared infrastructure (QUERIES/ORACLES live there; the domain modules
+# below populate them via @query at import time).
+from open_instrument_spark.registry_base import (  # noqa: F401 — re-exports
+    NOW,
+    ORACLES,
+    P_CTE,
+    QUERIES,
+    R_CTE,
+    query,
+)
+
+# Domain modules: importing them registers every query. Order here is
+# narrative only — DRIVER_WINDOW below decides what the driver replays.
+from open_instrument_spark.queries import analytics, llm, temporal, tsdb  # noqa: E402,F401
+
+# Compatibility re-exports (externally referenced symbols that moved
+# into domain modules with the r6 split).
+from open_instrument_spark.queries.llm import _NEAR_DUP_PLANE_STEPS  # noqa: F401
+from open_instrument_spark.queries.tsdb import run_entry  # noqa: F401
 
 # ===========================================================================
 # Driver-window ordering
