@@ -209,26 +209,24 @@ def test_multimodal_decode_real_headers(spark):
     for fname, (mime, w, h, c) in exp.items():
         r = rows[fname]
         assert (r["mime"], r["width"], r["height"], r["channels"]) == (mime, w, h, c)
-    # REAL pixel resize (r5): PNG + uncompressed BMP + GIF decode/
-    # resize/re-encode with the pure-numpy codec; the JPEG fixture
-    # (DCT+Huffman) is skipped under on_error="skip" and fails the
-    # batch under the default on_error="raise".
+    # REAL pixel resize: PNG + uncompressed BMP + GIF (r5) and, since
+    # the r6 baseline-JPEG codec, the JPEG fixture too — all four
+    # containers decode/resize/re-encode with the pure-numpy codecs, so
+    # the default on_error="raise" path completes over the whole batch.
     resized = {
         r["fname"]: r
         for r in multimodal.resize(
-            media.drop("fname"), out_w=4, out_h=3, on_error="skip"
+            media.drop("fname"), out_w=4, out_h=3, on_error="raise"
         )
         .join(media.select("doc_id", "fname"), "doc_id")
         .collect()
     }
-    assert set(resized) == {"tiny_7x5.png", "tiny_6x3.bmp", "tiny_9x4.gif"}
+    assert set(resized) == set(exp)
     from open_instrument_spark.operators.imagecodec import decode_png
 
     for r in resized.values():
         assert (r["meta"]["width"], r["meta"]["height"]) == (4, 3)
         assert decode_png(bytes(r["blob"])).shape[:2] == (3, 4)
-    with pytest.raises(Exception, match="codec library"):
-        multimodal.resize(media.drop("fname"), on_error="raise").collect()
 
 
 def test_near_dup_lsh_recall_vs_exact(spark):
