@@ -128,7 +128,7 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
                        n_planes: int | None = None, n_tables: int = 16,
                        dim: int = 64,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, verify_join: str = "auto") -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: candidate pairs share a
     random-hyperplane bucket in ANY of ``n_tables`` tables (equi-join on
     (table, bucket) — never a cross product), then exact cosine verify.
@@ -145,7 +145,22 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     The planes are seeded literals, so the ENTIRE pipeline — including
     which candidates surface — is reproducible in ANSI SQL (the
     embed_near_dup oracle replays it in DuckDB).
+
+    ``verify_join`` pins the verify stage's physical join of candidates
+    against the embedding sides, which Catalyst's size ESTIMATE gets
+    wrong right around the 10 MB auto-broadcast threshold (the rotated/
+    derived plans here estimate high → SortMergeJoin → two full sorts of
+    the candidate set, measured 10× slower than broadcast at 20 k
+    vectors). "auto" (default) broadcasts when one count() says the
+    corpus fits comfortably (≤ 32 MB of vectors), else hints
+    SHUFFLE_HASH — the scale-correct strategy for corpus-sized sides: an
+    id-equi-join needs no sort, and candidates shuffle once instead of
+    sorting twice. "broadcast"/"shuffle_hash" force a strategy. Values
+    are identical under every strategy.
     Output: (a_id, b_id, cos)."""
+    if verify_join not in ("auto", "broadcast", "shuffle_hash"):
+        raise ValueError(f"verify_join must be auto|broadcast|shuffle_hash, "
+                         f"got {verify_join!r}")
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -153,6 +168,13 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         embeddings, n_planes=n_planes, n_tables=n_tables, dim=dim,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
+    if verify_join == "auto":
+        # one bounded driver-side count (same pattern as auto_n_planes'
+        # sizing count; Spark caches the scan between the two actions)
+        n_vec = embeddings.count()
+        verify_join = (
+            "broadcast" if n_vec * dim * 8 <= 32 * 1024 * 1024 else "shuffle_hash"
+        )
     # Per-doc norms computed ONCE (N sqrt-folds) instead of per pair
     # (2·|candidates| folds) — same IEEE expression on the same array, so
     # values are bit-identical to the oracle's per-pair norm. HOF dot is
@@ -165,6 +187,10 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     eb = normed.select(
         F.col("id").alias("b_id"), F.col("v").alias("vb"), F.col("_n").alias("nb")
     )
+    if verify_join == "broadcast":
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
+    else:
+        ea, eb = ea.hint("shuffle_hash"), eb.hint("shuffle_hash")
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
