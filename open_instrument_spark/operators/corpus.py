@@ -73,6 +73,65 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id",
     return docs.withColumn("split", split_column(F.col(id_col), weights))
 
 
+def _sample_hash(group_col: Column, id_col: Column) -> Column:
+    """Per-(group, id) uniform hash in hex — md5 so DuckDB replays it.
+    Salting the id with the group makes each group's sample independent:
+    a document kept in one stratum's 10% is not thereby privileged when
+    the same id appears under another stratum."""
+    return F.md5(F.concat_ws(":", group_col.cast("string"), id_col.cast("string")))
+
+
+def stratified_sample_frac(
+    docs: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by hash threshold — the
+    100 TB path (pure scan-project filter: no shuffle, no count pass,
+    no state). ``fractions`` is one float for all strata or a dict of
+    group value → keep-fraction (groups absent from the dict are
+    dropped). Membership is stable under corpus growth: adding rows
+    never changes existing rows' keep/drop decision.
+    """
+    g, h = F.col(group_col), _sample_hash(F.col(group_col), F.col(id_col))
+
+    def _keep(frac: float) -> Column:
+        # frac >= 1 must short-circuit: _hex_threshold(1.0) is a 33-char
+        # string that sorts BELOW most 32-char hashes lexicographically.
+        return F.lit(True) if frac >= 1.0 else h < _hex_threshold(frac)
+
+    if isinstance(fractions, dict):
+        keep = F.lit(False)
+        for name, frac in fractions.items():
+            keep = F.when((g == name) & _keep(frac), True).otherwise(keep)
+    else:
+        keep = _keep(fractions)
+    return docs.where(keep)
+
+
+def stratified_sample_quota(
+    docs: DataFrame, group_col: str, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by
+    deterministic hash rank (row_number over the per-group md5 order,
+    id as tiebreak). Adds ``sample_rank`` (1-based within the stratum).
+
+    One shuffle on the group key; each stratum's rank sort is one task,
+    so per-task size ≈ stratum size. For strata too large to sort in one
+    task, pre-thin with :func:`stratified_sample_frac` at a generous
+    multiple of the quota (e.g. 4n/|stratum|) and rank the survivors —
+    the composition keeps the exact-n guarantee with overwhelming
+    probability while bounding the sort.
+    """
+    h = _sample_hash(F.col(group_col), F.col(id_col))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
 def pack_greedy(docs: DataFrame, token_col: str, budget: int,
                 order_col: str = "doc_id") -> DataFrame:
     """Assign a ``bin`` id by cumulative token count in ``order_col``

@@ -169,6 +169,126 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---- repetition signals (Gopher-style quality filters) ---------------------
+
+# Bullet/ellipsis line shapes from the Gopher corpus-quality rules
+# (Rae et al. 2021, §A.1.1): lines are trimmed before testing.
+BULLET_LINE_RE = r"^[-*•]"
+ELLIPSIS_LINE_RE = r"(\.\.\.|…)$"
+SYMBOL_RE = r"#|\.\.\.|…"
+
+
+def doc_lines(text: Column) -> Column:
+    """Trimmed, non-empty lines of the raw text."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_words: int = 512,
+    max_lines: int = 256,
+) -> DataFrame:
+    """Gopher-style repetition / document-shape quality signals.
+
+    Per document: duplicate-line fraction (by line count and by
+    character mass), most-common-word-2-gram fraction (by slot count and
+    by character mass), symbol-to-word ratio (#/ellipsis), and the
+    fractions of lines that are bullets or end in an ellipsis — the
+    standard cheap repetition filters an LLM corpus pipeline applies
+    between scrubbing and dedup.
+
+    Pure Column expressions (scan-project, zero Python, no shuffle). The
+    duplicate and 2-gram signals compare elements pairwise inside a row,
+    so per-row cost is O(max_words² + max_lines²): both arrays are
+    truncated (first ``max_words`` words / ``max_lines`` lines) to bound
+    the cost per row regardless of document length — at 100 TB a single
+    pathological 1 GB document must not own a task. Truncation is part
+    of the operator contract and mirrored by the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    staged = docs.select(
+        "doc_id",
+        t.alias("_text"),
+        F.slice(doc_lines(t), 1, max_lines).alias("_lines"),
+        F.slice(words(t), 1, max_words).alias("_toks"),
+    )
+    lines, toks, raw = F.col("_lines"), F.col("_toks"), F.col("_text")
+    n_lines = F.size(lines)
+    n_words = F.size(toks)
+    dup_lines = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    )
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    dup_line_chars = F.aggregate(
+        dup_lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    grams = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged2 = staged.select(
+        "doc_id", raw, lines, toks, grams.alias("_grams"),
+        dup_lines.alias("_dup_lines"),
+        line_chars.alias("_line_chars"), dup_line_chars.alias("_dup_line_chars"),
+    )
+    g = F.col("_grams")
+    gram_counts = F.transform(g, lambda x: F.size(F.filter(g, lambda y: y == x)))
+    gram_char_scores = F.transform(
+        g, lambda x: F.size(F.filter(g, lambda y: y == x)) * F.length(x)
+    )
+    gram_chars = F.aggregate(g, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_lines2 = F.size(F.col("_lines"))
+    return staged2.select(
+        "doc_id",
+        n_lines2.alias("n_lines"),
+        F.round(
+            _frac(n_lines2 - F.size(F.array_distinct(F.col("_lines"))), n_lines2), 6
+        ).alias("dup_line_frac"),
+        F.round(_frac(F.col("_dup_line_chars"), F.col("_line_chars")), 6).alias(
+            "dup_line_char_frac"
+        ),
+        F.round(
+            _frac(F.coalesce(F.array_max(gram_counts), F.lit(0)), F.size(g)), 6
+        ).alias("top_2gram_frac"),
+        F.round(
+            _frac(F.coalesce(F.array_max(gram_char_scores), F.lit(0)), gram_chars), 6
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            _frac(
+                F.size(F.regexp_extract_all(F.col("_text"), F.lit(SYMBOL_RE), 0)),
+                F.size(F.col("_toks")),
+            ),
+            6,
+        ).alias("symbol_word_ratio"),
+        F.round(
+            _frac(
+                F.size(F.filter(F.col("_lines"), lambda l: l.rlike(BULLET_LINE_RE))),
+                n_lines2,
+            ),
+            6,
+        ).alias("bullet_line_frac"),
+        F.round(
+            _frac(
+                F.size(F.filter(F.col("_lines"), lambda l: l.rlike(ELLIPSIS_LINE_RE))),
+                n_lines2,
+            ),
+            6,
+        ).alias("ellipsis_line_frac"),
+    )
+
+
 # ---- scrubbing (corpus-prep cleanup) ---------------------------------------
 
 # Portable across Java regex (Spark) and RE2 (DuckDB): no backrefs, no

@@ -151,6 +151,7 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from open_instrument_spark.operators.corpus import (  # noqa: E402
     DEFAULT_WEIGHTS as _SPLIT_WEIGHTS,
+    _hex_threshold,
     cumulative_thresholds as _split_thresholds,
 )
 
@@ -243,6 +244,173 @@ def corpus_pack_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.withColumnRenamed("split", "part"), "n_tokens", 2048, "part"
     )
     return out.select("doc_id", "n_tokens", "bin_part", "bin")
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || left(text, 40) || chr(10) || left(text, 40)
+                   || chr(10) || '- bullet item' || chr(10) || 'to be continued...'
+              ELSE text END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     l -> l != '')[1:256] AS lines,
+         list_filter(string_split_regex(trim(regexp_replace(lower(t),
+                     '[^a-z ]', ' ', 'g')), '\\s+'), x -> x != '')[1:512] AS w
+  FROM c
+),
+f AS (
+  SELECT doc_id, t, lines, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS grams,
+         list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1) AS dups
+  FROM s
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       round(CASE WHEN len(lines) > 0 THEN
+         CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) > 0 THEN
+         CAST(COALESCE(list_sum(list_transform(dups, l -> length(l))), 0) AS DOUBLE)
+           / list_sum(list_transform(lines, l -> length(l)))
+         ELSE 0.0 END, 6) AS dup_line_char_frac,
+       round(CASE WHEN len(grams) > 0 THEN
+         CAST(COALESCE(list_max(list_transform(grams,
+              g -> len(list_filter(grams, y -> y = g)))), 0) AS DOUBLE) / len(grams)
+         ELSE 0.0 END, 6) AS top_2gram_frac,
+       round(CASE WHEN COALESCE(list_sum(list_transform(grams, g -> length(g))), 0) > 0 THEN
+         CAST(COALESCE(list_max(list_transform(grams,
+              g -> len(list_filter(grams, y -> y = g)) * length(g))), 0) AS DOUBLE)
+           / list_sum(list_transform(grams, g -> length(g)))
+         ELSE 0.0 END, 6) AS top_2gram_char_frac,
+       round(CASE WHEN len(w) > 0 THEN
+         CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE) / len(w)
+         ELSE 0.0 END, 6) AS symbol_word_ratio,
+       round(CASE WHEN len(lines) > 0 THEN
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+           / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+       round(CASE WHEN len(lines) > 0 THEN
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+           / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac
+FROM f
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 Gopher-style repetition quality signals (Rae et al. 2021
+    §A.1.1): duplicate-line fractions (count + character mass), most-
+    common-2-gram fractions, symbol/word ratio, bullet- and ellipsis-
+    line fractions. The corpus has no newlines, so every 3rd doc is
+    seeded with a 4-line tail (two duplicate lines, a bullet, an
+    ellipsis line) to exercise the line-shape paths; the 2-gram signals
+    bite on the real text. Single scan-project, zero Python; per-row
+    cost bounded by the operator's max_words/max_lines truncation
+    (mirrored by the [1:512]/[1:256] slices here). Past the driver
+    window; replayed against DuckDB by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.text import repetition_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n"),
+                F.substring(F.col("text"), 1, 40),
+                F.lit("\n"),
+                F.substring(F.col("text"), 1, 40),
+                F.lit("\n- bullet item\nto be continued..."),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_stats(seeded)
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+r AS (
+  SELECT doc_id, split,
+         row_number() OVER (
+           PARTITION BY split
+           ORDER BY md5(split || ':' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM s
+)
+SELECT doc_id, split, CAST(sample_rank AS INTEGER) AS sample_rank
+FROM r WHERE sample_rank <= 40
+""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops: exact-quota stratified sampling — 40 docs per
+    train/val/test stratum by deterministic md5 rank (id tiebreak).
+    One shuffle on the stratum key; see stratified_sample_quota's scale
+    note (pre-thin huge strata with the fraction form). Past the driver
+    window; replayed against DuckDB by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        stratified_sample_quota,
+    )
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id")
+    return stratified_sample_quota(hash_split(docs), "split", 40).select(
+        "doc_id", "split", "sample_rank"
+    )
+
+
+_FRAC_TRAIN = 0.25
+
+
+@query(
+    "corpus_stratified_frac",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+              WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_id, split FROM s
+WHERE (split = 'train'
+       AND md5(split || ':' || CAST(doc_id AS VARCHAR))
+           < '{_hex_threshold(_FRAC_TRAIN)}')
+   OR split IN ('val', 'test')
+""",
+)
+def corpus_stratified_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus ops, 100 TB path: per-stratum hash-threshold
+    downsampling (train kept at 25%, val/test kept whole) — a pure
+    scan-project filter with no shuffle and no count pass; membership
+    stable under corpus growth. Past the driver window; replayed
+    against DuckDB by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        stratified_sample_frac,
+    )
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id")
+    return stratified_sample_frac(
+        hash_split(docs), "split", {"train": _FRAC_TRAIN, "val": 1.0, "test": 1.0}
+    ).select("doc_id", "split")
 
 
 @query(

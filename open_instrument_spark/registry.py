@@ -136,6 +136,9 @@ _PAST_WINDOW_ORACLED = [
     "multimodal_video_stats",
     "multimodal_resize_real",
     "ann_ivf_seeded_topk",
+    "text_repetition",
+    "corpus_stratified_sample",
+    "corpus_stratified_frac",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

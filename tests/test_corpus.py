@@ -88,3 +88,59 @@ def test_pack_greedy_partitioned_has_no_single_task_window(spark):
     assert "SinglePartition" not in plan_of(
         pack_greedy_partitioned(toks, "n_tokens", 1000, "split")
     )
+
+
+def test_stratified_sample_quota_exact_per_stratum(spark):
+    from open_instrument_spark.operators.corpus import stratified_sample_quota
+
+    docs = hash_split(
+        load_tables(spark, SF_SMOKE).table("documents").select("doc_id")
+    )
+    sizes = {r["split"]: r["n"] for r in
+             docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = stratified_sample_quota(docs, "split", 40)
+    got = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exactly min(n, stratum size) rows per stratum
+    assert got == {g: min(40, n) for g, n in sizes.items() if n > 0}
+    # deterministic: a second run picks the identical membership
+    a = {(r["doc_id"], r["sample_rank"]) for r in out.collect()}
+    b = {(r["doc_id"], r["sample_rank"])
+         for r in stratified_sample_quota(docs, "split", 40).collect()}
+    assert a == b
+    # ranks are 1..n within each stratum
+    ranks = {}
+    for r in out.collect():
+        ranks.setdefault(r["split"], []).append(r["sample_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_stratified_sample_frac_stable_and_shuffle_free(spark):
+    from open_instrument_spark.operators.corpus import stratified_sample_frac
+
+    docs = hash_split(
+        load_tables(spark, SF_SMOKE).table("documents").select("doc_id")
+    )
+    fr = {"train": 0.25, "val": 1.0, "test": 1.0}
+    full = stratified_sample_frac(docs, "split", fr)
+    kept = {r["doc_id"] for r in full.collect()}
+    # val/test kept whole (frac >= 1.0 short-circuits the hex threshold)
+    n_vt = docs.filter(F.col("split") != "train").count()
+    assert full.filter(F.col("split") != "train").count() == n_vt
+    # train thinned to roughly a quarter
+    n_train = docs.filter(F.col("split") == "train").count()
+    k_train = full.filter(F.col("split") == "train").count()
+    assert 0.15 * n_train <= k_train <= 0.35 * n_train
+    # growth-stable: membership decided per row, so the half-corpus
+    # survivors are exactly the full-corpus survivors with even ids
+    half = stratified_sample_frac(
+        docs.filter(F.col("doc_id") % 2 == 0), "split", fr
+    )
+    assert {r["doc_id"] for r in half.collect()} == {
+        d for d in kept if d % 2 == 0
+    }
+    # 100 TB shape: pure scan-project filter, no Exchange
+    plan = full._sc._jvm.PythonSQLUtils.explainString(
+        full._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan

@@ -446,3 +446,51 @@ def test_video_stats_end_to_end(spark):
             got[2]["duration_s"]) == ("video/mp4", 1920, 1080, 15.0)
     with pytest.raises(Exception, match="video container"):
         multimodal.video_stats(media).collect()
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Every signal checked against a hand-derived fixture.
+
+    lines = [aa bb, cc dd, aa bb, - item, end...]  (5 lines, 4 distinct)
+    words = [aa,bb,cc,dd,aa,bb,item,end]           (8 words, 7 2-grams)
+    """
+    from open_instrument_spark.operators.text import repetition_stats
+
+    text = "aa bb\ncc dd\naa bb\n- item\nend...\n"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_stats(docs).collect()[0]
+    assert row["n_lines"] == 5
+    assert row["dup_line_frac"] == round(1 / 5, 6)
+    assert row["dup_line_char_frac"] == round(10 / 27, 6)
+    assert row["top_2gram_frac"] == round(2 / 7, 6)          # "aa bb" twice
+    assert row["top_2gram_char_frac"] == round(10 / 40, 6)   # 2*len("aa bb")
+    assert row["symbol_word_ratio"] == round(1 / 8, 6)       # one "..."
+    assert row["bullet_line_frac"] == round(1 / 5, 6)
+    assert row["ellipsis_line_frac"] == round(1 / 5, 6)
+
+
+def test_repetition_stats_truncation_and_empty(spark):
+    from open_instrument_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc\nd"), (2, ""), (3, "word")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(docs, max_lines=2, max_words=1).collect()}
+    assert rows[1]["n_lines"] == 2        # truncated per the contract
+    assert rows[2]["n_lines"] == 0        # empty doc: all zeros, no NaN
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[2]["top_2gram_frac"] == 0.0
+    assert rows[3]["top_2gram_frac"] == 0.0   # one word -> no 2-grams
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    from open_instrument_spark.operators.text import repetition_stats
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    df = repetition_stats(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan  # single scan-project at any scale
