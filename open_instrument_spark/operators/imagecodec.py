@@ -5,9 +5,9 @@ need no external codec at all: uncompressed BMP is headers + raw BGR(A)
 rows, PNG is stdlib ``zlib`` + the five spec scanline filters, and GIF's
 LZW is ~50 lines of pure Python (spec appendix F). Implementing them
 turns the multimodal ``resize``/decode path from a stub into a real
-pixel pipeline; baseline JPEG joined in r6 via the pure-numpy
-DCT+Huffman codec (:mod:`operators.jpegcodec`), leaving only
-progressive/arithmetic JPEG honestly gated behind
+pixel pipeline; baseline and progressive JPEG joined in r6 via the
+pure-numpy DCT+Huffman codec (:mod:`operators.jpegcodec`), leaving only
+arithmetic/hierarchical/12-bit JPEG honestly gated behind
 ``NotImplementedError`` with the reason.
 
 All decoders return ``uint8`` arrays shaped (height, width, channels)
@@ -384,9 +384,9 @@ def decode_pixels(b: bytes) -> tuple[str, np.ndarray]:
     """Raw image bytes → (mime, (h, w, c) uint8 array).
 
     Real decode for PNG, uncompressed BMP, GIF (pure Python LZW) and —
-    since r6 — baseline/extended-sequential Huffman JPEG
-    (:mod:`operators.jpegcodec`, pure-numpy DCT + Huffman).
-    Progressive/arithmetic/12-bit JPEG raises NotImplementedError with
+    since r6 — baseline/extended-sequential AND progressive Huffman
+    JPEG (:mod:`operators.jpegcodec`, pure-numpy DCT + Huffman).
+    Arithmetic/hierarchical/12-bit JPEG raises NotImplementedError with
     the reason; anything else ValueError.
 
     Failure contract: EVERY corrupt-payload failure surfaces as

@@ -1,18 +1,27 @@
 """Pure-numpy baseline JPEG codec (ITU-T T.81) for the multimodal
 operators (§2.9) — closes the last codec gate flagged in the r5 verdict.
 
-Scope: BASELINE and extended-sequential Huffman JPEGs (SOF0/SOF1,
-8-bit, interleaved single scan, optional restart markers, any
-sampling-factor layout incl. 4:4:4 / 4:2:2 / 4:2:0, 1 or 3
-components). Progressive (SOF2), arithmetic coding, hierarchical and
-12-bit variants raise ``NotImplementedError`` with the reason — the
-same honest gating the other codecs use for their exotic corners.
+Scope: BASELINE, extended-sequential, and PROGRESSIVE Huffman JPEGs
+(SOF0/SOF1/SOF2, 8-bit, interleaved and non-interleaved scans,
+spectral selection + successive approximation + EOB runs per T.81
+Annex G, optional restart markers, any sampling-factor layout incl.
+4:4:4 / 4:2:2 / 4:2:0, 1 or 3 components). Arithmetic coding,
+hierarchical, lossless and 12-bit variants raise
+``NotImplementedError`` with the reason — the same honest gating the
+other codecs use for their exotic corners.
 
-The encoder emits spec-valid baseline files: orthonormal 8×8 FDCT,
-scaled Annex-K-style quantization (quality knob), and deliberately
-SIMPLE canonical Huffman tables (all DC symbols 4 bits, all AC symbols
-8 bits — valid prefix codes declared in DHT like any other; compression
-is not the goal, decodability by conformant readers is). Round-trip
+The decoder is multi-scan: each SOS accumulates into per-component
+coefficient arrays (so sequential multi-scan files work too), then one
+batched dequantize+IDCT reconstructs every plane.
+
+The encoder emits spec-valid files: orthonormal 8×8 FDCT, scaled
+Annex-K-style quantization (quality knob), and deliberately SIMPLE
+canonical Huffman tables (all DC symbols 4 bits, all AC symbols 8
+bits — valid prefix codes declared in DHT like any other; compression
+is not the goal, decodability by conformant readers is).
+``progressive=True`` writes a 9-scan SOF2 script covering every
+Annex-G decode path; it decodes bit-identically to the baseline
+encoding of the same image (property-tested). Round-trip
 ``decode(encode(img, quality=100))`` is near-lossless (quantizer all
 ones; only DCT/color rounding — bounded to a few LSB, property-tested
 in tests/test_multimodal_pixels.py).
@@ -115,12 +124,14 @@ def _build_encode_table(bits: list[int], values: list[int]) -> dict:
 
 
 # Deliberately simple encoder tables (module doc): 12 DC categories at
-# 4 bits each (codes 0..11, all-ones 1111 unused); 162 AC run/size
-# symbols at 8 bits each (codes 0..161).
+# 4 bits each (codes 0..11, all-ones 1111 unused); 176 AC symbols at
+# 8 bits each — EOBn run codes (r<<4 for r=0..14; EOB0 is baseline's
+# EOB), all run/size pairs, and ZRL. Baseline scans simply never emit
+# EOBn for r>0; progressive scans need them for EOB runs (T.81 G.1.2.2).
 _ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _ENC_DC_VALUES = list(range(12))
-_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
-_ENC_AC_VALUES = [0x00] + [
+_ENC_AC_BITS = [0] * 7 + [176] + [0] * 8
+_ENC_AC_VALUES = [r << 4 for r in range(15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ] + [0xF0]
 
@@ -199,94 +210,10 @@ def _category(v: int) -> int:
 
 
 # ---------------------------------------------------------------- decoder
-def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline/extended-sequential Huffman JPEG → (h, w, 1|3) uint8.
-
-    Grayscale returns 1 channel; YCbCr returns RGB via BT.601. Raises
-    ValueError on malformed streams, NotImplementedError on progressive/
-    arithmetic/12-bit variants."""
-    if not b.startswith(b"\xff\xd8"):
-        raise ValueError("not a JPEG payload")
-    i, n = 2, len(b)
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
-    restart_interval = 0
-    scan = None
-    while i + 3 < n:
-        if b[i] != 0xFF:
-            raise ValueError("desynced JPEG marker stream")
-        marker = b[i + 1]
-        if marker == 0xFF:
-            i += 1
-            continue
-        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: bare
-            i += 2
-            continue
-        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
-        seg = b[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(seg):
-                prec, tid = seg[j] >> 4, seg[j] & 0x0F
-                j += 1
-                if prec:
-                    vals = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
-                    j += 128
-                else:
-                    vals = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
-                    j += 64
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = vals  # DQT stores zigzag order
-                qt[tid] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
-            depth = seg[0]
-            if depth != 8:
-                raise NotImplementedError(f"JPEG sample depth {depth} (only 8)")
-            h = int.from_bytes(seg[1:3], "big")
-            w = int.from_bytes(seg[3:5], "big")
-            ncomp = seg[5]
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (baseline only)")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} coding process (baseline only)"
-            )
-        elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 0x0F
-                bits = list(seg[j + 1 : j + 17])
-                nv = sum(bits)
-                values = seg[j + 17 : j + 17 + nv]
-                huff[(tc, th)] = _build_decode_table(bits, values)
-                j += 17 + nv
-        elif marker == 0xDD:  # DRI
-            restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xDA:  # SOS
-            ncomp = seg[0]
-            scan = [
-                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
-                for c in range(ncomp)
-            ]
-            i += 2 + seg_len
-            break
-        elif marker == 0xD9:  # EOI before any scan
-            raise ValueError("JPEG without a scan")
-        i += 2 + seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ValueError("JPEG with zero dimension")
-
-    # Entropy-coded data: unstuff FF00, split at restart markers, stop
-    # at the next true marker (EOI).
+def _entropy_segments(b: bytes, i: int) -> tuple[list[bytes], int]:
+    """Unstuff FF00, split at RSTn, stop at the next true marker.
+    Returns (segments, index of the terminating marker)."""
+    n = len(b)
     segments: list[bytes] = []
     cur = bytearray()
     j = i
@@ -303,75 +230,323 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 cur = bytearray()
                 j += 2
                 continue
-            break  # EOI or next segment
+            break  # EOI or next segment marker
         cur.append(byte)
         j += 1
     segments.append(bytes(cur))
+    return segments, j
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8))
-        for cid, hs, vs, _tq in comps
-    }
-    comp_of = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _comp_block_grid(w, h, hs, vs, hmax, vmax) -> tuple[int, int]:
+    """Block grid of one component's own sample array (T.81 A.1.1 —
+    ceil dims, NOT padded to MCU multiples): (blocks_wide, blocks_high)."""
+    return (
+        _ceil_div(_ceil_div(w * hs, hmax), 8),
+        _ceil_div(_ceil_div(h * vs, vmax), 8),
+    )
+
+
+def _decode_block_sequential(reader, coef, dc_lut, ac_lut, preds, cid) -> None:
+    """One full-band DC+AC block (T.81 F.2.2), coefficients in zigzag."""
+    size = reader.read_symbol(dc_lut)
+    preds[cid] += _extend(reader.read_bits(size), size)
+    coef[0] = preds[cid]
+    kk = 1
+    while kk < 64:
+        rs = reader.read_symbol(ac_lut)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                kk += 16
+                continue
+            break  # EOB
+        kk += run
+        if kk > 63:
+            raise ValueError("JPEG AC run past block end")
+        coef[kk] = _extend(reader.read_bits(size), size)
+        kk += 1
+
+
+def _decode_block_ac_first(reader, coef, ac_lut, ss, se, al, eobrun) -> None:
+    """First AC scan of a band (T.81 G.2.2): EOB runs + `<< Al` store."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    kk = ss
+    while kk <= se:
+        rs = reader.read_symbol(ac_lut)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                kk += 16
+                continue
+            eobrun[0] = (1 << run) - 1
+            if run:
+                eobrun[0] += reader.read_bits(run)
+            break
+        kk += run
+        if kk > se:
+            raise ValueError("JPEG AC run past band end")
+        coef[kk] = _extend(reader.read_bits(size), size) << al
+        kk += 1
+
+
+def _decode_block_ac_refine(reader, coef, ac_lut, ss, se, al, eobrun) -> None:
+    """AC successive-approximation refinement (T.81 G.2.2): correction
+    bits for already-nonzero coefficients ride along with new ±1<<Al
+    coefficients and EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+    kk = ss
+    if eobrun[0] == 0:
+        while kk <= se:
+            rs = reader.read_symbol(ac_lut)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun[0] = 1 << run
+                    if run:
+                        eobrun[0] += reader.read_bits(run)
+                    break
+                # run == 15: skip 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("bad JPEG AC refinement symbol")
+                newval = p1 if reader.read_bit() else m1
+            while kk <= se:
+                c = int(coef[kk])
+                if c != 0:
+                    if reader.read_bit() and (c & p1) == 0:
+                        coef[kk] = c + (p1 if c >= 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                kk += 1
+            if newval and kk <= se:
+                coef[kk] = newval
+            kk += 1
+    if eobrun[0] > 0:
+        while kk <= se:
+            c = int(coef[kk])
+            if c != 0:
+                if reader.read_bit() and (c & p1) == 0:
+                    coef[kk] = c + (p1 if c >= 0 else m1)
+            kk += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan(segments, scan, ss, se, ah, al, progressive, restart_interval,
+                 geom, coefs, huff) -> None:
+    """Decode one entropy-coded scan into the coefficient accumulators.
+
+    ``scan`` is [(cid, dc_table, ac_table)]. Interleaved scans walk
+    MCUs; single-component scans walk the component's own block grid
+    (T.81 A.2.2 — no MCU padding). Restart markers reset DC predictors
+    and the EOB run."""
+    h, w, comp_of, hmax, vmax, mcus_x, mcus_y = geom
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        cid0 = scan[0][0]
+        hs, vs, _tq = comp_of[cid0]
+        bw, bh = _comp_block_grid(w, h, hs, vs, hmax, vmax)
+        units = bw * bh
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and interleaved:
+            raise ValueError("progressive AC scan must be single-component")
 
     seg_idx = 0
     reader = _BitReader(segments[0])
     preds = {cid: 0 for cid, _dc, _ac in scan}
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    eobrun = [0]
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("JPEG missing restart segment")
             reader = _BitReader(segments[seg_idx])
             preds = {cid: 0 for cid in preds}
-        my, mx = divmod(mcu, mcus_x)
-        for cid, dc_id, ac_id in scan:
-            hs, vs, tq = comp_of[cid]
-            if tq not in qt:
-                raise ValueError(f"JPEG missing quant table {tq}")
-            dc_lut = huff.get((0, dc_id))
-            ac_lut = huff.get((1, ac_id))
-            if dc_lut is None or ac_lut is None:
-                raise ValueError("JPEG missing Huffman table")
-            for by in range(vs):
-                for bx in range(hs):
-                    coef = np.zeros(64, dtype=np.int64)
+            eobrun[0] = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            blocks = [
+                (cid, dc_id, ac_id, my * comp_of[cid][1] + by,
+                 mx * comp_of[cid][0] + bx)
+                for cid, dc_id, ac_id in scan
+                for by in range(comp_of[cid][1])
+                for bx in range(comp_of[cid][0])
+            ]
+        else:
+            cid, dc_id, ac_id = scan[0]
+            blocks = [(cid, dc_id, ac_id, u // bw, u % bw)]
+        for cid, dc_id, ac_id, by, bx in blocks:
+            coef = coefs[cid][by, bx]
+            if not progressive:
+                dc_lut = huff.get((0, dc_id))
+                ac_lut = huff.get((1, ac_id))
+                if dc_lut is None or ac_lut is None:
+                    raise ValueError("JPEG missing Huffman table")
+                _decode_block_sequential(reader, coef, dc_lut, ac_lut, preds, cid)
+            elif ss == 0:  # DC scan
+                if ah == 0:
+                    dc_lut = huff.get((0, dc_id))
+                    if dc_lut is None:
+                        raise ValueError("JPEG missing Huffman table")
                     size = reader.read_symbol(dc_lut)
                     preds[cid] += _extend(reader.read_bits(size), size)
-                    coef[0] = preds[cid]
-                    kk = 1
-                    while kk < 64:
-                        rs = reader.read_symbol(ac_lut)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                kk += 16
-                                continue
-                            break  # EOB
-                        kk += run
-                        if kk > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coef[kk] = _extend(reader.read_bits(size), size)
-                        kk += 1
-                    block = np.zeros(64, dtype=np.int64)
-                    block[_ZIGZAG] = coef  # dezigzag
-                    block = (block * qt[tq]).reshape(8, 8).astype(np.float64)
-                    pixels = _T.T @ block @ _T + 128.0
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pixels
+                    coef[0] = preds[cid] << al
+                else:  # refinement: one bit appends bit Al
+                    if reader.read_bit():
+                        coef[0] = int(coef[0]) | (1 << al)
+            else:  # AC scan
+                ac_lut = huff.get((1, ac_id))
+                if ac_lut is None:
+                    raise ValueError("JPEG missing Huffman table")
+                if ah == 0:
+                    _decode_block_ac_first(reader, coef, ac_lut, ss, se, al, eobrun)
+                else:
+                    _decode_block_ac_refine(reader, coef, ac_lut, ss, se, al, eobrun)
 
-    # Crop each plane to its true size, upsample to full resolution.
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Huffman JPEG → (h, w, 1|3) uint8: baseline, extended-sequential,
+    and progressive (SOF0/SOF1/SOF2 — spectral selection, successive
+    approximation, EOB runs, restart markers, any sampling layout).
+
+    Grayscale returns 1 channel; YCbCr returns RGB via BT.601. Raises
+    ValueError on malformed streams, NotImplementedError on arithmetic/
+    hierarchical/lossless/12-bit variants."""
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    i, n = 2, len(b)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}
+    geom = None
+    saw_scan = False
+    while i + 1 < n:
+        if b[i] != 0xFF:
+            raise ValueError("desynced JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: bare
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 3 >= n:
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if prec:
+                    vals = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = vals  # DQT stores zigzag order
+                qt[tid] = tbl
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            depth = seg[0]
+            if depth != 8:
+                raise NotImplementedError(f"JPEG sample depth {depth} (only 8)")
+            progressive = marker == 0xC2
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+            if h == 0 or w == 0:
+                raise ValueError("JPEG with zero dimension")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            comp_of = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+            geom = (h, w, comp_of, hmax, vmax, mcus_x, mcus_y)
+            coefs = {
+                cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+                for cid, hs, vs, _tq in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} coding process "
+                "(baseline/extended/progressive Huffman only)"
+            )
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                values = seg[j + 17 : j + 17 + nv]
+                huff[(tc, th)] = _build_decode_table(bits, values)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before SOF")
+            nsc = seg[0]
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
+                for c in range(nsc)
+            ]
+            ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
+            ahal = seg[3 + 2 * nsc]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and (ss != 0 or se != 63 or ah != 0 or al != 0):
+                raise ValueError("sequential JPEG scan with progressive header")
+            segments, i = _entropy_segments(b, i + 2 + seg_len)
+            _decode_scan(segments, scan, ss, se, ah, al, progressive,
+                         restart_interval, geom, coefs, huff)
+            saw_scan = True
+            continue
+        i += 2 + seg_len
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    _h, _w, comp_of, hmax, vmax, mcus_x, mcus_y = geom
+
+    # Dequantize + batch IDCT per component, then crop/upsample.
     full = []
-    for cid, hs, vs, _tq in comps:
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        arr = coefs[cid]
+        bh, bw = arr.shape[0], arr.shape[1]
+        raster = np.zeros((bh * bw, 64), dtype=np.int64)
+        raster[:, _ZIGZAG] = arr.reshape(bh * bw, 64)  # dezigzag
+        blocks = (raster * qt[tq]).reshape(bh * bw, 8, 8).astype(np.float64)
+        pixels = _T.T @ blocks @ _T + 128.0
+        plane = (
+            pixels.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
         ph = -(-h * vs // vmax)
         pw = -(-w * hs // hmax)
-        p = planes[cid][:ph, :pw]
+        p = plane[:ph, :pw]
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
@@ -389,12 +564,16 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
 # ---------------------------------------------------------------- encoder
 def encode_jpeg(arr: np.ndarray, quality: int = 100,
-                subsample: bool = False) -> bytes:
-    """(h, w[, 1|3]) uint8 → baseline JFIF-less JPEG.
+                subsample: bool = False, progressive: bool = False) -> bytes:
+    """(h, w[, 1|3]) uint8 → baseline (or progressive) JFIF-less JPEG.
 
     3-channel input is RGB → YCbCr; ``subsample=True`` writes 4:2:0
     (2×2-averaged chroma), else 4:4:4. ``quality=100`` quantizes with
-    all-ones tables (near-lossless round-trip)."""
+    all-ones tables (near-lossless round-trip). ``progressive=True``
+    writes SOF2 with a 9-scan script (interleaved DC at Al=1, spectral
+    bands 1-5/6-63 per component at Al=1, then the Ah=1/Al=0
+    successive-approximation refinements) — same coefficients, so the
+    decoded output is bit-identical to the baseline encoding's."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -443,51 +622,197 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
             p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
         ))
 
+    # Quantized zigzag coefficients per component: (bh_pad, bw_pad, 64),
+    # FDCT done in one batched matmul per plane.
+    zz_all = []
+    for ci, ((cid, hs, vs, _tq), plane) in enumerate(zip(comps, padded)):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = _T @ blocks @ _T.T
+        q = np.round(coef.reshape(-1, 64) / quants[ci]).astype(np.int64)
+        if np.abs(q[:, 1:]).max(initial=0) >= (1 << 10):
+            raise ValueError("AC coefficient out of baseline range")
+        zz_all.append(q[:, _ZIGZAG].reshape(bh, bw, 64))
+
     dc_enc = _build_encode_table(_ENC_DC_BITS, _ENC_DC_VALUES)
     ac_enc = _build_encode_table(_ENC_AC_BITS, _ENC_AC_VALUES)
-    writer = _BitWriter()
-    preds = [0] * len(comps)
-    for mcu in range(mcus_x * mcus_y):
-        my, mx = divmod(mcu, mcus_x)
-        for ci, ((cid, hs, vs, tq), plane) in enumerate(zip(comps, padded)):
-            for by in range(vs):
-                for bx in range(hs):
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coef = _T @ block @ _T.T
-                    q = np.round(coef.reshape(64) / quants[ci]).astype(np.int64)
-                    zz = q[_ZIGZAG]
-                    diff = int(zz[0]) - preds[ci]
-                    preds[ci] = int(zz[0])
-                    size = _category(diff)
-                    code, length = dc_enc[size]
-                    writer.write(code, length)
-                    if size:
-                        writer.write(
-                            diff if diff >= 0 else diff + (1 << size) - 1, size
-                        )
+    hmax_ = hmax
+    vmax_ = vmax
+
+    def write_dc_diff(wtr: _BitWriter, diff: int) -> None:
+        size = _category(diff)
+        code, length = dc_enc[size]
+        wtr.write(code, length)
+        if size:
+            wtr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    def mcu_blocks():
+        """(ci, by, bx) in interleaved MCU order over the padded grids."""
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        yield ci, my * vs + by, mx * hs + bx
+
+    def sos_seg(scan_comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        p = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            p += bytes([comps[ci][0], 0x00])  # DC table 0, AC table 0
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    scans: list[tuple[bytes, bytes]] = []  # (SOS payload, entropy bytes)
+    if not progressive:
+        wtr = _BitWriter()
+        preds = [0] * len(comps)
+        for ci, by, bx in mcu_blocks():
+            zzb = zz_all[ci][by, bx]
+            dc = int(zzb[0])
+            write_dc_diff(wtr, dc - preds[ci])
+            preds[ci] = dc
+            run = 0
+            for kk in range(1, 64):
+                v = int(zzb[kk])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_enc[0xF0]  # ZRL
+                    wtr.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = ac_enc[(run << 4) | size]
+                wtr.write(code, length)
+                wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                code, length = ac_enc[0x00]  # EOB
+                wtr.write(code, length)
+        scans.append((sos_seg(list(range(len(comps))), 0, 63, 0, 0), wtr.flush()))
+    else:
+        # Scan script (T.81 Annex G): interleaved DC at Al=1, per-component
+        # AC bands 1-5 and 6-63 at Al=1, then the matching successive-
+        # approximation refinement scans at Ah=1/Al=0. Exercises spectral
+        # selection, EOB runs, and both refinement paths.
+        AL = 1
+        wtr = _BitWriter()
+        preds = [0] * len(comps)
+        for ci, by, bx in mcu_blocks():
+            v = int(zz_all[ci][by, bx, 0]) >> AL  # DC point transform: arithmetic
+            write_dc_diff(wtr, v - preds[ci])
+            preds[ci] = v
+        scans.append((sos_seg(list(range(len(comps))), 0, 0, 0, AL), wtr.flush()))
+
+        for lo, hi in ((1, 5), (6, 63)):
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                bw_c, bh_c = _comp_block_grid(w, h, hs, vs, hmax_, vmax_)
+                wtr = _BitWriter()
+                st = {"eobrun": 0}
+
+                def flush_eob():
+                    if st["eobrun"]:
+                        r = st["eobrun"].bit_length() - 1
+                        code, length = ac_enc[r << 4]
+                        wtr.write(code, length)
+                        if r:
+                            wtr.write(st["eobrun"] - (1 << r), r)
+                        st["eobrun"] = 0
+
+                for bidx in range(bw_c * bh_c):
+                    zzb = zz_all[ci][bidx // bw_c, bidx % bw_c]
                     run = 0
-                    for kk in range(1, 64):
-                        v = int(zz[kk])
+                    for kk in range(lo, hi + 1):
+                        v = int(zzb[kk])
+                        v = -((-v) >> AL) if v < 0 else v >> AL  # AC pt: magnitude
                         if v == 0:
                             run += 1
                             continue
+                        flush_eob()
                         while run > 15:
-                            code, length = ac_enc[0xF0]  # ZRL
-                            writer.write(code, length)
+                            code, length = ac_enc[0xF0]
+                            wtr.write(code, length)
                             run -= 16
                         size = _category(v)
-                        if size > 10:
-                            raise ValueError("AC coefficient out of baseline range")
                         code, length = ac_enc[(run << 4) | size]
-                        writer.write(code, length)
-                        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+                        wtr.write(code, length)
+                        wtr.write(v if v >= 0 else v + (1 << size) - 1, size)
                         run = 0
                     if run:
-                        code, length = ac_enc[0x00]  # EOB
-                        writer.write(code, length)
-    entropy = writer.flush()
+                        st["eobrun"] += 1
+                        if st["eobrun"] == 0x7FFF:
+                            flush_eob()
+                flush_eob()
+                scans.append((sos_seg([ci], lo, hi, 0, AL), wtr.flush()))
+
+        # DC refinement: one bit per block (bit Al of the signed value).
+        wtr = _BitWriter()
+        for ci, by, bx in mcu_blocks():
+            wtr.write(int(zz_all[ci][by, bx, 0]) & 1, 1)
+        scans.append((sos_seg(list(range(len(comps))), 0, 0, AL, 0), wtr.flush()))
+
+        # AC refinement scans (T.81 G.1.2.3): newly-nonzero coefficients
+        # appear as (run,1)+sign; correction bits for already-nonzero
+        # coefficients ride buffered behind symbols and EOB runs.
+        for lo, hi in ((1, 5), (6, 63)):
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                bw_c, bh_c = _comp_block_grid(w, h, hs, vs, hmax_, vmax_)
+                wtr = _BitWriter()
+                st = {"eobrun": 0, "be": []}
+
+                def flush_eob_refine():
+                    if st["eobrun"]:
+                        r = st["eobrun"].bit_length() - 1
+                        code, length = ac_enc[r << 4]
+                        wtr.write(code, length)
+                        if r:
+                            wtr.write(st["eobrun"] - (1 << r), r)
+                        st["eobrun"] = 0
+                        for bit in st["be"]:
+                            wtr.write(bit, 1)
+                        st["be"] = []
+
+                for bidx in range(bw_c * bh_c):
+                    zzb = zz_all[ci][bidx // bw_c, bidx % bw_c]
+                    vals = [int(zzb[kk]) for kk in range(lo, hi + 1)]
+                    eob_idx = -1  # last newly-nonzero position in the band
+                    for idx, v in enumerate(vals):
+                        if abs(v) == 1:
+                            eob_idx = idx
+                    run, br = 0, []
+                    for idx, v in enumerate(vals):
+                        av = abs(v)
+                        if av == 0:
+                            run += 1
+                            continue
+                        while run > 15 and idx <= eob_idx:
+                            flush_eob_refine()
+                            code, length = ac_enc[0xF0]
+                            wtr.write(code, length)
+                            run -= 16
+                            for bit in br:
+                                wtr.write(bit, 1)
+                            br = []
+                        if av > 1:  # history coefficient: correction bit
+                            br.append(av & 1)
+                            continue
+                        flush_eob_refine()
+                        code, length = ac_enc[(run << 4) | 1]
+                        wtr.write(code, length)
+                        wtr.write(0 if v < 0 else 1, 1)
+                        for bit in br:
+                            wtr.write(bit, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        st["eobrun"] += 1
+                        st["be"].extend(br)
+                        if st["eobrun"] == 0x7FFF or len(st["be"]) > 900:
+                            flush_eob_refine()
+                flush_eob_refine()
+                scans.append((sos_seg([ci], lo, hi, AL, 0), wtr.flush()))
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
@@ -499,18 +824,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     for tc in (0, 1):
         bits = _ENC_DC_BITS if tc == 0 else _ENC_AC_BITS
         values = _ENC_DC_VALUES if tc == 0 else _ENC_AC_VALUES
         out += seg(
             0xC4, bytes([tc << 4]) + bytes(bits) + bytes(values)
         )
-    sos = bytes([len(comps)])
-    for cid, _hs, _vs, _tq in comps:
-        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])  # Ss/Se/AhAl
-    out += seg(0xDA, sos)
-    out += entropy
+    for sos, entropy in scans:
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

@@ -7,9 +7,10 @@ header decode — PNG/JPEG/GIF/BMP dimensions parsed from the container
 bytes in pure Python. ``resize`` performs REAL pixel decode + resize +
 re-encode for PNG, uncompressed BMP, GIF (r5: pure numpy + stdlib
 zlib + a ~50-line LZW, :mod:`operators.imagecodec` — no PIL/opencv
-needed) and baseline JPEG (r6: pure-numpy DCT + Huffman,
-:mod:`operators.jpegcodec`); only progressive/arithmetic JPEG remains
-codec-gated, failing per-row with ``on_error="raise"|"skip"``.
+needed) and baseline + progressive JPEG (r6: pure-numpy DCT +
+Huffman with T.81 Annex-G multi-scan decode,
+:mod:`operators.jpegcodec`); only arithmetic/hierarchical/12-bit JPEG
+remains codec-gated, failing per-row with ``on_error="raise"|"skip"``.
 ``fake=True`` keeps the deterministic
 byte-grid stub for plumbing tests on non-image blobs.
 

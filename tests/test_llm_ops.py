@@ -494,3 +494,28 @@ def test_repetition_stats_is_shuffle_free(spark):
         df._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan  # single scan-project at any scale
+
+
+def test_multimodal_resize_progressive_jpeg_end_to_end(spark):
+    """A progressive (SOF2) JPEG blob rides the same mapInPandas resize
+    path as baseline since the r6 multi-scan decoder — under
+    on_error="raise", so a silent fall-through to dead-letter would
+    fail the test."""
+    import numpy as np
+
+    from open_instrument_spark.operators.imagecodec import decode_png
+    from open_instrument_spark.operators.jpegcodec import encode_jpeg
+
+    img = np.random.default_rng(33).integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    blob = encode_jpeg(img, quality=90, subsample=True, progressive=True)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, blob binary"
+    ).withColumn(
+        "meta",
+        F.lit(None).cast(
+            "struct<mime:string,n_bytes:bigint,width:int,height:int,channels:int>"
+        ),
+    )
+    row = multimodal.resize(media, out_w=6, out_h=5, on_error="raise").collect()[0]
+    assert (row["meta"]["width"], row["meta"]["height"]) == (6, 5)
+    assert decode_png(bytes(row["blob"])).shape == (5, 6, 3)

@@ -168,10 +168,11 @@ def test_decode_pixels_dispatch_and_entropy_gate():
     # truncated JPEG (valid SOI, no SOF/SOS) is corrupt, not unsupported
     with pytest.raises(ValueError):
         decode_pixels(b"\xff\xd8\xff\xe0junk")
-    # progressive stays honestly gated
-    prog = b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big") + bytes(9)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_pixels(prog)
+    # progressive decodes for real since r6; arithmetic stays gated
+    assert decode_pixels(encode_jpeg(img, progressive=True))[0] == "image/jpeg"
+    arith = b"\xff\xd8" + b"\xff\xc9" + (11).to_bytes(2, "big") + bytes([8] + [0] * 8)
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_pixels(arith)
     with pytest.raises(ValueError):
         decode_pixels(b"not an image")
 
@@ -539,3 +540,47 @@ def test_jpeg_header_and_pixel_decoders_agree_on_dimensions():
     assert (mime, w, h) == ("image/jpeg", 29, 13)
     mime2, arr = decode_pixels(blob)
     assert mime2 == "image/jpeg" and arr.shape[:2] == (13, 29)
+
+
+# ------------------------------------------------------------- progressive
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """The 9-scan progressive script carries the same coefficients as
+    the baseline scan, so the decoded pixels must be bit-identical —
+    across grayscale, 4:4:4, 4:2:0, odd dimensions, and a low quality
+    that produces long cross-block EOB runs."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(20)
+    cases = [
+        (16, 16, 1, False, 100),
+        (13, 17, 3, False, 100),
+        (13, 17, 3, True, 90),   # 4:2:0: non-interleaved chroma block grids
+        (24, 9, 1, False, 25),   # heavy quantization -> EOB-run paths
+        (8, 8, 3, False, 50),
+    ]
+    for h, w, c, sub, q in cases:
+        img = _rand_img(rng, h, w, c)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub,
+                                       progressive=True))
+        assert np.array_equal(base, prog), (h, w, c, sub, q)
+
+
+def test_jpeg_progressive_flat_image_exercises_pure_eob_stream():
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.full((32, 32, 3), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=75, progressive=True))
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    assert np.array_equal(out, base)
+    assert np.abs(out.astype(int) - 77).max() <= 2
+
+
+def test_jpeg_progressive_marker_is_sof2():
+    from open_instrument_spark.operators.jpegcodec import encode_jpeg
+
+    blob = encode_jpeg(_rand_img(np.random.default_rng(21), 8, 8, 3),
+                       progressive=True)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
+    # scan script: DC-first + 2 bands x 3 comps + DC-refine + 2 x 3 refine
+    assert blob.count(b"\xff\xda") == 1 + 3 * 2 + 1 + 3 * 2
