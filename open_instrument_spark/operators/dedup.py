@@ -368,3 +368,110 @@ def minhash_lsh_pairs_portable(docs: DataFrame, text_col: str = "text",
         broadcast_candidates=broadcast_candidates, portable=True,
     )
 
+
+
+# ---- benchmark decontamination ---------------------------------------------
+def contamination(docs: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", k: int = 5,
+                  min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥
+    ``min_overlap`` distinct word k-gram shingles with a benchmark doc.
+
+    Output: (doc_id, bench_id, n_overlap, overlap_frac) — one row per
+    contaminated (train, benchmark) pair, ``overlap_frac`` = overlapping
+    shingles / the TRAIN doc's distinct shingles (rounded to 6).
+
+    100 TB shape: the benchmark side (eval sets: thousands of docs, not
+    billions) is broadcast, so the shingle join is map-side with NO
+    shuffle of the corpus; the only shuffle is the per-pair count, whose
+    input is just the matching shingle rows. The train corpus is never
+    self-joined. Run after scrubbing, before split/packing.
+    """
+    d_sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    b_sh = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    sizes = d_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_sh"))
+    hits = (
+        d_sh.join(F.broadcast(b_sh), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("_n_sh"), 6).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+# ---- near-dup cluster formation --------------------------------------------
+def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list — the cluster
+    step after any pair-producing dedup stage (keep one doc per
+    cluster). Output: (doc_id, cluster_id) for every endpoint, with
+    ``cluster_id`` = min doc_id in the component.
+
+    Iterative min-label propagation with pointer jumping (label :=
+    label-of-label each round), so convergence is O(log diameter)
+    rounds, not O(diameter) — a chain of 1M pairwise near-dups resolves
+    in ~20 rounds. Per round: one join+min-agg on the persisted edge
+    list, one self-join for the jump, and ONE scalar count action for
+    the convergence test (driver-side work is ≤ max_iter integers).
+    Raises after ``max_iter`` rounds without a fixpoint rather than
+    returning half-merged clusters.
+    """
+    # Persist the directed pair list FIRST: the symmetric union below
+    # reads it twice, and without the persist the whole upstream pair
+    # pipeline (e.g. the shingle join) would execute twice.
+    directed = track_persist(pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")))
+    edges = track_persist(
+        directed.unionByName(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nlabel"))
+            .withColumnRenamed("dst", "id")
+        )
+        upd = labels.join(neigh, "id", "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("_nlabel", "label")).alias("_l1"),
+        )
+        # pointer jumping: follow the label's own label one hop
+        hop = upd.select(F.col("id").alias("_lid"), F.col("_l1").alias("_llabel"))
+        new = track_persist(
+            upd.join(hop, upd["_l1"] == hop["_lid"], "left").select(
+                "id", "_old", F.coalesce("_llabel", "_l1").alias("label")
+            )
+        )
+        # the convergence test is a filter over the just-persisted frame
+        # — ONE scalar action per round, no extra join
+        n_changed = new.where(F.col("label") != F.col("_old")).count()
+        labels = new.select("id", "label")
+        if n_changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(raise max_iter for pathologically deep duplicate chains)"
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

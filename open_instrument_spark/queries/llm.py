@@ -626,6 +626,116 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
 
 
+# Shingle-pipeline CTE fragment shared by the clusters/contamination
+# oracles (DuckDB twin of dedup.shingles over a (doc_id, text) relation).
+def _shingle_cte(src: str, id_col: str = "doc_id") -> str:
+    return f"""
+  SELECT {id_col},
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM (
+    SELECT {id_col},
+           list_filter(string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '') AS w
+    FROM {src}
+  )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL},
+sh AS ({_shingle_cte("corpus")}),
+ds AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 near-dup CLUSTER formation: connected components over the
+    exact n-gram Jaccard pairs (same seeded corpus and threshold as
+    dedup_ngram_jaccard), cluster_id = min doc_id in the component —
+    the keep-one-per-cluster step after any pair-producing dedup stage.
+    Spark runs min-label propagation with pointer jumping (O(log
+    diameter) rounds on a persisted edge list); the oracle replays the
+    same fixpoint as a DuckDB recursive CTE. Past the driver window;
+    replayed against DuckDB by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
+    return connected_components(pairs.select("a_id", "b_id"))
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+WITH bench0 AS (
+  SELECT doc_id AS bench_id, left(text, 120) AS text
+  FROM documents WHERE doc_id % 29 = 0
+),
+bs AS ({_shingle_cte("bench0", "bench_id")}),
+bds AS (SELECT DISTINCT bench_id, unnest(s) AS sh FROM bs),
+dsh AS ({_shingle_cte("documents")}),
+dds AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM dsh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dds GROUP BY 1),
+hits AS (
+  SELECT d.doc_id, b.bench_id, count(*) AS n_overlap
+  FROM dds d JOIN bds b USING (sh)
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bench_id, h.n_overlap,
+       round(CAST(h.n_overlap AS DOUBLE) / s.n_sh, 6) AS overlap_frac
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+WHERE h.n_overlap >= 2
+""",
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 benchmark DECONTAMINATION: flag training docs sharing ≥2
+    distinct 5-gram shingles with a benchmark set (here: the 120-char
+    prefixes of every 29th doc, so overlaps are partial by
+    construction). The benchmark side is broadcast — the corpus is
+    never shuffled for the join, only the matching shingle rows reach
+    the per-pair count. Past the driver window; replayed against DuckDB
+    by tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.dedup import contamination
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    return contamination(docs, bench, min_overlap=2)
+
+
 @query(
     "dedup_minhash_md5",
     oracle=f"""

@@ -139,6 +139,8 @@ _PAST_WINDOW_ORACLED = [
     "text_repetition",
     "corpus_stratified_sample",
     "corpus_stratified_frac",
+    "dedup_clusters",
+    "dedup_contamination",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

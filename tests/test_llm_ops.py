@@ -519,3 +519,52 @@ def test_multimodal_resize_progressive_jpeg_end_to_end(spark):
     row = multimodal.resize(media, out_w=6, out_h=5, on_error="raise").collect()[0]
     assert (row["meta"]["width"], row["meta"]["height"]) == (6, 5)
     assert decode_png(bytes(row["blob"])).shape == (5, 6, 3)
+
+
+def test_connected_components_chain_and_convergence(spark):
+    """A 10-node path graph must collapse to ONE cluster labeled by the
+    min id — the case plain min-label propagation needs diameter rounds
+    for; pointer jumping must resolve it inside the default max_iter.
+    Disjoint components must stay disjoint."""
+    pairs = [(i, i + 1) for i in range(10, 20)]      # path: 10..20
+    pairs += [(100, 101), (101, 102), (100, 102)]    # triangle: 100..102
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(df).collect()}
+    assert {k: v for k, v in got.items() if k < 100} == {
+        i: 10 for i in range(10, 21)
+    }
+    assert {k: v for k, v in got.items() if k >= 100} == {
+        100: 100, 101: 100, 102: 100
+    }
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(0, 40)],
+                               "a_id long, b_id long")
+    with _pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(df, max_iter=1)
+
+
+def test_contamination_flags_prefix_overlap(spark):
+    """A benchmark doc built from a train doc's prefix must contaminate
+    exactly that doc (plus any true near-dups); an unrelated vocabulary
+    must not match."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail tail"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta")], "doc_id long, text string"
+    )
+    out = dedup.contamination(docs, bench, min_overlap=2).collect()
+    hit = {(r["doc_id"], r["bench_id"]): r["n_overlap"] for r in out}
+    assert set(hit) == {(1, 7), (2, 7)}   # doc 3's vocab never matches
+    assert all(n >= 2 for n in hit.values())
+    # overlap_frac normalized by the TRAIN doc's shingle count
+    fr = {r["doc_id"]: r["overlap_frac"] for r in out}
+    assert 0 < fr[2] < fr[1] <= 1.0       # doc 2 has more shingles, same overlap
