@@ -78,6 +78,15 @@ HEADLINE = [
     # re-encode→decode).
     "multimodal_audio_stats",
     "multimodal_resize_real",
+    # late-r6 additions, first benched r6: Gopher repetition signals,
+    # decontamination, stratified quota sampling, and near-dup cluster
+    # formation. NOTE dedup_clusters' local number is iteration-overhead
+    # (3 rounds x fixed Spark job latency on ~800 pairs), not data cost —
+    # see SCALE.md "Round-6 additions" for the 10x flatness measurement.
+    "text_repetition",
+    "dedup_contamination",
+    "corpus_stratified_sample",
+    "dedup_clusters",
 ]
 
 

@@ -50,8 +50,17 @@ AGG_FNS = {
 
 
 def _agg_expr(agg_type: str, col: str = "dval") -> Column:
+    at = agg_type.lower()
+    # "p95", "p99.9", ... — exact interpolated percentile (extension
+    # beyond the reference's MEDIAN; JVM-side F.percentile, the same
+    # (n-1)*q linear interpolation as DuckDB quantile_cont / numpy).
+    if len(at) > 1 and at[0] == "p" and at[1:].replace(".", "", 1).isdigit():
+        q = float(at[1:]) / 100.0
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"percentile out of range: {agg_type!r}")
+        return F.percentile(col, F.lit(q)).alias("value")
     try:
-        return AGG_FNS[agg_type.lower()](col).alias("value")
+        return AGG_FNS[at](col).alias("value")
     except KeyError:
         raise ValueError(f"unknown aggregation {agg_type!r}") from None
 

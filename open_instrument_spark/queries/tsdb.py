@@ -420,6 +420,24 @@ def agg_avg_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_p95_by_name",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts,
+       round(quantile_cont(dval, 0.95), 6) AS value
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_p95_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension the reference lacks beyond MEDIAN: hourly
+    exact P95 per name — JVM-side F.percentile, the same (n-1)*q linear
+    interpolation as DuckDB quantile_cont (any "p<q>" string works:
+    p50 ≡ median, p99.9, ...). Past the driver window; replayed against
+    DuckDB by tests/test_oracle_parity.py."""
+    return _agg_by_name(spark, sf_dir, "p95", 3_600_000)
+
+
+@query(
     "agg_min_by_name",
     oracle=f"""
 WITH {P_CTE}

@@ -141,6 +141,7 @@ _PAST_WINDOW_ORACLED = [
     "corpus_stratified_frac",
     "dedup_clusters",
     "dedup_contamination",
+    "agg_p95_by_name",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
