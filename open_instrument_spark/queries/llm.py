@@ -159,6 +159,25 @@ _T = _split_thresholds(_SPLIT_WEIGHTS)
 _T_TRAIN, _T_VAL = _T["train"], _T["val"]
 
 
+# Shingle-pipeline CTE fragment shared by the clusters/contamination/
+# clean-pipeline-v2 oracles (DuckDB twin of dedup.shingles over a
+# (doc_id, text) relation).
+def _shingle_cte(src: str, id_col: str = "doc_id") -> str:
+    return f"""
+  SELECT {id_col},
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+             i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM (
+    SELECT {id_col},
+           list_filter(string_split_regex(trim(regexp_replace(lower(text),
+             '[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '') AS w
+    FROM {src}
+  )
+"""
+
+
 @query(
     "corpus_hash_split",
     oracle=f"""
@@ -478,6 +497,126 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_clean_pipeline_v2",
+    oracle=f"""
+WITH RECURSIVE
+sh AS ({_shingle_cte("documents")}),
+ds AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+drop_nd AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id != min(label)
+),
+bench0 AS (
+  SELECT doc_id AS bench_id, left(text, 120) AS text
+  FROM documents WHERE doc_id % 29 = 0
+),
+bs AS ({_shingle_cte("bench0", "bench_id")}),
+bds AS (SELECT DISTINCT bench_id, unnest(s) AS shingle FROM bs),
+contam AS (
+  SELECT doc_id FROM ds d JOIN bds b USING (shingle)
+  GROUP BY doc_id, bench_id HAVING count(*) >= 2
+),
+surv AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM drop_nd)
+    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM contam)
+),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
+         {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
+         {_HITS['fr']} AS s_fr, {_HITS['es']} AS s_es,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_wlen
+  FROM surv
+),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
+               (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+               least(1.0, sraw * 5.0) * 0.2 +
+               (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS quality,
+         s_en, greatest(s_en, s_de, s_fr, s_es) AS s_best
+  FROM feat
+)
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM q
+WHERE quality >= 0.75 AND s_en >= s_best AND s_best > 0
+""",
+)
+def corpus_clean_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 capstone v2, composing the round-6 operators into the full
+    modern corpus-prep pipeline: NEAR-dup removal (n-gram Jaccard pairs
+    → connected-component clusters, keep the min-id representative) →
+    benchmark DECONTAMINATION (drop docs sharing ≥2 shingles with the
+    seeded benchmark prefixes) → quality ≥ 0.75 and language = en →
+    deterministic split. Unlike v1 this composition is not one lazy
+    plan: the cluster step runs its bounded fixpoint loop (one scalar
+    action per round) when invoked. Past the driver window; replayed
+    against DuckDB (recursive CTE + shingle joins) by
+    tests/test_oracle_parity.py."""
+    from open_instrument_spark.operators.corpus import split_column
+    from open_instrument_spark.operators.dedup import (
+        connected_components,
+        contamination,
+        ngram_jaccard_pairs,
+    )
+    from open_instrument_spark.operators.text import text_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_bucket=None)
+    clusters = connected_components(pairs.select("a_id", "b_id"))
+    drop_nd = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    contam = contamination(docs, bench, min_overlap=2).select("doc_id").distinct()
+    survivors = (
+        docs.join(drop_nd, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+    )
+    keep = (
+        text_stats(survivors)
+        .select("doc_id", "quality", "lang_pred")
+        .filter((F.col("quality") >= 0.75) & (F.col("lang_pred") == "en"))
+    )
+    return keep.select(
+        "doc_id", split_column(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split")
+    )
+
+
+@query(
     "corpus_vocab_topk",
     oracle=f"""
 WITH w AS (
@@ -624,24 +763,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _near_corpus(spark, sf_dir)
     return ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
-
-
-# Shingle-pipeline CTE fragment shared by the clusters/contamination
-# oracles (DuckDB twin of dedup.shingles over a (doc_id, text) relation).
-def _shingle_cte(src: str, id_col: str = "doc_id") -> str:
-    return f"""
-  SELECT {id_col},
-         CASE WHEN len(w) >= 5 THEN
-           list_distinct(list_transform(range(len(w) - 4),
-             i -> array_to_string(w[i+1:i+5], ' ')))
-         ELSE [array_to_string(w, ' ')] END AS s
-  FROM (
-    SELECT {id_col},
-           list_filter(string_split_regex(trim(regexp_replace(lower(text),
-             '[^a-z ]', ' ', 'g')), '\\s+'), t -> t != '') AS w
-    FROM {src}
-  )
-"""
 
 
 @query(

@@ -142,6 +142,7 @@ _PAST_WINDOW_ORACLED = [
     "dedup_clusters",
     "dedup_contamination",
     "agg_p95_by_name",
+    "corpus_clean_pipeline_v2",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

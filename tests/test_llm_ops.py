@@ -568,3 +568,72 @@ def test_contamination_flags_prefix_overlap(spark):
     # overlap_frac normalized by the TRAIN doc's shingle count
     fr = {r["doc_id"]: r["overlap_frac"] for r in out}
     assert 0 < fr[2] < fr[1] <= 1.0       # doc 2 has more shingles, same overlap
+
+
+def _py_repetition(text: str, max_words: int = 512, max_lines: int = 256):
+    """Pure-Python model of text.repetition_stats for fuzzing (alphabet
+    restricted to ASCII space/newline so Spark's space-only trim and
+    Python's strip agree)."""
+    import re
+
+    lines = [l.strip(" ") for l in text.split("\n")]
+    lines = [l for l in lines if l != ""][:max_lines]
+    norm = re.sub(r"[^a-z ]", " ", text.lower())
+    toks = [t for t in re.split(r"\s+", norm.strip()) if t][:max_words]
+    grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    dups = [l for l in lines if lines.count(l) > 1]
+
+    def frac(n, d):
+        return n / d if d else 0.0
+
+    line_chars = sum(len(l) for l in lines)
+    gram_chars = sum(len(g) for g in grams)
+    return {
+        "n_lines": len(lines),
+        "dup_line_frac": frac(len(lines) - len(set(lines)), len(lines)),
+        "dup_line_char_frac": frac(sum(len(l) for l in dups), line_chars),
+        "top_2gram_frac": frac(
+            max((grams.count(g) for g in grams), default=0), len(grams)
+        ),
+        "top_2gram_char_frac": frac(
+            max((grams.count(g) * len(g) for g in grams), default=0), gram_chars
+        ),
+        "symbol_word_ratio": frac(
+            len(re.findall(r"#|\.\.\.|…", text)), len(toks)
+        ),
+        "bullet_line_frac": frac(
+            sum(1 for l in lines if re.match(r"^[-*•]", l)), len(lines)
+        ),
+        "ellipsis_line_frac": frac(
+            sum(1 for l in lines if re.search(r"(\.\.\.|…)$", l)), len(lines)
+        ),
+    }
+
+
+def test_repetition_stats_matches_python_model_fuzz(spark):
+    """Randomized agreement between the Column-expression implementation
+    and an independent pure-Python model, over texts mixing words,
+    bullets, ellipses, #, repeats and newlines."""
+    import random
+
+    rng = random.Random(7)
+    pieces = ["aa", "bb", "cc", "dd", "-", "*", "#", "...", "…", "\n", " ", "x y"]
+    texts = [
+        "".join(rng.choice(pieces) + rng.choice([" ", "\n", ""])
+                for _ in range(rng.randint(0, 40)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from open_instrument_spark.operators.text import repetition_stats
+
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        exp = _py_repetition(t)
+        r = got[i]
+        assert r["n_lines"] == exp["n_lines"], (i, t)
+        for k in ("dup_line_frac", "dup_line_char_frac", "top_2gram_frac",
+                  "top_2gram_char_frac", "symbol_word_ratio",
+                  "bullet_line_frac", "ellipsis_line_frac"):
+            assert abs(r[k] - exp[k]) < 2e-6, (i, k, t, r[k], exp[k])

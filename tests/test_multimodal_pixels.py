@@ -584,3 +584,25 @@ def test_jpeg_progressive_marker_is_sof2():
     assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob
     # scan script: DC-first + 2 bands x 3 comps + DC-refine + 2 x 3 refine
     assert blob.count(b"\xff\xda") == 1 + 3 * 2 + 1 + 3 * 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 3]),
+    sub=st.booleans(),
+    q=st.sampled_from([10, 35, 60, 85, 100]),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_progressive_equals_baseline_randomized(h, w, c, sub, q, seed):
+    """Hypothesis twin of the pinned cases: for ANY image/layout/quality
+    the progressive scan script must decode bit-identically to the
+    baseline scan of the same coefficients."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = _rand_img(np.random.default_rng(seed), h, w, c)
+    sub = sub and c == 3
+    base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+    prog = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub, progressive=True))
+    assert np.array_equal(base, prog)
