@@ -224,3 +224,30 @@ def test_interpolate_unchunked_plan_is_join_free(spark, tables):
     pts = events_to_points(tables.table("events"))
     plan = plan_of(resample.interpolate(pts, "6h", restore_labels=False))
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, tables):
+    """Decontamination's 100 TB contract: the benchmark side is
+    broadcast (map-side join — the corpus is never shuffled for the
+    join), and no nested-loop/cartesian fallback appears."""
+    from open_instrument_spark.operators.dedup import contamination
+
+    docs = tables.table("documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    plan = plan_of(contamination(docs, bench, min_overlap=2))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_quota_is_one_exchange(spark, tables):
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        stratified_sample_quota,
+    )
+
+    docs = hash_split(tables.table("documents").select("doc_id"))
+    plan = plan_of(stratified_sample_quota(docs, "split", 40))
+    assert count_in(plan, "Exchange") == 1  # shuffle on the stratum key only
