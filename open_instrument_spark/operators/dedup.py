@@ -442,6 +442,7 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    prev_cached = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -464,6 +465,12 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         # the convergence test is a filter over the just-persisted frame
         # — ONE scalar action per round, no extra join
         n_changed = new.where(F.col("label") != F.col("_old")).count()
+        # `new` is materialized now; the previous round's node-sized
+        # cache is dead weight — at scale max_iter live copies of the
+        # label frame would be real executor memory, so drop it eagerly.
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new
         labels = new.select("id", "label")
         if n_changed == 0:
             break
