@@ -758,31 +758,73 @@ def resample_interpolate_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
-@query("resample_mean_anchored")
+def _anchored_oracle(value_sql: str, dur_us: int = 86_400_000_000) -> str:
+    """DuckDB replay of the reference's DATA-anchored buckets
+    (mutations/mutations.go:10-49,139-191): each bucket is anchored at
+    its own first sample's timestamp and flushes when t - anchor >
+    duration, so bucket boundaries are a data-dependent recurrence. A
+    recursive CTE walks exactly that anchor chain per series (the next
+    anchor IS the first sample past anchor+duration); samples then
+    attach to the greatest anchor ≤ t, which is precisely the kernel's
+    assignment. Output stamped at the last included ts, like the
+    kernel."""
+    return f"""
+WITH RECURSIVE {P_CTE},
+s AS (SELECT series_key, epoch_us(ts) AS t, dval FROM p),
+anch(series_key, a) AS (
+  SELECT series_key, min(t) FROM s GROUP BY 1
+  UNION ALL
+  SELECT a.series_key,
+         (SELECT min(t) FROM s
+          WHERE s.series_key = a.series_key AND s.t > a.a + {dur_us})
+  FROM anch a
+  WHERE EXISTS (SELECT 1 FROM s
+                WHERE s.series_key = a.series_key AND s.t > a.a + {dur_us})
+),
+asn AS (
+  SELECT s.series_key, s.t, s.dval,
+         (SELECT max(a) FROM anch
+          WHERE anch.series_key = s.series_key AND anch.a <= s.t) AS a
+  FROM s
+)
+SELECT series_key, make_timestamp(max(t)) AS ts, {value_sql} AS dval
+FROM asn GROUP BY series_key, a
+"""
+
+
+@query("resample_mean_anchored", oracle=_anchored_oracle("round(avg(dval), 6)"))
 def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 Go Mean with reference-exact data-anchored buckets (first-ts
-    anchor, stamped at last-in-bucket ts) — golden-tested; rows-only."""
+    anchor, stamped at last-in-bucket ts) — golden-tested AND, since
+    r6, fully DuckDB-oracled: the data-dependent anchor chain replays
+    as a recursive CTE (see _anchored_oracle). Mean rounded to 6 on
+    both sides (kernel sums in ts order, SQL avg in its own order)."""
     from open_instrument_spark.operators import resample
 
-    return resample.mean_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+    out = resample.mean_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+    return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
 
 
-@query("resample_min_anchored")
+@query("resample_min_anchored", oracle=_anchored_oracle("min(dval)"))
 def resample_min_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 Go Min with reference-exact anchored buckets
-    (mutations/mutations.go:139-164) — golden-tested; rows-only."""
+    (mutations/mutations.go:139-164) — golden-tested + recursive-CTE
+    oracle (exact doubles, no rounding needed)."""
     from open_instrument_spark.operators import resample
 
-    return resample.min_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+    out = resample.min_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+    return out.select("series_key", "ts", "dval")
 
 
-@query("resample_max_anchored")
+@query("resample_max_anchored", oracle=_anchored_oracle("max(dval)"))
 def resample_max_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 Go Max with reference-exact anchored buckets
-    (mutations/mutations.go:166-191) — golden-tested; rows-only."""
+    (mutations/mutations.go:166-191) — golden-tested + recursive-CTE
+    oracle (exact doubles, no rounding needed)."""
     from open_instrument_spark.operators import resample
 
-    return resample.max_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+    out = resample.max_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
+    return out.select("series_key", "ts", "dval")
 
 
 # ===========================================================================

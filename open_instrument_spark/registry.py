@@ -143,12 +143,12 @@ _PAST_WINDOW_ORACLED = [
     "dedup_contamination",
     "agg_p95_by_name",
     "corpus_clean_pipeline_v2",
-]
-
-_PAST_WINDOW_ROWS_ONLY = [
     "resample_mean_anchored",
     "resample_min_anchored",
     "resample_max_anchored",
+]
+
+_PAST_WINDOW_ROWS_ONLY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_ivf_topk",
