@@ -191,6 +191,48 @@ def _frac(num: Column, den: Column) -> Column:
     )
 
 
+def _run_stats(arr: Column) -> Column:
+    """Multiplicity stats of an array in O(n log n): sort, then one
+    aggregate pass over equal-value runs. Returns a struct with
+    ``best`` (max multiplicity), ``bestc`` (max multiplicity ×
+    element length — the char mass of the most repeated element) and
+    ``dupc`` (total char mass of elements occurring more than once).
+
+    Replaces the naive per-element count(filter(...)) form, which is
+    O(n²) per ROW — at 512 words that is ~260k interpreted lambda
+    evaluations per document, the difference between a scan-project
+    and a hot spot at corpus scale. Values are identical, so the
+    DuckDB oracles (which keep the O(n²) spelling for clarity) are
+    unaffected.
+    """
+    z = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("bestc"),
+        F.lit(0).cast("long").alias("dupc"),
+    )
+
+    def step(a, x):
+        run = F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+        # chars newly attributable to duplicates: the 2nd copy of a
+        # value retro-counts the 1st, later copies count themselves
+        dup_add = (
+            F.when(run == 2, F.length(x) * 2)
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(a.best, run).alias("best"),
+            F.greatest(a.bestc, run * F.length(x)).alias("bestc"),
+            (a.dupc + dup_add).alias("dupc"),
+        )
+
+    return F.aggregate(F.array_sort(arr), z, step)
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -222,15 +264,8 @@ def repetition_stats(
         F.slice(words(t), 1, max_words).alias("_toks"),
     )
     lines, toks, raw = F.col("_lines"), F.col("_toks"), F.col("_text")
-    n_lines = F.size(lines)
     n_words = F.size(toks)
-    dup_lines = F.filter(
-        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
-    )
     line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
-    dup_line_chars = F.aggregate(
-        dup_lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
-    )
     grams = F.when(
         n_words >= 2,
         F.transform(
@@ -240,30 +275,31 @@ def repetition_stats(
     ).otherwise(F.array().cast("array<string>"))
     staged2 = staged.select(
         "doc_id", raw, lines, toks, grams.alias("_grams"),
-        dup_lines.alias("_dup_lines"),
-        line_chars.alias("_line_chars"), dup_line_chars.alias("_dup_line_chars"),
+        _run_stats(lines).alias("_lruns"),
+        line_chars.alias("_line_chars"),
     )
     g = F.col("_grams")
-    gram_counts = F.transform(g, lambda x: F.size(F.filter(g, lambda y: y == x)))
-    gram_char_scores = F.transform(
-        g, lambda x: F.size(F.filter(g, lambda y: y == x)) * F.length(x)
-    )
     gram_chars = F.aggregate(g, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    staged3 = staged2.select(
+        "doc_id", F.col("_text"), F.col("_lines"), F.col("_toks"), g,
+        F.col("_lruns"), F.col("_line_chars"),
+        _run_stats(g).alias("_gruns"), gram_chars.alias("_gram_chars"),
+    )
     n_lines2 = F.size(F.col("_lines"))
-    return staged2.select(
+    return staged3.select(
         "doc_id",
         n_lines2.alias("n_lines"),
         F.round(
             _frac(n_lines2 - F.size(F.array_distinct(F.col("_lines"))), n_lines2), 6
         ).alias("dup_line_frac"),
-        F.round(_frac(F.col("_dup_line_chars"), F.col("_line_chars")), 6).alias(
+        F.round(_frac(F.col("_lruns.dupc"), F.col("_line_chars")), 6).alias(
             "dup_line_char_frac"
         ),
         F.round(
-            _frac(F.coalesce(F.array_max(gram_counts), F.lit(0)), F.size(g)), 6
+            _frac(F.col("_gruns.best"), F.size(F.col("_grams"))), 6
         ).alias("top_2gram_frac"),
         F.round(
-            _frac(F.coalesce(F.array_max(gram_char_scores), F.lit(0)), gram_chars), 6
+            _frac(F.col("_gruns.bestc"), F.col("_gram_chars")), 6
         ).alias("top_2gram_char_frac"),
         F.round(
             _frac(
