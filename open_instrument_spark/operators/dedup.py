@@ -387,8 +387,11 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     input is just the matching shingle rows. The train corpus is never
     self-joined. Run after scrubbing, before split/packing.
     """
-    d_sh = docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    # The corpus shingle frame feeds BOTH the broadcast join and the
+    # per-doc size count; persist it or the scan+tokenize+shingle pass —
+    # the dominant cost at scale — executes twice.
+    d_sh = track_persist(
+        docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh"))
     )
     b_sh = benchmark.select(
         F.col("doc_id").alias("bench_id"),
@@ -468,7 +471,11 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         # `new` is materialized now; the previous round's node-sized
         # cache is dead weight — at scale max_iter live copies of the
         # label frame would be real executor memory, so drop it eagerly.
-        if prev_cached is not None:
+        # Likewise the one-shot directed-pairs cache once the symmetric
+        # edge list has materialized (first pass through this point).
+        if prev_cached is None:
+            directed.unpersist()
+        else:
             prev_cached.unpersist()
         prev_cached = new
         labels = new.select("id", "label")

@@ -517,6 +517,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
             ahal = seg[3 + 2 * nsc]
             ah, al = ahal >> 4, ahal & 0x0F
+            if ss > 63 or se > 63 or se < ss:
+                raise ValueError(f"JPEG scan header out of range (Ss={ss}, Se={se})")
             if not progressive and (ss != 0 or se != 63 or ah != 0 or al != 0):
                 raise ValueError("sequential JPEG scan with progressive header")
             segments, i = _entropy_segments(b, i + 2 + seg_len)
@@ -639,8 +641,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
 
     dc_enc = _build_encode_table(_ENC_DC_BITS, _ENC_DC_VALUES)
     ac_enc = _build_encode_table(_ENC_AC_BITS, _ENC_AC_VALUES)
-    hmax_ = hmax
-    vmax_ = vmax
 
     def write_dc_diff(wtr: _BitWriter, diff: int) -> None:
         size = _category(diff)
@@ -708,7 +708,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
 
         for lo, hi in ((1, 5), (6, 63)):
             for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                bw_c, bh_c = _comp_block_grid(w, h, hs, vs, hmax_, vmax_)
+                bw_c, bh_c = _comp_block_grid(w, h, hs, vs, hmax, vmax)
                 wtr = _BitWriter()
                 st = {"eobrun": 0}
 
@@ -758,7 +758,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
         # coefficients ride buffered behind symbols and EOB runs.
         for lo, hi in ((1, 5), (6, 63)):
             for ci, (cid, hs, vs, _tq) in enumerate(comps):
-                bw_c, bh_c = _comp_block_grid(w, h, hs, vs, hmax_, vmax_)
+                bw_c, bh_c = _comp_block_grid(w, h, hs, vs, hmax, vmax)
                 wtr = _BitWriter()
                 st = {"eobrun": 0, "be": []}
 

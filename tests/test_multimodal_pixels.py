@@ -606,3 +606,21 @@ def test_jpeg_progressive_equals_baseline_randomized(h, w, c, sub, q, seed):
     base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
     prog = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub, progressive=True))
     assert np.array_equal(base, prog)
+
+
+def test_jpeg_corrupt_scan_header_raises_valueerror():
+    """An AC scan header with Ss/Se outside 0..63 must surface as the
+    contracted ValueError, not an uncaught numpy IndexError."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    blob = bytearray(encode_jpeg(_rand_img(np.random.default_rng(40), 8, 8, 3),
+                                 progressive=True))
+    # second SOS is the first AC band scan: header = [1, cid, tbls, Ss, Se, AhAl]
+    first = blob.index(b"\xff\xda")
+    second = blob.index(b"\xff\xda", first + 2)
+    seg_len = int.from_bytes(blob[second + 2 : second + 4], "big")
+    # last three payload bytes are Ss, Se, AhAl
+    blob[second + 2 + seg_len - 3] = 60
+    blob[second + 2 + seg_len - 2] = 200
+    with pytest.raises(ValueError, match="scan header out of range"):
+        decode_jpeg(bytes(blob))
