@@ -97,6 +97,8 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
 # ---------------------------------------------------------------- Huffman
 def _build_decode_table(bits: list[int], values: bytes) -> dict:
     """Canonical (length, code) → symbol map (T.81 C.2)."""
+    if len(bits) < 16 or sum(bits) > len(values):
+        raise ValueError("JPEG DHT truncated (fewer values than BITS declares)")
     lut: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -253,6 +255,8 @@ def _comp_block_grid(w, h, hs, vs, hmax, vmax) -> tuple[int, int]:
 def _decode_block_sequential(reader, coef, dc_lut, ac_lut, preds, cid) -> None:
     """One full-band DC+AC block (T.81 F.2.2), coefficients in zigzag."""
     size = reader.read_symbol(dc_lut)
+    if size > 16:
+        raise ValueError(f"JPEG DC size {size} out of range")
     preds[cid] += _extend(reader.read_bits(size), size)
     coef[0] = preds[cid]
     kk = 1
@@ -401,6 +405,8 @@ def _decode_scan(segments, scan, ss, se, ah, al, progressive, restart_interval,
                     if dc_lut is None:
                         raise ValueError("JPEG missing Huffman table")
                     size = reader.read_symbol(dc_lut)
+                    if size > 16:
+                        raise ValueError(f"JPEG DC size {size} out of range")
                     preds[cid] += _extend(reader.read_bits(size), size)
                     coef[0] = preds[cid] << al
                 else:  # refinement: one bit appends bit Al
@@ -466,6 +472,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 tbl[_ZIGZAG] = vals  # DQT stores zigzag order
                 qt[tid] = tbl
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+            if len(seg) < 6:
+                raise ValueError("JPEG SOF truncated")
             depth = seg[0]
             if depth != 8:
                 raise NotImplementedError(f"JPEG sample depth {depth} (only 8)")
@@ -473,10 +481,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
+            if ncomp == 0 or len(seg) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF truncated")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"JPEG sampling factors out of range ({hs}x{vs})")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             if h == 0 or w == 0:
                 raise ValueError("JPEG with zero dimension")
@@ -509,11 +522,19 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before SOF")
+            if len(seg) < 1:
+                raise ValueError("JPEG SOS truncated")
             nsc = seg[0]
+            if nsc == 0 or len(seg) < 4 + 2 * nsc:
+                raise ValueError("JPEG SOS truncated")
             scan = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0x0F)
                 for c in range(nsc)
             ]
+            comp_of_frame = {c[0] for c in frame[2]}
+            for cid, _dc, _ac in scan:
+                if cid not in comp_of_frame:
+                    raise ValueError(f"JPEG scan references unknown component {cid}")
             ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
             ahal = seg[3 + 2 * nsc]
             ah, al = ahal >> 4, ahal & 0x0F

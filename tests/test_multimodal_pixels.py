@@ -624,3 +624,28 @@ def test_jpeg_corrupt_scan_header_raises_valueerror():
     blob[second + 2 + seg_len - 2] = 200
     with pytest.raises(ValueError, match="scan header out of range"):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_decoder_corruption_fuzz_honors_error_contract():
+    """Random single-byte corruptions of valid baseline AND progressive
+    streams must either decode (harmless bit), raise ValueError, or
+    raise NotImplementedError (e.g. the flip lands in the SOF marker) —
+    never an uncontracted exception type (IndexError/KeyError/...)."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(55)
+    img = _rand_img(rng, 12, 10, 3)
+    blobs = [
+        encode_jpeg(img, quality=80),
+        encode_jpeg(img, quality=80, progressive=True),
+    ]
+    for blob in blobs:
+        for _ in range(120):
+            b = bytearray(blob)
+            pos = int(rng.integers(2, len(b)))  # keep SOI intact
+            b[pos] ^= int(rng.integers(1, 256))
+            try:
+                out = decode_jpeg(bytes(b))
+                assert out.dtype == np.uint8 and out.ndim == 3
+            except (ValueError, NotImplementedError):
+                pass  # both are the documented failure surface
