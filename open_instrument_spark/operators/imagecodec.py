@@ -203,6 +203,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
     """GIF-flavor LZW (GIF89a spec appendix F): variable-width codes
     LSB-first, CLEAR resets the table, EOI ends; the code width grows
     when the table reaches 2^width (capped at 12 bits)."""
+    # Spec bound (GIF89a appendix F): root codes are 2..8 bits and the
+    # table caps at 12-bit codes. An unvalidated corrupt value (e.g.
+    # 69) would make fresh_table() build a 2^69-entry dict — a hang,
+    # not an error.
+    if not (1 <= min_code_size <= 11):
+        raise ValueError(f"bad LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
 
@@ -306,9 +312,16 @@ def decode_gif(b: bytes) -> np.ndarray:
                 data += b[i + 1 : i + 1 + size]
                 i += 1 + size
             w, h = w or sw, h or sh
+            # Bound the decode work by the frame's claimed pixel count:
+            # a corrupt descriptor (e.g. 65535×65535) must fail fast as
+            # ValueError, not build a multi-gigabyte pad list.
+            if w * h > (1 << 26):  # 67M px ≈ 200 MB RGB — far above any
+                raise ValueError(  # thumbnail/fixture this codec targets
+                    f"GIF frame {w}x{h} exceeds the decode size limit"
+                )
             idx = _lzw_decode(min_code, bytes(data), w * h)
-            idx = (idx + [0] * (w * h - len(idx)))[: w * h]
-            arr = np.asarray(idx, dtype=np.int64)
+            arr = np.zeros(w * h, dtype=np.int64)
+            arr[: len(idx)] = np.asarray(idx[: w * h], dtype=np.int64)
             arr = np.clip(arr, 0, len(table) - 1)
             img = table[arr].reshape(h, w, 3)
             if interlaced:

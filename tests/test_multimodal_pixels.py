@@ -649,3 +649,44 @@ def test_jpeg_decoder_corruption_fuzz_honors_error_contract():
                 assert out.dtype == np.uint8 and out.ndim == 3
             except (ValueError, NotImplementedError):
                 pass  # both are the documented failure surface
+
+
+def test_image_codecs_corruption_fuzz_contract():
+    """PNG/BMP/GIF twins of the JPEG corruption fuzz: random multi-byte
+    corruptions must decode or raise ValueError/NotImplementedError."""
+    rng = np.random.default_rng(9)
+    img = _rand_img(rng, 9, 7, 3)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 5)).astype(np.uint8)
+    for blob in (encode_png(img), encode_bmp(img), encode_gif(idx, pal)):
+        for _ in range(200):
+            b = bytearray(blob)
+            for _ in range(int(rng.integers(1, 3))):
+                pos = int(rng.integers(0, len(b)))
+                b[pos] ^= int(rng.integers(1, 256))
+            try:
+                decode_pixels(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_gif_bad_lzw_min_code_size_fails_fast():
+    """Regression: a corrupt LZW minimum-code-size byte (e.g. 69) once
+    made fresh_table() build a 2^69-entry dict — a hang, not an error.
+    Also: a corrupt frame descriptor claiming huge dimensions must hit
+    the decode size limit instead of building a giant pad array."""
+    import time
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    blob = bytearray(encode_gif(np.zeros((2, 2), dtype=np.uint8), pal))
+    dsc = blob.index(b"\x2c")
+    mcs = dsc + 10  # descriptor is 10 bytes; min_code_size follows
+    bad = bytes(blob[:mcs]) + bytes([69]) + bytes(blob[mcs + 1 :])
+    t0 = time.time()
+    with pytest.raises(ValueError, match="minimum code size"):
+        decode_gif(bad)
+    assert time.time() - t0 < 1.0
+    big = bytearray(blob)
+    big[dsc + 5 : dsc + 9] = (65535).to_bytes(2, "little") * 2  # w=h=65535
+    with pytest.raises(ValueError, match="decode size limit"):
+        decode_gif(bytes(big))
