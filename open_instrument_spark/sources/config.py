@@ -170,16 +170,26 @@ class StoreConfig:
 def load_store_config(text: str) -> StoreConfig:
     """Parse a full config file (server blocks + retention_policy)."""
     msg = parse_text_proto(text)
-    servers = tuple(
-        s.get("address", [""])[0] for s in msg.get("server", [])
-    )
+
+    def _blocks(key: str) -> list[dict]:
+        # message-typed fields must be blocks; a scalar (`server: "x"`)
+        # is malformed config and should fail loudly, not AttributeError
+        out = msg.get(key, [])
+        if not all(isinstance(v, dict) for v in out):
+            raise ValueError(f"config field {key!r} must be a {{ }} block")
+        return out
+
+    servers = tuple(s.get("address", [""])[0] for s in _blocks("server"))
     # Proto merge semantics for repeated retention_policy blocks:
     # policies CONCATENATE across blocks; scalar interval keeps the
     # last-seen value (openinstrument.proto repeated-field merge).
     retention: tuple[PolicyItem, ...] = ()
     interval = 600
-    for rp in msg.get("retention_policy", []):
-        retention += tuple(_policy_item(p) for p in rp.get("policy", []))
+    for rp in _blocks("retention_policy"):
+        pols = rp.get("policy", [])
+        if not all(isinstance(p, dict) for p in pols):
+            raise ValueError("config field 'policy' must be a { } block")
+        retention += tuple(_policy_item(p) for p in pols)
         if "interval" in rp:
             interval = rp["interval"][0]
     return StoreConfig(

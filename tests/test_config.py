@@ -115,3 +115,18 @@ def test_parse_errors():
         load_store_config(
             "retention_policy { policy { policy: KEEP mutation { sample_type: BOGUS } } }"
         )
+
+
+def test_config_scalar_where_block_required_raises_valueerror():
+    """Malformed config with a scalar for a message-typed field must be
+    a loud ValueError, not an AttributeError from the dict assumption."""
+    import pytest
+
+    from open_instrument_spark.sources.config import load_store_config
+
+    with pytest.raises(ValueError, match="must be a"):
+        load_store_config('server: "x"')
+    with pytest.raises(ValueError, match="must be a"):
+        load_store_config('retention_policy: "oops"')
+    with pytest.raises(ValueError, match="must be a"):
+        load_store_config('retention_policy { policy: "oops" }')
