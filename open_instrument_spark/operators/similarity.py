@@ -450,3 +450,81 @@ def _ivf_search(base: DataFrame, C: np.ndarray, query_ids: list[int],
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---- IVF index persistence --------------------------------------------------
+def build_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 32,
+                    train_n: int = 2048, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 42,
+                    centroids: np.ndarray | None = None) -> np.ndarray:
+    """Materialize an on-disk IVF index: vectors written to parquet
+    PARTITIONED BY their cell (so probing at search time is parquet
+    partition PRUNING — the reads never touch unprobed cells), plus a
+    small centroids table. Pass ``centroids`` to skip the k-means train
+    (e.g. :func:`seeded_centroids` for deterministic tests/oracles).
+
+    Layout: ``{path}/vectors`` (n_id, v, cell=partition),
+    ``{path}/centroids`` (cell, c). Returns the centroid matrix.
+
+    100 TB shape: training reads a bounded sample; assignment is one
+    map-only Arrow pass; the write shuffles once on cell. This is the
+    storage twin of the in-memory :func:`ann_ivf_topk` — index once,
+    search many times without re-reading (or re-assigning) the corpus.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    if centroids is None:
+        train = np.array(
+            base.orderBy("n_id").limit(train_n).select("v").toPandas()["v"].tolist()
+        )
+        centroids = _kmeans(train, min(n_cells, len(train)), seed=seed)
+    assigned = base.withColumn("cell", ivf_assign("v", centroids))
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
+    cdf = base.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, c array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def search_ivf_index(spark, path: str, queries: dict[int, list],
+                     k: int = 10, n_probe: int = 4) -> DataFrame:
+    """Top-k cosine search against a :func:`build_ivf_index` layout.
+
+    ``queries``: {q_id: vector} — external query vectors, not corpus
+    ids (pass a corpus row's own vector to reproduce the in-memory
+    search; its id is excluded from its results). The probe list is
+    built driver-side from the small centroids table; the vectors read
+    carries ``cell IN (probed)`` so parquet partition pruning skips
+    every unprobed cell's files — verifiable in the plan's
+    PartitionFilters. Output: (q_id, n_id, rank, cos)."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    dim = len(crows[0]["c"])
+    C = np.zeros((max(r["cell"] for r in crows) + 1, dim))
+    for r in crows:
+        C[r["cell"]] = r["c"]
+    probe_rows = []
+    for qid, qv in queries.items():
+        qv = np.asarray(qv, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        for c in np.argsort(-(C @ qn))[:n_probe]:
+            probe_rows.append((int(qid), int(c), [float(x) for x in qv]))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, cell int, qv array<double>"
+    )
+    cells_needed = sorted({c for _, c, _ in probe_rows})
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells_needed)
+    )
+    cand = vectors.join(F.broadcast(probes), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -637,3 +637,37 @@ def test_repetition_stats_matches_python_model_fuzz(spark):
                   "top_2gram_char_frac", "symbol_word_ratio",
                   "bullet_line_frac", "ellipsis_line_frac"):
             assert abs(r[k] - exp[k]) < 2e-6, (i, k, t, r[k], exp[k])
+
+
+def test_ivf_index_persist_matches_in_memory_search(spark, tmp_path):
+    """The on-disk IVF layout (vectors partitioned by cell + centroids
+    table) must return exactly the in-memory seeded search's results,
+    and the probe must reach parquet as partition pruning."""
+    from open_instrument_spark.operators.similarity import (
+        ann_ivf_topk_seeded,
+        build_ivf_index,
+        search_ivf_index,
+        seeded_centroids,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C = seeded_centroids(dim=64, n_cells=32, seed=7)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids=C)
+
+    qids = [3, 17, 41]
+    mem = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in ann_ivf_topk_seeded(emb, qids, k=5, n_probe=4).collect()
+    }
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    disk_df = search_ivf_index(spark, path, qvecs, k=5, n_probe=4)
+    disk = {(r["q_id"], r["n_id"], r["rank"]) for r in disk_df.collect()}
+    assert disk == mem
+    plan = disk_df._sc._jvm.PythonSQLUtils.explainString(
+        disk_df._jdf.queryExecution(), "simple"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
