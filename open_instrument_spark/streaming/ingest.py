@@ -88,8 +88,22 @@ def windowed_agg(points_stream: DataFrame, kind: str = "sum",
     — asserted by test_streaming_windowed_agg_matches_batch. Watermark
     bounds state; the INGEST path stays unwatermarked (late data policy,
     §2.8) — this is the query-side trade, not the store's.
+
+    Percentiles: any ``"p<q>"`` kind (p95, p99.9) runs
+    ``percentile_approx`` — the mergeable quantile sketch IS the
+    streaming-legal form (exact interpolated percentile, like exact
+    median, needs the full window and stays a batch op). Same
+    expression in batch groupBy gives bit-equal results on the same
+    rows (asserted by test_streaming_windowed_p95_matches_batch).
     """
-    agg = _STREAM_AGGS[kind.lower()]("dval").alias("value")
+    kd = kind.lower()
+    if len(kd) > 1 and kd[0] == "p" and kd[1:].replace(".", "", 1).isdigit():
+        q = float(kd[1:]) / 100.0
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"percentile out of range: {kind!r}")
+        agg = F.percentile_approx("dval", F.lit(q), F.lit(10_000)).alias("value")
+    else:
+        agg = _STREAM_AGGS[kd]("dval").alias("value")
     keys = [F.col("name")]
     src = points_stream
     if label is not None:

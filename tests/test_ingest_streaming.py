@@ -939,3 +939,38 @@ def test_streaming_uniform_matches_batch_across_batches(spark, tmp_path):
             ).select("series_key", "ts", "dval").collect()
         }
         assert got == want and len(got) > 0, tag
+
+
+def test_streaming_windowed_p95_matches_batch(spark, points, tmp_path):
+    """Streaming percentile: any "p<q>" kind runs the mergeable
+    percentile_approx sketch; a watermark-closed streaming window must
+    equal the same expression's batch groupBy on the same rows."""
+    from open_instrument_spark.operators.mutate import _bucket_start
+    from open_instrument_spark.streaming.ingest import windowed_agg
+
+    src = str(tmp_path / "p95_src")
+    pts = points.limit(2000)
+    pts.write.parquet(src)
+    stream = read_points_stream(spark, src)
+    q = (
+        windowed_agg(stream, kind="p95", interval="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("p95w")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["ts"], r["name"]): r["value"] for r in spark.table("p95w").collect()
+    }
+    assert got
+    want = {
+        (r["ts"], r["name"]): r["value"]
+        for r in pts.withColumn("ts", _bucket_start(3_600_000))
+        .groupBy("name", "ts")
+        .agg(F.percentile_approx("dval", F.lit(0.95), F.lit(10_000)).alias("value"))
+        .collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v, k
