@@ -24,12 +24,17 @@ Two reference kernels exist:
   (mutations.go:117-128 emits via both the fill loop and the passthrough);
   we emit once — flagged divergence.)
 
-- **M5/M6 anchored Mean/Min/Max** (mutations.go:10-49,139-191): buckets
-  anchored at the FIRST timestamp of each bucket, flushed when
-  ``ts - first > duration``, stamped at the LAST input ts of the bucket.
-  Data-dependent anchoring ⇒ grouped-map kernel; the engine's declared
-  aligned-window variants live in mutate.py. Golden:
-  mutations_test.go:19-57.
+- **M5 anchored Mean** (mutations.go:10-49): buckets anchored at the
+  FIRST timestamp of each bucket, flushed when ``ts - first >
+  duration``, stamped at the LAST input ts of the bucket, final partial
+  bucket emitted. Golden: mutations_test.go:19-57.
+- **M6 anchored Min/Max** (mutations.go:139-191): DIFFERENT bucketing
+  from Mean in the reference — flush on ``ts >= anchor + duration``,
+  output stamped at the TRIGGERING sample's ts (which is excluded from
+  the flushed bucket and re-anchors the next one), and the final
+  partial bucket is never emitted. See _minmax_anchored_kernel.
+  Data-dependent anchoring ⇒ grouped-map kernel for all three; the
+  engine's declared aligned-window variants live in mutate.py.
 
 ``max_gap_interpolate`` (lib/openinstrument.proto:45-52): proto semantics
 say gaps longer than N·interval are left unfilled; BOTH reference code
@@ -284,23 +289,27 @@ def mean_anchored_kernel(ts: np.ndarray, vals: np.ndarray, duration: int
 
 
 def _minmax_anchored_kernel(ts, vals, duration, fn):
-    """Go Min/Max (mutations.go:139-191): same bucketing as Mean."""
+    """Go Min/Max (mutations.go:139-191). NOT the same bucketing as
+    Mean — three deliberate reference behaviors, each visible in the Go
+    loop: (1) flush when ``t >= anchor + duration`` (Mean uses strict
+    ``>``); (2) the output is stamped at the TRIGGERING sample's
+    timestamp, and that sample is excluded from the flushed bucket —
+    it re-anchors and seeds the next bucket; (3) the final partial
+    bucket is never emitted (Go flushes only on arrival of a
+    triggering sample, and there is no post-loop flush like Mean's).
+    """
     out_t, out_v = [], []
     if len(ts) == 0:
         return np.array(out_t, dtype=np.int64), np.array(out_v)
-    first = ts[0]
-    cur: list[float] = []
-    last = ts[0]
-    for t, v in zip(ts, vals):
-        if t - first > duration and cur:
-            out_t.append(last)
-            out_v.append(fn(cur))
-            first, cur = t, []
-        cur.append(v)
-        last = t
-    if cur:
-        out_t.append(last)
-        out_v.append(fn(cur))
+    anchor = ts[0]
+    acc = vals[0]
+    for t, v in zip(ts[1:], vals[1:]):
+        if t >= anchor + duration:
+            out_t.append(t)
+            out_v.append(acc)
+            anchor, acc = t, v
+        else:
+            acc = fn(acc, v)
     return np.array(out_t, dtype=np.int64), np.array(out_v)
 
 

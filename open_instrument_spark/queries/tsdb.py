@@ -759,8 +759,8 @@ def resample_interpolate_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _anchored_oracle(value_sql: str, dur_us: int = 86_400_000_000) -> str:
-    """DuckDB replay of the reference's DATA-anchored buckets
-    (mutations/mutations.go:10-49,139-191): each bucket is anchored at
+    """DuckDB replay of the reference's Mean DATA-anchored buckets
+    (mutations/mutations.go:10-49): each bucket is anchored at
     its own first sample's timestamp and flushes when t - anchor >
     duration, so bucket boundaries are a data-dependent recurrence. A
     recursive CTE walks exactly that anchor chain per series (the next
@@ -805,22 +805,62 @@ def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
 
 
-@query("resample_min_anchored", oracle=_anchored_oracle("min(dval)"))
+def _minmax_anchored_oracle(value_sql: str, dur_us: int = 86_400_000_000) -> str:
+    """DuckDB replay of the reference's Min/Max buckets
+    (mutations/mutations.go:139-191), which differ from Mean's in three
+    reference behaviors: the flush fires on ``t >= anchor + duration``
+    (not ``>``), the output is stamped at the TRIGGERING sample's
+    timestamp (the trigger is excluded from the flushed bucket and
+    becomes the next anchor), and the final partial bucket is never
+    emitted. The recursive CTE walks that >= anchor chain; each sample
+    attaches to its bucket via ``anchor <= t < next_anchor``, and the
+    tail bucket drops out naturally because its next_anchor is NULL."""
+    return f"""
+WITH RECURSIVE {P_CTE},
+s AS (SELECT series_key, epoch_us(ts) AS t, dval FROM p),
+anch(series_key, a) AS (
+  SELECT series_key, min(t) FROM s GROUP BY 1
+  UNION ALL
+  SELECT a.series_key,
+         (SELECT min(t) FROM s
+          WHERE s.series_key = a.series_key AND s.t >= a.a + {dur_us})
+  FROM anch a
+  WHERE EXISTS (SELECT 1 FROM s
+                WHERE s.series_key = a.series_key AND s.t >= a.a + {dur_us})
+),
+ab AS (
+  SELECT series_key, a,
+         lead(a) OVER (PARTITION BY series_key ORDER BY a) AS na
+  FROM anch
+),
+asn AS (
+  SELECT s.series_key, s.dval, ab.na
+  FROM s JOIN ab ON s.series_key = ab.series_key
+              AND s.t >= ab.a AND s.t < ab.na
+)
+SELECT series_key, make_timestamp(na) AS ts, {value_sql} AS dval
+FROM asn GROUP BY series_key, na
+"""
+
+
+@query("resample_min_anchored", oracle=_minmax_anchored_oracle("min(dval)"))
 def resample_min_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 Go Min with reference-exact anchored buckets
-    (mutations/mutations.go:139-164) — golden-tested + recursive-CTE
-    oracle (exact doubles, no rounding needed)."""
+    (mutations/mutations.go:139-164): >= flush boundary, stamped at the
+    triggering sample's ts, tail bucket dropped — golden-tested +
+    recursive-CTE oracle (exact doubles, no rounding needed)."""
     from open_instrument_spark.operators import resample
 
     out = resample.min_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)
     return out.select("series_key", "ts", "dval")
 
 
-@query("resample_max_anchored", oracle=_anchored_oracle("max(dval)"))
+@query("resample_max_anchored", oracle=_minmax_anchored_oracle("max(dval)"))
 def resample_max_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 Go Max with reference-exact anchored buckets
-    (mutations/mutations.go:166-191) — golden-tested + recursive-CTE
-    oracle (exact doubles, no rounding needed)."""
+    (mutations/mutations.go:166-191): >= flush boundary, stamped at the
+    triggering sample's ts, tail bucket dropped — golden-tested +
+    recursive-CTE oracle (exact doubles, no rounding needed)."""
     from open_instrument_spark.operators import resample
 
     out = resample.max_anchored(_pts(spark, sf_dir), "1d", restore_labels=False)

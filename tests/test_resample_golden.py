@@ -66,12 +66,36 @@ def test_interpolate_kernel_golden():
 
 
 def test_minmax_anchored_kernels():
+    # Goldens hand-traced through the Go loop (mutations.go:139-191;
+    # the reference's own Min/Max test vectors are commented out in
+    # mutations_test.go:96-113 with stale expectations). Trace on
+    # MEAN_IN, duration=300: anchor=0 seeds acc=20; samples t=60..240
+    # accumulate (min stays 20, max reaches 100); t=300 satisfies
+    # 300 >= 0+300 -> flush stamped at the TRIGGER ts 300, trigger
+    # excluded from the bucket (so max=100, not 120) and re-anchors
+    # with acc=120; no later sample reaches 600, so the partial tail
+    # (values 120..200) is never emitted — unlike Mean.
     t, v = _arr(MEAN_IN)
-    # same bucketing as Mean: bucket1 = values 20..120, bucket2 = 130..200
     mt, mv = resample.min_anchored_kernel(t, v, 300)
-    assert list(mt) == [300, 540] and list(mv) == [20.0, 130.0]
+    assert list(mt) == [300] and list(mv) == [20.0]
     xt, xv = resample.max_anchored_kernel(t, v, 300)
-    assert list(xt) == [300, 540] and list(xv) == [120.0, 200.0]
+    assert list(xt) == [300] and list(xv) == [100.0]
+
+    # Two-bucket trace: append (640, 90): 640 >= 300+300 flushes bucket2
+    # (values 120..200 — min 120, max 200) stamped at 640; the new
+    # bucket holding only 90 is tail-dropped.
+    t2, v2 = _arr(MEAN_IN + [(640, 90)])
+    mt, mv = resample.min_anchored_kernel(t2, v2, 300)
+    assert list(mt) == [300, 640] and list(mv) == [20.0, 120.0]
+    xt, xv = resample.max_anchored_kernel(t2, v2, 300)
+    assert list(xt) == [300, 640] and list(xv) == [100.0, 200.0]
+
+    # Boundary exactness of >=: with duration=240 the t=240 sample
+    # itself triggers (240 >= 0+240), so bucket1 = values 20..80.
+    mt, mv = resample.min_anchored_kernel(t, v, 240)
+    assert list(mt)[0] == 240 and mv[0] == 20.0
+    xt, xv = resample.max_anchored_kernel(t, v, 240)
+    assert list(xt)[0] == 240 and xv[0] == 80.0
 
 
 def _points_df(spark, pairs, interval_scale_us=1):
