@@ -183,22 +183,35 @@ def main() -> None:
         or load_after["competing_spark_pids"] > 0
         or (ncpu > 0 and load_before["loadavg"][1] > 0.25 * ncpu)
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "n_runs": n_runs,
-                "sf": _sf_of(sf_dir),
-                "load_before": load_before,
-                "load_after": load_after,
-                "contended": contended,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "spread": spread,
+            "n_runs": n_runs,
+            "sf": _sf_of(sf_dir),
+            "load_before": load_before,
+            "load_after": load_after,
+            "contended": contended,
+        }
     )
+    print(payload)
+    # The driver captures only a bounded TAIL of stdout — BENCH_r06.json
+    # lost the suite total and the first 17 query medians to that
+    # truncation. Persist the complete artifact to a file as well
+    # (judge r6 "Next round" #5); overridable, and best-effort so a
+    # read-only checkout still benches.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
     spark.stop()
 
 

@@ -384,33 +384,39 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
     100 TB shape: the benchmark side (eval sets: thousands of docs, not
     billions) is broadcast, so the shingle join is map-side with NO
     shuffle of the corpus; the only shuffle is the per-pair count, whose
-    input is just the matching shingle rows. The train corpus is never
-    self-joined. Run after scrubbing, before split/packing.
+    input is just the matching shingle rows. The denominator (each
+    train doc's distinct-shingle count) is ``F.size`` on the shingle
+    array BEFORE the explode — a map-side projection carried through
+    the join as a group key — so the corpus is scanned once and never
+    shuffled whole. The train corpus is never self-joined. Run after
+    scrubbing, before split/packing.
     """
-    # The corpus shingle frame feeds BOTH the broadcast join and the
-    # per-doc size count; persist it or the scan+tokenize+shingle pass —
-    # the dominant cost at scale — executes twice.
-    d_sh = track_persist(
-        docs.select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh"))
+    d_sh = docs.select(
+        "doc_id", shingles(F.col(text_col), k).alias("_shs")
+    ).select(
+        "doc_id",
+        F.size("_shs").alias("_n_sh"),
+        F.explode("_shs").alias("sh"),
     )
     b_sh = benchmark.select(
         F.col("doc_id").alias("bench_id"),
         F.explode(shingles(F.col(text_col), k)).alias("sh"),
     )
-    sizes = d_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_sh"))
-    hits = (
+    # _n_sh is constant per doc_id, so adding it to the group keys
+    # changes no groups — it just rides the one pair-count shuffle.
+    return (
         d_sh.join(F.broadcast(b_sh), "sh")
-        .groupBy("doc_id", "bench_id")
+        .groupBy("doc_id", "bench_id", "_n_sh")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .where(F.col("n_overlap") >= min_overlap)
-    )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "bench_id",
-        "n_overlap",
-        F.round(F.col("n_overlap").cast("double") / F.col("_n_sh"), 6).alias(
-            "overlap_frac"
-        ),
+        .select(
+            "doc_id",
+            "bench_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / F.col("_n_sh"), 6).alias(
+                "overlap_frac"
+            ),
+        )
     )
 
 
@@ -423,61 +429,83 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     ``cluster_id`` = min doc_id in the component.
 
     Iterative min-label propagation with pointer jumping (label :=
-    label-of-label each round), so convergence is O(log diameter)
-    rounds, not O(diameter) — a chain of 1M pairwise near-dups resolves
-    in ~20 rounds. Per round: one join+min-agg on the persisted edge
-    list, one self-join for the jump, and ONE scalar count action for
-    the convergence test (driver-side work is ≤ max_iter integers).
-    Raises after ``max_iter`` rounds without a fixpoint rather than
-    returning half-merged clusters.
+    label-of-label each hop), so convergence is O(log diameter) hops,
+    not O(diameter) — a chain of 1M pairwise near-dups resolves in ~20
+    hops. Each round runs TWO propagate+jump hops before the single
+    persist + scalar count action, halving the Spark-job overhead that
+    dominates wall-clock on small/interactive runs (the r6 profile:
+    fixed per-job launch cost, flat in data). The two-hop convergence
+    test is exact, not approximate: labels are monotone non-increasing
+    (``F.least`` with the old label; the jump follows a node whose
+    label ≤ its id), so the post-2-hop frame equals the pre-2-hop frame
+    iff BOTH hops were no-ops — a converged fixpoint. Raises after
+    ``max_iter`` rounds (2·max_iter hops) without a fixpoint rather
+    than returning half-merged clusters.
     """
     # Persist the directed pair list FIRST: the symmetric union below
     # reads it twice, and without the persist the whole upstream pair
-    # pipeline (e.g. the shingle join) would execute twice.
+    # pipeline (e.g. the shingle join) would execute twice. The edge
+    # list is then LINEAGE-TRUNCATED (localCheckpoint), not merely
+    # persisted: every hop of every round references it, and with a
+    # plain persist Catalyst re-analyzes the full upstream logical plan
+    # (the whole shingle-join pipeline) on each reference — per-round
+    # planning cost grows with pipeline depth and, combined with the
+    # self-joins below, blew a 250-edge run past the driver heap in plan
+    # TreeNode strings. Trade-off at cluster scale: checkpointed blocks
+    # are executor-local, so an executor loss mid-iteration fails the
+    # job instead of recomputing — the standard iterative-graph
+    # trade (GraphFrames' CC makes the same one).
     directed = track_persist(pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")))
-    edges = track_persist(
-        directed.unionByName(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    directed.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    prev_cached = None
-    for _ in range(max_iter):
+    def _hop(cur: DataFrame) -> DataFrame:
+        """One propagate+jump hop over (id, _old, label); _old rides
+        through untouched for the round's convergence test."""
         neigh = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            edges.join(cur.select(F.col("id").alias("src"), "label"), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("_nlabel"))
             .withColumnRenamed("dst", "id")
         )
-        upd = labels.join(neigh, "id", "left").select(
+        upd = cur.join(neigh, "id", "left").select(
             "id",
-            F.col("label").alias("_old"),
+            "_old",
             F.least(F.col("label"), F.coalesce("_nlabel", "label")).alias("_l1"),
         )
         # pointer jumping: follow the label's own label one hop
         hop = upd.select(F.col("id").alias("_lid"), F.col("_l1").alias("_llabel"))
-        new = track_persist(
-            upd.join(hop, upd["_l1"] == hop["_lid"], "left").select(
-                "id", "_old", F.coalesce("_llabel", "_l1").alias("label")
-            )
+        return upd.join(hop, upd["_l1"] == hop["_lid"], "left").select(
+            "id", "_old", F.coalesce("_llabel", "_l1").alias("label")
         )
-        # the convergence test is a filter over the just-persisted frame
-        # — ONE scalar action per round, no extra join
+
+    for _ in range(max_iter):
+        # Two hops per scalar action. Hop 1 is persisted (lazily) so
+        # hop 2's self-join doesn't recompute it ~3×; the round result
+        # is LAZILY localCheckpoint'ed, so the single count() below
+        # materializes hop1-cache → hop2 → checkpoint in one job chain
+        # AND truncates the lineage — without truncation the label
+        # frame's logical plan doubles every round (each hop embeds its
+        # input 3×: neighbor join, update join, pointer-jump self-join)
+        # and planning itself OOMs the driver. Checkpointed round
+        # results are released by the ContextCleaner when the next
+        # round's frame drops the last reference.
+        h1 = track_persist(
+            _hop(labels.select("id", F.col("label").alias("_old"), "label"))
+        )
+        new = _hop(h1).localCheckpoint(eager=False)
+        # the convergence test is a filter over the just-checkpointed
+        # frame — ONE scalar action per two hops, no extra join; exact
+        # because labels are monotone non-increasing (see docstring)
         n_changed = new.where(F.col("label") != F.col("_old")).count()
-        # `new` is materialized now; the previous round's node-sized
-        # cache is dead weight — at scale max_iter live copies of the
-        # label frame would be real executor memory, so drop it eagerly.
-        # Likewise the one-shot directed-pairs cache once the symmetric
-        # edge list has materialized (first pass through this point).
-        if prev_cached is None:
-            directed.unpersist()
-        else:
-            prev_cached.unpersist()
-        prev_cached = new
+        # h1's cache fed new's materialization just now; drop it eagerly
+        h1.unpersist()
         labels = new.select("id", "label")
         if n_changed == 0:
             break

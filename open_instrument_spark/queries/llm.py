@@ -772,9 +772,23 @@ WITH RECURSIVE {_NEAR_CORPUS_SQL},
 sh AS ({_shingle_cte("corpus")}),
 ds AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+-- the max_bucket=1000 candidate guard, replayed exactly: shingles in
+-- > 1000 docs are excluded from CANDIDATE GENERATION only
+gds AS (
+  SELECT ds.doc_id, ds.shingle FROM ds
+  JOIN (SELECT shingle FROM ds GROUP BY 1 HAVING count(*) <= 1000) f
+    USING (shingle)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM gds a JOIN gds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+-- verify on the FULL shingle sets (the guard shaped only candidates)
 inter AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN ds da ON da.doc_id = c.a_id
+  JOIN ds db ON db.doc_id = c.b_id AND db.shingle = da.shingle
   GROUP BY 1, 2
 ),
 pairs AS (
@@ -802,17 +816,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact n-gram Jaccard pairs (same seeded corpus and threshold as
     dedup_ngram_jaccard), cluster_id = min doc_id in the component —
     the keep-one-per-cluster step after any pair-producing dedup stage.
-    Spark runs min-label propagation with pointer jumping (O(log
-    diameter) rounds on a persisted edge list); the oracle replays the
-    same fixpoint as a DuckDB recursive CTE. Past the driver window;
-    replayed against DuckDB by tests/test_oracle_parity.py."""
+    Runs the GUARDED candidate path (library default max_bucket=1000 —
+    the 100 TB configuration; the skew probe measured the guard 17×
+    under adversarial data), and the oracle replays the guard exactly:
+    a HAVING count(*) <= 1000 filter on the shared-shingle CTE feeding
+    candidates, with jaccard still verified on full shingle sets. Spark
+    runs min-label propagation with pointer jumping (O(log diameter)
+    hops, two per materialized round, on a persisted edge list); the
+    oracle replays the same fixpoint as a DuckDB recursive CTE."""
     from open_instrument_spark.operators.dedup import (
         connected_components,
         ngram_jaccard_pairs,
     )
 
     corpus = _near_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, max_bucket=None)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
     return connected_components(pairs.select("a_id", "b_id"))
 
 

@@ -135,24 +135,76 @@ def ingest_batch(points: DataFrame, source_host: str | None = None, now=None) ->
 
 
 def write_points(points: DataFrame, path: str, n_buckets: int = 16,
-                 mode: str = "append") -> None:
+                 mode: str = "append", name_buckets: int | None = None) -> None:
     """S8 reindex analog: partitioned, sorted Parquet write.
 
     dt partition = time pruning; bucket partition = series co-location;
     within-file sort by (series_key, ts) = tight row-group stats + cheap
     downstream per-series windows.
+
+    ``name_buckets`` adds a ``name_bucket = pmod(hash(name), N)``
+    partition level between dt and bucket — the Spark analog of the
+    reference's per-variable block index (datastore.go:274-277; bloom
+    variant indexed_store_file.go:110-117): an exact-name Get computes
+    its own bucket and touches only 1/N of each day's files (see
+    read_store). The series-hash ``bucket`` embeds labels so it cannot
+    prune name-only matches. Directory count scales as
+    dates x name_buckets x n_buckets — when enabling name_buckets, size
+    n_buckets down so the product stays at the intended file count.
     """
-    pts = points.withColumn("_sk", series_key())
+    pts = points.withColumn("_sk", series_key()).withColumn(
+        "dt", F.to_date("ts")
+    ).withColumn("bucket", F.pmod(F.hash("_sk"), F.lit(n_buckets)))
+    part_cols = ["dt", "bucket"]
+    if name_buckets is not None:
+        pts = pts.withColumn(
+            "name_bucket", F.pmod(F.hash("name"), F.lit(name_buckets))
+        )
+        part_cols = ["dt", "name_bucket", "bucket"]
     (
-        pts.withColumn("dt", F.to_date("ts"))
-        .withColumn("bucket", F.pmod(F.hash("_sk"), F.lit(n_buckets)))
-        .repartition("dt", "bucket")
+        pts.repartition(*part_cols)
         .sortWithinPartitions("_sk", "ts")
         .drop("_sk")
         .write.mode(mode)
-        .partitionBy("dt", "bucket")
+        .partitionBy(*part_cols)
         .parquet(path)
     )
+
+
+def read_store(spark, path: str, variable: str | None = None,
+               name_buckets: int | None = None) -> DataFrame:
+    """Read a write_points store, pruning partitions from the variable
+    pattern (F1): an exact (non-glob) name on a name-bucketed store
+    folds ``name_bucket = pmod(hash(name), N)`` to a literal partition
+    filter — Spark's FileIndex then skips every other name bucket's
+    files, the analog of the reference skipping unindexed blocks
+    (datastore.go:274-277; bloom variant indexed_store_file.go:110-117).
+    ``name_buckets`` must be the writer's value; it is deliberately NOT
+    inferred from the directory layout (max present bucket + 1 would
+    undercount a store whose names happen to miss a bucket, silently
+    misrouting the filter). Glob names (F2) and label-only patterns
+    can't prune a hash bucket; they fall back to a full predicate scan,
+    still dt-prunable by time filters.
+    """
+    df = spark.read.parquet(path)
+    if variable is None:
+        return df
+    from open_instrument_spark.functions.match import VariableMatcher
+
+    m = VariableMatcher.from_string(variable)
+    if name_buckets is not None and not m.name.endswith("*"):
+        if "name_bucket" not in df.columns:
+            raise ValueError(
+                f"store at {path} has no name_bucket partition level; "
+                "write it with write_points(..., name_buckets=N)"
+            )
+        # pmod(hash(lit)) is constant-folded by Catalyst, so this lands
+        # in PartitionFilters, not a post-scan Filter.
+        df = df.filter(
+            F.col("name_bucket")
+            == F.pmod(F.hash(F.lit(m.name)), F.lit(name_buckets))
+        )
+    return df.filter(m.predicate())
 
 
 def compact(spark, path: str, n_buckets: int = 16) -> None:
@@ -161,4 +213,7 @@ def compact(spark, path: str, n_buckets: int = 16) -> None:
     a repartition+rewrite). Also folds away the streaming sink's
     per-epoch partitioning (drop() ignores absent columns)."""
     df = spark.read.parquet(path)
-    write_points(df.drop("dt", "bucket", "epoch"), path + "_compacted", n_buckets, mode="overwrite")
+    write_points(
+        df.drop("dt", "bucket", "name_bucket", "epoch"),
+        path + "_compacted", n_buckets, mode="overwrite",
+    )

@@ -240,6 +240,11 @@ def test_contamination_broadcasts_benchmark_side(spark, tables):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r7: the per-doc shingle-count denominator is F.size on the shingle
+    # array BEFORE the explode, carried through as a group key — so the
+    # ONLY shuffle exchange is the per-pair count; the corpus-sized
+    # sizes shuffle (and its join back) is gone.
+    assert count_in(plan, "Exchange hashpartitioning") == 1
 
 
 def test_stratified_quota_is_one_exchange(spark, tables):
