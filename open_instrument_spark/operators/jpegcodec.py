@@ -197,7 +197,13 @@ class _BitWriter:
 
     def flush(self) -> bytes:
         if self.n:
-            self.acc <<= 8 - self.n  # pad with 0 bits (1s also legal)
+            # pad with 1-bits per T.81 F.1.2.3 ("the final byte is
+            # padded with 1-bits"); 1-padding can complete a spurious
+            # Huffman code that decoders must treat as a non-error, but
+            # a conformant reader RELIES on seeing 1s to detect it —
+            # 0-padding emits files some strict readers misparse.
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)

@@ -490,17 +490,23 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 32,
 
 
 def search_ivf_index(spark, path: str, queries: dict[int, list],
-                     k: int = 10, n_probe: int = 4) -> DataFrame:
+                     k: int = 10, n_probe: int = 4,
+                     exclude_self: bool = False) -> DataFrame:
     """Top-k cosine search against a :func:`build_ivf_index` layout.
 
     ``queries``: {q_id: vector} — external query vectors, not corpus
-    ids (pass a corpus row's own vector to reproduce the in-memory
-    search; its id is excluded from its results). The probe list is
-    built driver-side from the small centroids table; the vectors read
-    carries ``cell IN (probed)`` so parquet partition pruning skips
-    every unprobed cell's files — verifiable in the plan's
-    PartitionFilters. Output: (q_id, n_id, rank, cos)."""
+    ids. ``exclude_self=True`` drops corpus rows whose n_id equals the
+    query's q_id — ONLY correct when q_ids are corpus ids (e.g. passing
+    a corpus row's own vector to reproduce the in-memory self-search);
+    for genuinely external queries leave it False, or an id collision
+    would silently drop a (possibly top-ranked) neighbor. The probe
+    list is built driver-side from the small centroids table; the
+    vectors read carries ``cell IN (probed)`` so parquet partition
+    pruning skips every unprobed cell's files — verifiable in the
+    plan's PartitionFilters. Output: (q_id, n_id, rank, cos)."""
     crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"IVF index at {path} has an empty centroids table")
     dim = len(crows[0]["c"])
     C = np.zeros((max(r["cell"] for r in crows) + 1, dim))
     for r in crows:
@@ -518,9 +524,9 @@ def search_ivf_index(spark, path: str, queries: dict[int, list],
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(cells_needed)
     )
-    cand = vectors.join(F.broadcast(probes), "cell").filter(
-        F.col("n_id") != F.col("q_id")
-    )
+    cand = vectors.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("n_id") != F.col("q_id"))
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("v")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (

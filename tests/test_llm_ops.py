@@ -664,10 +664,32 @@ def test_ivf_index_persist_matches_in_memory_search(spark, tmp_path):
         r["vec_id"]: list(r["embedding"])
         for r in emb.filter(F.col("vec_id").isin(qids)).collect()
     }
-    disk_df = search_ivf_index(spark, path, qvecs, k=5, n_probe=4)
+    # q_ids here ARE corpus ids (replaying the in-memory self-search),
+    # so self-exclusion is explicitly opted into
+    disk_df = search_ivf_index(spark, path, qvecs, k=5, n_probe=4,
+                               exclude_self=True)
     disk = {(r["q_id"], r["n_id"], r["rank"]) for r in disk_df.collect()}
     assert disk == mem
     plan = disk_df._sc._jvm.PythonSQLUtils.explainString(
         disk_df._jdf.queryExecution(), "simple"
     )
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
+
+    # default (external queries): an id collision must NOT drop the
+    # corpus vector — rank 1 for a corpus row's own vector is itself
+    ext = search_ivf_index(spark, path, {3: qvecs[3]}, k=5, n_probe=4)
+    top = ext.filter(F.col("rank") == 1).first()
+    assert top["n_id"] == 3 and top["cos"] == 1.0
+
+    # empty centroids table → contracted error, not IndexError
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    empty = str(tmp_path / "empty_ivf")
+    os.makedirs(empty)
+    pq.write_table(
+        pa.table({"cell": pa.array([], type=pa.int32()),
+                  "c": pa.array([], type=pa.list_(pa.float64()))}),
+        f"{empty}/centroids",
+    )
+    with pytest.raises(ValueError, match="empty centroids"):
+        search_ivf_index(spark, empty, {0: qvecs[3]})

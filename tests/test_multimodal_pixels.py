@@ -690,3 +690,88 @@ def test_gif_bad_lzw_min_code_size_fails_fast():
     big[dsc + 5 : dsc + 9] = (65535).to_bytes(2, "little") * 2  # w=h=65535
     with pytest.raises(ValueError, match="decode size limit"):
         decode_gif(bytes(big))
+
+
+# -------------------------------------------- independent-decoder parity
+def _imageio_decode_rgb(spark, data: bytes) -> np.ndarray:
+    """Decode JPEG bytes with the JVM's javax.imageio codec (an
+    independent implementation reachable through the Spark gateway —
+    no Python imaging libs exist in this environment)."""
+    jvm = spark.sparkContext._jvm
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    assert img is not None, "ImageIO could not parse the JPEG"
+    h, w = img.getHeight(), img.getWidth()
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb = img.getRGB(x, y)
+            out[y, x] = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+    return out
+
+
+def _smooth_img(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((xx + yy) * 255 // max(h + w - 2, 1)).astype(np.uint8)
+    return np.dstack([r, g, b])
+
+
+def test_jpeg_progressive_parses_in_independent_decoder(spark):
+    """ADVICE r6: the progressive path was only validated
+    self-consistently (a symmetric encoder+decoder bug would pass).
+    Here our SOF2 output must be parsed by javax.imageio and decode to
+    the same pixels both decoders see (small tolerance: the two
+    codecs' IDCT/color-convert rounding differs by a few LSBs)."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    for h, w, sub, q in [(16, 16, False, 90), (13, 17, False, 85),
+                         (24, 18, True, 90)]:
+        img = _smooth_img(h, w)
+        blob = encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in blob
+        theirs = _imageio_decode_rgb(spark, blob).astype(int)
+        ours = decode_jpeg(blob).astype(int)
+        assert theirs.shape == ours.shape
+        diff = np.abs(theirs - ours)
+        # 4:2:0: T.81 leaves the chroma upsampling filter to the
+        # decoder (ours replicates, ImageIO interpolates), so edge
+        # pixels legitimately differ more than IDCT rounding alone
+        max_tol, mean_tol = (16, 4.0) if sub else (6, 2.0)
+        assert diff.max() <= max_tol and diff.mean() < mean_tol, (
+            h, w, sub, q, diff.max(), diff.mean())
+
+
+def test_jpeg_our_decoder_reads_imageio_progressive_output(spark):
+    """Round-trip the other way: a progressive JPEG ENCODED by
+    javax.imageio (ImageWriteParam MODE_DEFAULT scan script — not our
+    9-scan script) must decode in our decoder to the same pixels
+    ImageIO itself reads back."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg
+
+    jvm = spark.sparkContext._jvm
+    src = _smooth_img(16, 16)
+    bi = jvm.java.awt.image.BufferedImage(16, 16, 1)  # TYPE_INT_RGB
+    for y in range(16):
+        for x in range(16):
+            r, g, b = (int(v) for v in src[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    blob = bytes(baos.toByteArray())
+    writer.dispose()
+    assert b"\xff\xc2" in blob, "ImageIO did not emit a progressive (SOF2) file"
+
+    theirs = _imageio_decode_rgb(spark, blob).astype(int)
+    ours = decode_jpeg(blob).astype(int)
+    assert ours.shape == theirs.shape
+    diff = np.abs(theirs - ours)
+    # ImageIO writes 4:2:0 by default — see the upsample-filter note in
+    # the sibling test for the wider per-pixel bound
+    assert diff.max() <= 16 and diff.mean() < 4.0, (diff.max(), diff.mean())
