@@ -152,11 +152,17 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     derived plans here estimate high → SortMergeJoin → two full sorts of
     the candidate set, measured 10× slower than broadcast at 20 k
     vectors). "auto" (default) broadcasts when one count() says the
-    corpus fits comfortably (≤ 32 MB of vectors), else hints
-    SHUFFLE_HASH — the scale-correct strategy for corpus-sized sides: an
-    id-equi-join needs no sort, and candidates shuffle once instead of
-    sorting twice. "broadcast"/"shuffle_hash" force a strategy. Values
-    are identical under every strategy.
+    corpus fits comfortably (≤ 256 MB of vectors — one copy per
+    executor, routine at cluster scale; the r7 probe measured the
+    structural cliff directly: at 200 k vectors / 102 MB the old 32 MB
+    cap fell back to shuffle-hash, which shuffles the candidate set
+    TWICE — 335 s vs 95 s broadcast, turning a sublinear wall ratio
+    super-linear). Else hints SHUFFLE_HASH — the scale-correct strategy
+    for corpus-sized sides past broadcastable: an id-equi-join needs no
+    sort, and candidates shuffle once per side instead of sorting
+    twice; beyond ~512 k vectors the right tool is the IVF on-disk
+    index, not this brute pipeline. "broadcast"/"shuffle_hash" force a
+    strategy. Values are identical under every strategy.
     Output: (a_id, b_id, cos)."""
     if verify_join not in ("auto", "broadcast", "shuffle_hash"):
         raise ValueError(f"verify_join must be auto|broadcast|shuffle_hash, "
@@ -173,7 +179,7 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
         # sizing count; Spark caches the scan between the two actions)
         n_vec = embeddings.count()
         verify_join = (
-            "broadcast" if n_vec * dim * 8 <= 32 * 1024 * 1024 else "shuffle_hash"
+            "broadcast" if n_vec * dim * 8 <= 256 * 1024 * 1024 else "shuffle_hash"
         )
     # Per-doc norms computed ONCE (N sqrt-folds) instead of per pair
     # (2·|candidates| folds) — same IEEE expression on the same array, so

@@ -38,7 +38,8 @@ def read_points_stream(spark: SparkSession, src_dir: str,
 
 
 def start_ingest(points_stream: DataFrame, dest_path: str, checkpoint: str,
-                 n_buckets: int = 16, now=None) -> StreamingQuery:
+                 n_buckets: int = 16, now=None,
+                 on_batch_complete=None) -> StreamingQuery:
     """S1 streaming Add: validate → dedup-within-batch → partitioned
     write, exactly-once via checkpointed foreachBatch + an IDEMPOTENT
     sink: each epoch overwrites its own ``epoch=N`` subdirectory, so a
@@ -47,6 +48,12 @@ def start_ingest(points_stream: DataFrame, dest_path: str, checkpoint: str,
     reference has, disk_datastore.cc:112-128). A bare append sink would
     only be at-least-once. Readers see ``epoch`` as one more partition
     column; compaction (sources.ingest.compact) folds epochs away.
+
+    ``on_batch_complete(epoch)`` runs after the epoch's files are on
+    disk but BEFORE Spark commits the epoch offset — an exception here
+    fails the query inside exactly the crash window the idempotent sink
+    exists for (the recovery test injects a crash this way); benign
+    uses: per-epoch metrics/logging.
     """
 
     def sink(batch: DataFrame, epoch: int) -> None:
@@ -55,6 +62,8 @@ def start_ingest(points_stream: DataFrame, dest_path: str, checkpoint: str,
             cleaned, f"{dest_path}/epoch={epoch}", n_buckets=n_buckets,
             mode="overwrite",
         )
+        if on_batch_complete is not None:
+            on_batch_complete(epoch)
 
     return (
         points_stream.writeStream.foreachBatch(sink)

@@ -194,3 +194,67 @@ def test_render_scrape_round_trip(spark, streams):
         key=key,
     )
     assert got == want
+
+
+# ----------------------------------------------------- push exporter (S12)
+def _snapshot_points(spark, n=4):
+    rows = [
+        ("/app/counter", {"host": "a", "job": "x"}, float(i),
+         dt.datetime(2024, 1, 30, 0, 0, i)) for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, dval double, ts timestamp"
+    )
+    return df.select("name", "labels", "ts", "dval",
+                     F.lit(None).cast("string").alias("sval"))
+
+
+def test_push_exported_labels_and_append(spark, tmp_path):
+    """ExportToStore analog (lib/exported_vars.cc:88-105): snapshot →
+    extra labels (OVERWRITING an existing key, SetLabel semantics) →
+    ingest pipeline → append; a second push appends rather than
+    replacing."""
+    from open_instrument_spark.sources.export_push import push_exported
+
+    store = str(tmp_path / "store")
+    n1 = push_exported(lambda: _snapshot_points(spark), store,
+                       extra_labels={"job": "exporter", "dc": "eu"},
+                       now=dt.datetime(2024, 1, 31))
+    assert n1 == 4
+    back = spark.read.parquet(store)
+    assert back.count() == 4
+    labels = back.select("labels").first()["labels"]
+    assert labels["job"] == "exporter"  # overwrote the stream's own value
+    assert labels["dc"] == "eu" and labels["host"] == "a"
+
+    n2 = push_exported(lambda: _snapshot_points(spark, n=2), store,
+                       now=dt.datetime(2024, 1, 31))
+    assert n2 == 2 and spark.read.parquet(store).count() == 6
+
+
+def test_export_thread_pushes_periodically_and_survives_errors(spark, tmp_path):
+    """ExportThread analog (lib/exported_vars.cc:129-143): sleeps the
+    interval first, pushes every cycle, logs-and-continues on a failed
+    push, and stops cleanly."""
+    import time as _time
+
+    from open_instrument_spark.sources.export_push import ExportThread
+
+    store = str(tmp_path / "store")
+    calls = {"n": 0}
+
+    def flaky_snapshot():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient scrape failure")
+        return _snapshot_points(spark, n=3)
+
+    t = ExportThread(flaky_snapshot, store, interval_s=0.2,
+                     now=dt.datetime(2024, 1, 31)).start()
+    deadline = _time.monotonic() + 30
+    while t.pushes < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.2)
+    t.stop()
+    assert calls["n"] >= 3  # first call failed, loop kept going
+    assert t.pushes >= 2 and t.samples == 3 * t.pushes
+    assert spark.read.parquet(store).count() == 3 * t.pushes

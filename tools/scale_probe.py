@@ -134,16 +134,13 @@ def main() -> None:
         int(m) for m in os.environ.get("SPARK_GRAFT_PROBE_MULTS", "1,10,100").split(",")
     ]
     load_before = _load_evidence()
-    emb_mults = [m for m in (1, 10) if m <= max(mults)]
+    emb_mults = [
+        int(m)
+        for m in os.environ.get("SPARK_GRAFT_PROBE_EMB_MULTS", "1,10,100").split(",")
+    ]
     spark = get_spark("scale-probe")
     prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
-    emb = load_tables(spark, sf_dir).table("embeddings")
-
-    from open_instrument_spark.operators.similarity import (
-        near_dup_candidates,
-        near_dup_pairs_lsh,
-    )
 
     def run(df) -> float:
         t0 = time.monotonic()
@@ -154,7 +151,6 @@ def main() -> None:
     # the measured x1 runs aren't cold while x10/x100 runs are warm
     for df in operators(ev).values():
         run(df)
-    run(near_dup_pairs_lsh(emb, threshold=0.4))
 
     report: dict[str, dict] = {}
     peaks: dict[str, int] = {}
@@ -164,6 +160,24 @@ def main() -> None:
         for name, df in operators(big).items():
             report.setdefault(name, {})[label] = round(run(df), 2)
         peaks[label] = peak_rss_mb()
+
+    # Embedding tiers run in a FRESH JVM: r6's probe ran them right
+    # after the 10M-row events x100 tier in the same session, and the
+    # accumulated heap/GC state inflated near_dup_lsh's x10 wall to
+    # 80 s (18.4x) — the same pipeline measured 11 s (4.5x) in a clean
+    # session (r7). Restarting isolates the measurement AND resets the
+    # monotonic VmHWM watermark so emb peaks are attributable.
+    spark.stop()
+    spark = get_spark("scale-probe-emb")
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+
+    from open_instrument_spark.operators.similarity import (
+        near_dup_candidates,
+        near_dup_pairs_lsh,
+    )
+
+    run(near_dup_pairs_lsh(emb, threshold=0.4))  # warm
     for k in emb_mults:
         label = f"x{k}"
         big_emb = multiplied_emb(emb, k)
