@@ -1066,3 +1066,83 @@ def test_streaming_windowed_p95_matches_batch(spark, points, tmp_path):
     }
     for k, v in got.items():
         assert want[k] == v, k
+
+
+def test_streaming_minmax_anchored_matches_batch_across_batches(spark, tmp_path):
+    """M6 streaming anchored Min/Max: the (anchor, acc) state must
+    survive micro-batch boundaries so a bucket whose triggering sample
+    arrives in a LATER batch flushes exactly once, stamped at the
+    trigger, with the reference's >= boundary — and the never-emitted
+    final partial bucket stays unemitted across restarts (Go
+    mutations.go:139-191; batch twin resample.min/max_anchored)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.minmax_state import (
+        max_anchored_stream,
+        min_anchored_stream,
+    )
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    # 10 s buckets. series a: bucket crosses two batch boundaries, the
+    # trigger lands exactly ON anchor+10 (the >= edge); series b: a
+    # mid-bucket minimum then a late trigger, plus a trailing partial
+    # bucket that must never flush.
+    b1 = [("a", 0, 5.0), ("a", 3, 2.0), ("b", 1, 9.0)]
+    b2 = [("a", 7, 8.0), ("b", 6, 1.0), ("b", 8, 4.0)]
+    b3 = [("a", 10, 7.0), ("a", 15, 0.5), ("b", 14, 3.0), ("b", 16, 99.0)]
+
+    for fn_stream, fn_batch, tag in [
+        (min_anchored_stream, resample.min_anchored, "min"),
+        (max_anchored_stream, resample.max_anchored, "max"),
+    ]:
+        src = str(tmp_path / f"mm_src_{tag}")
+        dest = str(tmp_path / f"mm_out_{tag}")
+        os.makedirs(src, exist_ok=True)
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+
+            def sink(batch, _epoch):
+                batch.write.mode("append").parquet(dest)
+
+            q = (
+                fn_stream(stream, "10s")
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", str(tmp_path / f"mm_ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for b in (b1, b2, b3):
+            pts(b).write.mode("append").parquet(src)
+            run_once()
+
+        got = {
+            (r["series_key"], r["ts"], r["dval"])
+            for r in spark.read.parquet(dest).collect()
+        }
+        batch_in = pts(b1 + b2 + b3).select(
+            F.lit("/s").alias("name"),
+            F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+            "ts", "dval", F.lit(None).cast("string").alias("sval"),
+        )
+        want = {
+            (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+            for r in fn_batch(batch_in, "10s", restore_labels=False)
+            .select("series_key", "ts", "dval").collect()
+        }
+        assert got == want and len(got) > 0, tag
+        # the >= edge: series a's first bucket flushed at the t=10
+        # trigger (stamped there), not at the last included sample
+        assert ("a", dt.datetime(2024, 1, 1, 0, 0, 10),
+                {"min": 2.0, "max": 8.0}[tag]) in got
