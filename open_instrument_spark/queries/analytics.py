@@ -158,8 +158,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped order priority (adapted to the synthetic schema:
     o_orderpriority stands in for ship priority): selective dim filter broadcast
     into the fact-fact join, decimal-exact revenue, distributed top-10
-    (TakeOrderedAndProject — no global sort). Past the driver window;
-    replayed against DuckDB by tests/test_oracle_parity.py."""
+    (TakeOrderedAndProject — no global sort). Driver-window oracled."""
     prepare(spark)
     t = load_tables(spark, sf_dir)
     cust = t.table("customer").filter(F.col("c_mktsegment") == "BUILDING")

@@ -331,8 +331,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ellipsis line) to exercise the line-shape paths; the 2-gram signals
     bite on the real text. Single scan-project, zero Python; per-row
     cost bounded by the operator's max_words/max_lines truncation
-    (mirrored by the [1:512]/[1:256] slices here). Past the driver
-    window; replayed against DuckDB by tests/test_oracle_parity.py."""
+    (mirrored by the [1:512]/[1:256] slices here). Driver-window
+    oracled since the r7 rotation."""
     from open_instrument_spark.operators.text import repetition_stats
 
     prepare(spark)
@@ -380,8 +380,8 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 corpus ops: exact-quota stratified sampling — 40 docs per
     train/val/test stratum by deterministic md5 rank (id tiebreak).
     One shuffle on the stratum key; see stratified_sample_quota's scale
-    note (pre-thin huge strata with the fraction form). Past the driver
-    window; replayed against DuckDB by tests/test_oracle_parity.py."""
+    note (pre-thin huge strata with the fraction form). Driver-window
+    oracled since the r7 rotation."""
     from open_instrument_spark.operators.corpus import (
         hash_split,
         stratified_sample_quota,
@@ -582,9 +582,8 @@ def corpus_clean_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded benchmark prefixes) → quality ≥ 0.75 and language = en →
     deterministic split. Unlike v1 this composition is not one lazy
     plan: the cluster step runs its bounded fixpoint loop (one scalar
-    action per round) when invoked. Past the driver window; replayed
-    against DuckDB (recursive CTE + shingle joins) by
-    tests/test_oracle_parity.py."""
+    action per round) when invoked. Driver-window oracled since the r7
+    rotation (recursive CTE + shingle joins on the DuckDB side)."""
     from open_instrument_spark.operators.corpus import split_column
     from open_instrument_spark.operators.dedup import (
         connected_components,
@@ -863,8 +862,7 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes of every 29th doc, so overlaps are partial by
     construction). The benchmark side is broadcast — the corpus is
     never shuffled for the join, only the matching shingle rows reach
-    the per-pair count. Past the driver window; replayed against DuckDB
-    by tests/test_oracle_parity.py."""
+    the per-pair count. Driver-window oracled since the r7 rotation."""
     from open_instrument_spark.operators.dedup import contamination
 
     prepare(spark)

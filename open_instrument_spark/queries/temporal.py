@@ -106,8 +106,8 @@ def temporal_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel: per user, purchases whose most recent prior
     view is within 1 hour (the as-of join with tolerance, then a
     group-count) — the classic product-analytics composition of the
-    temporal operators. Past the driver window; replayed against DuckDB
-    (native ASOF JOIN + interval filter) by tests/test_oracle_parity.py."""
+    temporal operators. Driver-window oracled (native DuckDB ASOF JOIN +
+    interval filter on the oracle side)."""
     from open_instrument_spark.operators.temporal import as_of_join
 
     prepare(spark)

@@ -432,8 +432,8 @@ def agg_p95_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-family extension the reference lacks beyond MEDIAN: hourly
     exact P95 per name — JVM-side F.percentile, the same (n-1)*q linear
     interpolation as DuckDB quantile_cont (any "p<q>" string works:
-    p50 ≡ median, p99.9, ...). Past the driver window; replayed against
-    DuckDB by tests/test_oracle_parity.py."""
+    p50 ≡ median, p99.9, ...). In the driver window since the r7
+    rotation."""
     return _agg_by_name(spark, sf_dir, "p95", 3_600_000)
 
 

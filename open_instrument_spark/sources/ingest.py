@@ -171,6 +171,44 @@ def write_points(points: DataFrame, path: str, n_buckets: int = 16,
     )
 
 
+def write_points_bucketed(points: DataFrame, table: str, n_buckets: int = 64,
+                          path: str | None = None,
+                          mode: str = "overwrite") -> None:
+    """S8 store as a Spark-native BUCKETED table: ``bucketBy(N,
+    series_key)`` + per-bucket ``sortBy(series_key, ts)``.
+
+    This is the co-located form of the store for mutation-heavy
+    workloads: the bucketed scan itself reports
+    ``hashpartitioning(series_key, N)``, which satisfies the
+    distribution every per-series window mutation (M1-M9) requires — so
+    RATE/DELTA/LATEST/resample plans over this table run with ZERO
+    shuffle exchange (plan-asserted in
+    test_bucketed_table_mutation_has_no_exchange). At 100 TB that
+    deletes the one full-data exchange the directory store pays per
+    mutation query; the trade is that N is fixed at write time and
+    joins/aggs on other keys still shuffle. The directory store
+    (:func:`write_points`) remains the general form — dt pruning,
+    name_buckets, epoch overwrite; this is the derived, query-optimized
+    layout a reindex job (W2) would maintain.
+
+    ``path`` makes it an external table (data at ``path``, metadata in
+    the session catalog) — without it the data lands in the session's
+    warehouse dir. The catalog entry is what carries the bucketing spec;
+    reading the bare parquet files would lose it.
+    """
+    pts = points
+    if "series_key" not in pts.columns:
+        pts = pts.withColumn("series_key", series_key())
+    w = pts.write.mode(mode).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    (
+        w.bucketBy(n_buckets, "series_key")
+        .sortBy("series_key", "ts")
+        .saveAsTable(table)
+    )
+
+
 def read_store(spark, path: str, variable: str | None = None,
                name_buckets: int | None = None) -> DataFrame:
     """Read a write_points store, pruning partitions from the variable

@@ -256,3 +256,30 @@ def test_stratified_quota_is_one_exchange(spark, tables):
     docs = hash_split(tables.table("documents").select("doc_id"))
     plan = plan_of(stratified_sample_quota(docs, "split", 40))
     assert count_in(plan, "Exchange") == 1  # shuffle on the stratum key only
+
+
+def test_bucketed_table_mutation_has_no_exchange(spark, tables, tmp_path):
+    """The bucketed-store contract (r7): a per-series window mutation
+    over a table bucketed on series_key runs with ZERO shuffle — the
+    bucketed scan's hashpartitioning(series_key, N) satisfies the
+    window's required distribution. This is the co-location story for
+    mutation-heavy 100 TB workloads: the directory store pays one full
+    exchange per mutation query; the bucketed layout pays none."""
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.sources.ingest import write_points_bucketed
+
+    pts = events_to_points(tables.table("events")).limit(5000)
+    name = "oi_bucketed_plan_test"
+    write_points_bucketed(pts, name, n_buckets=8,
+                          path=str(tmp_path / "bucketed_store"))
+    try:
+        back = spark.table(name)
+        rated = mutate.rate(back)
+        plan = plan_of(rated)
+        assert count_in(plan, "Exchange hashpartitioning") == 0, plan
+        assert "Window" in plan
+        # same rows as the directory-store path (one exchange there)
+        want = mutate.rate(pts).count()
+        assert rated.count() == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
