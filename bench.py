@@ -87,6 +87,15 @@ HEADLINE = [
     "dedup_contamination",
     "corpus_stratified_sample",
     "dedup_clusters",
+    # r7 additions, first benched r7 (baseline for later rounds):
+    # reference-exact anchored resample (grouped-map kernel), exact
+    # hourly P95 (JVM percentile), seeded IVF ANN, and the five-stage
+    # composed cleaning pipeline (clusters -> decontaminate -> quality
+    # -> split).
+    "resample_mean_anchored",
+    "agg_p95_by_name",
+    "ann_ivf_seeded_topk",
+    "corpus_clean_pipeline_v2",
 ]
 
 

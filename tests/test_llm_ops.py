@@ -693,3 +693,40 @@ def test_ivf_index_persist_matches_in_memory_search(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty centroids"):
         search_ivf_index(spark, empty, {0: qvecs[3]})
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check for the r7 two-hop + lineage-truncated rewrite:
+    on random graphs the Spark fixpoint must equal a reference
+    union-find exactly (same components, min-id labels)."""
+    import random
+
+    def union_find_cc(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 40)
+        n_edges = rng.randint(4, 70)
+        pairs = []
+        for _ in range(n_edges):
+            a, b = rng.sample(range(n_nodes), 2)
+            pairs.append((min(a, b), max(a, b)))
+        df = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.connected_components(df).collect()}
+        want = union_find_cc(pairs)
+        assert got == want, (trial, sorted(pairs)[:10])

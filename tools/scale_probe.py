@@ -161,12 +161,15 @@ def main() -> None:
             report.setdefault(name, {})[label] = round(run(df), 2)
         peaks[label] = peak_rss_mb()
 
-    # Embedding tiers run in a FRESH JVM: r6's probe ran them right
-    # after the 10M-row events x100 tier in the same session, and the
-    # accumulated heap/GC state inflated near_dup_lsh's x10 wall to
-    # 80 s (18.4x) — the same pipeline measured 11 s (4.5x) in a clean
-    # session (r7). Restarting isolates the measurement AND resets the
-    # monotonic VmHWM watermark so emb peaks are attributable.
+    # Embedding tiers run on a FRESH SparkContext: r6's probe ran them
+    # right after the 10M-row events x100 tier in the same session, and
+    # the accumulated session state inflated near_dup_lsh's x10 wall to
+    # 80 s (18.4x) — the same pipeline measured ~11 s (4.5x) clean (r7).
+    # stop()+rebuild reuses the py4j JVM process but clears the context
+    # (block manager, cached blocks, shuffle files) — sufficient: the
+    # r7 artifact's emb tiers read sublinear. NOTE the VmHWM peaks are
+    # per-PROCESS monotonic, so emb_x* peaks inherit the events tiers'
+    # JVM watermark; compare emb peaks against each other, not x1-x100.
     spark.stop()
     spark = get_spark("scale-probe-emb")
     prepare(spark)
