@@ -195,3 +195,65 @@ def load_store_config(text: str) -> StoreConfig:
     return StoreConfig(
         servers=servers, retention=retention, retention_interval_s=interval
     )
+
+
+# --------------------------------------------------------------- rendering
+_SAMPLE_TYPE_INV = {v: k for k, v in _SAMPLE_TYPE.items()}
+
+
+def _quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def render_store_config(cfg: StoreConfig) -> str:
+    """StoreConfig → the ASCII-protobuf text the reference's servers
+    read and GetConfig serves back (server/store.cc:86-95 serializes
+    the same message; the HTTP+base64 transport is the declared
+    non-goal — the FORMAT round-trip is the behavior, and
+    ``load_store_config(render_store_config(cfg))`` reproduces ``cfg``
+    with ages/frequencies normalized to their proto form, uint64 ms
+    (lib/openinstrument.proto:195-212; duration strings like "4w" are
+    this library's input extension and render canonically)."""
+    from open_instrument_spark.canonical import parse_label_body
+    from open_instrument_spark.functions.durations import parse_duration_ms
+
+    out: list[str] = []
+    for addr in cfg.servers:
+        out.append(f"server {{\n  address: {_quote(addr)}\n}}")
+    pol: list[str] = []
+    for item in cfg.retention:
+        lines = ["  policy {"]
+        for pat in item.variables:
+            brace = pat.find("{")
+            name = pat if brace < 0 else pat[:brace]
+            labels = {} if brace < 0 else parse_label_body(pat[brace:][1:-1])
+            vlines = [f"      name: {_quote(name)}"]
+            for k, v in labels.items():
+                vlines.append(
+                    "      label {\n"
+                    f"        label: {_quote(k)}\n"
+                    f"        value: {_quote(v)}\n"
+                    "      }"
+                )
+            lines.append("    variable {\n" + "\n".join(vlines) + "\n    }")
+        lines.append(f"    policy: {'KEEP' if item.keep else 'DROP'}")
+        if item.min_age is not None:
+            lines.append(f"    min_age: {parse_duration_ms(item.min_age)}")
+        if item.max_age is not None:
+            lines.append(f"    max_age: {parse_duration_ms(item.max_age)}")
+        for kind, freq in item.mutations:
+            mlines = [f"      sample_type: {_SAMPLE_TYPE_INV[kind]}"]
+            if freq is not None:
+                mlines.append(f"      sample_frequency: {parse_duration_ms(freq)}")
+            lines.append("    mutation {\n" + "\n".join(mlines) + "\n    }")
+        lines.append("  }")
+        pol.append("\n".join(lines))
+    if pol or cfg.retention_interval_s != 600:
+        body = "\n".join(pol)
+        interval = (
+            f"\n  interval: {cfg.retention_interval_s}"
+            if cfg.retention_interval_s != 600
+            else ""
+        )
+        out.append("retention_policy {\n" + body + interval + "\n}")
+    return "\n".join(out) + "\n"

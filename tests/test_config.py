@@ -130,3 +130,59 @@ def test_config_scalar_where_block_required_raises_valueerror():
         load_store_config('retention_policy: "oops"')
     with pytest.raises(ValueError, match="must be a"):
         load_store_config('retention_policy { policy: "oops" }')
+
+
+def test_render_store_config_round_trips():
+    """GetConfig serialization analog (server/store.cc:86-95): rendering
+    a loaded config back to the text format and re-loading it must
+    reproduce the same executable policies — ages/frequencies normalized
+    to proto uint64 ms, labels and quoting preserved."""
+    from open_instrument_spark.sources.config import (
+        StoreConfig,
+        load_store_config,
+        render_store_config,
+    )
+
+    text = """
+server { address: "s1:8020" }
+server { address: "s2:8020" }
+retention_policy {
+  policy {
+    variable { name: "/junk/*" label { label: "dc" value: "we st" } }
+    policy: DROP
+  }
+  policy {
+    variable { name: "*" }
+    policy: KEEP
+    min_age: 2419200000
+    max_age: 157680000000
+    mutation { sample_type: AVERAGE sample_frequency: 86400000 }
+    mutation { sample_type: NONE }
+  }
+  interval: 300
+}
+"""
+    cfg = load_store_config(text)
+    rendered = render_store_config(cfg)
+    cfg2 = load_store_config(rendered)
+    assert cfg2.servers == cfg.servers
+    assert cfg2.retention_interval_s == cfg.retention_interval_s
+    assert len(cfg2.retention) == len(cfg.retention)
+    for a, b in zip(cfg.retention, cfg2.retention):
+        assert a.variables == b.variables
+        assert a.keep == b.keep
+        assert a.min_age_ms == b.min_age_ms and a.max_age_ms == b.max_age_ms
+        assert a.mutations == b.mutations
+    # idempotent after one cycle
+    assert render_store_config(cfg2) == rendered
+
+    # duration-string extension normalizes to proto ms on render
+    from open_instrument_spark.operators.retention import PolicyItem
+
+    cfg3 = StoreConfig(retention=(PolicyItem(("*",), keep=True, max_age="4w"),))
+    r3 = render_store_config(cfg3)
+    assert "max_age: 2419200000" in r3
+    assert load_store_config(r3).retention[0].max_age_ms == 2419200000
+
+    # a config with a quoted-value label containing spaces survives
+    assert any("we st" in v for it in cfg2.retention for v in it.variables)
