@@ -405,6 +405,68 @@ def audio_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(run, out_schema)
 
 
+def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Spectral feature extraction for PCM WAV blobs — the
+    representation-level pass after :func:`audio_stats`' manifest pass:
+    zero-crossing rate, spectral centroid and bandwidth (Hz).
+
+    The DFT is computed as explicit cos/sin sums (numpy matrix product
+    — N ≤ a few k for clips, exact same arithmetic an ANSI-SQL oracle
+    can replay as trig aggregations over an unnested (bin, sample)
+    grid; np.fft's butterfly reassociation would differ from SQL in the
+    last ulps for no benefit at these clip sizes). Bins 1..N//2 (DC
+    excluded); an all-zero signal defines centroid/bandwidth 0. Mono
+    mix = channel mean. Same dead-letter contract as
+    :func:`audio_stats`. Output: (doc_id, zcr, centroid_hz,
+    bandwidth_hz)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    out_schema = "doc_id long, zcr double, centroid_hz double, bandwidth_hz double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from open_instrument_spark.operators.audiocodec import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    rate, x = decode_wav(bytes(blob))
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    continue
+                mono = x.mean(axis=1)
+                n = mono.shape[0]
+                if n < 2:
+                    rows.append((doc_id, 0.0, 0.0, 0.0))
+                    continue
+                zcr = float((mono[:-1] * mono[1:] < 0).sum()) / (n - 1)
+                bins = np.arange(1, n // 2 + 1, dtype=np.float64)
+                ang = 2.0 * np.pi * np.outer(bins, np.arange(n)) / n
+                re = (np.cos(ang) * mono).sum(axis=1)
+                im = (np.sin(ang) * mono).sum(axis=1)
+                mag = np.sqrt(re * re + im * im)
+                total = mag.sum()
+                if total > 0:
+                    freqs = bins * rate / n
+                    centroid = float((freqs * mag).sum() / total)
+                    bw = float(
+                        np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+                    )
+                else:
+                    centroid = bw = 0.0
+                rows.append((
+                    doc_id, round(zcr, 6), round(centroid, 6), round(bw, 6)
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "zcr", "centroid_hz", "bandwidth_hz"]
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(run, out_schema)
+
+
 def video_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL video-container metadata decode (r5): AVI (RIFF avih) and
     MP4/ISO-BMFF (mvhd/tkhd box walk) parsed header-level in pure

@@ -1504,6 +1504,77 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS n,
+         unnest(range(16 + doc_id % 32)) AS k
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, k,
+         (((doc_id * 31 + k * 17) % 128) * 2 - 128) / 128.0 AS x
+  FROM f
+),
+zc AS (
+  SELECT doc_id, n, x,
+         lead(x) OVER (PARTITION BY doc_id ORDER BY k) AS nx
+  FROM s
+),
+z AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN x * nx < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / (any_value(n) - 1) AS zcr
+  FROM zc GROUP BY doc_id
+),
+bgrid AS (
+  SELECT doc_id, n, unnest(range(1, n // 2 + 1)) AS b
+  FROM (SELECT DISTINCT doc_id, n FROM s)
+),
+dft AS (
+  SELECT g.doc_id, g.b, g.n,
+         sqrt(pow(sum(s.x * cos(2 * pi() * g.b * s.k / g.n)), 2)
+            + pow(sum(s.x * sin(2 * pi() * g.b * s.k / g.n)), 2)) AS mag
+  FROM bgrid g JOIN s ON s.doc_id = g.doc_id
+  GROUP BY 1, 2, 3
+),
+cent AS (
+  SELECT doc_id, sum(b * 8000.0 / n * mag) / sum(mag) AS c
+  FROM dft GROUP BY doc_id
+),
+bw AS (
+  SELECT d.doc_id, any_value(c.c) AS c,
+         sqrt(sum(pow(d.b * 8000.0 / d.n - c.c, 2) * d.mag) / sum(d.mag)) AS bw
+  FROM dft d JOIN cent c USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT z.doc_id, round(z.zcr, 6) AS zcr,
+       round(bw.c, 6) AS centroid_hz,
+       round(bw.bw, 6) AS bandwidth_hz
+FROM z JOIN bw USING (doc_id)
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal audio FEATURES: zero-crossing rate + spectral
+    centroid/bandwidth over the real-decoded WAV fixtures. The operator
+    computes the DFT as explicit cos/sin sums (numpy matrix product —
+    deliberately NOT np.fft, whose butterfly reassociation differs from
+    SQL summation in the last ulps), so the oracle replays the entire
+    spectrum as trig aggregations over an unnested (bin, sample) grid
+    and the value hash gates a Fourier feature end-to-end. ZCR uses the
+    strict sign-product rule (x_i*x_{i+1} < 0) on both sides; the
+    fixtures' n-1 ≤ 47 denominators terminate within 6 decimals, so
+    rounding can't tie-break differently across engines."""
+    from open_instrument_spark.operators.multimodal import audio_features
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return audio_features(attach_synth_media(docs, "wav"))
+
+
+@query(
     "multimodal_video_stats",
     oracle="""
 SELECT doc_id,

@@ -141,6 +141,7 @@ _PAST_WINDOW_ORACLED = [
     "dedup_simhash_md5",
     "ann_lsh_topk",
     "multimodal_video_stats",
+    "multimodal_audio_features",
     "corpus_stratified_frac",
     "resample_max_anchored",
     # r7 demotions (sibling kept in-window noted):
