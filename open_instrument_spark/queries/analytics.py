@@ -277,3 +277,54 @@ def api_get_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+@query(
+    "analytics_large_volume",
+    oracle="""
+WITH q AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, q.total_qty
+FROM q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+)
+def analytics_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: the group-HAVING
+    semi-join plan shape the other analytics queries don't exercise.
+    The qualifying-orders aggregate (result-scale after the HAVING
+    filter) is explicitly broadcast into the orders join, and the tiny
+    joined frame broadcasts into customer — at 100 TB neither fact
+    table shuffles for the joins; the only full shuffle is the
+    lineitem quantity aggregation, which is map-side partial. Sums are
+    exact (quantities are integral doubles, far under 2^53), and the
+    top-100 breaks o_totalprice ties by (o_orderdate, o_orderkey) for
+    deterministic cross-engine order."""
+    prepare(spark)
+    t = load_tables(spark, sf_dir)
+    li = t.table("lineitem")
+    orders = t.table("orders")
+    cust = t.table("customer")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    picked = orders.join(
+        F.broadcast(qualifying),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    out = (
+        cust.join(F.broadcast(picked), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+    return out
