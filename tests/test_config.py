@@ -186,3 +186,91 @@ retention_policy {
 
     # a config with a quoted-value label containing spaces survives
     assert any("we st" in v for it in cfg2.retention for v in it.variables)
+
+
+def test_render_round_trip_property():
+    """Hypothesis fuzz: any StoreConfig built from the grammar's value
+    space must survive render→load exactly (ages normalized to ms)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_instrument_spark.operators.retention import PolicyItem
+    from open_instrument_spark.sources.config import (
+        StoreConfig,
+        load_store_config,
+        render_store_config,
+    )
+
+    name_st = st.from_regex(r"/[a-z0-9_./]{1,12}(\*)?", fullmatch=True)
+    label_st = st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True),
+        st.text(
+            st.characters(
+                min_codepoint=32, max_codepoint=126, exclude_characters='{}'
+            ),
+            max_size=8,
+        ),
+        max_size=2,
+    )
+
+    def pattern(draw_name, labels):
+        from open_instrument_spark.canonical import canonical_variable_py
+
+        return canonical_variable_py(draw_name, labels)
+
+    mut_st = st.lists(
+        st.tuples(
+            st.sampled_from(["mean", "min", "max", "rate", "latest", "delta"]),
+            st.integers(1000, 10**9),
+        ),
+        max_size=2,
+    )
+    item_st = st.builds(
+        lambda n, ls, keep, mn, mx, muts: PolicyItem(
+            variables=(pattern(n, ls),), keep=keep,
+            min_age=mn, max_age=mx, mutations=tuple(muts),
+        ),
+        name_st, label_st, st.booleans(),
+        st.one_of(st.none(), st.integers(1, 10**10)),
+        st.one_of(st.none(), st.integers(1, 10**10)),
+        mut_st,
+    )
+    cfg_st = st.builds(
+        lambda servers, items, iv: StoreConfig(
+            servers=tuple(servers), retention=tuple(items),
+            retention_interval_s=iv,
+        ),
+        st.lists(st.from_regex(r"[a-z0-9.]{1,12}:[0-9]{2,5}", fullmatch=True),
+                 max_size=3),
+        st.lists(item_st, max_size=3),
+        st.integers(1, 100000),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(cfg_st)
+    def check(cfg):
+        # patterns must be parseable to begin with (the library contract)
+        from open_instrument_spark.functions.match import VariableMatcher
+        try:
+            for it in cfg.retention:
+                for p in it.variables:
+                    VariableMatcher.from_string(p)
+        except ValueError:
+            return  # out-of-grammar pattern: not a valid input config
+        rendered = render_store_config(cfg)
+        back = load_store_config(rendered)
+        assert back.servers == cfg.servers
+        assert back.retention_interval_s == cfg.retention_interval_s
+        assert len(back.retention) == len(cfg.retention)
+        for a, b in zip(cfg.retention, back.retention):
+            # inputs are canonical-form patterns, so they must survive
+            # the label-block round trip verbatim
+            assert a.variables == b.variables
+            assert a.keep == b.keep
+            assert a.min_age_ms == b.min_age_ms
+            assert a.max_age_ms == b.max_age_ms
+            assert [(k, __import__('open_instrument_spark.functions.durations',
+                                   fromlist=['parse_duration_ms']).parse_duration_ms(f))
+                    for k, f in a.mutations] == list(b.mutations)
+
+    check()

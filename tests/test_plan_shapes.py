@@ -283,3 +283,18 @@ def test_bucketed_table_mutation_has_no_exchange(spark, tables, tmp_path):
         assert rated.count() == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_q18_shape_broadcasts_having_filtered_side(spark, tables):
+    """Q18-shaped large-volume query: both joins must be broadcasts (the
+    HAVING-filtered aggregate, then the tiny joined frame) — neither
+    fact table shuffles for a join; the only hash-partition exchange is
+    the lineitem quantity aggregation."""
+    from open_instrument_spark import registry
+
+    plan = plan_of(registry.QUERIES["analytics_large_volume"](spark, SF_SMOKE))
+    assert count_in(plan, "BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
