@@ -160,3 +160,35 @@ def parse_video_header(b: bytes):
             return ("video/mp4", w, h, 0, dur_s)
         return None
     return None
+
+
+def extract_mjpeg_frames(b: bytes) -> list[bytes]:
+    """MJPEG-in-AVI → the per-frame JPEG payloads, in stream order.
+
+    Walks the RIFF chunk tree to the ``movi`` LIST and collects video
+    chunks (``##dc`` compressed / ``##db`` uncompressed-tag variants —
+    both carry the codec bitstream for MJPEG). Pure byte-walking; the
+    frames themselves decode with the in-repo JPEG codec. Raises
+    ValueError for non-AVI bytes or an AVI without video chunks (an
+    MP4's frame data sits behind codec tables we gate on — see
+    parse_video_header)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    frames: list[bytes] = []
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        tag = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if tag == b"LIST" and b[i + 8 : i + 12] == b"movi":
+            j = i + 12
+            end = min(i + 8 + size, n)
+            while j + 8 <= end:
+                ctag = b[j : j + 4]
+                csize = int.from_bytes(b[j + 4 : j + 8], "little")
+                if ctag[2:4] in (b"dc", b"db") and csize:
+                    frames.append(b[j + 8 : j + 8 + csize])
+                j += 8 + csize + (csize & 1)
+        i += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("AVI without video chunks (no ##dc/##db in movi)")
+    return frames

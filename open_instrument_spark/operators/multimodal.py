@@ -405,6 +405,62 @@ def audio_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(run, out_schema)
 
 
+def video_frames(media: DataFrame, on_error: str = "raise",
+                 stride: int = 1) -> DataFrame:
+    """REAL video frame decode for MJPEG-in-AVI blobs: walk the RIFF
+    container to the movi chunks (``audiocodec.extract_mjpeg_frames``)
+    and decode every ``stride``-th frame with the in-repo JPEG codec —
+    the frame-sampling pass of a video training-data pipeline, one row
+    per decoded frame with dimensions and per-channel means.
+
+    JPEG is lossy, so pixel values are codec-true rather than
+    SQL-replayable; the frame COUNT and dimensions come from the actual
+    decodes and are exact. Non-AVI payloads (e.g. MP4 — frame data
+    behind gated codecs) and corrupt frames follow the skip/raise
+    dead-letter contract. Output: (doc_id, frame_idx, width, height,
+    mean_r, mean_g, mean_b)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    out_schema = ("doc_id long, frame_idx int, width int, height int, "
+                  "mean_r double, mean_g double, mean_b double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from open_instrument_spark.operators.audiocodec import (
+            extract_mjpeg_frames,
+        )
+        from open_instrument_spark.operators.jpegcodec import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    frames = extract_mjpeg_frames(bytes(blob))
+                    for idx in range(0, len(frames), stride):
+                        px = decode_jpeg(frames[idx])
+                        if px.ndim == 2:
+                            px = px[:, :, None]
+                        if px.shape[2] == 1:
+                            px = px.repeat(3, axis=2)
+                        m = px.reshape(-1, px.shape[2]).mean(axis=0)
+                        rows.append((
+                            doc_id, idx, px.shape[1], px.shape[0],
+                            round(float(m[0]), 6), round(float(m[1]), 6),
+                            round(float(m[2]), 6),
+                        ))
+                except (NotImplementedError, ValueError):
+                    if on_error == "raise":
+                        raise
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "width", "height",
+                               "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(run, out_schema)
+
+
 def audio_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Spectral feature extraction for PCM WAV blobs — the
     representation-level pass after :func:`audio_stats`' manifest pass:

@@ -1575,6 +1575,35 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(range(2 + doc_id % 3)) AS INTEGER) AS frame_idx,
+       16 AS width, 8 AS height
+FROM documents
+""",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 multimodal video FRAME DECODE: real MJPEG-in-AVI clips
+    (2 + doc_id % 3 frames of 16×8, each frame a quality-100 JPEG from
+    the in-repo encoder) walked out of the RIFF movi chunks and decoded
+    frame-by-frame with the in-repo JPEG codec. The hash gate covers the
+    exact per-frame metadata — a row only exists if the container walk
+    AND that frame's full JPEG decode succeeded, with dims read from the
+    decoded array. Pixel means are codec-true (JPEG is lossy, ±2/LSB
+    DCT+color rounding) and are gated by tolerance in
+    test_video_frames_pixel_fidelity instead."""
+    from open_instrument_spark.operators.multimodal import video_frames
+    from open_instrument_spark.sources.media_synth import attach_synth_media
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return video_frames(attach_synth_media(docs, "mjpeg")).select(
+        "doc_id", "frame_idx", "width", "height"
+    )
+
+
+@query(
     "multimodal_video_stats",
     oracle="""
 SELECT doc_id,

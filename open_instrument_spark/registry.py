@@ -142,6 +142,7 @@ _PAST_WINDOW_ORACLED = [
     "ann_lsh_topk",
     "multimodal_video_stats",
     "multimodal_audio_features",
+    "multimodal_video_frames",
     "analytics_large_volume",
     "corpus_stratified_frac",
     "resample_max_anchored",

@@ -115,21 +115,68 @@ def synth_png_bytes(doc_id: int) -> bytes:
     return encode_png(arr)
 
 
+
+
+MJPEG_FRAMES_BASE, MJPEG_FRAMES_MOD = 2, 3
+MJPEG_W, MJPEG_H = 16, 8
+
+
+def mjpeg_frame_array(doc_id: int, f: int) -> np.ndarray:
+    """Deterministic RGB frame f of doc_id's clip: pixel (y, x, c) =
+    ``(doc_id*7 + f*11 + y*13 + x*3 + c) % 256`` — same index-arithmetic
+    family as the PNG fixture, shifted per frame."""
+    y = np.arange(MJPEG_H).reshape(MJPEG_H, 1, 1)
+    x = np.arange(MJPEG_W).reshape(1, MJPEG_W, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    return ((doc_id * 7 + f * 11 + y * 13 + x * 3 + c) % 256).astype(np.uint8)
+
+
+def synth_mjpeg_avi_bytes(doc_id: int) -> bytes:
+    """doc_id → real MJPEG-in-AVI: ``2 + doc_id % 3`` frames of 16×8
+    RGB, each frame a quality-100 4:4:4 JPEG from our own encoder,
+    wrapped as ``00dc`` chunks in a movi LIST with a consistent avih.
+    This is a decodable VIDEO payload end-to-end — container walk +
+    per-frame JPEG decode — not just header metadata."""
+    from open_instrument_spark.operators.jpegcodec import encode_jpeg
+
+    n = MJPEG_FRAMES_BASE + doc_id % MJPEG_FRAMES_MOD
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40000, 0, 0, 0, n, 0, 1, 0, MJPEG_W, MJPEG_H, 0, 0, 0, 0,
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = b"movi"
+    for f in range(n):
+        jpg = encode_jpeg(mjpeg_frame_array(doc_id, f), quality=100)
+        movi += b"00dc" + struct.pack("<I", len(jpg)) + jpg
+        if len(jpg) & 1:
+            movi += b"\x00"  # RIFF word alignment
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+
 _SYNTHS = {
     "wav": synth_wav_bytes,
     "video": synth_video_bytes,
     "png": synth_png_bytes,
+    "mjpeg": synth_mjpeg_avi_bytes,
 }
 
 
 def attach_synth_media(docs: DataFrame, kind: str) -> DataFrame:
     """documents → MEDIA-shaped (doc_id, blob, meta) with spec-built
-    payloads of ``kind`` ∈ {wav, video, png}. mapInPandas (Arrow
+    payloads of ``kind`` ∈ {wav, video, png, mjpeg}. mapInPandas (Arrow
     batches); the generator is per-row but byte-tiny and allocation-
     bound — at 100 TB this stage is a read-side adapter the real
     pipeline replaces with binaryFile/manifest blobs."""
     synth = _SYNTHS[kind]
-    mimes = {"wav": "audio/wav", "video": "video/*", "png": "image/png"}
+    mimes = {"wav": "audio/wav", "video": "video/*", "png": "image/png",
+             "mjpeg": "video/x-msvideo"}
     mime = mimes[kind]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

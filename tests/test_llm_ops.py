@@ -730,3 +730,45 @@ def test_connected_components_random_graphs_match_union_find(spark):
                for r in dedup.connected_components(df).collect()}
         want = union_find_cc(pairs)
         assert got == want, (trial, sorted(pairs)[:10])
+
+
+def test_video_frames_pixel_fidelity(spark, docs):
+    """MJPEG frame decode: every frame's per-channel means must sit
+    within JPEG rounding (±2/LSB at quality 100) of the fixture
+    arithmetic, stride sampling picks every other frame, and a corrupt
+    payload follows the dead-letter contract."""
+    import numpy as np
+
+    from open_instrument_spark.operators.multimodal import video_frames
+    from open_instrument_spark.sources.media_synth import (
+        attach_synth_media,
+        mjpeg_frame_array,
+    )
+
+    media = attach_synth_media(docs.limit(12), "mjpeg")
+    got = video_frames(media).collect()
+    assert len(got) > 0
+    for r in got:
+        orig = mjpeg_frame_array(r["doc_id"], r["frame_idx"]).astype(float)
+        want = orig.reshape(-1, 3).mean(axis=0)
+        assert (r["width"], r["height"]) == (16, 8)
+        for ch, w in zip(("mean_r", "mean_g", "mean_b"), want):
+            assert abs(r[ch] - w) <= 2.0, (r["doc_id"], r["frame_idx"], ch)
+
+    strided = video_frames(media, stride=2).collect()
+    assert {r["frame_idx"] for r in strided} <= {0, 2}
+    full_idx = {(r["doc_id"], r["frame_idx"]) for r in got}
+    assert {(r["doc_id"], r["frame_idx"]) for r in strided} == {
+        (d, i) for d, i in full_idx if i % 2 == 0
+    }
+
+    # dead-letter: a non-AVI payload raises by default, skips on request
+    bad = media.withColumn(
+        "blob",
+        F.when(F.col("doc_id") == media.select(F.min("doc_id")).first()[0],
+               F.lit(b"not a container")).otherwise(F.col("blob")),
+    )
+    with pytest.raises(Exception):
+        video_frames(bad).collect()
+    ok = video_frames(bad, on_error="skip").select("doc_id").distinct().count()
+    assert ok == media.count() - 1
