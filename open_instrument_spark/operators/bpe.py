@@ -1,0 +1,146 @@
+"""Byte-pair-encoding vocabulary training and tokenization.
+
+The 100 TB shape follows how sentencepiece/HF train from large corpora:
+Spark does the single heavy pass — word frequencies, ONE shuffle with
+map-side partial aggregation — and the merge loop runs driver-side over
+the bounded (word, count) table (``max_words`` caps it; Zipf mass makes
+the truncation loss negligible for merge statistics). Tokenization
+broadcasts the merge list and runs Arrow-batched with per-batch word
+caching, so encode cost scales with DISTINCT words per batch, not rows.
+
+Merge semantics are the original Sennrich et al. 2016 algorithm
+("Neural Machine Translation of Rare Words with Subword Units", §3.2):
+words split to characters plus a ``</w>`` end marker; each training
+step merges the globally most frequent adjacent pair; ENCODING applies
+the learned merges in training order, each exhaustively left-to-right
+within a word. That sequential-replace formulation is deliberately
+chosen over the rank-priority-queue variant because it is exactly
+replayable in SQL (a recursive CTE folding ``replace(' a b ', ' ab ')``
+steps over the spaced symbol string — the fixed-merge registry twin
+``text_bpe_tokens_fixed`` hash-gates the encoder end-to-end).
+
+Words come from the shared ``text.words`` tokenizer so BPE composes
+with the rest of the text stack (reference scope note: the reference
+has no tokenizer — this is a north-star LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.text import words
+
+END = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text",
+                max_words: int = 100_000) -> DataFrame:
+    """(word, n) frequency table of the corpus — the one corpus-scale
+    pass (explode → groupBy, map-side partial). ``max_words`` keeps the
+    table driver-collectable via a distributed top-k
+    (TakeOrderedAndProject), deterministic tiebreak by word."""
+    wc = (
+        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return wc.orderBy(F.col("n").desc(), "word").limit(max_words)
+
+
+def train_bpe(counts: Iterable[tuple[str, int]] | DataFrame,
+              n_merges: int = 100) -> list[tuple[str, str]]:
+    """Sennrich training over a (word, count) table: each step merges
+    the most frequent adjacent symbol pair (count-weighted), ties
+    broken lexicographically for cross-run determinism. Accepts the
+    ``word_counts`` DataFrame (collected here — bounded by its top-k)
+    or any (word, count) iterable. Returns the ordered merge list."""
+    if isinstance(counts, DataFrame):
+        counts = [(r["word"], r["n"]) for r in counts.collect()]
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in counts:
+        vocab[tuple(w) + (END,)] = vocab.get(tuple(w) + (END,), 0) + int(n)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        # determinism: highest count, then lexicographically smallest pair
+        top = max(pairs.values())
+        best_pair = min(p for p, n in pairs.items() if n == top)
+        merges.append(best_pair)
+        merged: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            sym = _merge_word(sym, best_pair)
+            merged[sym] = merged.get(sym, 0) + n
+        vocab = merged
+    return merges
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    """Apply ONE merge exhaustively, left-to-right non-overlapping —
+    identical pairing to ``str.replace`` on the spaced form (the SQL
+    twin's semantics)."""
+    a, b = pair
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sennrich encode: split to chars + ``</w>``, apply each merge in
+    training order, each exhaustively left-to-right."""
+    sym = tuple(word) + (END,)
+    for pair in merges:
+        if len(sym) == 1:
+            break
+        sym = _merge_word(sym, pair)
+    return list(sym)
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_tokens) under the given merge list —
+    the token-budget pass of a corpus pipeline. Arrow-batched; encoded
+    lengths cached per distinct word within each batch so cost tracks
+    vocabulary, not row count. The merge list rides the closure
+    (broadcast by Spark's task serialization — merge tables are KBs)."""
+    merges = list(merges)
+    out_schema = "doc_id long, n_words int, n_tokens int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        word_re = re.compile(r"[a-z]+")
+        cache: dict[str, int] = {}
+
+        def tok_len(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                n = len(encode_word(w, merges))
+                cache[w] = n
+            return n
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = word_re.findall(str(text).lower())
+                rows.append((doc_id, len(ws), sum(tok_len(w) for w in ws)))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_words", "n_tokens"])
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        run, out_schema
+    )

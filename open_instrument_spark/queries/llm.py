@@ -354,6 +354,92 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(seeded)
 
 
+# Pinned merge list for the fully-oracled BPE twin (training-order
+# application; '</w>' is an ordinary symbol in the grammar).
+_BPE_FIXED = [("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"),
+              ("a", "n"), ("an", "d"), ("i", "n"), ("o", "r")]
+_BPE_MERGES_SQL = ",".join(
+    f"({i + 1},'{a}','{b}')" for i, (a, b) in enumerate(_BPE_FIXED)
+)
+
+
+@query(
+    "text_bpe_tokens_fixed",
+    oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t != '')) AS word
+  FROM documents
+),
+sym0 AS (
+  SELECT doc_id, word,
+         ' ' || array_to_string(
+             list_transform(range(length(word)), i -> word[i+1]), ' ')
+           || ' </w> ' AS s
+  FROM w
+),
+merges(step, a, b) AS (SELECT * FROM (VALUES {_BPE_MERGES_SQL}) t),
+rec(doc_id, word, s, step) AS (
+  SELECT doc_id, word, s, 1 AS step FROM sym0
+  UNION ALL
+  SELECT r.doc_id, r.word,
+         replace(r.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s,
+         CASE WHEN replace(r.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ')
+                   = r.s
+              THEN r.step + 1 ELSE r.step END AS step
+  FROM rec r JOIN merges m ON m.step = r.step
+),
+done AS (SELECT doc_id, s FROM rec WHERE step = {len(_BPE_FIXED) + 1}),
+perdoc AS (
+  SELECT doc_id, count(*) AS nw,
+         sum(len(string_split(trim(s), ' '))) AS nt
+  FROM done GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.nw, 0) AS INTEGER) AS n_words,
+       CAST(coalesce(p.nt, 0) AS INTEGER) AS n_tokens
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+""",
+)
+def text_bpe_tokens_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 BPE tokenization under a PINNED merge list — the
+    fully-oracled twin of the trained path (same pattern as
+    dedup_minhash_md5 / ann_ivf_seeded_topk): the Sennrich
+    sequential-replace encoding is replayed in SQL as a recursive CTE
+    folding replace(' a b ', ' ab ') steps to fixpoint per merge over
+    the spaced symbol string, so the hash gate covers the ENCODER
+    end-to-end (pairing semantics verified identical to the Arrow
+    encoder over the whole corpus)."""
+    from open_instrument_spark.operators.bpe import bpe_token_counts
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    return bpe_token_counts(docs, _BPE_FIXED)
+
+
+@query("text_bpe_tokens")
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 BPE tokenization under a vocabulary TRAINED on the corpus
+    itself: word frequencies in one Spark pass (map-side partial,
+    distributed top-k), then the bounded driver-side Sennrich merge
+    loop (the sentencepiece/HF from-word-counts shape), then the Arrow
+    encoder. Training is an iterative argmax — not SQL-expressible —
+    so this is a rows-only gate; the encoder itself is value-hash-gated
+    via text_bpe_tokens_fixed, and training determinism + golden merges
+    are pinned in test_bpe.py."""
+    from open_instrument_spark.operators.bpe import (
+        bpe_token_counts,
+        train_bpe,
+        word_counts,
+    )
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    merges = train_bpe(word_counts(docs, max_words=20_000), n_merges=40)
+    return bpe_token_counts(docs, merges)
+
+
 @query(
     "corpus_stratified_sample",
     oracle=f"""

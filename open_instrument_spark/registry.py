@@ -144,6 +144,7 @@ _PAST_WINDOW_ORACLED = [
     "multimodal_audio_features",
     "multimodal_video_frames",
     "analytics_large_volume",
+    "text_bpe_tokens_fixed",
     "corpus_stratified_frac",
     "resample_max_anchored",
     # r7 demotions (sibling kept in-window noted):
@@ -161,6 +162,7 @@ _PAST_WINDOW_ORACLED = [
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
+    "text_bpe_tokens",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_ivf_topk",

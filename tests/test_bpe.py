@@ -1,0 +1,99 @@
+"""BPE training + encoding (operators/bpe.py): Sennrich semantics,
+determinism, Spark/driver split, and agreement with an independent
+exhaustive-replace reference encoder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.bpe import (
+    END,
+    bpe_token_counts,
+    encode_word,
+    train_bpe,
+    word_counts,
+)
+from open_instrument_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def naive_encode(word: str, merges) -> list[str]:
+    """Independent reference: spaced-string replace to fixpoint per
+    merge — the textbook (and SQL-twin) formulation."""
+    s = " " + " ".join(list(word) + [END]) + " "
+    for a, b in merges:
+        while True:
+            t = s.replace(f" {a} {b} ", f" {a}{b} ")
+            if t == s:
+                break
+            s = t
+    return s.split()
+
+
+def test_train_bpe_golden_toy_corpus():
+    # Sennrich's canonical toy: 'low'x5 'lower'x2 'newest'x6 'widest'x3.
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(counts, n_merges=4)
+    # step-by-step: (e,s)=9, (es,t)=9, (est,</w>)=9, then (l,o)=7
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+    assert encode_word("newest", merges) == ["n", "e", "w", "est</w>"]
+    assert encode_word("lowest", merges) == ["lo", "w", "est</w>"]
+
+
+def test_train_bpe_tie_break_is_deterministic():
+    # two pairs tied at count 2: ('a','b') and ('c','d') — smallest wins
+    merges = train_bpe([("ab", 2), ("cd", 2)], n_merges=1)
+    assert merges == [("a", "b")]
+
+
+def test_encode_matches_naive_reference():
+    corpus = ["the", "theses", "banana", "bandana", "aaaa", "ababab",
+              "x", "", "threshold", "anthem"]
+    merges = train_bpe([(w, i + 1) for i, w in enumerate(corpus) if w],
+                       n_merges=12)
+    for w in corpus:
+        if w:
+            assert encode_word(w, merges) == naive_encode(w, merges), w
+
+
+def test_word_counts_and_token_counts_spark(spark):
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
+    wc = word_counts(docs, max_words=500)
+    rows = wc.collect()
+    assert 0 < len(rows) <= 500
+    # descending counts, deterministic word tiebreak
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+    merges = train_bpe(wc, n_merges=20)
+    assert len(merges) == 20
+    out = bpe_token_counts(docs.limit(50), merges).collect()
+    assert len(out) == 50
+    for r in out:
+        # merging can only shrink: chars+end-marker >= tokens >= words
+        assert r["n_tokens"] >= r["n_words"]
+    # more merges => no more tokens (monotone improvement)
+    out5 = {r["doc_id"]: r["n_tokens"]
+            for r in bpe_token_counts(docs.limit(50), merges[:5]).collect()}
+    for r in out:
+        assert r["n_tokens"] <= out5[r["doc_id"]]
+
+    # determinism across retrains on the same data
+    assert train_bpe(word_counts(docs, max_words=500), n_merges=20) == merges
+
+
+def test_empty_and_nonalpha_docs():
+    merges = [("a", "b")]
+    assert encode_word("ab", merges) == ["ab", END]
+
+
+def test_token_counts_handles_wordless_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "12345 !!!"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_token_counts(df, [("l", "l")]).collect()}
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[1][0] == 2 and got[1][1] == len("hello") + 1 - 1 + len("world") + 1
