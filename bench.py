@@ -96,6 +96,13 @@ HEADLINE = [
     "agg_p95_by_name",
     "ann_ivf_seeded_topk",
     "corpus_clean_pipeline_v2",
+    # late-r7 additions, first benched r7: hash-gated BPE encoding
+    # (pinned merges), Q18-shaped group-HAVING semi-join, spectral
+    # audio features (explicit-DFT), MJPEG frame decode.
+    "text_bpe_tokens_fixed",
+    "analytics_large_volume",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
 ]
 
 

@@ -495,6 +495,36 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 32,
     return centroids
 
 
+def append_to_ivf_index(new_vectors: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING centroids and append them into the cell partitions — the
+    evolving-corpus path (a nightly embedding batch lands; re-training
+    and re-writing the whole index would be a full-corpus job for no
+    recall benefit while the data distribution is stable).
+
+    One map-only Arrow assignment pass + one cell-partitioned append;
+    search_ivf_index sees the union immediately (same partition
+    pruning). Centroids are immutable under append by design — cell
+    quality degrades only if the data distribution drifts, which is a
+    re-train decision, not an append concern. Raises ValueError on an
+    index with no centroids (nothing to assign against)."""
+    spark = new_vectors.sparkSession
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"IVF index at {path} has an empty centroids table")
+    dim = len(crows[0]["c"])
+    centroids = np.zeros((max(r["cell"] for r in crows) + 1, dim))
+    for r in crows:
+        centroids[r["cell"]] = r["c"]
+    base = new_vectors.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = base.withColumn("cell", ivf_assign("v", centroids))
+    assigned.write.partitionBy("cell").mode("append").parquet(f"{path}/vectors")
+
+
 def search_ivf_index(spark, path: str, queries: dict[int, list],
                      k: int = 10, n_probe: int = 4,
                      exclude_self: bool = False) -> DataFrame:

@@ -1146,3 +1146,36 @@ def test_streaming_minmax_anchored_matches_batch_across_batches(spark, tmp_path)
         # trigger (stamped there), not at the last included sample
         assert ("a", dt.datetime(2024, 1, 1, 0, 0, 10),
                 {"min": 2.0, "max": 8.0}[tag]) in got
+
+
+def test_get_request_over_name_bucketed_store(spark, points, tmp_path):
+    """End-to-end store integration: write_points(name_buckets=N) →
+    read_store(exact name) → plans.api.get with range + mutation + agg.
+    The pruned path must produce exactly the unpruned path's result AND
+    keep the name_bucket PartitionFilter in the executed plan."""
+    import datetime as dt
+
+    from open_instrument_spark.plans.api import GetRequest, get
+    from open_instrument_spark.sources.ingest import read_store
+
+    dest = str(tmp_path / "gstore")
+    write_points(points, dest, n_buckets=2, name_buckets=8)
+    name = points.select("name").first()["name"]
+
+    req = GetRequest(
+        variable=name,
+        min_timestamp=dt.datetime(2024, 1, 5),
+        max_timestamp=dt.datetime(2024, 1, 25),
+        mutations=[("rate", None)],
+        aggregation="sum",
+        sample_interval=3_600_000,
+    )
+    pruned_src = read_store(spark, dest, name, name_buckets=8)
+    plain_src = read_store(spark, dest, name)
+    got = get(pruned_src, req)
+    want = get(plain_src, req)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "name_bucket" in plan
+    g = {(r["name"], r["ts"], round(r["value"], 9)) for r in got.collect()}
+    w = {(r["name"], r["ts"], round(r["value"], 9)) for r in want.collect()}
+    assert g == w and len(g) > 0

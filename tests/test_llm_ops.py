@@ -772,3 +772,53 @@ def test_video_frames_pixel_fidelity(spark, docs):
         video_frames(bad).collect()
     ok = video_frames(bad, on_error="skip").select("doc_id").distinct().count()
     assert ok == media.count() - 1
+
+
+def test_ivf_index_append_matches_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: appending a new vector batch to an
+    existing index must yield searches identical to rebuilding the
+    whole index from scratch with the same centroids."""
+    from open_instrument_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+        seeded_centroids,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    C = seeded_centroids(dim=64, n_cells=32, seed=7)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    build_ivf_index(old, inc_path, centroids=C)
+    append_to_ivf_index(new, inc_path)
+
+    full_path = str(tmp_path / "ivf_full")
+    build_ivf_index(emb, full_path, centroids=C)
+
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin([3, 450])).collect()
+    }
+    inc = {(r["q_id"], r["n_id"], r["rank"], r["cos"])
+           for r in search_ivf_index(spark, inc_path, qvecs, k=5).collect()}
+    full = {(r["q_id"], r["n_id"], r["rank"], r["cos"])
+            for r in search_ivf_index(spark, full_path, qvecs, k=5).collect()}
+    assert inc == full and len(inc) > 0
+    # a query equal to an appended vector must find it at rank 1
+    top = {r["q_id"]: r["n_id"]
+           for r in search_ivf_index(spark, inc_path, qvecs, k=5).collect()
+           if r["rank"] == 1}
+    assert top[450] == 450
+
+    # append against a missing/empty centroids table is a contracted error
+    import os as _os
+
+    empty = str(tmp_path / "empty_ivf2")
+    _os.makedirs(f"{empty}", exist_ok=True)
+    spark.createDataFrame([], "cell int, c array<double>").write.parquet(
+        f"{empty}/centroids"
+    )
+    with pytest.raises(ValueError, match="empty centroids"):
+        append_to_ivf_index(new, empty)
