@@ -94,6 +94,24 @@ def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255)
 
 
+# Per-process memo for Huffman decode tables: media pipelines decode
+# thousands of frames sharing identical DHT segments (every frame of an
+# MJPEG clip, every fixture of a corpus), and rebuilding the canonical
+# code map per frame was ~15% of decode wall. Keyed by the raw segment
+# bytes, so any distinct table still builds correctly; bounded.
+_DECODE_TABLE_MEMO: dict[tuple[bytes, bytes], dict] = {}
+
+
+def _build_decode_table_cached(bits: list[int], values: bytes) -> dict:
+    key = (bytes(bits), bytes(values))
+    t = _DECODE_TABLE_MEMO.get(key)
+    if t is None:
+        t = _build_decode_table(bits, values)
+        if len(_DECODE_TABLE_MEMO) < 256:
+            _DECODE_TABLE_MEMO[key] = t
+    return t
+
+
 # ---------------------------------------------------------------- Huffman
 def _build_decode_table(bits: list[int], values: bytes) -> dict:
     """Canonical (length, code) → symbol map (T.81 C.2)."""
@@ -521,7 +539,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 bits = list(seg[j + 1 : j + 17])
                 nv = sum(bits)
                 values = seg[j + 17 : j + 17 + nv]
-                huff[(tc, th)] = _build_decode_table(bits, values)
+                huff[(tc, th)] = _build_decode_table_cached(bits, values)
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")

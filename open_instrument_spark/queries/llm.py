@@ -1683,7 +1683,13 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.sources.media_synth import attach_synth_media
 
     prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents")
+    # The fixture corpus is ONE small parquet file → one input partition
+    # → the per-row codec work (≈4.5 ms/doc: n JPEG encodes + container
+    # + n decodes) would run on a single core (measured 21.5 s at
+    # sf0.1). A row-count-cheap repartition fans the mapInPandas stages
+    # across the cluster — the real-blob pipeline gets this for free
+    # from many input files.
+    docs = load_tables(spark, sf_dir).table("documents").repartition(64, "doc_id")
     return video_frames(attach_synth_media(docs, "mjpeg")).select(
         "doc_id", "frame_idx", "width", "height"
     )
