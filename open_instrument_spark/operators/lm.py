@@ -1,0 +1,94 @@
+"""Corpus-trained bigram language-model scoring — the statistical
+quality signal a training-data pipeline runs after the cheap shape
+heuristics (text.quality_score) and before expensive model-based
+filters: documents whose word sequences are unlikely under the
+corpus's own bigram statistics are boilerplate, gibberish, or
+wrong-language leakage.
+
+Everything here is aggregation + joins, so UNLIKE most trained models
+the ENTIRE pipeline — training included — replays in ANSI SQL and sits
+under the driver's value-hash gate (registry ``text_lm_score``):
+
+  score(d) = mean over bigrams (w1,w2) of d of
+             ln( (c(w1,w2) + α) / (c(w1) + α·V) )
+
+with c(...) the corpus counts, V the corpus vocabulary size, α
+add-alpha smoothing. The model "parameters" ARE the count tables.
+
+100 TB shape: one corpus pass builds the count tables (map-side
+partial aggregation); scoring joins each document's bigrams against
+them — plain equi-joins that scale with corpus size, no all-pairs
+anywhere. At extreme vocabulary sizes the count tables would be
+top-K-truncated with an OOV fallback (the same guard pattern as
+ngram_jaccard's max_bucket — deterministic, hence still replayable);
+the untruncated form here is the semantics the oracle gates.
+
+Reference scope note: the reference has no text pipeline — north-star
+extension (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.text import words
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram occurrence."""
+    toks = words(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.w1", "g.w2"
+    )
+
+
+def lm_score(docs: DataFrame, text_col: str = "text",
+             alpha: float = 0.5) -> DataFrame:
+    """Per-document mean bigram log-likelihood under the corpus's own
+    add-α bigram model. Output: (doc_id, n_bigrams, avg_logp) — docs
+    with fewer than two words carry n_bigrams=0 and NULL avg_logp.
+    ``avg_logp`` rounded to 6 (ln sums re-associate across engines)."""
+    bg = _doc_bigrams(docs, text_col)
+    # the count tables are consumed twice (vocab size + joins) but are
+    # small relative to the corpus; Spark's scan reuse handles the
+    # double traversal of the exploded frame
+    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (
+        docs.select(F.explode(words(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    v = uni.count()  # vocabulary size — one scalar action, bounded
+    scored = (
+        bg.join(bg_counts, ["w1", "w2"])
+        .join(uni, "w1")
+        .withColumn(
+            "_logp",
+            F.log((F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * v))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_logp"), 6).alias("avg_logp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            "avg_logp",
+        )
+    )

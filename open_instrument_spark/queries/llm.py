@@ -354,6 +354,53 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(seeded)
 
 
+@query(
+    "text_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> struct_pack(w1 := w[i+1], w2 := w[i+2]))) AS g
+  FROM toks WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+c1 AS (SELECT unnest(w) AS w1 FROM toks),
+c1c AS (SELECT w1, count(*) AS c1 FROM c1 GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1c),
+s AS (
+  SELECT bb.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((c12.c12 + 0.5) / (c1c.c1 + 0.5 * v.v))), 6) AS avg_logp
+  FROM bb JOIN c12 USING (w1, w2) JOIN c1c USING (w1) CROSS JOIN v
+  GROUP BY bb.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+       s.avg_logp
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 statistical quality: per-document mean bigram
+    log-likelihood under the corpus's OWN add-α bigram model
+    (operators/lm.py). Unusual among trained-model ops: the model
+    parameters are count tables, so the ENTIRE pipeline — training
+    included — replays in SQL and sits under the value-hash gate
+    (count CTEs + joins + ln aggregation, rounded to 6 on both
+    sides)."""
+    from open_instrument_spark.operators.lm import lm_score
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    return lm_score(docs)
+
+
 # Pinned merge list for the fully-oracled BPE twin (training-order
 # application; '</w>' is an ordinary symbol in the grammar).
 _BPE_FIXED = [("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"),

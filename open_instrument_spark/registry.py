@@ -145,6 +145,7 @@ _PAST_WINDOW_ORACLED = [
     "multimodal_video_frames",
     "analytics_large_volume",
     "text_bpe_tokens_fixed",
+    "text_lm_score",
     "corpus_stratified_frac",
     "resample_max_anchored",
     # r7 demotions (sibling kept in-window noted):

@@ -97,3 +97,27 @@ def test_token_counts_handles_wordless_docs(spark):
            for r in bpe_token_counts(df, [("l", "l")]).collect()}
     assert got[2] == (0, 0) and got[3] == (0, 0)
     assert got[1][0] == 2 and got[1][1] == len("hello") + 1 - 1 + len("world") + 1
+
+
+# ---------------------------------------------------------------- LM score
+def test_lm_score_hand_computed(spark):
+    """Two-doc corpus, hand-computed add-0.5 bigram likelihoods."""
+    import math
+
+    from open_instrument_spark.operators.lm import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    # corpus: bigrams (a,b)x3, (b,a)x1; unigrams a:3, b:3, x:1; V=3
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in lm_score(df).collect()}
+    p_ab = math.log((3 + 0.5) / (3 + 0.5 * 3))
+    p_ba = math.log((1 + 0.5) / (3 + 0.5 * 3))
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round((2 * p_ab + p_ba) / 3, 6)) < 1e-6
+    assert got[2] == (1, round(p_ab, 6))
+    assert got[3] == (0, None) and got[4] == (0, None)
+    # the common bigram scores higher than the rare one
+    assert got[2][1] > round(p_ba, 6)
