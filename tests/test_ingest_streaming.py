@@ -1179,3 +1179,55 @@ def test_get_request_over_name_bucketed_store(spark, points, tmp_path):
     g = {(r["name"], r["ts"], round(r["value"], 9)) for r in got.collect()}
     w = {(r["name"], r["ts"], round(r["value"], 9)) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_streaming_doc_dedup_across_batches(spark, tmp_path):
+    """§2.9 over §2.8: content duplicates arriving in LATER micro-batches
+    (within the watermark) must be dropped by the stateful stream dedup;
+    distinct texts all survive; the surviving copy is the first
+    arrival."""
+    import datetime as dt
+
+    from open_instrument_spark.streaming.dedup_stream import dedup_doc_stream
+
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    src = str(tmp_path / "doc_src")
+    dest = str(tmp_path / "doc_out")
+    os.makedirs(src, exist_ok=True)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(i, t, t0 + dt.timedelta(seconds=s)) for i, t, s in rows], schema
+        )
+
+    b1 = [(1, "alpha text", 0), (2, "beta text", 1)]
+    b2 = [(3, "alpha text", 5), (4, "gamma text", 6)]   # 3 dups 1
+    b3 = [(5, "beta text", 9), (6, "delta text", 10)]   # 5 dups 2
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            dedup_doc_stream(stream, watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "doc_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    out = spark.read.parquet(dest).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {1, 2, 4, 6}, kept
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha text", "beta text", "delta text", "gamma text"]
