@@ -355,6 +355,38 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_covariance",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, t.i AS i, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(64)) AS i) t
+),
+m AS (SELECT i, avg(x) AS mu FROM e GROUP BY 1),
+p AS (
+  SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+  FROM e a JOIN e b USING (vec_id)
+  GROUP BY 1, 2
+)
+SELECT p.i, p.j, round(p.exy - ma.mu * mb.mu, 6) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+""",
+)
+def embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 embedding COVARIANCE (the PCA input): per-partition partial
+    moments in one Arrow pass (n, Σx, Σxxᵀ — no shuffle of the data),
+    combined driver-side, emitted as (i, j, cov) rows. Fully
+    hash-gated: the oracle replays population covariance as an exploded
+    dim-pair self-join aggregation. The eigendecomposition/projection
+    half of PCA lives in operators/pca.py under spectral property tests
+    (not SQL-expressible)."""
+    from open_instrument_spark.operators.pca import covariance_table
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return covariance_table(emb)
+
+
+@query(
     "text_lm_score",
     oracle="""
 WITH toks AS (

@@ -146,6 +146,7 @@ _PAST_WINDOW_ORACLED = [
     "analytics_large_volume",
     "text_bpe_tokens_fixed",
     "text_lm_score",
+    "embed_covariance",
     "corpus_stratified_frac",
     "resample_max_anchored",
     # r7 demotions (sibling kept in-window noted):

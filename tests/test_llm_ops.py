@@ -822,3 +822,48 @@ def test_ivf_index_append_matches_rebuild(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty centroids"):
         append_to_ivf_index(new, empty)
+
+
+def test_pca_spectral_properties(spark):
+    """PCA over the embeddings: orthonormal components, descending
+    explained variance matching the covariance trace, projection equals
+    (X - mean) @ W.T, and reconstruction error shrinks as k grows."""
+    import numpy as np
+
+    from open_instrument_spark.operators.pca import moments, pca, pca_project
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    n, mean, cov = moments(emb)
+    assert n == emb.count()
+
+    mean8, W8, ev8 = pca(emb, k=8)
+    assert np.allclose(mean8, mean)
+    assert np.allclose(W8 @ W8.T, np.eye(8), atol=1e-9)      # orthonormal
+    assert all(ev8[i] >= ev8[i + 1] - 1e-12 for i in range(7))  # descending
+    # eigenvalues are variances along components: w C w^T == lambda
+    for r in range(8):
+        assert abs(W8[r] @ cov @ W8[r] - ev8[r]) < 1e-9
+    # deterministic sign convention: largest-|coord| entry positive
+    for r in range(8):
+        assert W8[r][int(np.abs(W8[r]).argmax())] > 0
+
+    rows = pca_project(emb, mean8, W8).orderBy("id").limit(20).collect()
+    X = np.array(
+        emb.orderBy("vec_id").limit(20)
+        .select(F.col("embedding").cast("array<double>")).toPandas().iloc[:, 0]
+        .tolist()
+    )
+    P = np.array([r["proj"] for r in rows])
+    assert np.allclose(P, np.round((X - mean8) @ W8.T, 6), atol=1e-9)
+
+    # reconstruction error is monotone non-increasing in k
+    def recon_err(k):
+        _, W, _ = pca(emb, k=k)
+        R = (X - mean8) @ W.T @ W + mean8
+        return float(((X - R) ** 2).sum())
+
+    e2, e8, e32 = recon_err(2), recon_err(8), recon_err(32)
+    assert e2 >= e8 >= e32 >= 0
+
+    with pytest.raises(ValueError, match="k must be"):
+        pca(emb, k=0)
