@@ -53,6 +53,44 @@ def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    k: int = 5) -> DataFrame:
+    """Per-document top-k terms by smoothed tf-idf — the keyword /
+    topic-signal pass of a corpus pipeline (and the classic sanity
+    check that a cleaning run didn't destroy topical structure).
+
+      tfidf(t, d) = (count of t in d) · ln((N + 1) / (df(t) + 1))
+
+    with df the number of documents containing t and N the corpus
+    size. One corpus pass for document frequencies (distinct per doc →
+    count — map-side partial), an equi-join back, and a per-doc top-k
+    window with deterministic (score desc, term asc) ordering. Output:
+    (doc_id, term, rank, tfidf) rounded to 6 — fully SQL-replayable,
+    like lm_score. Documents with no words emit no rows."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar action, bounded
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_s").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .withColumn(
+            "_s",
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", F.round("_s", 6).alias("tfidf"))
+    )
+
+
 def lm_score(docs: DataFrame, text_col: str = "text",
              alpha: float = 0.5) -> DataFrame:
     """Per-document mean bigram log-likelihood under the corpus's own

@@ -355,6 +355,48 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n + 1.0) / (dft.df + 1)) AS s
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, round(s, 6) AS tfidf
+FROM ranked WHERE rank <= 5
+""",
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 per-document top-5 tf-idf terms (operators/lm.py
+    tfidf_top_terms) — smoothed idf, deterministic (score desc, term)
+    ordering, fully SQL-replayable like lm_score."""
+    from open_instrument_spark.operators.lm import tfidf_top_terms
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=5)
+
+
+@query(
     "embed_covariance",
     oracle="""
 WITH e AS (

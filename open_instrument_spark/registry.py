@@ -147,6 +147,7 @@ _PAST_WINDOW_ORACLED = [
     "text_bpe_tokens_fixed",
     "text_lm_score",
     "embed_covariance",
+    "text_tfidf_top",
     "corpus_stratified_frac",
     "resample_max_anchored",
     # r7 demotions (sibling kept in-window noted):

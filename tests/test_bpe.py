@@ -121,3 +121,22 @@ def test_lm_score_hand_computed(spark):
     assert got[3] == (0, None) and got[4] == (0, None)
     # the common bigram scores higher than the rare one
     assert got[2][1] > round(p_ba, 6)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from open_instrument_spark.operators.lm import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry apple")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_top_terms(df, k=2).collect()}
+    # N=3; df: apple 2, banana 2, cherry 2 -> idf = ln(4/3) for all
+    idf = math.log(4 / 3)
+    assert got[(1, 1)] == ("apple", round(2 * idf, 6))   # tf 2 wins
+    assert got[(1, 2)] == ("banana", round(idf, 6))
+    # doc 2: banana vs cherry tie on score -> term asc
+    assert got[(2, 1)][0] == "banana" and got[(2, 2)][0] == "cherry"
