@@ -313,6 +313,23 @@ def _minmax_anchored_kernel(ts, vals, duration, fn):
     return np.array(out_t, dtype=np.int64), np.array(out_v)
 
 
+def ewma_kernel(ts, vals, duration, alpha: float = 0.25):
+    """Exponentially weighted moving average: y₀ = x₀,
+    yᵢ = α·xᵢ + (1-α)·yᵢ₋₁ — the classic smoothing mutation monitoring
+    UIs apply before display (not in the reference; north-star TSDB
+    extension). ``duration`` is unused (kernel-contract placeholder).
+    With α chosen binary-exact (default 1/4) every step is the same two
+    multiplies + add in any IEEE engine, so the recursive-CTE oracle
+    matches BIT-EXACTLY — no rounding needed."""
+    out = np.empty(len(vals), dtype=np.float64)
+    y = 0.0
+    beta = 1.0 - alpha
+    for i, x in enumerate(vals):
+        y = x if i == 0 else alpha * x + beta * y
+        out[i] = y
+    return np.asarray(ts, dtype=np.int64), out
+
+
 def min_anchored_kernel(ts, vals, duration):
     return _minmax_anchored_kernel(ts, vals, duration, min)
 
@@ -328,6 +345,7 @@ def max_anchored_kernel(ts, vals, duration):
 _OUT_SCHEMA = "series_key string, ts timestamp, dval double"
 
 _KERNELS = {
+    "ewma": ewma_kernel,
     "interpolate": interpolate_kernel,
     "mean_anchored": mean_anchored_kernel,
     "min_anchored": min_anchored_kernel,
@@ -635,3 +653,9 @@ def min_anchored(points: DataFrame, interval, **kw) -> DataFrame:
 def max_anchored(points: DataFrame, interval, **kw) -> DataFrame:
     """M6 reference-anchored Max (mutations/mutations.go:166-191)."""
     return apply_kernel(points, "max_anchored", interval, **kw)
+
+
+def ewma(points: DataFrame, alpha: float = 0.25, **kw) -> DataFrame:
+    """EWMA smoothing per series (see ewma_kernel); α defaults to a
+    binary-exact 1/4 so results are engine-bit-exact."""
+    return apply_kernel(points, "ewma", "1s", kernel_kwargs={"alpha": alpha}, **kw)

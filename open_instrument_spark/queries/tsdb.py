@@ -805,6 +805,75 @@ def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", F.round("dval", 6).alias("dval"))
 
 
+@query(
+    "mutate_ewma",
+    oracle=f"""
+WITH RECURSIVE {P_CTE},
+s AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts) AS rn
+  FROM p
+),
+r(series_key, ts, rn, y) AS (
+  SELECT series_key, ts, rn, dval FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.series_key, s.ts, s.rn, 0.25 * s.dval + 0.75 * r.y
+  FROM r JOIN s ON s.series_key = r.series_key AND s.rn = r.rn + 1
+)
+SELECT series_key, ts, y AS dval FROM r
+""",
+)
+def mutate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing per series (α = 1/4 — binary-exact, so the
+    sequential recurrence is the same two multiplies + add in any IEEE
+    engine and the recursive-CTE oracle matches BIT-EXACTLY, compared
+    unrounded). North-star TSDB extension: the classic display-side
+    smoothing mutation the reference lacks. Arrow grouped-map kernel
+    like the anchored resamples ((series, ts) pairs are unique in this
+    corpus, so the walk order is deterministic)."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.ewma(_pts(spark, sf_dir), restore_labels=False)
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
+    "mutate_zscore",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts,
+       CASE WHEN count(*) OVER w >= 2 AND (stddev_pop(dval) OVER w) > 0
+            THEN round((dval - avg(dval) OVER w)
+                       / (stddev_pop(dval) OVER w), 6)
+       END AS z
+FROM p
+WINDOW w AS (PARTITION BY series_key ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+)
+def mutate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-sample z-score per series — the cheap anomaly signal
+    (|z| threshold alerting) monitoring pipelines derive from raw
+    points; NULL until the window holds ≥2 samples or when flat
+    (σ = 0). Pure window plan: one exchange on series_key, identical
+    window functions on the oracle side, rounded to 6 (σ re-associates
+    across engines)."""
+    from pyspark.sql import Window as W
+
+    from open_instrument_spark.operators.mutate import _with_key
+
+    pts = _with_key(_pts(spark, sf_dir))
+    w = W.partitionBy("series_key").orderBy("ts").rowsBetween(-4, 0)
+    n = F.count(F.lit(1)).over(w)
+    mu = F.avg("dval").over(w)
+    sd = F.stddev_pop("dval").over(w)
+    return pts.select(
+        "series_key", "ts",
+        F.when((n >= 2) & (sd > 0), F.round((F.col("dval") - mu) / sd, 6))
+        .alias("z"),
+    )
+
+
 def _minmax_anchored_oracle(value_sql: str, dur_us: int = 86_400_000_000) -> str:
     """DuckDB replay of the reference's Min/Max buckets
     (mutations/mutations.go:139-191), which differ from Mean's in three

@@ -150,6 +150,8 @@ _PAST_WINDOW_ORACLED = [
     "text_tfidf_top",
     "corpus_stratified_frac",
     "resample_max_anchored",
+    "mutate_ewma",
+    "mutate_zscore",
     # r7 demotions (sibling kept in-window noted):
     "select_label_absent",          # label-match family: present+regex stay
     "mutate_rate_signed",           # mutate_rate stays
