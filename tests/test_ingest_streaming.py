@@ -1231,3 +1231,66 @@ def test_streaming_doc_dedup_across_batches(spark, tmp_path):
     assert kept == {1, 2, 4, 6}, kept
     texts = sorted(r["text"] for r in out)
     assert texts == ["alpha text", "beta text", "delta text", "gamma text"]
+
+
+def test_streaming_ewma_matches_batch_across_batches(spark, tmp_path):
+    """Streaming EWMA: the single carried double per series must link
+    micro-batches so cumulative output equals the batch kernel
+    BIT-EXACTLY (alpha = 1/4 binary-exact)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.ewma_state import ewma_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 4.0), ("a", 1, 8.0), ("b", 0, 1.0)]
+    b2 = [("a", 2, 0.0), ("b", 3, 5.0)]
+    b3 = [("a", 9, 16.0), ("b", 4, 2.0)]
+
+    src = str(tmp_path / "ew_src")
+    dest = str(tmp_path / "ew_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            ewma_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ew_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    got = {(r["series_key"], r["ts"], r["dval"])
+           for r in spark.read.parquet(dest).collect()}
+    batch_in = pts(b1 + b2 + b3).select(
+        F.lit("/s").alias("name"),
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {
+        (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+        for r in resample.ewma(batch_in, restore_labels=False)
+        .select("series_key", "ts", "dval").collect()
+    }
+    assert got == want and len(got) == 7
+    # spot-check the recurrence by hand: a: 4, 5, 3.75, then 0.25*16+0.75*3.75
+    assert ("a", __import__("datetime").datetime(2024, 1, 1, 0, 0, 9),
+            0.25 * 16 + 0.75 * 3.75) in got
