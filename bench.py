@@ -103,6 +103,11 @@ HEADLINE = [
     "analytics_large_volume",
     "multimodal_audio_features",
     "multimodal_video_frames",
+    "text_lm_score",
+    "text_tfidf_top",
+    "embed_covariance",
+    "mutate_ewma",
+    "mutate_zscore",
 ]
 
 

@@ -298,3 +298,24 @@ def test_q18_shape_broadcasts_having_filtered_side(spark, tables):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert count_in(plan, "Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zscore_is_one_exchange_one_window(spark, tables):
+    from open_instrument_spark import registry
+
+    plan = plan_of(registry.QUERIES["mutate_zscore"](spark, SF_SMOKE))
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert count_in(plan, "+- Window") == 1  # all four aggs share one node
+
+
+def test_lm_and_tfidf_have_no_cartesian_and_bounded_exchanges(spark, tables):
+    """The statistical text ops must stay equi-join shaped: no
+    nested-loop/cartesian anywhere, shuffles bounded by the count-table
+    aggregations + joins."""
+    from open_instrument_spark import registry
+
+    for name, cap in [("text_lm_score", 8), ("text_tfidf_top", 6)]:
+        plan = plan_of(registry.QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert count_in(plan, "Exchange hashpartitioning") <= cap, name
