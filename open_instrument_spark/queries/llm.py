@@ -471,7 +471,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators.lm import lm_score
 
     prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    # one small file → one partition → serial tokenization (the same
+    # hazard multimodal_video_frames hit); fan the regex+explode passes
+    # out before the heavy lifting
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
     return lm_score(docs)
 
 
