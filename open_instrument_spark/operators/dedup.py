@@ -434,13 +434,15 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     hops. Each round runs TWO propagate+jump hops before the single
     persist + scalar count action, halving the Spark-job overhead that
     dominates wall-clock on small/interactive runs (the r6 profile:
-    fixed per-job launch cost, flat in data). The two-hop convergence
-    test is exact, not approximate: labels are monotone non-increasing
-    (``F.least`` with the old label; the jump follows a node whose
-    label ≤ its id), so the post-2-hop frame equals the pre-2-hop frame
-    iff BOTH hops were no-ops — a converged fixpoint. Raises after
-    ``max_iter`` rounds (2·max_iter hops) without a fixpoint rather
-    than returning half-merged clusters.
+    fixed per-job launch cost, flat in data). The convergence test
+    counts changes of the round's SECOND hop only — exact, not
+    approximate: labels are monotone non-increasing (``F.least`` with
+    the old label; the jump follows a node whose label ≤ its id), so a
+    no-op hop means the propagation operator is at its fixpoint even
+    when the hop before it changed labels — the common
+    converge-on-hop-2 case stops without paying a confirm round.
+    Raises after ``max_iter`` rounds (2·max_iter hops) without a
+    fixpoint rather than returning half-merged clusters.
     """
     # Persist the directed pair list FIRST: the symmetric union below
     # reads it twice, and without the persist the whole upstream pair
@@ -499,10 +501,16 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         h1 = track_persist(
             _hop(labels.select("id", F.col("label").alias("_old"), "label"))
         )
-        new = _hop(h1).localCheckpoint(eager=False)
-        # the convergence test is a filter over the just-checkpointed
-        # frame — ONE scalar action per two hops, no extra join; exact
-        # because labels are monotone non-increasing (see docstring)
+        # reset _old to hop 1's output so the count below measures HOP 2
+        # ALONE: a no-op hop proves the propagation operator is at its
+        # fixpoint regardless of what hop 1 changed (applying it again
+        # would change nothing), so the common converge-on-hop-2 case
+        # stops HERE instead of paying a full confirm round.
+        new = _hop(
+            h1.select("id", F.col("label").alias("_old"), "label")
+        ).localCheckpoint(eager=False)
+        # ONE scalar action per two hops, no extra join; exact because
+        # labels are monotone non-increasing (see docstring)
         n_changed = new.where(F.col("label") != F.col("_old")).count()
         # h1's cache fed new's materialization just now; drop it eagerly
         h1.unpersist()
