@@ -99,6 +99,36 @@ def apply_retention(points: DataFrame, policy: list[PolicyItem], now) -> DataFra
     return result
 
 
+def retention_report(points: DataFrame, policy: list[PolicyItem], now) -> DataFrame:
+    """DRY-RUN audit of a policy — what an operator checks BEFORE
+    letting the job rewrite 100 TB of store: per first-match policy
+    item (plus the -1 default-DROP band), how many samples and distinct
+    series it touches and what happens to them. One scan + one
+    aggregation; the same ``policy_index`` expression the live job
+    uses, so the report can never disagree with the rewrite. Output:
+    (policy_idx, action ∈ keep|downsample|drop|default_drop, n_samples,
+    n_series), ordered by policy_idx."""
+    tagged = points.withColumn("_policy", policy_index(points, policy, now))
+    action = F.lit("default_drop")
+    for i in range(len(policy) - 1, -1, -1):
+        item = policy[i]
+        a = ("downsample" if item.keep and item.mutations
+             else "keep" if item.keep else "drop")
+        action = F.when(F.col("_policy") == i, a).otherwise(action)
+    from open_instrument_spark.model import series_key
+
+    return (
+        tagged.withColumn("_action", action)
+        .withColumn("_sk", series_key())
+        .groupBy(F.col("_policy").alias("policy_idx"), F.col("_action").alias("action"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.countDistinct("_sk").alias("n_series"),
+        )
+        .orderBy("policy_idx")
+    )
+
+
 def run_retention_job(spark, store_path: str, policy: list[PolicyItem], now,
                       n_buckets: int = 16) -> None:
     """W1 as the background maintenance job (the reference ticks every

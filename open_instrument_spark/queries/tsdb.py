@@ -983,6 +983,53 @@ def retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_report",
+    oracle=f"""
+WITH {P_CTE},
+aged AS (
+  SELECT *, (epoch(TIMESTAMP '{NOW}') - epoch(ts)) * 1000 AS age FROM p
+),
+pol AS (
+  SELECT *, CASE WHEN name LIKE '/events/error%' THEN 0
+                 WHEN name LIKE '/events/scroll%' THEN 1
+                 WHEN age <= {_D7} THEN 2
+                 WHEN age >= {_D7} AND age <= {_D21} THEN 3
+                 ELSE -1 END AS pol
+  FROM aged
+)
+SELECT pol AS policy_idx,
+       CASE pol WHEN 0 THEN 'keep' WHEN 1 THEN 'drop'
+                WHEN 2 THEN 'keep' WHEN 3 THEN 'downsample'
+                ELSE 'default_drop' END AS action,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(count(DISTINCT series_key) AS BIGINT) AS n_series
+FROM pol GROUP BY 1, 2
+""",
+)
+def retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 DRY-RUN audit: per first-match policy band (incl. the -1
+    default-DROP), sample + series counts and the action — what an
+    operator inspects before a 100 TB rewrite. Built on the SAME
+    policy_index expression the live job evaluates, so report and
+    rewrite cannot disagree; the oracle replays the first-match CASE.
+    Policy: error* kept forever, scroll* dropped explicitly, the rest
+    raw ≤7 d / daily-mean 7-21 d / default-dropped beyond."""
+    from open_instrument_spark.operators.retention import (
+        PolicyItem,
+        retention_report as _report,
+    )
+
+    policy = [
+        PolicyItem(("/events/error*",), keep=True),
+        PolicyItem(("/events/scroll*",), keep=False),
+        PolicyItem(("/events/*",), keep=True, max_age="7d"),
+        PolicyItem(("/events/*",), keep=True, min_age="7d", max_age="21d",
+                   mutations=(("mean", "1d"),)),
+    ]
+    return _report(_pts(spark, sf_dir), policy, NOW)
+
+
+@query(
     "rle_encode",
     oracle=f"""
 WITH {P_CTE},

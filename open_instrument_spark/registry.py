@@ -152,6 +152,7 @@ _PAST_WINDOW_ORACLED = [
     "resample_max_anchored",
     "mutate_ewma",
     "mutate_zscore",
+    "retention_report",
     # r7 demotions (sibling kept in-window noted):
     "select_label_absent",          # label-match family: present+regex stay
     "mutate_rate_signed",           # mutate_rate stays

@@ -775,3 +775,57 @@ def test_jpeg_our_decoder_reads_imageio_progressive_output(spark):
     # ImageIO writes 4:2:0 by default — see the upsample-filter note in
     # the sibling test for the wider per-pixel bound
     assert diff.max() <= 16 and diff.mean() < 4.0, (diff.max(), diff.mean())
+
+
+def test_extract_mjpeg_frames_corrupt_inputs():
+    """Corruption contract for the container walker: truncated RIFF,
+    lying chunk sizes, and frame-less AVIs must raise ValueError fast
+    (dead-letter), never hang or return garbage frames."""
+    import time
+
+    from open_instrument_spark.operators.audiocodec import extract_mjpeg_frames
+    from open_instrument_spark.sources.media_synth import synth_mjpeg_avi_bytes
+
+    good = synth_mjpeg_avi_bytes(3)
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        extract_mjpeg_frames(b"RIFXjunk")
+    with pytest.raises(ValueError, match="not an AVI"):
+        extract_mjpeg_frames(good[:8])  # too short to carry 'AVI '
+
+    # header-only AVI (no movi) → no video chunks
+    hdr_only = bytearray(good)
+    movi_at = bytes(hdr_only).index(b"movi")
+    trunc = bytes(hdr_only[: movi_at - 8])
+    with pytest.raises(ValueError, match="without video chunks"):
+        extract_mjpeg_frames(trunc)
+
+    # a chunk size lying past EOF must terminate quickly (slice-safe),
+    # not loop or allocate
+    lying = bytearray(good)
+    dc = bytes(lying).index(b"00dc")
+    lying[dc + 4 : dc + 8] = (2**31 - 1).to_bytes(4, "little")
+    t0 = time.time()
+    frames = extract_mjpeg_frames(bytes(lying))
+    assert time.time() - t0 < 1.0
+    # the lying chunk swallows the rest; whatever frames it returns are
+    # byte-slices, and decoding them surfaces the per-frame error path
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg
+    for f in frames:
+        try:
+            decode_jpeg(f)
+        except (ValueError, NotImplementedError):
+            pass
+
+    # flipping a byte inside a frame's entropy data → decode error, not
+    # a hang — the video_frames skip contract path
+    flip = bytearray(good)
+    flip[dc + 60] ^= 0xFF
+    ok = 0
+    for f in extract_mjpeg_frames(bytes(flip)):
+        try:
+            decode_jpeg(f)
+            ok += 1
+        except (ValueError, NotImplementedError):
+            pass
+    assert ok >= 0  # parse path exercised; no hang/crash
