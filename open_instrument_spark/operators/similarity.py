@@ -128,7 +128,8 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
                        n_planes: int | None = None, n_tables: int = 16,
                        dim: int = 64,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       seed: int = 42, verify_join: str = "auto") -> DataFrame:
+                       seed: int = 42, verify_join: str = "auto",
+                       multiprobe: int = 0) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: candidate pairs share a
     random-hyperplane bucket in ANY of ``n_tables`` tables (equi-join on
     (table, bucket) — never a cross product), then exact cosine verify.
@@ -172,7 +173,7 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
     )
     cand = near_dup_candidates(
         embeddings, n_planes=n_planes, n_tables=n_tables, dim=dim,
-        id_col=id_col, vec_col=vec_col, seed=seed,
+        id_col=id_col, vec_col=vec_col, seed=seed, multiprobe=multiprobe,
     )
     if verify_join == "auto":
         # one bounded driver-side count (same pattern as auto_n_planes'
@@ -209,7 +210,7 @@ def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
 def near_dup_candidates(embeddings: DataFrame, n_planes: int | None = None,
                         n_tables: int = 16, dim: int = 64,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42, multiprobe: int = 0) -> DataFrame:
     """The candidate stage of :func:`near_dup_pairs_lsh` on its own:
     distinct (a_id, b_id) pairs sharing a random-hyperplane bucket in
     ANY table (equi-join on (table, bucket) — never a cross product).
@@ -217,7 +218,19 @@ def near_dup_candidates(embeddings: DataFrame, n_planes: int | None = None,
     Exposed separately because |candidates| is THE scale-determining
     quantity of the pipeline — the verify stage is linear in it — so
     probes (tools/scale_probe.py) count it directly to check that
-    auto_n_planes keeps candidate growth ~linear in corpus size."""
+    auto_n_planes keeps candidate growth ~linear in corpus size.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 (each single plane-bit flipped) — the multi-probe LSH
+    trade (Lv et al., VLDB'07): recall comparable to several extra
+    tables for the cost of widening ONE join side ×(1+n_planes)
+    instead of re-hashing and re-shuffling more tables. Expanding one
+    side loses nothing: bucket_x ^ bit == bucket_y ⟺ bucket_y ^ bit ==
+    bucket_x, so every Hamming-≤1 pair is found regardless of which
+    side's probe fires. Only distance 1 is supported (the sweet spot;
+    deeper probing explodes the expansion quadratically)."""
+    if multiprobe not in (0, 1):
+        raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe}")
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
@@ -229,7 +242,22 @@ def near_dup_candidates(embeddings: DataFrame, n_planes: int | None = None,
     bucketed = base.select(
         "id", F.posexplode(lsh_buckets_all("v", tables)).alias("table", "bucket")
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    probe_side = bucketed
+    if multiprobe:
+        probe_side = bucketed.select(
+            "id",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    a, b = probe_side.alias("a"), bucketed.alias("b")
     return (
         a.join(
             b,

@@ -867,3 +867,41 @@ def test_pca_spectral_properties(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         pca(emb, k=0)
+
+
+def test_multiprobe_lsh_recall_at_fewer_tables(spark):
+    """Multi-probe LSH (Lv et al.): probing Hamming-1 buckets at
+    n_tables=3 must strictly widen the candidate set vs plain
+    n_tables=3, recover a planted near-dup recall comparable to plain
+    n_tables=16, and stay a superset of the plain candidates."""
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    qids = list(range(30))
+    jitter = emb.filter(F.col("vec_id").isin(qids)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.002).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(jitter)
+    planted = {(q, q + 10000) for q in qids}
+
+    def cands(**kw):
+        return {(r["a_id"], r["b_id"])
+                for r in similarity.near_dup_candidates(corpus, **kw).collect()}
+
+    plain3 = cands(n_tables=3)
+    probe3 = cands(n_tables=3, multiprobe=1)
+    plain16 = cands(n_tables=16)
+
+    assert plain3 <= probe3          # superset: exact buckets included
+    assert len(probe3) > len(plain3)
+    r_plain3 = len(plain3 & planted) / len(planted)
+    r_probe3 = len(probe3 & planted) / len(planted)
+    r_plain16 = len(plain16 & planted) / len(planted)
+    assert r_probe3 >= r_plain3
+    # multiprobe at 3 tables should reach near the 16-table recall
+    assert r_probe3 >= r_plain16 - 0.1, (r_plain3, r_probe3, r_plain16)
+
+    with pytest.raises(ValueError, match="multiprobe"):
+        similarity.near_dup_candidates(corpus, multiprobe=2)
