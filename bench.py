@@ -108,6 +108,7 @@ HEADLINE = [
     "embed_covariance",
     "mutate_ewma",
     "mutate_zscore",
+    "retention_report",
 ]
 
 
