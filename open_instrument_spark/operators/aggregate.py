@@ -79,6 +79,56 @@ def aggregate_by_name(points: DataFrame, agg_type: str,
     )
 
 
+def aggregate_by_name_sliding(points: DataFrame, agg_type: str,
+                              window_ms, slide_ms) -> DataFrame:
+    """A7 over SLIDING (hopping) windows — the smoothed-dashboard form
+    the reference's tumbling-only engine lacks (north-star A-family
+    extension). Each sample lands in ``window/slide`` windows; windows
+    are epoch-aligned on the slide like the tumbling form is on the
+    interval, so tumbling ≡ sliding when window == slide.
+
+    Spark-first: ``F.window(ts, w, s)`` — the built-in replicates each
+    row into its windows before ONE keyed aggregation (map-side
+    partial); no self-joins. ``window`` must be a multiple of ``slide``
+    (the built-in's alignment contract). Output: (name, ts = window
+    start, value)."""
+    w_ms = parse_duration_ms(window_ms)
+    s_ms = parse_duration_ms(slide_ms)
+    if w_ms % s_ms != 0:
+        raise ValueError(
+            f"window ({w_ms} ms) must be a multiple of slide ({s_ms} ms)"
+        )
+    win = F.window("ts", f"{w_ms // 1000} seconds", f"{s_ms // 1000} seconds")
+    return (
+        points.groupBy("name", win.alias("_w"))
+        .agg(_agg_expr(agg_type))
+        .select("name", F.col("_w.start").alias("ts"), "value")
+    )
+
+
+def histogram_by_name(points: DataFrame, bucket_width: float,
+                      sample_interval=DEFAULT_SAMPLE_INTERVAL_MS) -> DataFrame:
+    """Fixed-width value histogram per (name, time bucket) — the
+    latency-histogram shape monitoring stacks derive before computing
+    quantiles server-side (north-star A-family extension). Bucket b
+    holds dval ∈ [b·width, (b+1)·width) via floor division (negative
+    values land in negative buckets — floor, not truncation). One
+    groupBy: the histogram IS the aggregation key extension, map-side
+    partial like every A-family op. Output: (name, ts, bucket, n)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    interval_ms = parse_duration_ms(sample_interval)
+    return (
+        points.withColumn("ts", _bucket_start(interval_ms))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("dval") / F.lit(float(bucket_width))).cast("long"),
+        )
+        .groupBy("name", "ts", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
                        sample_interval=DEFAULT_SAMPLE_INTERVAL_MS,
                        retain_single_valued: bool = False,

@@ -983,6 +983,61 @@ def retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_sliding_sum",
+    oracle=f"""
+WITH {P_CTE},
+t AS (SELECT name, epoch_us(ts) AS t, dval FROM p),
+wins AS (
+  SELECT name, dval,
+         unnest(generate_series(
+           CAST(floor(t / 1800000000) AS BIGINT) * 1800000000 - 1800000000,
+           CAST(floor(t / 1800000000) AS BIGINT) * 1800000000,
+           1800000000)) AS g
+  FROM t
+)
+SELECT name, make_timestamp(g) AS ts, round(sum(dval), 6) AS value
+FROM wins GROUP BY 1, 2
+""",
+)
+def agg_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 over SLIDING windows (1 h window / 30 min slide): each sample
+    lands in window/slide = 2 epoch-aligned windows — the
+    smoothed-dashboard form the tumbling-only reference lacks. Spark's
+    built-in F.window replicates rows into their windows before one
+    map-side-partial aggregation; the oracle replays the window set as
+    a generate_series per sample."""
+    from open_instrument_spark.operators.aggregate import (
+        aggregate_by_name_sliding,
+    )
+
+    out = aggregate_by_name_sliding(
+        _pts(spark, sf_dir), "sum", 3_600_000, 1_800_000
+    )
+    return out.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts,
+       CAST(floor(dval / 5.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2, 3
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per (name, hour): bucket =
+    floor(dval/5) — the latency-histogram aggregation shape, one
+    groupBy with the bucket as a key extension (north-star A-family
+    extension; floor semantics so negatives land in negative
+    buckets)."""
+    from open_instrument_spark.operators.aggregate import histogram_by_name
+
+    return histogram_by_name(_pts(spark, sf_dir), 5.0, 3_600_000)
+
+
+@query(
     "retention_report",
     oracle=f"""
 WITH {P_CTE},

@@ -153,6 +153,8 @@ _PAST_WINDOW_ORACLED = [
     "mutate_ewma",
     "mutate_zscore",
     "retention_report",
+    "agg_sliding_sum",
+    "agg_histogram",
     # r7 demotions (sibling kept in-window noted):
     "select_label_absent",          # label-match family: present+regex stay
     "mutate_rate_signed",           # mutate_rate stays

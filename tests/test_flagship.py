@@ -36,3 +36,32 @@ def test_percentile_agg_extension(spark):
     for bad in ("p0", "p101", "p", "px", "quantile"):
         with pytest.raises(ValueError):
             agg_ops._agg_expr(bad)
+
+
+def test_sliding_window_degenerates_to_tumbling(spark):
+    """window == slide must reproduce the tumbling A7 aggregation
+    exactly, and a non-multiple window is a contracted error."""
+    from open_instrument_spark.model import events_to_points
+    from open_instrument_spark.operators.aggregate import (
+        aggregate_by_name,
+        aggregate_by_name_sliding,
+    )
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    pts = events_to_points(load_tables(spark, SF_SMOKE).table("events"))
+    tumb = {(r["name"], r["ts"], round(r["value"], 9))
+            for r in aggregate_by_name(pts, "sum", 3_600_000).collect()}
+    slide = {(r["name"], r["ts"], round(r["value"], 9))
+             for r in aggregate_by_name_sliding(
+                 pts, "sum", 3_600_000, 3_600_000).collect()}
+    assert tumb == slide and len(tumb) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        aggregate_by_name_sliding(pts, "sum", 3_600_000, 2_400_000)
+    from open_instrument_spark.operators.aggregate import histogram_by_name
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        histogram_by_name(pts, 0.0)
