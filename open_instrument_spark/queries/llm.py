@@ -225,6 +225,77 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(toks, "n_tokens", 2048).select("doc_id", "n_tokens", "bin")
 
 
+# Pinned merge list for the fully-oracled BPE twin (training-order
+# application; '</w>' is an ordinary symbol in the grammar).
+_BPE_FIXED = [("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"),
+              ("a", "n"), ("an", "d"), ("i", "n"), ("o", "r")]
+_BPE_MERGES_SQL = ",".join(
+    f"({i + 1},'{a}','{b}')" for i, (a, b) in enumerate(_BPE_FIXED)
+)
+
+
+@query(
+    "corpus_pack_bpe",
+    oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            t -> t != '')) AS word
+  FROM documents
+),
+sym0 AS (
+  SELECT doc_id, word,
+         ' ' || array_to_string(
+             list_transform(range(length(word)), i -> word[i+1]), ' ')
+           || ' </w> ' AS s
+  FROM w
+),
+merges(step, a, b) AS (SELECT * FROM (VALUES {_BPE_MERGES_SQL}) t),
+rec(doc_id, word, s, step) AS (
+  SELECT doc_id, word, s, 1 AS step FROM sym0
+  UNION ALL
+  SELECT r.doc_id, r.word,
+         replace(r.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ') AS s,
+         CASE WHEN replace(r.s, ' '||m.a||' '||m.b||' ', ' '||m.a||m.b||' ')
+                   = r.s
+              THEN r.step + 1 ELSE r.step END AS step
+  FROM rec r JOIN merges m ON m.step = r.step
+),
+done AS (SELECT doc_id, s FROM rec WHERE step = {len(_BPE_FIXED) + 1}),
+t AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(len(string_split(trim(done.s), ' '))), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN done USING (doc_id)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (
+              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) / 2048.0) AS BIGINT) AS bin
+FROM t
+""",
+)
+def corpus_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 composition: sequence packing budgeted by the REAL BPE
+    tokenizer instead of the whitespace estimate — the form a training
+    pipeline actually runs (bins are model-token budgets). Composes
+    bpe_token_counts (pinned merges, hash-gated on its own) into
+    pack_greedy; the oracle chains both replays."""
+    from open_instrument_spark.operators.bpe import bpe_token_counts
+    from open_instrument_spark.operators.corpus import pack_greedy
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
+    toks = bpe_token_counts(docs, _BPE_FIXED).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    return pack_greedy(toks, "n_tokens", 2048).select("doc_id", "n_tokens", "bin")
+
+
 @query(
     "corpus_pack_partitioned",
     oracle=f"""
@@ -479,15 +550,6 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text").repartition(64, "doc_id")
     )
     return lm_score(docs)
-
-
-# Pinned merge list for the fully-oracled BPE twin (training-order
-# application; '</w>' is an ordinary symbol in the grammar).
-_BPE_FIXED = [("t", "h"), ("th", "e"), ("e", "</w>"), ("s", "</w>"),
-              ("a", "n"), ("an", "d"), ("i", "n"), ("o", "r")]
-_BPE_MERGES_SQL = ",".join(
-    f"({i + 1},'{a}','{b}')" for i, (a, b) in enumerate(_BPE_FIXED)
-)
 
 
 @query(

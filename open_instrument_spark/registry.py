@@ -155,6 +155,7 @@ _PAST_WINDOW_ORACLED = [
     "retention_report",
     "agg_sliding_sum",
     "agg_histogram",
+    "corpus_pack_bpe",
     # r7 demotions (sibling kept in-window noted):
     "select_label_absent",          # label-match family: present+regex stay
     "mutate_rate_signed",           # mutate_rate stays
