@@ -109,6 +109,9 @@ HEADLINE = [
     "mutate_ewma",
     "mutate_zscore",
     "retention_report",
+    "agg_sliding_sum",
+    "agg_histogram",
+    "corpus_pack_bpe",
 ]
 
 
