@@ -85,7 +85,8 @@ _STREAM_AGGS = {
 
 def windowed_agg(points_stream: DataFrame, kind: str = "sum",
                  interval: str = "5 minutes", watermark: str = "10 minutes",
-                 label: str | None = None) -> DataFrame:
+                 label: str | None = None,
+                 slide: str | None = None) -> DataFrame:
     """The A-family over a stream: aligned tumbling windows per variable
     name (A7), optionally grouped by a label value (A8), with any
     incremental aggregate (A2-A5, A9-analog default interval left to the
@@ -121,9 +122,15 @@ def windowed_agg(points_stream: DataFrame, kind: str = "sum",
         # aggregate_by_label default — not grouped under a NULL key.
         src = src.filter(F.col("labels").getItem(label).isNotNull())
         keys.append(F.col("labels").getItem(label).alias("label_value"))
+    # slide=None → tumbling; a slide makes the windows HOPPING (each
+    # sample lands in window/slide windows — the same built-in the
+    # batch aggregate_by_name_sliding uses, so a closed streaming
+    # window still equals the batch result for the same data)
+    win = (F.window("ts", interval) if slide is None
+           else F.window("ts", interval, slide))
     out = (
         src.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", interval), *keys)
+        .groupBy(win, *keys)
         .agg(agg)
     )
     key_names = ["name"] + (["label_value"] if label is not None else [])

@@ -1294,3 +1294,41 @@ def test_streaming_ewma_matches_batch_across_batches(spark, tmp_path):
     # spot-check the recurrence by hand: a: 4, 5, 3.75, then 0.25*16+0.75*3.75
     assert ("a", __import__("datetime").datetime(2024, 1, 1, 0, 0, 9),
             0.25 * 16 + 0.75 * 3.75) in got
+
+
+def test_streaming_sliding_window_matches_batch(spark, points, tmp_path):
+    """Hopping windows over a stream: every watermark-closed window must
+    equal the batch sliding aggregation of the same data (1 h window /
+    30 min slide — each sample in two windows)."""
+    from open_instrument_spark.operators.aggregate import (
+        aggregate_by_name_sliding,
+    )
+    from open_instrument_spark.streaming.ingest import windowed_agg
+
+    src = str(tmp_path / "sl_src")
+    pts = points.limit(2000)
+    pts.write.parquet(src)
+    stream = read_points_stream(spark, src)
+    q = (
+        windowed_agg(stream, kind="sum", interval="1 hour",
+                     watermark="1 hour", slide="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slwa")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["ts"], r["name"]): round(r["value"], 9)
+           for r in spark.table("slwa").collect()}
+    assert got
+    want = {(r["ts"], r["name"]): round(r["value"], 9)
+            for r in aggregate_by_name_sliding(
+                pts, "sum", 3_600_000, 1_800_000).collect()}
+    for k, v in got.items():
+        assert want[k] == v, k
+    # sliding emits ~2x the windows of tumbling for the closed range
+    tumb = {(r["ts"], r["name"])
+            for r in aggregate_by_name_sliding(
+                pts, "sum", 3_600_000, 3_600_000).collect()}
+    assert len(want) > len(tumb)
