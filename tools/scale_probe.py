@@ -180,6 +180,44 @@ def main() -> None:
         near_dup_pairs_lsh,
     )
 
+    # Document-pipeline tiers (r7): the statistical text stack — LM
+    # scoring, BPE encoding, tf-idf — is join/aggregation-shaped, so its
+    # walls should track corpus size ~linearly. Copies are id-shifted
+    # with a word-level shift token appended so vocabulary grows mildly
+    # (like a real corpus) instead of duplicating exactly.
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+
+    def multiplied_docs(d, k: int):
+        if k == 1:
+            return d
+        copies = d.sparkSession.range(k).select(F.col("id").cast("int").alias("_i"))
+        return d.crossJoin(F.broadcast(copies)).select(
+            (F.col("doc_id") + F.col("_i").cast("long") * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" shifttoken"),
+                     F.col("_i").cast("string")).alias("text"),
+        )
+
+    def doc_operators(d):
+        from open_instrument_spark.operators.bpe import bpe_token_counts
+        from open_instrument_spark.operators.lm import lm_score, tfidf_top_terms
+        from open_instrument_spark.queries.llm import _BPE_FIXED
+
+        dd = d.repartition(64, "doc_id")
+        return {
+            "lm_score": lm_score(dd),
+            "tfidf_top": tfidf_top_terms(dd, k=5),
+            "bpe_tokens": bpe_token_counts(dd, _BPE_FIXED),
+        }
+
+    for df in doc_operators(docs).values():
+        run(df)  # warm
+    for k in (1, 10):
+        label = f"x{k}"
+        big_docs = multiplied_docs(docs, k)
+        for name, df in doc_operators(big_docs).items():
+            report.setdefault(name, {})[label] = round(run(df), 2)
+        peaks[f"docs_{label}"] = peak_rss_mb()
+
     run(near_dup_pairs_lsh(emb, threshold=0.4))  # warm
     for k in emb_mults:
         label = f"x{k}"
