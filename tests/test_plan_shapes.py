@@ -319,3 +319,15 @@ def test_lm_and_tfidf_have_no_cartesian_and_bounded_exchanges(spark, tables):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert count_in(plan, "Exchange hashpartitioning") <= cap, name
+
+
+def test_sliding_and_histogram_are_single_exchange(spark, tables):
+    """The r7 A-family extensions keep the one-shuffle contract: the
+    window replication (sliding) and bucket derivation (histogram) are
+    map-side; the only exchange is the keyed aggregation."""
+    from open_instrument_spark import registry
+
+    for name in ("agg_sliding_sum", "agg_histogram"):
+        plan = plan_of(registry.QUERIES[name](spark, SF_SMOKE))
+        assert count_in(plan, "Exchange hashpartitioning") == 1, name
+        assert count_in(plan, "HashAggregate") >= 2, name  # partial+final
