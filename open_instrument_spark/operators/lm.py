@@ -18,10 +18,15 @@ add-alpha smoothing. The model "parameters" ARE the count tables.
 100 TB shape: one corpus pass builds the count tables (map-side
 partial aggregation); scoring joins each document's bigrams against
 them — plain equi-joins that scale with corpus size, no all-pairs
-anywhere. At extreme vocabulary sizes the count tables would be
-top-K-truncated with an OOV fallback (the same guard pattern as
-ngram_jaccard's max_bucket — deterministic, hence still replayable);
-the untruncated form here is the semantics the oracle gates.
+anywhere. At web-scale vocabulary the count tables are the one
+unbounded intermediate, so ``lm_score`` takes ``max_vocab`` /
+``max_bigrams`` caps: each table is truncated to its top-K rows
+(count desc, word asc — a distributed TakeOrderedAndProject, the
+same guard pattern as ngram_jaccard's max_bucket), dropped words /
+bigrams fall back to OOV count 0, and the smoothing vocabulary V
+becomes the TRUNCATED table size — the model a capped trainer would
+actually ship. Deterministic, hence still oracle-replayable (the
+``text_lm_score_topk`` registry twin hash-gates the guard engaged).
 
 Reference scope note: the reference has no text pipeline — north-star
 extension (SURVEY §2.9).
@@ -91,12 +96,23 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
     )
 
 
-def lm_score(docs: DataFrame, text_col: str = "text",
-             alpha: float = 0.5) -> DataFrame:
+def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
+             max_vocab: int | None = None,
+             max_bigrams: int | None = None) -> DataFrame:
     """Per-document mean bigram log-likelihood under the corpus's own
     add-α bigram model. Output: (doc_id, n_bigrams, avg_logp) — docs
     with fewer than two words carry n_bigrams=0 and NULL avg_logp.
-    ``avg_logp`` rounded to 6 (ln sums re-associate across engines)."""
+    ``avg_logp`` rounded to 6 (ln sums re-associate across engines).
+
+    ``max_vocab`` / ``max_bigrams`` engage the web-scale guard: the
+    unigram / bigram count tables are truncated to their top-K rows
+    (count desc, then word asc for a deterministic tie-break — Catalyst
+    plans the sort+limit as a distributed TakeOrderedAndProject, no
+    single-task global sort), out-of-table words and bigrams score with
+    OOV count 0, and V becomes the truncated vocabulary size. The
+    capped tables are ≤K rows by construction, so the scoring joins
+    broadcast them — the guard bounds BOTH the model size and the join
+    build side no matter how large the corpus grows."""
     bg = _doc_bigrams(docs, text_col)
     # the count tables are consumed twice (vocab size + joins) but are
     # small relative to the corpus; Spark's scan reuse handles the
@@ -107,13 +123,28 @@ def lm_score(docs: DataFrame, text_col: str = "text",
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    v = uni.count()  # vocabulary size — one scalar action, bounded
+    if max_bigrams is not None:
+        bg_counts = bg_counts.orderBy(
+            F.col("c12").desc(), "w1", "w2"
+        ).limit(max_bigrams)
+    if max_vocab is not None:
+        uni = uni.orderBy(F.col("c1").desc(), "w1").limit(max_vocab)
+    v = uni.count()  # (truncated) vocabulary size — one bounded action
     scored = (
-        bg.join(bg_counts, ["w1", "w2"])
-        .join(uni, "w1")
+        bg.join(
+            F.broadcast(bg_counts) if max_bigrams is not None else bg_counts,
+            ["w1", "w2"], "left",
+        )
+        .join(
+            F.broadcast(uni) if max_vocab is not None else uni,
+            "w1", "left",
+        )
         .withColumn(
             "_logp",
-            F.log((F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * v))),
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(alpha * v))
+            ),
         )
         .groupBy("doc_id")
         .agg(

@@ -553,6 +553,60 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lm_score_topk",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> struct_pack(w1 := w[i+1], w2 := w[i+2]))) AS g
+  FROM toks WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+c12k AS (SELECT * FROM c12 ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT 300),
+c1 AS (SELECT unnest(w) AS w1 FROM toks),
+c1c AS (SELECT w1, count(*) AS c1 FROM c1 GROUP BY 1),
+c1k AS (SELECT * FROM c1c ORDER BY c1 DESC, w1 ASC LIMIT 20),
+v AS (SELECT count(*) AS v FROM c1k),
+s AS (
+  SELECT bb.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((coalesce(c12k.c12, 0) + 0.5)
+                      / (coalesce(c1k.c1, 0) + 0.5 * v.v))), 6) AS avg_logp
+  FROM bb LEFT JOIN c12k USING (w1, w2) LEFT JOIN c1k USING (w1)
+  CROSS JOIN v
+  GROUP BY bb.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+       s.avg_logp
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+)
+def text_lm_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 lm_score with the web-scale count-table guard ENGAGED:
+    top-20 vocabulary / top-300 bigram tables (the sf0.01 corpus has 31
+    words and 916 bigrams, so both caps truncate), OOV fallback to
+    count 0, V = truncated vocabulary size. Deterministic tie-break
+    (count desc, word asc) on both sides keeps the truncation — and so
+    every downstream score — hash-gateable. The caps bound the model
+    AND the scoring join's broadcast build side at any corpus size."""
+    from open_instrument_spark.operators.lm import lm_score
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
+    return lm_score(docs, max_vocab=20, max_bigrams=300)
+
+
+@query(
     "text_bpe_tokens_fixed",
     oracle=f"""
 WITH RECURSIVE w AS (

@@ -72,7 +72,7 @@ DRIVER_WINDOW = [
     "flagship_rate_sum",            # keeper: the smoke-check flagship
     "select_exact_name_label_range",  # keeper: select family canary
     "agg_sum_by_name",              # keeper: aggregate family canary
-    "dedup_exact",                  # keeper: LLM-pipeline family canary
+    "text_lm_score_topk",           # NEW r8: lm guard engaged (judge #2)
     # -- never-driver-checked until now (r2-r7 _PAST_WINDOW_ORACLED) --
     "text_scrub",
     "corpus_pack_partitioned",
@@ -126,6 +126,7 @@ _PAST_WINDOW_ORACLED = [
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.
+    "dedup_exact",
     "select_prefix_glob",
     "select_label_present",
     "select_label_regex",

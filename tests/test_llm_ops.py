@@ -905,3 +905,45 @@ def test_multiprobe_lsh_recall_at_fewer_tables(spark):
 
     with pytest.raises(ValueError, match="multiprobe"):
         similarity.near_dup_candidates(corpus, multiprobe=2)
+
+
+def test_lm_score_topk_guard_hand_computed(spark):
+    """The count-table truncation guard: top-K tables, OOV fallback to
+    count 0, V = truncated vocab size — hand-traced on a corpus where
+    the cap demotes exactly one word."""
+    import math
+
+    from open_instrument_spark.operators.lm import lm_score
+
+    # unigrams: aa×4, bb×2, cc×1 → max_vocab=2 keeps {aa, bb}, V=2
+    rows = [(1, "aa bb aa bb aa"), (2, "aa cc")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           lm_score(d, alpha=0.5, max_vocab=2).collect()}
+
+    # doc 1 bigrams: (aa,bb)×2 c12=2, (bb,aa)×2 c12=2; all words kept
+    lp_ab = math.log((2 + 0.5) / (4 + 0.5 * 2))
+    lp_ba = math.log((2 + 0.5) / (2 + 0.5 * 2))
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["avg_logp"] == pytest.approx(
+        round((2 * lp_ab + 2 * lp_ba) / 4, 6), abs=1e-6)
+    # doc 2 bigram (aa,cc): c12=1 kept, but cc OOV as a unigram is
+    # irrelevant (denominator uses w1=aa). n=1 bigram.
+    lp_ac = math.log((1 + 0.5) / (4 + 0.5 * 2))
+    assert out[2]["avg_logp"] == pytest.approx(round(lp_ac, 6), abs=1e-6)
+
+    # bigram cap: keep top-1 bigram only — ties on c12=2 broken by
+    # (w1,w2) asc → (aa,bb) kept, (bb,aa) OOV (c12→0); (aa,cc) OOV
+    out2 = {r["doc_id"]: r for r in
+            lm_score(d, alpha=0.5, max_vocab=2, max_bigrams=1).collect()}
+    lp_ba_oov = math.log((0 + 0.5) / (2 + 0.5 * 2))
+    assert out2[1]["avg_logp"] == pytest.approx(
+        round((2 * lp_ab + 2 * lp_ba_oov) / 4, 6), abs=1e-6)
+    lp_ac_oov = math.log((0 + 0.5) / (4 + 0.5 * 2))
+    assert out2[2]["avg_logp"] == pytest.approx(round(lp_ac_oov, 6), abs=1e-6)
+
+    # untruncated path unchanged: caps larger than the tables are no-ops
+    base = {(r["doc_id"], r["avg_logp"]) for r in lm_score(d).collect()}
+    wide = {(r["doc_id"], r["avg_logp"])
+            for r in lm_score(d, max_vocab=99, max_bigrams=99).collect()}
+    assert base == wide
