@@ -8,6 +8,12 @@ aggregated if < sample_interval apart", lib/openinstrument.proto:64-69).
 That turns every aggregation into one shuffle on (group key, bucket) with
 map-side partial aggregation — the shape that scales to 100 TB.
 
+For users reproducing a C++ ``/get`` aggregation bit-for-bit,
+:func:`aggregate_anchored` (or ``aggregate(..., anchored=True)``) runs
+the reference-EXACT ValueStreamCalculation drift-bucket walk as a
+grouped-map kernel — quirks included (see its docstring). The declared
+tumbling semantics above remain the default and the scale path.
+
 Grouping modes (server/store.cc:155-252):
 - no labels in the spec → all streams sharing a variable NAME are
   aggregated together; output drops all labels (A7, store.cc:173-188);
@@ -197,14 +203,194 @@ def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
     return out.join(F.broadcast(member_labels), ["name", "label_value"], "left")
 
 
+# ---- A1 reference-exact drift-bucket kernel ---------------------------------
+
+def _drift_calc_fns():
+    """The five bucket fold functions, each the EXACT C++ fold —
+    including the Max 0-init bug (lib/protobuf.cc:109-120: an
+    all-negative bucket yields 0) and the upper median
+    (lib/protobuf.cc:135-142: sorted[n/2], middle pair never averaged).
+    Sum/average fold in bucket append order (same IEEE association as
+    the C++ vector walk)."""
+
+    def _avg(b):          # lib/protobuf.cc:87-92
+        t = 0.0
+        for x in b:
+            t += x
+        return t / len(b)
+
+    def _sum(b):          # lib/protobuf.cc:98-103
+        t = 0.0
+        for x in b:
+            t += x
+        return t
+
+    def _max(b):          # lib/protobuf.cc:109-115 (0-init, faithfully)
+        m = 0.0
+        for x in b:
+            if x > m:
+                m = x
+        return m
+
+    def _min(b):          # lib/protobuf.cc:122-128
+        m = b[0]
+        for x in b:
+            if x < m:
+                m = x
+        return m
+
+    def _median(b):       # lib/protobuf.cc:135-139 (upper median)
+        s = sorted(b)
+        return s[len(s) // 2]
+
+    return {"average": _avg, "sum": _sum, "max": _max, "min": _min,
+            "median": _median}
+
+
+def value_stream_calculation(streams, interval_us: int, calcfunc):
+    """Reference-exact ValueStreamCalculation (lib/protobuf.cc:49-85):
+    the drift-bucket walk over a merged stream set.
+
+    ``streams``: ordered list of (ts_array, val_array) pairs, each
+    time-sorted. Per while-round, each stream's CURRENT value joins the
+    bucket if within ±interval of the anchor; the anchor is the first
+    remaining value seen (in stream order) while unset. A round where no
+    stream contributes flushes the bucket, stamped at the ANCHOR ts.
+    Reproduced quirks, each visible in the C++ loop:
+    (1) the anchor comes from STREAM-SCAN order, not global time order —
+        a stream whose next value predates the current anchor gets its
+        own LATER bucket, so output timestamps can be non-monotonic;
+    (2) the final bucket is never flushed (the loop breaks on input
+        exhaustion before the flush check) — trailing data is dropped;
+    (3) ts==0 doubles as the "unset" sentinel (a genuine epoch-0 sample
+        would re-anchor; unrealizable for real telemetry timestamps).
+    Returns (out_ts, out_vals) python lists."""
+    its = [0] * len(streams)
+    out_t: list[int] = []
+    out_v: list[float] = []
+    bucket: list[float] = []
+    ts = 0
+    while True:
+        found = False
+        found_bracket = False
+        for i, (st, sv) in enumerate(streams):
+            k = its[i]
+            if k >= len(st):
+                continue
+            t = int(st[k])
+            found = True
+            if not ts:
+                ts = t
+            if ts - interval_us <= t <= ts + interval_us:
+                found_bracket = True
+                bucket.append(float(sv[k]))
+                its[i] += 1
+        if not found:
+            break
+        if not found_bracket and bucket:
+            out_t.append(ts)
+            out_v.append(calcfunc(bucket))
+            bucket = []
+            ts = 0
+    return out_t, out_v
+
+
+def aggregate_anchored(points: DataFrame, agg_type: str,
+                       sample_interval=DEFAULT_SAMPLE_INTERVAL_MS,
+                       by_label: str | None = None,
+                       drop_missing: bool = True) -> DataFrame:
+    """A1 reference-exact twin: aggregate the streams of each group by
+    walking them through :func:`value_stream_calculation` — bit-equal to
+    the C++ server's ``/get`` aggregation path, bugs and all (Max
+    0-init, upper median, dropped trailing bucket, drift anchoring).
+
+    Stream order inside a group is sorted canonical series_key — the one
+    semantic we must PIN that the reference leaves to store-arrival
+    order (D-note: not portable, so we declare the deterministic order;
+    a group whose streams never overlap in ±interval brackets is
+    order-insensitive anyway).
+
+    Scale shape: one shuffle to co-locate each output group, then a
+    sequential per-group kernel — the same bound as the reference, which
+    materializes a group's full stream set in RAM before walking it
+    (server/store.cc:155-252). Group = variable name (or name ×
+    label_value with ``by_label``), so parallelism is across groups;
+    the tumbling default remains the scale path for monster groups.
+    Output: (name[, label_value], ts, value)."""
+    import numpy as np
+    import pandas as pd
+
+    calc = _drift_calc_fns()[agg_type.lower()]
+    interval_us = parse_duration_ms(sample_interval) * 1000
+
+    from open_instrument_spark.model import epoch_seconds, series_key
+
+    keys = ["name"] + (["label_value"] if by_label is not None else [])
+    pts = points.withColumn("_sk", series_key()).select(
+        "name",
+        *([F.col("labels").getItem(by_label).alias("label_value")]
+          if by_label is not None else []),
+        "_sk",
+        (epoch_seconds("ts") * 1_000_000).cast("long").alias("_t"),
+        "dval",
+    )
+    if by_label is not None and drop_missing:
+        pts = pts.filter(
+            F.col("label_value").isNotNull() & (F.col("label_value") != "")
+        )
+    out_schema = ", ".join(
+        [f"{k} string" for k in keys] + ["ts timestamp", "value double"]
+    )
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(["_sk", "_t"])
+        streams = [
+            (g["_t"].to_numpy(np.int64), g["dval"].to_numpy(np.float64))
+            for _, g in pdf.groupby("_sk", sort=True)
+        ]
+        out_t, out_v = value_stream_calculation(streams, interval_us, calc)
+        return pd.DataFrame(
+            {
+                **{k: np.full(len(out_t), key[i], dtype=object)
+                   for i, k in enumerate(keys)},
+                "ts": pd.to_datetime(np.asarray(out_t, dtype=np.int64), unit="us"),
+                "value": np.asarray(out_v, dtype=np.float64),
+            }
+        )
+
+    # Real annotation objects (the module's `from __future__ import
+    # annotations` would stringify inline hints, which the grouped-map
+    # eval-type inference can't read).
+    run.__annotations__ = {"key": tuple, "pdf": pd.DataFrame,
+                           "return": pd.DataFrame}
+    return pts.groupBy(*keys).applyInPandas(run, out_schema)
+
+
 def aggregate(points: DataFrame, agg_type: str, by_labels: list[str] | None = None,
-              sample_interval=DEFAULT_SAMPLE_INTERVAL_MS, **kw) -> DataFrame:
+              sample_interval=DEFAULT_SAMPLE_INTERVAL_MS, anchored: bool = False,
+              **kw) -> DataFrame:
     """StreamAggregation entry (lib/openinstrument.proto:54-70): dispatch
     on whether a group-by label list is present (server/store.cc:169-252).
     Like the C++ server, each label in the list produces an independent
     grouping; this helper handles the common 0/1-label cases and unions
-    multi-label requests.
+    multi-label requests. ``anchored=True`` dispatches to the
+    reference-exact drift-bucket kernel (:func:`aggregate_anchored`)
+    instead of the declared tumbling semantics.
     """
+    if anchored:
+        if not by_labels:
+            return aggregate_anchored(points, agg_type, sample_interval)
+        outs = [
+            aggregate_anchored(points, agg_type, sample_interval,
+                               by_label=lb,
+                               drop_missing=kw.get("drop_missing", True))
+            .withColumn("label", F.lit(lb))
+            for lb in by_labels
+        ]
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o, allowMissingColumns=True)
+        return result
     if not by_labels:
         return aggregate_by_name(points, agg_type, sample_interval)
     outs = [

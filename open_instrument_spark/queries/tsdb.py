@@ -419,6 +419,19 @@ def agg_avg_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_by_name(spark, sf_dir, "average", 3_600_000)
 
 
+@query("agg_anchored_sum")
+def agg_anchored_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 reference-EXACT drift-bucket SUM per name: the sequential
+    ValueStreamCalculation walk (lib/protobuf.cc:49-85) as a grouped-map
+    kernel, quirks included — first-seen-ts ±interval anchoring in
+    stream-scan order, trailing bucket dropped. Rows-only in the driver
+    (the per-stream iterator dance has no portable SQL twin); the exact
+    semantics are pinned by hand-traced goldens plus a pure-Python
+    replay equality in tests/test_aggregate_anchored.py."""
+    out = agg_ops.aggregate_anchored(_pts(spark, sf_dir), "sum", "1h")
+    return out.select("name", "ts", F.round("value", 6).alias("value"))
+
+
 @query(
     "agg_p95_by_name",
     oracle=f"""

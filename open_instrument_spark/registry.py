@@ -176,6 +176,7 @@ _PAST_WINDOW_ORACLED = [
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
+    "agg_anchored_sum",
     "text_bpe_tokens",
     "dedup_minhash_lsh",
     "dedup_simhash",
