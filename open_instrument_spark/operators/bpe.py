@@ -51,18 +51,23 @@ def word_counts(docs: DataFrame, text_col: str = "text",
     return wc.orderBy(F.col("n").desc(), "word").limit(max_words)
 
 
-def train_bpe(counts: Iterable[tuple[str, int]] | DataFrame,
-              n_merges: int = 100) -> list[tuple[str, str]]:
-    """Sennrich training over a (word, count) table: each step merges
-    the most frequent adjacent symbol pair (count-weighted), ties
-    broken lexicographically for cross-run determinism. Accepts the
-    ``word_counts`` DataFrame (collected here — bounded by its top-k)
-    or any (word, count) iterable. Returns the ordered merge list."""
+def _vocab_from_counts(
+    counts: Iterable[tuple[str, int]] | DataFrame,
+) -> dict[tuple[str, ...], int]:
     if isinstance(counts, DataFrame):
         counts = [(r["word"], r["n"]) for r in counts.collect()]
     vocab: dict[tuple[str, ...], int] = {}
     for w, n in counts:
         vocab[tuple(w) + (END,)] = vocab.get(tuple(w) + (END,), 0) + int(n)
+    return vocab
+
+
+def _train_bpe_naive(counts: Iterable[tuple[str, int]] | DataFrame,
+                     n_merges: int = 100) -> list[tuple[str, str]]:
+    """The executable SPEC of Sennrich training: recount every pair and
+    rewrite every word per merge — O(n_merges × vocab). Kept for the
+    fast≡naive equality test; use :func:`train_bpe` for real runs."""
+    vocab = _vocab_from_counts(counts)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
@@ -80,6 +85,88 @@ def train_bpe(counts: Iterable[tuple[str, int]] | DataFrame,
             sym = _merge_word(sym, best_pair)
             merged[sym] = merged.get(sym, 0) + n
         vocab = merged
+    return merges
+
+
+def train_bpe(counts: Iterable[tuple[str, int]] | DataFrame,
+              n_merges: int = 100) -> list[tuple[str, str]]:
+    """Sennrich training over a (word, count) table: each step merges
+    the most frequent adjacent symbol pair (count-weighted), ties
+    broken lexicographically for cross-run determinism. Accepts the
+    ``word_counts`` DataFrame (collected here — bounded by its top-k)
+    or any (word, count) iterable. Returns the ordered merge list.
+
+    Incremental trainer (r8): instead of recounting every pair per merge
+    (O(n_merges × vocab), toy-scale only), pair counts live in a dict
+    updated by DELTA — a merge rewrites only the words that contain the
+    merged pair (tracked by an inverted pair→words index) — and the
+    argmax comes from a lazy max-heap ((-count, pair) entries; stale
+    entries are skipped when popped, so updates are O(log H) pushes).
+    Real vocab sizes train 10-50 k merges in seconds where the naive
+    loop took minutes. Bit-identical output to the naive spec — same
+    (count desc, pair asc) selection — asserted by
+    ``test_train_bpe_fast_equals_naive``."""
+    import heapq
+
+    vocab = _vocab_from_counts(counts)
+    words: list[tuple[str, ...]] = list(vocab.keys())
+    wcounts: list[int] = [vocab[w] for w in words]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, sym in enumerate(words):
+        n = wcounts[wi]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(wi)
+
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p, 0) == -negc:
+                best = p
+                break
+            heapq.heappop(heap)  # stale (count changed since push)
+        if best is None:
+            break
+        heapq.heappop(heap)
+        merges.append(best)
+        for wi in sorted(pair_words.pop(best, ())):
+            sym = words[wi]
+            new_sym = _merge_word(sym, best)
+            n = wcounts[wi]
+            new_pairs = set(zip(new_sym, new_sym[1:]))
+            delta: dict[tuple[str, str], int] = {}
+            for p in zip(sym, sym[1:]):
+                delta[p] = delta.get(p, 0) - 1
+            for p in zip(new_sym, new_sym[1:]):
+                delta[p] = delta.get(p, 0) + 1
+            for p, d in delta.items():
+                if d == 0:
+                    continue
+                c = pair_counts.get(p, 0) + d * n
+                if c > 0:
+                    pair_counts[p] = c
+                    heapq.heappush(heap, (-c, p))
+                    if d > 0:
+                        pair_words.setdefault(p, set()).add(wi)
+                    elif p not in new_pairs and p != best:
+                        # p == best still decrements here, but its
+                        # membership set was already consumed by the
+                        # pop above
+                        pair_words[p].discard(wi)
+                else:
+                    # count 0 ⇒ no CURRENT occurrence anywhere (unprocessed
+                    # words' old pairs are still counted), so the whole
+                    # membership set is dead
+                    pair_counts.pop(p, None)
+                    pair_words.pop(p, None)
+            words[wi] = new_sym
     return merges
 
 

@@ -216,6 +216,19 @@ def main() -> None:
         big_docs = multiplied_docs(docs, k)
         for name, df in doc_operators(big_docs).items():
             report.setdefault(name, {})[label] = round(run(df), 2)
+        # BPE TRAINING (r8): one Spark word-count pass + the incremental
+        # heap/delta merge loop driver-side — 500 merges per tier. The
+        # wall should track the (bounded) word table, NOT merges×vocab
+        # like the naive spec.
+        from open_instrument_spark.operators.bpe import train_bpe, word_counts
+
+        t0 = time.monotonic()
+        wc = [(r["word"], r["n"])
+              for r in word_counts(big_docs, max_words=100_000).collect()]
+        train_bpe(wc, n_merges=500)
+        report.setdefault("bpe_train_500", {})[label] = round(
+            time.monotonic() - t0, 2
+        )
         peaks[f"docs_{label}"] = peak_rss_mb()
 
     run(near_dup_pairs_lsh(emb, threshold=0.4))  # warm
