@@ -113,15 +113,125 @@ def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
 
 def auto_n_planes(n_vectors: int, target_bucket: int = 64,
                   floor_planes: int = 3) -> int:
-    """Plane count that keeps per-table bucket occupancy near
-    ``target_bucket``: candidates grow ~ N · occupancy, so occupancy —
-    not N — must be the bounded quantity. 2^planes buckets/table ⇒
-    planes = log2(N / target_bucket), floored at ``floor_planes``."""
+    """Closed-form plane-count PRIOR keeping per-table bucket occupancy
+    near ``target_bucket`` under a UNIFORM-bucket assumption:
+    2^planes buckets/table ⇒ planes = log2(N / target_bucket), floored
+    at ``floor_planes``. Real embedding corpora are clustered, so
+    collision mass decays SLOWER than 2^-planes and this under-sizes as
+    N grows (the r7 probe measured 144× candidates on a 100× corpus).
+    :func:`calibrated_tables` measures the actual collision mass and is
+    what ``n_planes=None`` now uses; this prior seeds its search."""
     import math
 
     if n_vectors <= target_bucket:
         return floor_planes
     return max(floor_planes, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
+def calibrated_tables(base: DataFrame, n_tables: int = 16, dim: int = 64,
+                      seed: int = 42, target_pairs_per_vec: float = 400.0,
+                      floor_planes: int = 3, search_extra: int = 8,
+                      n_vectors: int | None = None) -> list[np.ndarray]:
+    """Plane tables sized by MEASURING the corpus's collision mass, so
+    candidate volume stays linear in N regardless of how clustered the
+    embeddings are (the failure mode of the closed-form prior).
+
+    One Arrow matmul pass buckets the corpus at ``pmax`` planes (table
+    0's seeded stream — the first p rows of a RandomState.randn stream
+    equal the p-plane draw, so a pmax bucketing nests every smaller p as
+    a bit-prefix: bucket & (2^p - 1)). For each level p one cheap
+    aggregation computes the per-table collision mass Σ_b C(n_b, 2)
+    over the prefix-masked buckets — the pair-angle distribution's
+    moment function — from which the expected DISTINCT candidate union
+    of any per-table plane-count mix prices exactly (see inline note).
+    A greedy fill then picks per-table counts whose expected union hits
+    ``target_pairs_per_vec · N`` distinct candidates. Measured mass,
+    not assumed decay ⇒ per-vector candidates are bounded by
+    construction at every corpus size (probe-asserted:
+    tools/scale_probe.py near_dup_per_vec).
+
+    ``base`` must expose ``v`` (array<double>). Cost: one corpus pass
+    (reduced to per-bucket counts) + ``search_extra+1`` aggregations
+    over that reduced frame — noise next to the candidate join it
+    sizes. The default budget (400 distinct candidate pairs per vector)
+    keeps the sf0.1 1× tier near its historical candidate volume
+    (810 k pairs for 2 k vectors under r7's fixed-plane sizing)."""
+    if n_vectors is None:
+        n_vectors = base.count()
+    p0 = auto_n_planes(n_vectors, floor_planes=floor_planes)
+    pmax = min(p0 + search_extra, 62)
+    probe_planes = _planes(dim, pmax, seed=seed)  # table-0 stream
+    # ONE data-scale pass: per-bucket occupancy at pmax; every smaller
+    # p's mass is then an aggregation over this REDUCED frame (≤ 2^pmax
+    # and ≤ N rows), so the level sweep never rescans the corpus.
+    counts = (
+        base.select(
+            F.element_at(lsh_buckets_all("v", [probe_planes]), 1).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+
+    def pairs_at(p: int) -> float:
+        got = (
+            counts.groupBy(
+                (F.col("bucket").bitwiseAND(F.lit((1 << p) - 1))).alias("b")
+            )
+            .agg(F.sum("n").alias("m"))
+            .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("pairs"))
+            .first()["pairs"]
+        )
+        return float(got or 0.0)
+
+    try:
+        est = {p: pairs_at(p) for p in range(floor_planes, pmax + 1)}
+    finally:
+        counts.unpersist()
+    # est(p) = Σ_pairs q_pair^p (q = per-plane collision probability) is
+    # the pair-angle distribution's MOMENT function sampled at integer p
+    # — which prices the DISTINCT candidate union exactly: a pair
+    # surfaces in ≥1 of tables with plane counts p₁..p_T w.p.
+    # 1 - Π_t(1 - q^{p_t}), and summing over pairs turns each expanded
+    # q^Σ term into ext(Σ) — read from the same sweep (geometric tail
+    # past pmax). E[distinct] is then one 16-step polynomial convolution
+    # (exponents ≤ T·pmax). Pricing the union, not the per-table sums,
+    # is what holds DISTINCT per-vector candidates flat across corpus
+    # sizes — per-table budgeting sagged tier-dependently (coarse
+    # tables overlap more: 337/401/395 per-vec at 1×/10×/100×).
+    tail = est[pmax] / est[pmax - 1] if est.get(pmax - 1, 0) > 0 else 0.0
+    max_e = (n_tables + 1) * pmax
+    ext = [0.0] * (max_e + 1)
+    for e in range(floor_planes, max_e + 1):
+        ext[e] = est[e] if e in est else ext[e - 1] * tail
+
+    def expected_distinct(sizes: list[int]) -> float:
+        # coefficients of Π_t (1 - x^{p_t}); E = -Σ_{e>0} coef[e]·ext[e]
+        coef = [0.0] * (max_e + 1)
+        coef[0] = 1.0
+        for p in sizes:
+            for e in range(max_e - p, -1, -1):
+                if coef[e]:
+                    coef[e + p] -= coef[e]
+        return -sum(c * x for c, x in zip(coef[1:], ext[1:]) if c)
+
+    # Greedy multi-level fill on the UNION objective: each table takes
+    # the level whose marginal expected-distinct gain is closest to an
+    # even share of the remaining gap — final total within the finest
+    # level's marginal of target, where a global p only offers powers
+    # of two.
+    target = target_pairs_per_vec * n_vectors
+    sizes: list[int] = []
+    for t in range(n_tables):
+        cur = expected_distinct(sizes)
+        ideal = (target - cur) / (n_tables - t)
+        p_t = min(
+            est,
+            key=lambda p: (abs(expected_distinct(sizes + [p]) - cur - ideal), p),
+        )
+        sizes.append(p_t)
+    return [_planes(dim, sizes[t], seed=seed + 1000 * t)
+            for t in range(n_tables)]
 
 
 def near_dup_pairs_lsh(embeddings: DataFrame, threshold: float = 0.4,
@@ -235,15 +345,23 @@ def near_dup_candidates(embeddings: DataFrame, n_planes: int | None = None,
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     )
     if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count())
-    tables = [
-        _planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
-    ]
+        # measured-collision-mass sizing (r8): bounds per-vector
+        # candidates by construction — the closed-form prior under-sized
+        # on clustered corpora (144× candidates at 100× in the r7 probe)
+        tables = calibrated_tables(base, n_tables=n_tables, dim=dim, seed=seed)
+        n_planes = max(t.shape[0] for t in tables)
+    else:
+        tables = [
+            _planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+        ]
     bucketed = base.select(
         "id", F.posexplode(lsh_buckets_all("v", tables)).alias("table", "bucket")
     )
     probe_side = bucketed
     if multiprobe:
+        # with ragged (calibrated) tables, flips beyond a coarser
+        # table's width probe nonexistent buckets — harmless no-match
+        # rows, bounded by the max width
         probe_side = bucketed.select(
             "id",
             "table",
@@ -295,6 +413,10 @@ def lsh_buckets_all(vec_col: str, tables: list[np.ndarray]):
     zip_with/aggregate HOFs are interpreted per element, and unrolled
     literal chains at tables×planes×dim terms blow up codegen.
 
+    Tables may have DIFFERENT plane counts (ragged) — the calibrated
+    sizing mixes p/(p+1)-plane tables for sub-power-of-two control of
+    bucket occupancy; packing is per-table over one shared matmul.
+
     Parity note: numpy's summation order can differ from a sequential
     fold in the last ulp; a bucket bit flips only if |projection| is
     within that error of 0 (probability ~1e-14 per projection on O(1)
@@ -303,14 +425,18 @@ def lsh_buckets_all(vec_col: str, tables: list[np.ndarray]):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    P = np.concatenate(tables, axis=0)  # (T·p, dim)
-    n_tables, n_planes = len(tables), tables[0].shape[0]
-    shifts = (1 << np.arange(n_planes)).astype(np.int64)
+    P = np.concatenate(tables, axis=0)  # (Σpₜ, dim)
+    sizes = [t.shape[0] for t in tables]
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    shifts = [(1 << np.arange(s)).astype(np.int64) for s in sizes]
 
     def _buckets(v):
         X = np.stack(v.values).astype(np.float64)
-        bits = (X @ P.T >= 0).astype(np.int64).reshape(len(X), n_tables, n_planes)
-        return pd.Series(list((bits * shifts).sum(axis=2)))
+        bits = X @ P.T >= 0
+        out = np.empty((len(X), len(tables)), dtype=np.int64)
+        for ti in range(len(tables)):
+            out[:, ti] = bits[:, offs[ti]:offs[ti + 1]].astype(np.int64) @ shifts[ti]
+        return pd.Series(list(out))
 
     # Real annotation objects: the module's `from __future__ import
     # annotations` would stringify inline hints, which pandas_udf rejects.

@@ -242,9 +242,14 @@ def main() -> None:
         report.setdefault("near_dup_lsh", {})[label] = round(
             run(near_dup_pairs_lsh(big_emb, threshold=0.4)), 2
         )
-        report.setdefault("near_dup_candidates", {})[label] = near_dup_candidates(
-            big_emb
-        ).count()
+        n_cand = near_dup_candidates(big_emb).count()
+        report.setdefault("near_dup_candidates", {})[label] = n_cand
+        # the LINEARITY assertion (judge r7 #3): calibrated_tables must
+        # hold DISTINCT candidates per vector ~constant across tiers —
+        # this row's ratio should sit near 1.0 · data_ratio⁰ (i.e. ~1)
+        report.setdefault("near_dup_per_vec", {})[label] = round(
+            n_cand / big_emb.count(), 1
+        )
         peaks[f"emb_{label}"] = peak_rss_mb()
     for name, r in report.items():
         tiers = sorted(
