@@ -86,7 +86,8 @@ _STREAM_AGGS = {
 def windowed_agg(points_stream: DataFrame, kind: str = "sum",
                  interval: str = "5 minutes", watermark: str = "10 minutes",
                  label: str | None = None,
-                 slide: str | None = None) -> DataFrame:
+                 slide: str | None = None,
+                 retain_single_valued: bool = False) -> DataFrame:
     """The A-family over a stream: aligned tumbling windows per variable
     name (A7), optionally grouped by a label value (A8), with any
     incremental aggregate (A2-A5, A9-analog default interval left to the
@@ -105,6 +106,15 @@ def windowed_agg(points_stream: DataFrame, kind: str = "sum",
     median, needs the full window and stays a batch op). Same
     expression in batch groupBy gives bit-equal results on the same
     rows (asserted by test_streaming_windowed_p95_matches_batch).
+
+    ``retain_single_valued`` (A8's C++ nicety, store.cc:208-227): adds
+    a ``retained_labels`` map of every OTHER label with exactly one
+    distinct value among the group's member points. Scope note: batch
+    computes retention over the whole queried range (≈ the reference's
+    /get request range); a stream has no "whole range", so here it is
+    per WINDOW — each closed window equals the batch result computed
+    over that window's rows (asserted by
+    test_streaming_windowed_agg_retained_labels_matches_batch).
     """
     kd = kind.lower()
     if len(kd) > 1 and kd[0] == "p" and kd[1:].replace(".", "", 1).isdigit():
@@ -118,23 +128,50 @@ def windowed_agg(points_stream: DataFrame, kind: str = "sum",
     src = points_stream
     if label is not None:
         # A10 drop-missing (Go MergeStreamsBy): streams lacking the
-        # grouping label are skipped, matching the batch
-        # aggregate_by_label default — not grouped under a NULL key.
-        src = src.filter(F.col("labels").getItem(label).isNotNull())
-        keys.append(F.col("labels").getItem(label).alias("label_value"))
+        # grouping label (absent OR empty-valued — same predicate as the
+        # batch aggregate_by_label) are skipped, not grouped under NULL.
+        lv = F.col("labels").getItem(label)
+        src = src.filter(lv.isNotNull() & (lv != ""))
+        keys.append(lv.alias("label_value"))
     # slide=None → tumbling; a slide makes the windows HOPPING (each
     # sample lands in window/slide windows — the same built-in the
     # batch aggregate_by_name_sliding uses, so a closed streaming
     # window still equals the batch result for the same data)
     win = (F.window("ts", interval) if slide is None
            else F.window("ts", interval, slide))
+    aggs = [agg]
+    if retain_single_valued:
+        if label is None:
+            raise ValueError("retain_single_valued requires a grouping label")
+        # A8 single-valued retention (store.cc:208-227), streaming form:
+        # collect the group's DISTINCT label sets in the SAME windowed
+        # aggregation (collect_set is a mergeable agg, so state stays
+        # watermark-bounded), then derive per-group retained labels with
+        # higher-order functions — no second shuffle, no stream-stream
+        # join. collect_set rejects MAP inputs, so maps ride as SORTED
+        # entry arrays (sorting canonicalizes equal maps to one set
+        # element). Same declared null semantics as batch: a null value
+        # counts as a distinct value; no qualifying keys → EMPTY map.
+        aggs.append(
+            F.collect_set(F.array_sort(F.map_entries("labels"))).alias("_maps")
+        )
     out = (
         src.withWatermark("ts", watermark)
         .groupBy(win, *keys)
-        .agg(agg)
+        .agg(*aggs)
     )
     key_names = ["name"] + (["label_value"] if label is not None else [])
-    return out.select(F.col("window.start").alias("ts"), *key_names, "value")
+    cols = [F.col("window.start").alias("ts"), *key_names, "value"]
+    if retain_single_valued:
+        entries = F.array_distinct(F.flatten("_maps"))
+        kv = entries  # captured below
+        singles = F.filter(
+            kv,
+            lambda e: (e["key"] != F.lit(label))
+            & (F.size(F.filter(kv, lambda x: x["key"] == e["key"])) == 1),
+        )
+        cols.append(F.map_from_entries(singles).alias("retained_labels"))
+    return out.select(*cols)
 
 
 def windowed_rate_sum(points_stream: DataFrame, interval: str = "5 minutes",

@@ -1332,3 +1332,54 @@ def test_streaming_sliding_window_matches_batch(spark, points, tmp_path):
             for r in aggregate_by_name_sliding(
                 pts, "sum", 3_600_000, 3_600_000).collect()}
     assert len(want) > len(tumb)
+
+
+def test_streaming_windowed_agg_retained_labels_matches_batch(spark, points, tmp_path):
+    """A8 single-valued label retention over a stream: each closed
+    window's retained_labels must equal the batch
+    aggregate_by_label(retain_single_valued=True) computed over that
+    window's rows (retention scope is per window — the streaming analog
+    of the reference's per-request range). Also pins the drop-missing
+    empty-string parity with batch."""
+    from open_instrument_spark.operators import aggregate as agg_ops
+    from open_instrument_spark.streaming.ingest import windowed_agg
+
+    src = str(tmp_path / "war_src")
+    pts = points.limit(2000)
+    pts.write.parquet(src)
+    stream = read_points_stream(spark, src)
+    q = (
+        windowed_agg(stream, kind="sum", interval="1 hour",
+                     watermark="1 hour", label="user_id",
+                     retain_single_valued=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("war")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("war").collect()
+    assert rows
+    got = {
+        (r["ts"], r["name"], r["label_value"]):
+            (round(r["value"], 9), tuple(sorted((r["retained_labels"] or {}).items())))
+        for r in rows
+    }
+    # batch twin per emitted window: restrict input to the window's rows
+    for win_ts in {k[0] for k in got}:
+        lo = win_ts
+        win_pts = pts.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
+        )
+        want = {
+            (r["ts"], r["name"], r["label_value"]):
+                (round(r["value"], 9),
+                 tuple(sorted((r["retained_labels"] or {}).items())))
+            for r in agg_ops.aggregate_by_label(
+                win_pts, "sum", "user_id", 3_600_000,
+                retain_single_valued=True).collect()
+        }
+        for k in [k for k in got if k[0] == win_ts]:
+            assert got[k] == want[k], (k, got[k], want.get(k))
