@@ -6,7 +6,11 @@ Prints ONE JSON line:
 
 Each query is materialized with a noop write (full execution, no driver
 collect) — the same shape a cluster run would have. Times are wall-clock
-per query after a warm-up of the session + file listing.
+per query after a warm-up pass: every headline query once at the smoke
+tier (sf0.001 — codegen caches key on plan shape, so this removes
+first-run whole-stage-compile cost from the measured window at ~1% of a
+measured pass; r8 change, motivated by 3× cold-start min-max spreads on
+the composed pipelines in the r7 artifact).
 
 Methodology (r3): each query runs N times (default 3, env
 SPARK_GRAFT_BENCH_N); repetitions are interleaved round-robin across the
@@ -177,8 +181,22 @@ def main() -> None:
     load_before = _load_evidence()
     spark = get_spark("oi-bench")
 
-    # Warm up (not counted): JVM + codegen + file listing for both table
-    # families (events points pipeline incl. window codegen, documents).
+    # Warm up (not counted): one pass of EVERY headline query at the
+    # smoke tier (sf0.001) — codegen caches key on plan shape, not data
+    # volume, so this warms whole-stage compilation, Arrow/pandas worker
+    # startup, and broadcast machinery for every measured plan at ~1% of
+    # a measured pass's cost. The r7 artifact's 3× min-max spreads on
+    # corpus_clean_pipeline_v2 / text_lm_score were exactly this
+    # first-run compile cost landing inside the measured window
+    # (profiled: v2 runs 8.3 s cold then 4.2±0.3 s warm; the plan
+    # doesn't change). Two sf-dir-sized warms keep file listing warm for
+    # the measured tier itself.
+    smoke_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in HEADLINE:
+        try:
+            materialize(registry.QUERIES[name](spark, smoke_dir))
+        except Exception:
+            pass  # a warm-up failure must not kill the measured run
     materialize(registry.QUERIES["flagship_rate_sum"](spark, sf_dir))
     materialize(registry.QUERIES["dedup_exact"](spark, sf_dir))
 

@@ -724,3 +724,61 @@ def search_ivf_index(spark, path: str, queries: dict[int, list],
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def ivf_cell_stats(spark, path: str) -> dict:
+    """Occupancy health of an on-disk IVF index: per-cell vector counts
+    plus the skew ratio max/mean (mean over ALL centroid cells, so
+    emptied cells count against balance). One cell-column aggregation —
+    the cell is a partition column, so the scan reads no vector data.
+    Returns {"counts": {cell: n}, "skew": float, "n_cells": int}."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"IVF index at {path} has an empty centroids table")
+    n_cells = max(r["cell"] for r in crows) + 1
+    counts = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    mean = total / n_cells if n_cells else 0.0
+    skew = (max(counts.values()) / mean) if (counts and mean > 0) else 0.0
+    return {"counts": counts, "skew": round(skew, 3), "n_cells": n_cells}
+
+
+def rebalance_ivf_index(spark, path: str, out_path: str | None = None,
+                        skew_threshold: float = 4.0, train_n: int = 2048,
+                        n_cells: int | None = None, seed: int = 43,
+                        force: bool = False) -> dict:
+    """Index maintenance for the evolving-corpus path (the W2-compaction
+    ethos applied to the ANN store): appends assign against IMMUTABLE
+    centroids, so a drifted ingest stream piles into few cells and probe
+    pruning stops pruning — searches degrade toward a scan of the hot
+    cell. When the occupancy skew (max cell / mean) exceeds
+    ``skew_threshold``, re-train spherical k-means on a deterministic
+    sample of the CURRENT corpus (appended rows included) and rewrite
+    the index.
+
+    The rebuilt index lands at ``out_path`` (default
+    ``{path}.rebalanced``) as a complete sibling layout — same reason
+    compaction writes ``_compacted``: readers of the live path are never
+    mid-rewrite, and the swap is the caller's (object store's) atomic
+    rename. Cost: one sample read + one corpus-wide assign + one
+    cell-partitioned shuffle write — the same shape as the original
+    build. Returns {"rebalanced", "skew_before", "skew_after",
+    "out_path"}; skips (rebalanced=False) under the threshold unless
+    ``force``."""
+    stats = ivf_cell_stats(spark, path)
+    out_path = out_path or f"{path}.rebalanced"
+    if stats["skew"] < skew_threshold and not force:
+        return {"rebalanced": False, "skew_before": stats["skew"],
+                "skew_after": stats["skew"], "out_path": None}
+    vecs = spark.read.parquet(f"{path}/vectors").select("n_id", "v")
+    build_ivf_index(
+        vecs, out_path, n_cells=n_cells or stats["n_cells"],
+        train_n=train_n, id_col="n_id", vec_col="v", seed=seed,
+    )
+    after = ivf_cell_stats(spark, out_path)
+    return {"rebalanced": True, "skew_before": stats["skew"],
+            "skew_after": after["skew"], "out_path": out_path}
