@@ -116,6 +116,11 @@ HEADLINE = [
     "agg_sliding_sum",
     "agg_histogram",
     "corpus_pack_bpe",
+    # r8 additions, first benched r8 (baseline for later rounds): the
+    # guarded LM scorer (top-K tables engaged) and the reference-exact
+    # cross-stream drift-bucket aggregation kernel.
+    "text_lm_score_topk",
+    "agg_anchored_sum",
 ]
 
 

@@ -130,14 +130,19 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
     if max_vocab is not None:
         uni = uni.orderBy(F.col("c1").desc(), "w1").limit(max_vocab)
     v = uni.count()  # (truncated) vocabulary size — one bounded action
+    # join type: untruncated tables cover every key, so INNER ≡ LEFT
+    # there — keep inner (Catalyst reorders/codegens it better); the
+    # capped tables genuinely miss keys and need the OOV left join.
     scored = (
         bg.join(
             F.broadcast(bg_counts) if max_bigrams is not None else bg_counts,
-            ["w1", "w2"], "left",
+            ["w1", "w2"],
+            "left" if max_bigrams is not None else "inner",
         )
         .join(
             F.broadcast(uni) if max_vocab is not None else uni,
-            "w1", "left",
+            "w1",
+            "left" if max_vocab is not None else "inner",
         )
         .withColumn(
             "_logp",
