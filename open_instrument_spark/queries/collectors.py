@@ -1,0 +1,483 @@
+"""S13 collector queries: deterministic status payloads are synthesized
+from the events table, pushed through the REAL format parsers
+(sources/collectors.py), and hash-gated against DuckDB oracles that
+compute the expected points DIRECTLY from the same aggregates — a
+mismatch anywhere in the synth → parse path goes red.
+
+Reference: client/python/{mysql,apache,system}_status.py (see the
+parser module for line-level citations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_instrument_spark.model import series_key
+from open_instrument_spark.registry_base import NOW, query
+from open_instrument_spark.sources import collectors as C
+from open_instrument_spark.sources.tables import load_tables
+
+_TS = f"TIMESTAMP '{NOW}'"
+
+
+def _scrape(agg: DataFrame, prefix: str, payload: Column) -> DataFrame:
+    return agg.select(
+        F.concat(F.lit(prefix), F.col("h").cast("string")).alias("hostname"),
+        F.lit(NOW).cast("timestamp").alias("ts"),
+        payload.alias("payload"),
+    )
+
+
+def _out(pts: DataFrame) -> DataFrame:
+    return pts.select(series_key().alias("series_key"), "ts", "dval")
+
+
+# ---------------------------------------------------------------------------
+# mysql `show status`
+# ---------------------------------------------------------------------------
+
+@query(
+    "collector_mysql_status",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(user_id AS BIGINT) % 4 AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT h, SUM(n) AS tot FROM c GROUP BY h)
+SELECT '/database/mysql/status/com_' || lower(event_type) ||
+       '{{hostname=db' || h || ',port=3306}}' AS series_key,
+       {_TS} AS ts, CAST(n AS DOUBLE) AS dval
+FROM c
+UNION ALL
+SELECT '/database/mysql/status/innodb_rows_read{{hostname=db' || h ||
+       ',port=3306}}', {_TS}, CAST(tot AS DOUBLE) FROM t
+UNION ALL
+SELECT '/database/mysql/status/have_ssl{{hostname=db' || h ||
+       ',port=3306}}', {_TS}, 1.0 FROM t
+UNION ALL
+SELECT '/database/mysql/status/have_query_cache{{hostname=db' || h ||
+       ',port=3306}}', {_TS}, 0.0 FROM t
+""",
+)
+def collector_mysql_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 mysql collector: per-host `show status` payloads (Com_*
+    counters from events, planted ON/OFF/header/non-numeric lines)
+    parsed by parse_mysql_status; the header, the string-valued
+    Version_comment, and 3-token lines must all be skipped, ON/OFF
+    must map to 1/0, keys must lowercase (mysql_status.py:50-71)."""
+    ev = load_tables(spark, sf_dir).table("events")
+    per_type = ev.groupBy(
+        (F.col("user_id") % 4).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    lines_t = per_type.select(
+        "h",
+        F.concat(
+            F.lit("Com_"), F.col("event_type"), F.lit("\t"),
+            F.col("n").cast("string"),
+        ).alias("line"),
+    )
+    tot = per_type.groupBy("h").agg(F.sum("n").alias("tot"))
+    planted = tot.select(
+        "h",
+        F.explode(
+            F.array(
+                F.lit("Variable_name\tValue"),
+                F.lit("Have_ssl\tON"),
+                F.lit("Have_query_cache\tOFF"),
+                F.lit("Version_comment\tMySQL Community Server"),
+                F.concat(
+                    F.lit("Innodb_rows_read\t"), F.col("tot").cast("string")
+                ),
+            )
+        ).alias("line"),
+    )
+    agg = lines_t.unionByName(planted).groupBy("h").agg(
+        F.concat_ws("\n", F.sort_array(F.collect_list("line"))).alias("payload")
+    )
+    pts = C.parse_mysql_status(
+        _scrape(agg, "db", F.col("payload")), port=F.lit("3306")
+    )
+    return _out(pts)
+
+
+# ---------------------------------------------------------------------------
+# apache mod_status ?auto
+# ---------------------------------------------------------------------------
+
+_APACHE_DERIVED = """
+a AS (
+  SELECT CAST(user_id AS BIGINT) % 3 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT h, n, n % 1000 AS kb, n % 11 AS busy, n % 17 AS idle,
+         n % 5 AS keep, n % 13 AS opn, n % 90 + 10 AS cpufrac
+  FROM a
+)
+"""
+
+
+@query(
+    "collector_apache_scoreboard",
+    oracle=f"""
+WITH {_APACHE_DERIVED}
+SELECT '/webserver/apache/hits{{hostname=web' || h || '}}' AS series_key,
+       {_TS} AS ts, CAST(n AS DOUBLE) AS dval FROM d
+UNION ALL
+SELECT '/webserver/apache/bytes{{hostname=web' || h || ',units=bytes}}',
+       {_TS}, CAST(kb AS DOUBLE) * 1024.0 FROM d
+UNION ALL
+SELECT '/webserver/apache/cpu_load{{hostname=web' || h || '}}',
+       {_TS}, CAST('0.' || cpufrac AS DOUBLE) FROM d
+UNION ALL
+SELECT '/webserver/apache/uptime{{hostname=web' || h || '}}',
+       {_TS}, CAST(n * 13 AS DOUBLE) FROM d
+UNION ALL
+SELECT '/webserver/apache/busy_workers{{hostname=web' || h || '}}',
+       {_TS}, CAST(busy AS DOUBLE) FROM d
+UNION ALL
+SELECT '/webserver/apache/idle_workers{{hostname=web' || h || '}}',
+       {_TS}, CAST(idle AS DOUBLE) FROM d
+UNION ALL
+SELECT '/webserver/apache/worker_slots/' || s.slot ||
+       '{{hostname=web' || h || '}}', {_TS},
+       CAST(CASE s.slot WHEN 'waiting' THEN idle WHEN 'writing' THEN busy
+                        WHEN 'keepalive' THEN keep WHEN 'open' THEN opn
+                        ELSE 0 END AS DOUBLE)
+FROM d CROSS JOIN (
+  SELECT UNNEST(['waiting','starting','reading','writing','keepalive',
+                 'dns','closing','logging','lameduck','idle_cleanup',
+                 'open']) AS slot
+) s
+""",
+)
+def collector_apache_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 apache collector: per-host ?auto payloads (metrics + a
+    scoreboard string built by repeat()) through parse_apache_status —
+    gates the known-key table, the kBytes ×1024 scaling + units label,
+    the BusyServers/IdleServers 2.2 aliases, character-exact scoreboard
+    slot counting with unknown characters ignored, and the
+    always-emitted zero slots (apache_status.py:35-94)."""
+    ev = load_tables(spark, sf_dir).table("events")
+    d = ev.groupBy((F.col("user_id") % 3).alias("h")).agg(
+        F.count("*").alias("n")
+    ).select(
+        "h", "n",
+        (F.col("n") % 1000).alias("kb"),
+        (F.col("n") % 11).alias("busy"),
+        (F.col("n") % 17).alias("idle"),
+        (F.col("n") % 5).alias("keep"),
+        (F.col("n") % 13).alias("opn"),
+        (F.col("n") % 90 + 10).alias("cpufrac"),
+    )
+    s = F.col  # brevity
+    scoreboard = F.concat(
+        F.expr("repeat('_', idle)"),
+        F.expr("repeat('W', busy)"),
+        F.expr("repeat('K', keep)"),
+        F.expr("repeat('.', opn)"),
+        F.lit("X"),  # not a worker type: must be ignored
+    )
+    payload = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Total Accesses: "), s("n").cast("string")),
+        F.concat(F.lit("Total kBytes: "), s("kb").cast("string")),
+        F.concat(F.lit("CPULoad: 0."), s("cpufrac").cast("string")),
+        F.concat(F.lit("Uptime: "), (s("n") * 13).cast("string")),
+        F.concat(F.lit("BusyServers: "), s("busy").cast("string")),
+        F.concat(F.lit("IdleServers: "), s("idle").cast("string")),
+        F.concat(F.lit("Scoreboard: "), scoreboard),
+        F.lit("ExtraUnknown: 42"),  # unknown key: dropped
+    )
+    pts = C.parse_apache_status(_scrape(d, "web", payload))
+    return _out(pts)
+
+
+# ---------------------------------------------------------------------------
+# /proc/stat
+# ---------------------------------------------------------------------------
+
+_STAT_DERIVED = """
+a AS (
+  SELECT CAST(user_id AS BIGINT) % 2 AS h, COUNT(*) AS n,
+         SUM(event_id) % 100000 AS s
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT h, n, s,
+         n % 1000 AS cu, s % 500 AS cn, n % 700 AS cs, (n * 3) % 9000 AS ci,
+         n % 50 AS cio, n % 20 AS cq, n % 30 AS csi,
+         1706000000 + (n % 86400) AS btime
+  FROM a
+)
+"""
+
+_CPU_SQL_METRICS = [
+    ("user", "cu"), ("nice", "cn"), ("system", "cs"), ("idle", "ci"),
+    ("iowait", "cio"), ("irq", "cq"), ("softirq", "csi"),
+]
+
+
+def _cpu_rows_sql(cpu_label: str, shift: str) -> str:
+    rows = []
+    for metric, col in _CPU_SQL_METRICS:
+        rows.append(
+            f"SELECT '/system/stats/cpu_stats/{metric}{{cpu={cpu_label},"
+            f"datatype=counter,hostname=node' || h || ',units=seconds}}'"
+            f" AS series_key, {_TS} AS ts,"
+            f" CAST({col}{shift} AS DOUBLE) / 100.0 AS dval FROM d"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "collector_proc_stat",
+    oracle=f"""
+WITH {_STAT_DERIVED}
+{_cpu_rows_sql('total', '')}
+UNION ALL
+{_cpu_rows_sql('0', ' + 1')}
+UNION ALL
+SELECT '/system/stats/cpu_stats/interrupts{{datatype=counter,hostname=node'
+       || h || ',interrupt=total}}', {_TS}, CAST(n % 100000 AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/cpu_stats/context_switches{{datatype=counter,hostname=node'
+       || h || '}}', {_TS}, CAST(s AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/uptime{{datatype=gauge,hostname=node' || h || '}}',
+       {_TS}, epoch({_TS}) - CAST(btime AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/processes_started{{datatype=counter,hostname=node'
+       || h || '}}', {_TS}, CAST(n % 5000 AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/processes_running{{datatype=gauge,hostname=node'
+       || h || '}}', {_TS}, CAST(n % 32 AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/processes_blocked{{datatype=gauge,hostname=node'
+       || h || '}}', {_TS}, CAST(n % 7 AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/softirq{{datatype=counter,hostname=node' || h ||
+       ',irq=total}}', {_TS}, CAST(n % 90000 AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/stats/softirq{{datatype=counter,hostname=node' || h ||
+       ',irq=' || i.i || '}}', {_TS},
+       CAST(CASE i.i WHEN 0 THEN n % 11 ELSE n % 13 END AS DOUBLE)
+FROM d CROSS JOIN (SELECT UNNEST([0, 1]) AS i) i
+""",
+)
+def collector_proc_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 system collector, /proc/stat: per-host payloads with a
+    7-field ``cpu`` line, a 10-field ``cpu0`` line (the maxsplit path —
+    trailing fields dropped), intr/ctxt/btime/processes/procs_* and a
+    softirq line with per-index counters, through parse_proc_stat at
+    HZ=100 (system_status.py:41-91)."""
+    ev = load_tables(spark, sf_dir).table("events")
+    d = ev.groupBy((F.col("user_id") % 2).alias("h")).agg(
+        F.count("*").alias("n"),
+        (F.sum("event_id") % 100000).alias("s"),
+    ).select(
+        "h", "n", "s",
+        (F.col("n") % 1000).alias("cu"),
+        (F.col("s") % 500).alias("cn"),
+        (F.col("n") % 700).alias("cs"),
+        ((F.col("n") * 3) % 9000).alias("ci"),
+        (F.col("n") % 50).alias("cio"),
+        (F.col("n") % 20).alias("cq"),
+        (F.col("n") % 30).alias("csi"),
+        (F.lit(1706000000) + (F.col("n") % 86400)).alias("btime"),
+    )
+
+    def cat(*parts):
+        return F.concat(*[
+            p if isinstance(p, Column) else F.lit(p) for p in parts
+        ])
+
+    def num(c):
+        return F.col(c).cast("string")
+
+    sp = F.lit(" ")
+    cpu_total = cat(
+        "cpu  ", num("cu"), sp, num("cn"), sp, num("cs"), sp, num("ci"),
+        sp, num("cio"), sp, num("cq"), sp, num("csi"),
+    )
+    cpu0 = cat(
+        "cpu0 ", (F.col("cu") + 1).cast("string"), sp,
+        (F.col("cn") + 1).cast("string"), sp,
+        (F.col("cs") + 1).cast("string"), sp,
+        (F.col("ci") + 1).cast("string"), sp,
+        (F.col("cio") + 1).cast("string"), sp,
+        (F.col("cq") + 1).cast("string"), sp,
+        (F.col("csi") + 1).cast("string"), " 7 8 9",
+    )
+    payload = F.concat_ws(
+        "\n",
+        cpu_total,
+        cpu0,
+        cat("intr ", (F.col("n") % 100000).cast("string"), " 1 2 3"),
+        cat("ctxt ", num("s")),
+        cat("btime ", num("btime")),
+        cat("processes ", (F.col("n") % 5000).cast("string")),
+        cat("procs_running ", (F.col("n") % 32).cast("string")),
+        cat("procs_blocked ", (F.col("n") % 7).cast("string")),
+        cat(
+            "softirq ", (F.col("n") % 90000).cast("string"), sp,
+            (F.col("n") % 11).cast("string"), sp,
+            (F.col("n") % 13).cast("string"),
+        ),
+    )
+    pts = C.parse_proc_stat(_scrape(d, "node", payload), hz=100.0)
+    return _out(pts)
+
+
+# ---------------------------------------------------------------------------
+# meminfo + df + loadavg + ntpq (the rest of system_status.py)
+# ---------------------------------------------------------------------------
+
+_SYS_DERIVED = """
+a AS (
+  SELECT CAST(user_id AS BIGINT) % 2 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT h, n, n % 90 + 10 AS ldfrac,
+         n % 100000 AS mt, n % 50000 AS mf, n % 300 AS sc, n % 64 AS hp,
+         n % 4000 AS aa,
+         n % 900000 + 1 AS sz, n % 400000 AS us, n % 200000 AS av,
+         n % 65536 + 1 AS i1, n % 30000 AS i2, n % 20000 AS i3,
+         n % 3000 AS nd, n % 2000 AS no, n % 500 AS nj
+  FROM a
+)
+"""
+
+
+def _fs_rows_sql(metric: str, col: str, scale: str) -> str:
+    return (
+        f"SELECT '/system/filesystem/{metric}{{datatype=gauge,device=/dev/sda1,"
+        f"hostname=fs' || h || ',mountpoint=/,units=bytes}}' AS series_key,"
+        f" {_TS} AS ts, CAST({col} AS DOUBLE){scale} AS dval FROM d"
+    )
+
+
+def _inode_rows_sql(metric: str, col: str) -> str:
+    return (
+        f"SELECT '/system/filesystem/{metric}{{datatype=gauge,device=/dev/sda1,"
+        f"hostname=fs' || h || ',mountpoint=/,units=inodes}}',"
+        f" {_TS}, CAST({col} AS DOUBLE) FROM d"
+    )
+
+
+@query(
+    "collector_system_status",
+    oracle=f"""
+WITH {_SYS_DERIVED}
+SELECT '/system/memory/memtotal{{datatype=gauge,hostname=fs' || h || '}}'
+       AS series_key, {_TS} AS ts, CAST(mt AS DOUBLE) * 1024.0 AS dval FROM d
+UNION ALL
+SELECT '/system/memory/memfree{{datatype=gauge,hostname=fs' || h || '}}',
+       {_TS}, CAST(mf AS DOUBLE) * 1024.0 FROM d
+UNION ALL
+SELECT '/system/memory/swapcached{{datatype=gauge,hostname=fs' || h || '}}',
+       {_TS}, CAST(sc AS DOUBLE) * 1024.0 * 1024.0 FROM d
+UNION ALL
+SELECT '/system/memory/hugepages_total{{datatype=gauge,hostname=fs' || h ||
+       '}}', {_TS}, CAST(hp AS DOUBLE) FROM d
+UNION ALL
+SELECT '/system/memory/active_anon_{{datatype=gauge,hostname=fs' || h ||
+       '}}', {_TS}, CAST(aa AS DOUBLE) * 1024.0 FROM d
+UNION ALL
+{_fs_rows_sql('size', 'sz', ' * 1024.0')}
+UNION ALL
+{_fs_rows_sql('used', 'us', ' * 1024.0')}
+UNION ALL
+{_fs_rows_sql('available', 'av', ' * 1024.0')}
+UNION ALL
+{_inode_rows_sql('inodes_total', 'i1')}
+UNION ALL
+{_inode_rows_sql('inodes_used', 'i2')}
+UNION ALL
+{_inode_rows_sql('inodes_available', 'i3')}
+UNION ALL
+SELECT '/system/load_average{{datatype=gauge,hostname=fs' || h || '}}',
+       {_TS}, CAST('0.' || ldfrac AS DOUBLE) FROM d
+UNION ALL
+SELECT '/ntp/' || m.m || '{{datatype=gauge,hostname=fs' || h ||
+       ',remote=10.0.0.' || h || ',units=seconds}}', {_TS},
+       CAST(CASE m.m WHEN 'delay' THEN nd WHEN 'offset' THEN no
+            ELSE nj END AS DOUBLE) / 1000.0
+FROM d CROSS JOIN (SELECT UNNEST(['delay', 'offset', 'jitter']) AS m) m
+""",
+)
+def collector_system_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 system collector, the non-/proc/stat formats in one pass:
+    meminfo (kB/MB/bare scaling, paren → underscore keys), df blocks
+    (×1024, header self-skips) and inodes (zero-inode filesystems
+    skipped), loadavg first-field, and the ntpq sync-peer ms→s
+    conversion — each payload through its real parser, unioned
+    (system_status.py:94-229)."""
+    ev = load_tables(spark, sf_dir).table("events")
+    n = F.col("n")
+    d = ev.groupBy((F.col("user_id") % 2).alias("h")).agg(
+        F.count("*").alias("n")
+    ).select(
+        "h", "n",
+        (n % 90 + 10).alias("ldfrac"),
+        (n % 100000).alias("mt"), (n % 50000).alias("mf"),
+        (n % 300).alias("sc"), (n % 64).alias("hp"), (n % 4000).alias("aa"),
+        (n % 900000 + 1).alias("sz"), (n % 400000).alias("us"),
+        (n % 200000).alias("av"),
+        (n % 65536 + 1).alias("i1"), (n % 30000).alias("i2"),
+        (n % 20000).alias("i3"),
+        (n % 3000).alias("nd"), (n % 2000).alias("no"), (n % 500).alias("nj"),
+    )
+
+    def cat(*parts):
+        return F.concat(*[
+            p if isinstance(p, Column) else F.lit(p) for p in parts
+        ])
+
+    def num(c):
+        return F.col(c).cast("string")
+
+    meminfo = F.concat_ws(
+        "\n",
+        cat("MemTotal:        ", num("mt"), " kB"),
+        cat("MemFree:         ", num("mf"), " kB"),
+        cat("SwapCached:      ", num("sc"), " MB"),
+        cat("HugePages_Total: ", num("hp")),
+        cat("Active(anon):    ", num("aa"), " kB"),
+        F.lit("garbage line without a separator"),
+    )
+    df_blocks = F.concat_ws(
+        "\n",
+        F.lit("Filesystem     1024-blocks     Used Available Capacity Mounted on"),
+        cat("/dev/sda1 ", num("sz"), " ", num("us"), " ", num("av"), " 50% /"),
+    )
+    df_inodes = F.concat_ws(
+        "\n",
+        F.lit("Filesystem     Inodes   IUsed   IFree Capacity Mounted on"),
+        cat("/dev/sda1 ", num("i1"), " ", num("i2"), " ", num("i3"), " 2% /"),
+        F.lit("devfs 0 0 0 - /dev"),
+    )
+    loadavg = cat("0.", num("ldfrac"), " 0.20 0.10 1/123 456")
+    ntpq = F.concat_ws(
+        "\n",
+        F.lit("     remote           refid      st t when poll reach   delay"
+              "   offset  jitter"),
+        F.lit("=" * 78),
+        cat("+10.1.1.1 .GPS. 1 u 33 64 377 1 2 3"),
+        cat(
+            "*10.0.0.", F.col("h").cast("string"), " .PPS. 1 u 12 64 377 ",
+            num("nd"), " ", num("no"), " ", num("nj"),
+        ),
+    )
+    parts = [
+        C.parse_meminfo(_scrape(d, "fs", meminfo)),
+        C.parse_df_blocks(_scrape(d, "fs", df_blocks)),
+        C.parse_df_inodes(_scrape(d, "fs", df_inodes)),
+        C.parse_loadavg(_scrape(d, "fs", loadavg)),
+        C.parse_ntpq(_scrape(d, "fs", ntpq)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return _out(out)

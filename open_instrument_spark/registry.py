@@ -36,7 +36,7 @@ from open_instrument_spark.registry_base import (  # noqa: F401 — re-exports
 
 # Domain modules: importing them registers every query. Order here is
 # narrative only — DRIVER_WINDOW below decides what the driver replays.
-from open_instrument_spark.queries import analytics, llm, temporal, tsdb  # noqa: E402,F401
+from open_instrument_spark.queries import analytics, collectors, llm, temporal, tsdb  # noqa: E402,F401
 
 # Compatibility re-exports (externally referenced symbols that moved
 # into domain modules with the r6 split).
@@ -173,6 +173,11 @@ _PAST_WINDOW_ORACLED = [
     "temporal_asof_join",
     "temporal_sessionize",
     "temporal_funnel",
+    # r8 additions (S13 collectors) — oracled, pytest-gated
+    "collector_mysql_status",
+    "collector_apache_scoreboard",
+    "collector_proc_stat",
+    "collector_system_status",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
