@@ -315,3 +315,29 @@ def test_collectors_feed_ingest_pipeline(spark):
     ]
     ok = validate(pts, now=dt.datetime(2024, 1, 31, 12, 0, 0))
     assert ok.count() == 5
+
+
+def test_collector_parse_is_stream_safe(spark, tmp_path):
+    """The parsers are stateless column expressions, so the same call
+    works unchanged on a streaming scrape source — collector feeds
+    plug into the streaming ingest pipeline (SURVEY §2.8)."""
+    src = str(tmp_path / "scrapes")
+    batch = scrape(spark, MYSQL).unionByName(
+        scrape(spark, "Uptime\t7\n", hostname="h2")
+    )
+    batch.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "hostname string, ts timestamp, payload string"
+    ).parquet(src)
+    q = (
+        C.parse_mysql_status(stream)
+        .writeStream.format("memory")
+        .queryName("collector_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = rows(spark.table("collector_stream"))
+    exp = rows(C.parse_mysql_status(batch))
+    assert got == exp and len(got) == 6

@@ -331,3 +331,40 @@ def test_sliding_and_histogram_are_single_exchange(spark, tables):
         plan = plan_of(registry.QUERIES[name](spark, SF_SMOKE))
         assert count_in(plan, "Exchange hashpartitioning") == 1, name
         assert count_in(plan, "HashAggregate") >= 2, name  # partial+final
+
+
+def test_collector_parsers_are_shuffle_free(spark):
+    """S13 collector parsing is map-only: explode + regexp + when over
+    the scrape rows, no Exchange — at 100 TB of scrape dumps the parse
+    runs entirely inside the scan stage (sources/collectors.py)."""
+    import datetime as dt
+
+    from open_instrument_spark.sources import collectors as C
+
+    scrapes = spark.createDataFrame(
+        [("h1", dt.datetime(2024, 1, 31), "Uptime\t5\nAborted_clients\t2")],
+        "hostname string, ts timestamp, payload string",
+    )
+    for parser in [
+        C.parse_mysql_status, C.parse_proc_stat, C.parse_meminfo,
+        C.parse_df_blocks, C.parse_df_inodes, C.parse_diskstats,
+        C.parse_net_dev, C.parse_loadavg, C.parse_vmstat, C.parse_ntpq,
+    ]:
+        plan = plan_of(parser(scrapes))
+        assert "Exchange" not in plan, parser.__name__
+
+
+def test_apache_parser_single_scoreboard_exchange(spark):
+    """parse_apache_status needs exactly one hash exchange — the
+    per-scrape scoreboard concat — plus its join back; nothing scales
+    super-linearly with scrape volume."""
+    import datetime as dt
+
+    from open_instrument_spark.sources import collectors as C
+
+    scrapes = spark.createDataFrame(
+        [("h1", dt.datetime(2024, 1, 31), "Scoreboard: _W\nUptime: 3")],
+        "hostname string, ts timestamp, payload string",
+    )
+    plan = plan_of(C.parse_apache_status(scrapes))
+    assert plan.count("Exchange hashpartitioning") <= 3  # agg + join sides
