@@ -121,6 +121,9 @@ HEADLINE = [
     # cross-stream drift-bucket aggregation kernel.
     "text_lm_score_topk",
     "agg_anchored_sum",
+    # late-r8 addition: the S13 collector family (five format parsers
+    # over synthesized per-host payloads in one plan).
+    "collector_system_status",
 ]
 
 

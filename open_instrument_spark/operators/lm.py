@@ -40,9 +40,10 @@ from pyspark.sql import functions as F
 from open_instrument_spark.operators.text import words
 
 
-def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
-    """(doc_id, w1, w2) — one row per bigram occurrence."""
-    toks = words(F.col(text_col))
+def _doc_bigrams(toks_frame: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram occurrence, from a
+    pre-tokenized (doc_id, _toks: array<string>) frame."""
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -53,7 +54,7 @@ def _doc_bigrams(docs: DataFrame, text_col: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return docs.select("doc_id", F.explode(grams).alias("g")).select(
+    return toks_frame.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", "g.w1", "g.w2"
     )
 
@@ -98,7 +99,8 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
 
 def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
              max_vocab: int | None = None,
-             max_bigrams: int | None = None) -> DataFrame:
+             max_bigrams: int | None = None,
+             cache_tokens: bool = True) -> DataFrame:
     """Per-document mean bigram log-likelihood under the corpus's own
     add-α bigram model. Output: (doc_id, n_bigrams, avg_logp) — docs
     with fewer than two words carry n_bigrams=0 and NULL avg_logp.
@@ -112,14 +114,27 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
     OOV count 0, and V becomes the truncated vocabulary size. The
     capped tables are ≤K rows by construction, so the scoring joins
     broadcast them — the guard bounds BOTH the model size and the join
-    build side no matter how large the corpus grows."""
-    bg = _doc_bigrams(docs, text_col)
+    build side no matter how large the corpus grows.
+
+    ``cache_tokens`` (default on): the tokenized corpus is consumed
+    four times (bigram counts, unigram counts, the V action, the
+    scoring join side); a lazy ``localCheckpoint`` materializes the
+    (doc_id, tokens) frame once on first action and every later pass
+    reads it back — one corpus tokenization instead of four, at the
+    price of an executor-local token copy (≈ input-sized) and the
+    standard checkpoint trade that an executor loss mid-query fails
+    the job instead of recomputing (same as connected_components;
+    flip off to trade recompute for zero storage)."""
+    toks_frame = docs.select("doc_id", words(F.col(text_col)).alias("_toks"))
+    if cache_tokens:
+        toks_frame = toks_frame.localCheckpoint(eager=False)
+    bg = _doc_bigrams(toks_frame)
     # the count tables are consumed twice (vocab size + joins) but are
     # small relative to the corpus; Spark's scan reuse handles the
     # double traversal of the exploded frame
     bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
-        docs.select(F.explode(words(F.col(text_col))).alias("w1"))
+        toks_frame.select(F.explode("_toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
