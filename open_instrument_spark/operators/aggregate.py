@@ -323,15 +323,18 @@ def aggregate_anchored(points: DataFrame, agg_type: str,
     calc = _drift_calc_fns()[agg_type.lower()]
     interval_us = parse_duration_ms(sample_interval) * 1000
 
-    from open_instrument_spark.model import epoch_seconds, series_key
+    from open_instrument_spark.model import series_key
 
     keys = ["name"] + (["label_value"] if by_label is not None else [])
+    # unix_micros, not epoch_seconds*1e6: double seconds lose exact µs
+    # above 2^22 s and the truncating cast can land 1 µs low — the
+    # recursive-CTE oracle computes epoch_us exactly, so we must too.
     pts = points.withColumn("_sk", series_key()).select(
         "name",
         *([F.col("labels").getItem(by_label).alias("label_value")]
           if by_label is not None else []),
         "_sk",
-        (epoch_seconds("ts") * 1_000_000).cast("long").alias("_t"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_t"),
         "dval",
     )
     if by_label is not None and drop_missing:
@@ -343,7 +346,9 @@ def aggregate_anchored(points: DataFrame, agg_type: str,
     )
 
     def run(key, pdf):
-        pdf = pdf.sort_values(["_sk", "_t"])
+        # dval tie-break: same-(series, ts) duplicates get a defined
+        # bucket-append order (matches the oracle's ORDER BY t, dval)
+        pdf = pdf.sort_values(["_sk", "_t", "dval"])
         streams = [
             (g["_t"].to_numpy(np.int64), g["dval"].to_numpy(np.float64))
             for _, g in pdf.groupby("_sk", sort=True)

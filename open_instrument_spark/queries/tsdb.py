@@ -425,10 +425,113 @@ def agg_anchored_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ValueStreamCalculation walk (lib/protobuf.cc:49-85) as a grouped-map
     kernel, quirks included — first-seen-ts ±interval anchoring in
     stream-scan order, trailing bucket dropped. Rows-only in the driver
-    (the per-stream iterator dance has no portable SQL twin); the exact
-    semantics are pinned by hand-traced goldens plus a pure-Python
-    replay equality in tests/test_aggregate_anchored.py."""
+    over the FULL corpus (the recursive-CTE replay below costs ~77 s at
+    this width, so the hash gate runs on the subset twin
+    ``agg_anchored_median_user0``); the exact semantics are pinned by
+    hand-traced goldens plus a pure-Python replay equality in
+    tests/test_aggregate_anchored.py, and the full-corpus SUM walk was
+    verified row-identical against the same recursive CTE once
+    (4120/4120 rows) when the oracle landed."""
     out = agg_ops.aggregate_anchored(_pts(spark, sf_dir), "sum", "1h")
+    return out.select("name", "ts", F.round("value", 6).alias("value"))
+
+
+def _anchored_oracle(fold_sql: str, where_sql: str, interval_us: int) -> str:
+    """Recursive-CTE replay of ValueStreamCalculation
+    (lib/protobuf.cc:49-85): single-row-per-group state machine — one
+    recursion step per while-round, state (its[], anchor, bucket[]) —
+    with the round's scan computed by list lambdas in STREAM ORDER
+    (sorted series_key, the kernel's pinned order). Reproduces all
+    three quirks: anchor from stream-scan order while unset, flush
+    stamped at the anchor, trailing bucket dropped (the ``len(alive)``
+    recursion guard breaks BEFORE the flush check, like the C++ loop).
+    ``fold_sql`` folds the flushed bucket (list_sum, upper-median, ...).
+    """
+    return f"""
+WITH RECURSIVE {P_CTE},
+st AS (
+  SELECT name, series_key AS sk,
+         list(epoch_us(ts) ORDER BY ts, dval) AS t,
+         list(dval ORDER BY ts, dval) AS v
+  FROM p {where_sql} GROUP BY 1, 2
+),
+grp AS (
+  SELECT name, list(struct_pack(t := t, v := v) ORDER BY sk) AS ss
+  FROM st GROUP BY 1
+),
+rec AS (
+  SELECT name, list_transform(ss, x -> 0) AS its, CAST(0 AS BIGINT) AS anchor,
+         CAST([] AS DOUBLE[]) AS bucket,
+         CAST(NULL AS BIGINT) AS f_ts, CAST(NULL AS DOUBLE) AS f_val
+  FROM grp
+  UNION ALL
+  SELECT name,
+         list_transform(generate_series(1, len(ss)),
+                        i -> its[i] + CASE WHEN inb[i] THEN 1 ELSE 0 END),
+         CASE WHEN flush THEN 0 ELSE a END,
+         CASE WHEN flush THEN CAST([] AS DOUBLE[])
+              ELSE list_concat(bucket, appended) END,
+         CASE WHEN flush THEN a END,
+         CASE WHEN flush THEN {fold_sql} END
+  FROM (
+    SELECT *, len(appended) = 0 AND len(bucket) > 0 AS flush
+    FROM (
+      SELECT *,
+        list_filter(
+          list_transform(generate_series(1, len(ss)),
+                         i -> CASE WHEN inb[i] THEN ss[i].v[its[i]+1] END),
+          x -> x IS NOT NULL) AS appended
+      FROM (
+        SELECT *,
+          list_transform(generate_series(1, len(ss)),
+            i -> its[i] < len(ss[i].t)
+                 AND ss[i].t[its[i]+1]
+                     BETWEEN a - {interval_us} AND a + {interval_us}) AS inb
+        FROM (
+          SELECT *,
+            CASE WHEN anchor != 0 THEN anchor ELSE alive[1] END AS a
+          FROM (
+            SELECT rec.*, grp.ss,
+              list_filter(
+                list_transform(generate_series(1, len(grp.ss)),
+                  i -> CASE WHEN rec.its[i] < len(grp.ss[i].t)
+                       THEN grp.ss[i].t[rec.its[i]+1] END),
+                x -> x IS NOT NULL) AS alive
+            FROM rec JOIN grp USING (name)
+          ) q0
+          WHERE len(alive) > 0
+        ) q1
+      ) q2
+    ) q3
+  ) q4
+)
+SELECT name, make_timestamp(f_ts) AS ts, round(f_val, 6) AS value
+FROM rec WHERE f_ts IS NOT NULL
+"""
+
+
+@query(
+    "agg_anchored_median_user0",
+    oracle=_anchored_oracle(
+        # lib/protobuf.cc:135-139 upper median: sorted[n/2], 1-based here
+        "list_sort(bucket)[len(bucket) // 2 + 1]",
+        "WHERE CAST(user_id AS BIGINT) % 5 = 0",
+        3_600_000_000,
+    ),
+)
+def agg_anchored_median_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 drift-bucket UPPER MEDIAN, hash-gated end to end: the
+    recursive-CTE oracle replays the sequential stream walk round by
+    round (state = per-stream iterators + anchor + bucket), so the
+    driver gate covers anchoring order, bucket membership, iterator
+    advancement, flush timing, the dropped trailing bucket, AND the
+    upper-median fold. Restricted to user_id % 5 == 0 to keep the
+    single-threaded SQL recursion inside test budget — the kernel is
+    the same code path the full-corpus ``agg_anchored_sum`` runs."""
+    pts = _pts(spark, sf_dir).filter(
+        F.col("labels").getItem("user_id").cast("long") % 5 == 0
+    )
+    out = agg_ops.aggregate_anchored(pts, "median", "1h")
     return out.select("name", "ts", F.round("value", 6).alias("value"))
 
 

@@ -178,6 +178,7 @@ _PAST_WINDOW_ORACLED = [
     "collector_apache_scoreboard",
     "collector_proc_stat",
     "collector_system_status",
+    "agg_anchored_median_user0",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
