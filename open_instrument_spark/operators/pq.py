@@ -1,0 +1,220 @@
+"""Product quantization (PQ) — the memory-bounded ANN path.
+
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011, public): split each d-dim vector into ``m``
+subvectors, vector-quantize each subspace against its own ``ksub``-entry
+codebook, and represent the vector by the ``m`` code indices.  Search
+uses ADC (asymmetric distance computation): per query, precompute the
+``m × ksub`` table of squared L2 distances from each query subvector to
+every codebook entry; a database vector's approximate distance is then
+``m`` table lookups + adds — no float vector ever touched again.
+
+Why this matters at 100 TB: an IVF cell still stores full vectors
+(256 B/vector at d=64 float32); PQ codes are ``m`` small ints
+(8 B at m=8) — a 30× memory cut that turns "corpus in RAM per
+executor" from impossible to routine, at the price of approximate
+distances (optionally exact-re-ranked over the short list).
+
+Spark shape mirrors the IVF family (operators/similarity.py):
+- encode: ONE Arrow matmul pass per batch (``-2·X_j·C_jᵀ`` plus norms,
+  argmin per subspace) — map-only, no shuffle, no per-row Python;
+- search: the bounded query set's ADC tables are built driver-side and
+  broadcast; scoring is a JVM ``zip_with``/``aggregate`` over the code
+  array — whole-stage codegen, one exchange for the top-k window.
+
+Seeded codebooks (``pq_codebooks_seeded``) make the ENTIRE
+encode → ADC → rank pipeline SQL-replayable with codebooks as
+literals (the ann_ivf_seeded_topk / ann_lsh planes trick) — the
+``ann_pq_seeded_topk`` registry query hash-gates it; k-means-trained
+codebooks (``pq_train``) are the production path, rows-only + recall
+pytest.  Reference scope note: the reference has no vector search —
+north-star extension (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.similarity import as_double
+
+__all__ = [
+    "pq_codebooks_seeded",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+]
+
+
+def pq_codebooks_seeded(dim: int = 64, m: int = 8, ksub: int = 16,
+                        seed: int = 11) -> np.ndarray:
+    """Seeded Gaussian codebooks, shape (m, ksub, dim/m) — the
+    data-independent stand-in for trained codebooks, existing so the
+    full PQ pipeline replays as a static SQL oracle (codebook entries
+    become literals). Quantization error is simply untuned."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((m, ksub, dim // m))
+
+
+def pq_train(embeddings: DataFrame, dim: int = 64, m: int = 8,
+             ksub: int = 16, train_n: int = 2048, iters: int = 10,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> np.ndarray:
+    """Per-subspace k-means on a deterministic bounded sample (the
+    faiss shape: train driver-side on a sample, encode distributed).
+    Plain L2 k-means per subspace — PQ quantizes raw subvectors, not
+    directions, so no spherical normalization here."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    X = np.array(
+        base.orderBy("n_id").limit(train_n).select("v").toPandas()["v"].tolist()
+    )
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        C = Xj[rng.choice(len(Xj), size=min(ksub, len(Xj)), replace=False)]
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _encode_codes(vec_col: str, books: np.ndarray):
+    """Arrow-batched PQ encoding: per subspace, argmin squared-L2
+    against the codebook via one matmul per batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = books.astype(np.float64)
+    m, ksub, dsub = B.shape
+
+    def _codes(v):
+        X = np.stack(v.values).astype(np.float64)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            Cj = B[j]
+            # full ||x-c||^2, same expression shape the SQL oracle
+            # evaluates (the -2x·c+||c||^2 shortcut orders identically
+            # in exact math but drifts differently in float, widening
+            # the near-tie window the argmin parity relies on)
+            d = ((Xj[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    _codes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(_codes, "array<int>")(vec_col)
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(n_id, code: array<int>) — the stored representation. Map-only
+    (plan-asserted); at 100 TB this is the one full-corpus pass, and
+    its output is ~30× smaller than its input."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    return base.select("n_id", _encode_codes("v", books).alias("code"))
+
+
+def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            books: np.ndarray | None = None, dim: int = 64, m: int = 8,
+            ksub: int = 16, seed: int = 11, id_col: str = "vec_id",
+            vec_col: str = "embedding", rerank: int = 0) -> DataFrame:
+    """ADC top-k: encode the corpus, build each bounded query's
+    ``m × ksub`` distance table driver-side, broadcast, and score every
+    code row with ``zip_with`` lookups + ``aggregate`` sum — JVM-side,
+    one exchange (the per-query rank window). Output
+    (q_id, n_id, rank, adist): rank ascending by approximate squared
+    L2, n_id tie-break; adist rounded to 6.
+
+    ``books=None`` uses the seeded codebooks (the oracle-replayable
+    configuration); pass :func:`pq_train`'s output for the production
+    path.
+
+    ``rerank=R`` (R > k) is the production accuracy knob: take the ADC
+    top-R shortlist, join back ONLY those R×|queries| full vectors, and
+    re-rank by exact squared L2 (JVM ``zip_with``/``aggregate``) —
+    PQ's coarse codes find the neighborhood, the exact pass orders it.
+    The full corpus is still touched only by the code scan; the
+    re-rank join is shortlist-sized. Output then carries the exact
+    distance as ``adist``."""
+    if books is None:
+        books = pq_codebooks_seeded(dim, m, ksub, seed)
+    B = books.astype(np.float64)
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    codes = base.select("n_id", _encode_codes("v", B).alias("code"))
+
+    mm, _, dsub = B.shape
+    qrows = base.filter(F.col("n_id").isin(query_ids)).collect()
+    adc_rows = []
+    for r in qrows:
+        qv = np.array(r["v"], dtype=np.float64)
+        tab = []
+        for j in range(mm):
+            qj = qv[j * dsub:(j + 1) * dsub]
+            tab.append([float(((qj - c) ** 2).sum()) for c in B[j]])
+        adc_rows.append((r["n_id"], tab))
+    adc = spark.createDataFrame(
+        adc_rows, "q_id long, adc array<array<double>>"
+    )
+
+    scored = (
+        codes.crossJoin(F.broadcast(adc))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(
+                    "code", "adc",
+                    lambda c, t: F.element_at(t, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "q_id", "n_id", "rank", F.round("adist", 6).alias("adist")
+        )
+
+    short = ranked.filter(F.col("rank") <= max(rerank, k)).select("q_id", "n_id")
+    qvs = spark.createDataFrame(
+        [(r["n_id"], [float(x) for x in r["v"]]) for r in qrows],
+        "q_id long, qv array<double>",
+    )
+    exact = (
+        short.join(base, "n_id")
+        .join(F.broadcast(qvs), "q_id")
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("adist", 6).alias("adist"))
+    )

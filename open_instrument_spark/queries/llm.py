@@ -1708,6 +1708,101 @@ def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk_seeded(emb, [0, 1, 2, 3, 4], k=10)
 
 
+def _ann_pq_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10, dim: int = 64,
+                   m: int = 8, ksub: int = 16, seed: int = 11) -> str:
+    """DuckDB twin of pq.pq_topk with the seeded codebooks as literal
+    arrays: per-subspace argmin squared-L2 encoding (first-min
+    tie-break via ORDER BY dist, c — numpy argmin parity), the per-query
+    ADC table from the SAME distance CTE, m lookups summed, ascending
+    rank. The encode distance is the full ||x-c||² expression on both
+    engines (see pq._encode_codes)."""
+    from open_instrument_spark.operators.pq import pq_codebooks_seeded
+
+    B = pq_codebooks_seeded(dim, m, ksub, seed)
+    dsub = dim // m
+    rows = []
+    for j in range(m):
+        for c in range(ksub):
+            lit = ", ".join(repr(float(x)) for x in B[j, c])
+            rows.append(f"({j}, {c}, [{lit}]::DOUBLE[])")
+    cb_values = ",\n".join(rows)
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH cb(j, c, cv) AS (VALUES
+{cb_values}
+),
+base AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT n_id, j, list_slice(v, j*{dsub}+1, j*{dsub}+{dsub}) AS xv
+  FROM base CROSS JOIN (SELECT UNNEST(range({m})) AS j)
+),
+d AS (
+  SELECT n_id, j, c,
+         list_sum(list_transform(generate_series(1, {dsub}),
+                                 i -> (xv[i]-cv[i])*(xv[i]-cv[i]))) AS dist
+  FROM sub JOIN cb USING (j)
+),
+codes AS (
+  SELECT n_id, j, c FROM (
+    SELECT n_id, j, c,
+           row_number() OVER (PARTITION BY n_id, j ORDER BY dist, c) AS rn
+    FROM d) WHERE rn = 1
+),
+qd AS (SELECT n_id AS q_id, j, c, dist FROM d WHERE n_id IN ({ids})),
+scored AS (
+  -- left fold in j order, bit-matching Spark's aggregate() walk: an
+  -- unordered SUM() re-associates per row group and its low bits then
+  -- scramble the n_id tie-break inside equal-code tie groups
+  SELECT qd.q_id, codes.n_id,
+         list_reduce(list(qd.dist ORDER BY qd.j), (a, b) -> a + b) AS adist
+  FROM codes JOIN qd ON codes.j = qd.j AND codes.c = qd.c
+  WHERE codes.n_id != qd.q_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, n_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rank,
+         round(adist, 6) AS adist
+  FROM scored
+)
+SELECT q_id, n_id, rank, adist FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("ann_pq_seeded_topk", oracle=_ann_pq_oracle())
+def ann_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN product quantization, fully-oracled configuration
+    (late r8): seeded per-subspace codebooks as SQL literals, so the
+    whole PQ pipeline — Arrow argmin encoding, driver-side ADC table
+    build, broadcast, zip_with-lookup + aggregate scoring, ascending
+    rank — replays under the value-hash gate. PQ is the memory-bounded
+    ANN path: codes are ~30× smaller than vectors, the property that
+    makes executor-resident search possible at corpus scale
+    (operators/pq.py)."""
+    from open_instrument_spark.operators.pq import pq_topk
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return pq_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@query("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 ANN PQ with codebooks TRAINED per subspace (k-means on a
+    deterministic bounded sample — the faiss shape) plus exact
+    re-ranking over the ADC top-100 shortlist — the production
+    configuration. The train is iterative and data-dependent →
+    rows-only; the search pipeline is hash-gated via
+    ann_pq_seeded_topk, and recall vs exact L2 is pytest-asserted
+    (test_pq.py)."""
+    from open_instrument_spark.operators.pq import pq_topk, pq_train
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    books = pq_train(emb, train_n=400, ksub=64)
+    return pq_topk(emb, [0, 1, 2, 3, 4], k=10, books=books, rerank=100)
+
+
 @query(
     "multimodal_blob_stats",
     oracle="""

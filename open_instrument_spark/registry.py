@@ -179,10 +179,12 @@ _PAST_WINDOW_ORACLED = [
     "collector_proc_stat",
     "collector_system_status",
     "agg_anchored_median_user0",
+    "ann_pq_seeded_topk",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
     "agg_anchored_sum",
+    "ann_pq_topk",
     "text_bpe_tokens",
     "dedup_minhash_lsh",
     "dedup_simhash",
