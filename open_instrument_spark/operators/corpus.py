@@ -179,3 +179,69 @@ def pack_greedy_partitioned(docs: DataFrame, token_col: str, budget: int,
     )
     prior = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return tagged.withColumn("bin", F.floor(prior / F.lit(budget)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Source-level quality aggregation (the C4/RefinedWeb "domain filter")
+# ---------------------------------------------------------------------------
+
+def source_stats(docs: DataFrame, text_col: str = "text",
+                 source_col: str = "source",
+                 lang_col: str = "lang") -> DataFrame:
+    """Per-source corpus health: the aggregation a web-scale cleaning
+    pipeline runs to decide which SOURCES (domains, crawls, feeds) to
+    keep before touching individual documents — C4 and RefinedWeb both
+    filter at this granularity first because a bad source predicts bad
+    documents far more cheaply than per-document scoring alone.
+
+    Output per source: ``n_docs``, ``avg_chars``, ``avg_quality``
+    (mean of the per-doc composite heuristic, text.quality_score),
+    ``en_frac`` (declared-language share), and ``dup_frac`` — the share
+    of the source's documents whose FINGERPRINT (text.fingerprint: min
+    md5 over word 3-grams, a deterministic 1-perm MinHash) collides
+    with any other document corpus-wide; near-duplicate mass is the
+    classic boilerplate/mirror signal.
+
+    Scale shape: one map pass computes per-doc features, one shuffle
+    counts fingerprints, one shuffle aggregates by source — output is
+    |sources| rows, always broadcastable to the filter below."""
+    from open_instrument_spark.operators.text import fingerprint, quality_score
+
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.length(text_col).alias("n_chars"),
+        F.round(quality_score(F.col(text_col)), 6).alias("q"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    counts = per.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    joined = per.join(counts, "fp")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(
+            F.avg((F.col("lang") == "en").cast("double")), 6
+        ).alias("en_frac"),
+        F.round(
+            F.avg((F.col("c") > 1).cast("double")), 6
+        ).alias("dup_frac"),
+    )
+
+
+def source_filter(docs: DataFrame, min_quality: float = 0.78,
+                  max_dup_frac: float = 0.5, text_col: str = "text",
+                  source_col: str = "source",
+                  lang_col: str = "lang") -> DataFrame:
+    """Keep only documents from sources that pass the health bar
+    (avg_quality ≥ ``min_quality`` AND dup_frac ≤ ``max_dup_frac``).
+    The stats frame is |sources| rows → broadcast join; the corpus is
+    scanned, never shuffled, for the filter itself."""
+    keep = source_stats(docs, text_col, source_col, lang_col).filter(
+        (F.col("avg_quality") >= min_quality)
+        & (F.col("dup_frac") <= max_dup_frac)
+    ).select("source")
+    return docs.join(
+        F.broadcast(keep),
+        docs[source_col] == keep["source"],
+    ).drop(keep["source"])

@@ -2103,3 +2103,90 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pixel_stats(small)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Source-level quality aggregation + filter (late r8)
+# ---------------------------------------------------------------------------
+
+_SOURCE_STATS_CTE = f"""
+sbase AS (
+  SELECT doc_id, source, lang, text, {_WORDS_SQL} AS w FROM documents
+),
+sfeat AS (
+  SELECT source, lang, length(text) AS n_chars,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) ELSE 0.0 END AS praw,
+         CASE WHEN len(w) > 0 THEN CAST({_HITS['en']} AS DOUBLE) / len(w) ELSE 0.0 END AS sraw,
+         CASE WHEN len(w) > 0 THEN
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+           ELSE 0.0 END AS mean_wlen,
+         len(w) AS n_words,
+         CASE WHEN len(w) >= 3 THEN
+           list_min(list_transform(range(len(w) - 2),
+                    i -> md5(array_to_string(w[i+1:i+3], ' '))))
+         ELSE md5(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'))) END AS fp
+  FROM sbase
+),
+sq AS (
+  SELECT source, lang, fp, n_chars,
+         round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.4 +
+               (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+               least(1.0, sraw * 5.0) * 0.2 +
+               (1.0 - least(1.0, praw * 4.0)) * 0.2, 6) AS q
+  FROM sfeat
+),
+sc AS (SELECT fp, count(*) AS c FROM sq GROUP BY fp),
+sstats AS (
+  SELECT source, count(*) AS n_docs,
+         round(avg(n_chars), 6) AS avg_chars,
+         round(avg(q), 6) AS avg_quality,
+         round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS en_frac,
+         round(avg(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+  FROM sq JOIN sc USING (fp) GROUP BY source
+)
+"""
+
+
+@query(
+    "corpus_source_stats",
+    oracle=f"""
+WITH {_SOURCE_STATS_CTE}
+SELECT source, n_docs, avg_chars, avg_quality, en_frac, dup_frac FROM sstats
+""",
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 source-level corpus health (the C4/RefinedWeb domain-filter
+    granularity): per source, doc count, mean length, mean composite
+    quality, declared-language share, and near-duplicate mass (share of
+    docs whose word-3-gram min-md5 fingerprint collides corpus-wide).
+    One map pass + fingerprint count shuffle + source aggregation
+    (operators/corpus.py source_stats)."""
+    from open_instrument_spark.operators.corpus import source_stats
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return source_stats(docs)
+
+
+@query(
+    "corpus_source_filter",
+    oracle=f"""
+WITH {_SOURCE_STATS_CTE}
+SELECT d.doc_id, d.source
+FROM documents d JOIN sstats s USING (source)
+WHERE s.avg_quality >= 0.78 AND s.dup_frac <= 0.5
+""",
+)
+def corpus_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 the filter the stats feed: keep documents only from sources
+    passing the health bar (avg_quality ≥ 0.78 AND dup_frac ≤ 0.5 —
+    thresholds sit ≥0.002 from every source's value, far above float
+    noise). The stats frame is |sources| rows → broadcast; the corpus
+    is scanned, never shuffled (operators/corpus.py source_filter)."""
+    from open_instrument_spark.operators.corpus import source_filter
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return source_filter(docs).select("doc_id", "source")

@@ -180,6 +180,8 @@ _PAST_WINDOW_ORACLED = [
     "collector_system_status",
     "agg_anchored_median_user0",
     "ann_pq_seeded_topk",
+    "corpus_source_stats",
+    "corpus_source_filter",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

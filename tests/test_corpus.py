@@ -144,3 +144,61 @@ def test_stratified_sample_frac_stable_and_shuffle_free(spark):
         full._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan
+
+
+def test_source_stats_hand_computed(spark):
+    from open_instrument_spark.operators.corpus import source_stats
+
+    # srcA: two docs sharing a text (fingerprint collision), english
+    # srcB: one unique long doc, non-english
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "srcA"),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "srcA"),
+            (3, "completely different text with many other fine words "
+                "and plenty of the usual glue to make it long enough",
+             "de", "srcB"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r.asDict() for r in source_stats(docs).collect()}
+    assert got["srcA"]["n_docs"] == 2 and got["srcB"]["n_docs"] == 1
+    assert got["srcA"]["dup_frac"] == 1.0   # both collide corpus-wide
+    assert got["srcB"]["dup_frac"] == 0.0
+    assert got["srcA"]["en_frac"] == 1.0 and got["srcB"]["en_frac"] == 0.0
+    assert got["srcA"]["avg_chars"] == 43.0
+    assert 0.0 < got["srcB"]["avg_quality"] <= 1.0
+
+
+def test_source_filter_drops_failing_sources(spark):
+    from open_instrument_spark.operators.corpus import source_filter
+
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india text",
+        "one small step for a corpus and a giant leap for cleaning",
+        "entirely separate wording with zero overlap against others",
+        "fourth document written in yet another disjoint vocabulary set",
+    ]
+    rows = [
+        (i, texts[i], "en", "good") for i in range(4)
+    ] + [
+        # every doc in 'mirror' is the same text → dup_frac 1.0
+        (10 + i, "mirror mirror on the wall same text in every crawl",
+         "en", "mirror") for i in range(4)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    kept = source_filter(docs, min_quality=0.0, max_dup_frac=0.5)
+    assert {r["source"] for r in kept.collect()} == {"good"}
+    assert kept.count() == 4
+
+
+def test_source_filter_plan_broadcasts_keep_set(spark):
+    from open_instrument_spark.operators.corpus import source_filter
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.test_plan_shapes import plan_of
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    plan = plan_of(source_filter(docs))
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
