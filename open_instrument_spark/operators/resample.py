@@ -330,6 +330,34 @@ def ewma_kernel(ts, vals, duration, alpha: float = 0.25):
     return np.asarray(ts, dtype=np.int64), out
 
 
+def holt_kernel(ts, vals, duration, alpha: float = 0.25, beta: float = 0.5):
+    """Holt linear (double exponential) smoothing per series — the
+    level+trend forecaster one step up from EWMA (Holt 1957, public):
+
+      l₀ = x₀, b₀ = 0
+      lᵢ = α·xᵢ + (1-α)·(lᵢ₋₁ + bᵢ₋₁)
+      bᵢ = β·(lᵢ - lᵢ₋₁) + (1-β)·bᵢ₋₁
+
+    Output per point is the ONE-STEP FORECAST lᵢ + bᵢ (the value the
+    model predicts for the next sample — the quantity monitoring
+    anomaly alerts compare against). Not in the reference; north-star
+    TSDB extension. With α=1/4, β=1/2 binary-exact every step is the
+    same IEEE multiplies + adds in any engine, so the recursive-CTE
+    oracle matches BIT-EXACTLY (the ewma_kernel precedent).
+    ``duration`` is unused (kernel-contract placeholder)."""
+    out = np.empty(len(vals), dtype=np.float64)
+    l = b = 0.0
+    for i, x in enumerate(vals):
+        if i == 0:
+            l, b = x, 0.0
+        else:
+            lp = l
+            l = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (l - lp) + (1.0 - beta) * b
+        out[i] = l + b
+    return np.asarray(ts, dtype=np.int64), out
+
+
 def min_anchored_kernel(ts, vals, duration):
     return _minmax_anchored_kernel(ts, vals, duration, min)
 
@@ -346,6 +374,7 @@ _OUT_SCHEMA = "series_key string, ts timestamp, dval double"
 
 _KERNELS = {
     "ewma": ewma_kernel,
+    "holt": holt_kernel,
     "interpolate": interpolate_kernel,
     "mean_anchored": mean_anchored_kernel,
     "min_anchored": min_anchored_kernel,
@@ -659,3 +688,11 @@ def ewma(points: DataFrame, alpha: float = 0.25, **kw) -> DataFrame:
     """EWMA smoothing per series (see ewma_kernel); α defaults to a
     binary-exact 1/4 so results are engine-bit-exact."""
     return apply_kernel(points, "ewma", "1s", kernel_kwargs={"alpha": alpha}, **kw)
+
+
+def holt(points: DataFrame, alpha: float = 0.25, beta: float = 0.5,
+         **kw) -> DataFrame:
+    """Holt level+trend one-step forecast per series (see holt_kernel);
+    binary-exact α=1/4, β=1/2 defaults keep it engine-bit-exact."""
+    return apply_kernel(points, "holt", "1s",
+                        kernel_kwargs={"alpha": alpha, "beta": beta}, **kw)

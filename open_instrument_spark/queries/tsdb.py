@@ -954,6 +954,39 @@ def mutate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mutate_holt_forecast",
+    oracle=f"""
+WITH RECURSIVE {P_CTE},
+s AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts) AS rn
+  FROM p
+),
+r(series_key, ts, rn, l, b) AS (
+  SELECT series_key, ts, rn, dval, CAST(0.0 AS DOUBLE) FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.series_key, s.ts, s.rn,
+         0.25 * s.dval + 0.75 * (r.l + r.b),
+         0.5 * ((0.25 * s.dval + 0.75 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM r JOIN s ON s.series_key = r.series_key AND s.rn = r.rn + 1
+)
+SELECT series_key, ts, l + b AS dval FROM r
+""",
+)
+def mutate_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear level+trend one-step forecast per series (α = 1/4,
+    β = 1/2 — binary-exact, so every recurrence step is the same IEEE
+    multiplies + adds in any engine and the recursive-CTE oracle
+    matches BIT-EXACTLY, compared unrounded; the mutate_ewma
+    precedent, one rung up the forecasting ladder). North-star TSDB
+    extension (resample.holt_kernel)."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.holt(_pts(spark, sf_dir), restore_labels=False)
+    return out.select("series_key", "ts", "dval")
+
+
+@query(
     "mutate_zscore",
     oracle=f"""
 WITH {P_CTE}

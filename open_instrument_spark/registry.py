@@ -182,6 +182,7 @@ _PAST_WINDOW_ORACLED = [
     "ann_pq_seeded_topk",
     "corpus_source_stats",
     "corpus_source_filter",
+    "mutate_holt_forecast",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
