@@ -1383,3 +1383,67 @@ def test_streaming_windowed_agg_retained_labels_matches_batch(spark, points, tmp
         }
         for k in [k for k in got if k[0] == win_ts]:
             assert got[k] == want[k], (k, got[k], want.get(k))
+
+
+def test_streaming_holt_matches_batch_across_batches(spark, tmp_path):
+    """Streaming Holt: the carried (level, trend) pair per series must
+    link micro-batches so cumulative output equals the batch kernel
+    BIT-EXACTLY (alpha = 1/4, beta = 1/2 binary-exact)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.holt_state import holt_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 4.0), ("a", 1, 8.0), ("b", 0, 1.0)]
+    b2 = [("a", 2, 0.0), ("b", 3, 5.0)]
+    b3 = [("a", 9, 16.0), ("b", 4, 2.0)]
+
+    src = str(tmp_path / "ho_src")
+    dest = str(tmp_path / "ho_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            holt_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ho_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    got = {(r["series_key"], r["ts"], r["dval"])
+           for r in spark.read.parquet(dest).collect()}
+    batch_in = pts(b1 + b2 + b3).select(
+        F.lit("/s").alias("name"),
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {
+        (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+        for r in resample.holt(batch_in, restore_labels=False)
+        .select("series_key", "ts", "dval").collect()
+    }
+    assert got == want and len(got) == 7
+    # hand-check series a: l0=4,b0=0,f0=4; step1: l=.25*8+.75*4=5,
+    # b=.5*1=0.5, f=5.5; step2: l=.25*0+.75*5.5=4.125, b=.5*(-0.875)+.25
+    # = -0.1875, f=3.9375
+    assert ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 3.9375) in got
