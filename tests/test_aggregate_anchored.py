@@ -174,3 +174,32 @@ def test_aggregate_anchored_by_label_and_dispatch(spark):
     }
     assert got == want
     assert res.columns == ["name", "label_value", "ts", "value", "label"]
+
+
+def test_vectorized_walk_equals_spec_randomized():
+    """The numpy walk must be bit-identical to the pure-Python spec on
+    randomized ragged stream sets (incl. empty streams, ties, negative
+    values, single-stream and wide cases)."""
+    import random
+
+    from open_instrument_spark.operators.aggregate import (
+        value_stream_calculation_spec,
+    )
+
+    rng = random.Random(99)
+    for trial in range(60):
+        n = rng.randint(1, 12)
+        streams = []
+        for _ in range(n):
+            m = rng.randint(0, 15)
+            ts = sorted(rng.sample(range(1, 300), m)) if m else []
+            streams.append(
+                (ts, [float(rng.randint(-9, 9)) for _ in ts])
+            )
+        interval = rng.choice([1, 3, 7, 20])
+        for kind in FNS:
+            spec = value_stream_calculation_spec(streams, interval, FNS[kind])
+            fast = value_stream_calculation(streams, interval, FNS[kind])
+            assert (list(fast[0]), list(fast[1])) == (
+                list(spec[0]), list(spec[1])
+            ), (trial, kind)
