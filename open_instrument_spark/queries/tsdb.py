@@ -1187,6 +1187,50 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_distinct_series",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(86_400_000)} AS ts,
+       CAST(count(DISTINCT series_key) AS BIGINT) AS n_series
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-(name, day) active-series cardinality — the
+    capacity-planning query every TSDB dashboard runs (north-star
+    A-family extension). The exact form is the oracled correctness
+    anchor for the HLL sketch twin below."""
+    pts = mutate._with_key(_pts(spark, sf_dir))
+    return (
+        pts.groupBy(
+            "name", F.window("ts", "1 day").start.alias("ts")
+        )
+        .agg(F.count_distinct("series_key").alias("n_series"))
+    )
+
+
+@query("agg_distinct_series_hll")
+def agg_distinct_series_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for the query above: HyperLogLog++ per-(name,
+    day) series cardinality (`approx_count_distinct`, rsd 2%). The
+    sketch is MERGEABLE — partial aggregation happens map-side and a
+    day×name cell costs a fixed-size register array no matter how many
+    points it holds, where exact count_distinct must shuffle every
+    distinct key. Estimator output is engine-specific → rows-only;
+    the ≤5%-of-exact error bound is pytest-asserted
+    (test_oracle_parity.py)."""
+    pts = mutate._with_key(_pts(spark, sf_dir))
+    return (
+        pts.groupBy(
+            "name", F.window("ts", "1 day").start.alias("ts")
+        )
+        .agg(
+            F.approx_count_distinct("series_key", rsd=0.02).alias("n_series")
+        )
+    )
+
+
+@query(
     "retention_report",
     oracle=f"""
 WITH {P_CTE},

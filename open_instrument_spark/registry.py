@@ -183,11 +183,13 @@ _PAST_WINDOW_ORACLED = [
     "corpus_source_stats",
     "corpus_source_filter",
     "mutate_holt_forecast",
+    "agg_distinct_series",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
     "agg_anchored_sum",
     "ann_pq_topk",
+    "agg_distinct_series_hll",
     "text_bpe_tokens",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -14,7 +14,7 @@ import pandas as pd
 import pytest
 
 from open_instrument_spark import registry
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -57,3 +57,26 @@ def test_demoted_query_matches_duckdb_oracle(spark, name):
     assert len(got) == len(want), f"{name}: {len(got)} vs oracle {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False,
                                   rtol=0, atol=1e-9)
+
+
+def test_hll_distinct_series_within_error_bound(spark):
+    """agg_distinct_series_hll (rows-only) must track the exact oracled
+    twin within 5% on every (name, day) cell at sf0.01 — the HLL++
+    rsd=2% configuration leaves comfortable margin."""
+    from open_instrument_spark import registry
+
+    exact = {
+        (r["name"], r["ts"]): r["n_series"]
+        for r in registry.QUERIES["agg_distinct_series"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    approx = {
+        (r["name"], r["ts"]): r["n_series"]
+        for r in registry.QUERIES["agg_distinct_series_hll"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
