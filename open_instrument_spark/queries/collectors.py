@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from open_instrument_spark.model import series_key
 from open_instrument_spark.registry_base import NOW, query
+from open_instrument_spark.session import prepare
 from open_instrument_spark.sources import collectors as C
 from open_instrument_spark.sources.tables import load_tables
 
@@ -65,6 +66,7 @@ def collector_mysql_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed by parse_mysql_status; the header, the string-valued
     Version_comment, and 3-token lines must all be skipped, ON/OFF
     must map to 1/0, keys must lowercase (mysql_status.py:50-71)."""
+    prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
     per_type = ev.groupBy(
         (F.col("user_id") % 4).alias("h"), "event_type"
@@ -158,6 +160,7 @@ def collector_apache_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BusyServers/IdleServers 2.2 aliases, character-exact scoreboard
     slot counting with unknown characters ignored, and the
     always-emitted zero slots (apache_status.py:35-94)."""
+    prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
     d = ev.groupBy((F.col("user_id") % 3).alias("h")).agg(
         F.count("*").alias("n")
@@ -271,6 +274,7 @@ def collector_proc_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing fields dropped), intr/ctxt/btime/processes/procs_* and a
     softirq line with per-index counters, through parse_proc_stat at
     HZ=100 (system_status.py:41-91)."""
+    prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
     d = ev.groupBy((F.col("user_id") % 2).alias("h")).agg(
         F.count("*").alias("n"),
@@ -414,6 +418,7 @@ def collector_system_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped), loadavg first-field, and the ntpq sync-peer ms→s
     conversion — each payload through its real parser, unioned
     (system_status.py:94-229)."""
+    prepare(spark)
     ev = load_tables(spark, sf_dir).table("events")
     n = F.col("n")
     d = ev.groupBy((F.col("user_id") % 2).alias("h")).agg(
