@@ -368,3 +368,41 @@ def test_apache_parser_single_scoreboard_exchange(spark):
     )
     plan = plan_of(C.parse_apache_status(scrapes))
     assert plan.count("Exchange hashpartitioning") <= 3  # agg + join sides
+
+
+def test_pq_topk_exchange_budget(spark, tables):
+    """PQ ADC search: encode is map-only, the ADC table is broadcast
+    (never a shuffle side), so the whole top-k costs at most the rank
+    window's exchange plus AQE bookkeeping — no corpus re-shuffle."""
+    from open_instrument_spark.operators.pq import pq_topk
+
+    emb = tables.table("embeddings")
+    plan = plan_of(pq_topk(emb, [0, 1], k=5))
+    assert "BroadcastExchange" in plan          # ADC tables
+    assert plan.count("Exchange hashpartitioning") <= 1  # rank window only
+    assert "CartesianProduct" not in plan
+
+
+def test_source_stats_exchange_budget(spark, tables):
+    """source_stats: fingerprint count + source aggregation — two
+    bounded hash exchanges over per-doc features, nothing quadratic."""
+    from open_instrument_spark.operators.corpus import source_stats
+
+    docs = tables.table("documents")
+    plan = plan_of(source_stats(docs))
+    assert plan.count("Exchange hashpartitioning") <= 4  # fp agg + join + source agg
+    assert "CartesianProduct" not in plan
+
+
+def test_distinct_series_partial_aggregates(spark, tables):
+    """Exact and HLL distinct-series both plan two-phase aggregation
+    (map-side partial → one exchange on the group key); the HLL twin's
+    partial is a fixed-size sketch merge."""
+    from open_instrument_spark.queries.tsdb import (
+        agg_distinct_series,
+        agg_distinct_series_hll,
+    )
+
+    for q in [agg_distinct_series, agg_distinct_series_hll]:
+        plan = plan_of(q(spark, SF_SMOKE))
+        assert plan.count("Exchange hashpartitioning") <= 2, q.__name__
