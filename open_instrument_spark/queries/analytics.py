@@ -328,3 +328,49 @@ def analytics_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return out
+
+
+@query(
+    "analytics_cohort_retention",
+    oracle="""
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+      FROM events),
+c AS (SELECT user_id,
+             CAST(floor(epoch(first_ts) / 604800) AS BIGINT) AS cw
+      FROM f)
+SELECT c.cw AS cohort_week, a.w - c.cw AS offset_w,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events table (late r8, the
+    product-analytics staple the temporal family was missing): cohort =
+    a user's first-seen epoch week, one row per (cohort_week,
+    week_offset) with the count of cohort users still active that week.
+
+    Shape: first-seen and per-week activity are both user-keyed
+    aggregates, the join is co-partitioned on user_id, and the final
+    matrix is |weeks|² rows. Week arithmetic is epoch-floor on whole
+    seconds, so Spark's truncating unix_timestamp and DuckDB's
+    fractional epoch() floor to the same week on any input."""
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    wk_ts = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    activity = ev.select("user_id", wk_ts.alias("w")).distinct()
+    cohort = ev.groupBy("user_id").agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 604800)
+        .cast("long")
+        .alias("cw")
+    )
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("offset_w"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

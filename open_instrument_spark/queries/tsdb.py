@@ -553,6 +553,24 @@ def agg_p95_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_by_name(spark, sf_dir, "p95", 3_600_000)
 
 
+@query("agg_p95_approx_by_name")
+def agg_p95_approx_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of agg_p95_by_name: `approx_percentile`
+    (Greenwald-Khanna sketch, accuracy 10⁴) — MERGEABLE partial state
+    of bounded size per (name, hour) cell, where exact percentile must
+    buffer every value of the group. Estimator output is
+    engine-specific → rows-only; the ≤1%-of-exact-spread error bound
+    is pytest-asserted next to the HLL twin
+    (test_oracle_parity.py)."""
+    pts = _pts(spark, sf_dir)
+    return (
+        pts.groupBy("name", F.window("ts", "1 hour").start.alias("ts"))
+        .agg(
+            F.percentile_approx("dval", 0.95, 10_000).alias("value")
+        )
+    )
+
+
 @query(
     "agg_min_by_name",
     oracle=f"""

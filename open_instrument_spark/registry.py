@@ -184,12 +184,14 @@ _PAST_WINDOW_ORACLED = [
     "corpus_source_filter",
     "mutate_holt_forecast",
     "agg_distinct_series",
+    "analytics_cohort_retention",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
     "agg_anchored_sum",
     "ann_pq_topk",
     "agg_distinct_series_hll",
+    "agg_p95_approx_by_name",
     "text_bpe_tokens",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from open_instrument_spark import registry
@@ -80,3 +81,37 @@ def test_hll_distinct_series_within_error_bound(spark):
     assert exact.keys() == approx.keys()
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+def test_approx_p95_rank_guarantee(spark):
+    """agg_p95_approx_by_name (rows-only GK sketch, accuracy 10^4):
+    the sketch returns an ELEMENT of each cell whose rank is within
+    epsilon*n of the 0.95 target — the sketch's actual contract (the
+    interpolating exact twin can sit between elements, so a value-delta
+    bound is the wrong assertion on small hourly cells)."""
+    import math
+    from collections import defaultdict
+
+    from open_instrument_spark import registry
+    from open_instrument_spark.queries.tsdb import _pts
+
+    cells = defaultdict(list)
+    pts = _pts(spark, SF_ORACLE).select(
+        "name", F.date_trunc("hour", "ts").alias("h"), "dval"
+    )
+    for r in pts.collect():
+        cells[(r["name"], r["h"])].append(r["dval"])
+    approx = {
+        (r["name"], r["ts"]): r["value"]
+        for r in registry.QUERIES["agg_p95_approx_by_name"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert set(approx) == set(cells)
+    for k, vals in cells.items():
+        vals.sort()
+        n = len(vals)
+        assert approx[k] in vals, k          # an element, not interpolated
+        rank = vals.index(approx[k]) + 1
+        target = 0.95 * n
+        assert rank >= math.floor(target) - max(1, 0.001 * n), (k, rank, n)
