@@ -121,9 +121,17 @@ HEADLINE = [
     # cross-stream drift-bucket aggregation kernel.
     "text_lm_score_topk",
     "agg_anchored_sum",
-    # late-r8 addition: the S13 collector family (five format parsers
-    # over synthesized per-host payloads in one plan).
+    # late-r8 additions, first benched r8 (baseline for later rounds):
+    # the S13 collector family (five format parsers over synthesized
+    # per-host payloads in one plan), PQ ADC search, source-level
+    # quality aggregation, Holt forecasting, exact distinct-series,
+    # and the cohort retention matrix.
     "collector_system_status",
+    "ann_pq_seeded_topk",
+    "corpus_source_stats",
+    "mutate_holt_forecast",
+    "agg_distinct_series",
+    "analytics_cohort_retention",
 ]
 
 
