@@ -341,3 +341,61 @@ def test_collector_parse_is_stream_safe(spark, tmp_path):
     got = rows(spark.table("collector_stream"))
     exp = rows(C.parse_mysql_status(batch))
     assert got == exp and len(got) == 6
+
+
+def test_collector_stream_to_windowed_agg_matches_batch(spark, tmp_path):
+    """The full S13 → S1 → A-family composition over a STREAM: scrape
+    payloads → parse_mysql_status → validate → per-name windowed SUM,
+    with closed windows equal to the batch aggregation of the same
+    scrapes."""
+    import os
+
+    from open_instrument_spark.model import with_series_key
+    from open_instrument_spark.operators.aggregate import aggregate_by_name
+    from open_instrument_spark.sources.ingest import validate
+    from open_instrument_spark.streaming.ingest import windowed_agg
+
+    def payload(i):
+        return f"Aborted_clients\t{10 + i}\nThreads_running\t{i}\n"
+
+    rows = [
+        (f"h{i % 3}", dt.datetime(2024, 1, 30, 10, i), payload(i))
+        for i in range(12)
+    ]
+    batch = spark.createDataFrame(
+        rows, "hostname string, ts timestamp, payload string"
+    )
+    src = str(tmp_path / "cs_src")
+    batch.write.parquet(src)
+
+    now = dt.datetime(2024, 1, 30, 12, 0, 0)
+
+    def pipeline(scrapes):
+        pts = validate(C.parse_mysql_status(scrapes), now=now)
+        return with_series_key(pts)
+
+    stream = spark.readStream.schema(
+        "hostname string, ts timestamp, payload string"
+    ).parquet(src)
+    q = (
+        windowed_agg(pipeline(stream), "sum", "5 minutes",
+                     watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("collector_agg_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["name"], r["ts"], r["value"])
+        for r in spark.table("collector_agg_stream").collect()
+    }
+    want_df = aggregate_by_name(pipeline(batch), "sum", 5 * 60 * 1000)
+    want = {(r["name"], r["ts"], r["value"]) for r in want_df.collect()}
+    # append-mode emits only watermark-closed windows; every emitted
+    # window must match batch exactly, and most windows close (the
+    # final window of each name may stay open)
+    assert got and got <= want
+    open_windows = want - got
+    assert len(open_windows) <= 2 * len({n for n, _, _ in want})
