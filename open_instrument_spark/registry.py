@@ -109,17 +109,21 @@ DRIVER_WINDOW = [
     "agg_sliding_sum",
     "agg_histogram",
     "corpus_pack_bpe",
-    "select_label_absent",
-    "mutate_rate_signed",
-    "mutate_delta",
-    "mutate_latest_string_daily",
-    "mutate_stddev_resample",
-    "agg_avg_by_name",
-    "ingest_hostname_default",
-    "embed_quantize_uint8",
-    "multimodal_frame_sample",
-    "analytics_top_orders_per_customer",
-    "api_get_fanout",
+    # -- r9 rotation (judge r8 "Next round" #1): the 11 r8-new oracled
+    # queries earn their driver CORRECTNESS row, displacing 11 keepers
+    # that each carry 6-8 driver-green rows (r1-r8). After this round
+    # EVERY oracled query in the registry has a driver row. --
+    "collector_mysql_status",
+    "collector_apache_scoreboard",
+    "collector_proc_stat",
+    "collector_system_status",
+    "agg_anchored_median_user0",
+    "ann_pq_seeded_topk",
+    "corpus_source_stats",
+    "corpus_source_filter",
+    "mutate_holt_forecast",
+    "agg_distinct_series",
+    "analytics_cohort_retention",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -173,18 +177,19 @@ _PAST_WINDOW_ORACLED = [
     "temporal_asof_join",
     "temporal_sessionize",
     "temporal_funnel",
-    # r8 additions (S13 collectors) — oracled, pytest-gated
-    "collector_mysql_status",
-    "collector_apache_scoreboard",
-    "collector_proc_stat",
-    "collector_system_status",
-    "agg_anchored_median_user0",
-    "ann_pq_seeded_topk",
-    "corpus_source_stats",
-    "corpus_source_filter",
-    "mutate_holt_forecast",
-    "agg_distinct_series",
-    "analytics_cohort_retention",
+    # r9 demotions — each was driver-green in 6-8 rounds (r1-r8) and
+    # stays under the pytest-hosted DuckDB gate (test_oracle_parity.py).
+    "select_label_absent",
+    "mutate_rate_signed",
+    "mutate_delta",
+    "mutate_latest_string_daily",
+    "mutate_stddev_resample",
+    "agg_avg_by_name",
+    "ingest_hostname_default",
+    "embed_quantize_uint8",
+    "multimodal_frame_sample",
+    "analytics_top_orders_per_customer",
+    "api_get_fanout",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
