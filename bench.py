@@ -194,6 +194,16 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    # Optional subset (comma-separated) — used for the no-warm-up
+    # baseline-comparison runs; the driver's full run leaves it unset.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if subset:
+        wanted = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in registry.QUERIES]
+        if unknown:
+            raise ValueError(f"unknown bench queries: {unknown}")
+        global HEADLINE
+        HEADLINE = wanted
     load_before = _load_evidence()
     spark = get_spark("oi-bench")
 
@@ -207,14 +217,35 @@ def main() -> None:
     # (profiled: v2 runs 8.3 s cold then 4.2±0.3 s warm; the plan
     # doesn't change). Two sf-dir-sized warms keep file listing warm for
     # the measured tier itself.
+    # SPARK_GRAFT_NO_WARMUP=1 skips the pass entirely — used to record
+    # the apples-to-apples comparison against the (unwarmed) r1 baseline
+    # in BASELINE.md.
     smoke_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for name in HEADLINE:
-        try:
-            materialize(registry.QUERIES[name](spark, smoke_dir))
-        except Exception:
-            pass  # a warm-up failure must not kill the measured run
-    materialize(registry.QUERIES["flagship_rate_sum"](spark, sf_dir))
-    materialize(registry.QUERIES["dedup_exact"](spark, sf_dir))
+    warmed = os.environ.get("SPARK_GRAFT_NO_WARMUP", "") != "1"
+    warm_failures = 0
+    first_warm_err: str | None = None
+    if warmed:
+        for name in HEADLINE:
+            try:
+                materialize(registry.QUERIES[name](spark, smoke_dir))
+            except Exception as e:  # must not kill the measured run...
+                warm_failures += 1
+                if first_warm_err is None:
+                    first_warm_err = f"{name}: {type(e).__name__}: {e}"
+        if warm_failures:
+            # ...but a silently-dead warm-up (e.g. stale WARM_DIR) would
+            # quietly regress the window to cold-start variance — surface it.
+            print(
+                f"bench: {warm_failures}/{len(HEADLINE)} warm-ups failed; "
+                f"first: {first_warm_err}",
+                file=sys.stderr,
+            )
+            if warm_failures == len(HEADLINE):
+                raise RuntimeError(
+                    f"every warm-up failed (WARM_DIR={smoke_dir}); first: {first_warm_err}"
+                )
+        materialize(registry.QUERIES["flagship_rate_sum"](spark, sf_dir))
+        materialize(registry.QUERIES["dedup_exact"](spark, sf_dir))
 
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_runs):
@@ -254,6 +285,8 @@ def main() -> None:
             "load_before": load_before,
             "load_after": load_after,
             "contended": contended,
+            "warmed": warmed,
+            "warm_failures": warm_failures,
         }
     )
     print(payload)

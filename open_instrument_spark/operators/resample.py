@@ -442,8 +442,11 @@ def apply_kernel(points: DataFrame, kind: str, interval,
         t_parts: list[np.ndarray] = []
         v_parts: list[np.ndarray] = []
         # one batch-wide sort; groupby preserves intra-group row order,
-        # so each group arrives ts-sorted (vs one small sort per series)
-        pdf = pdf.sort_values(["series_key", "_t"])
+        # so each group arrives ts-sorted (vs one small sort per series).
+        # dval is a tie-break so equal-ts points walk in the same order
+        # as the streaming *_state twins and the recursive-CTE oracles
+        # (same pin aggregate_anchored carries).
+        pdf = pdf.sort_values(["series_key", "_t", "dval"])
         for sk, g in pdf.groupby("series_key", sort=False):
             out_t, out_v = kernel(
                 g["_t"].to_numpy(np.int64), g["dval"].to_numpy(np.float64), interval_us

@@ -945,7 +945,7 @@ def resample_mean_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE {P_CTE},
 s AS (
   SELECT series_key, ts, dval,
-         row_number() OVER (PARTITION BY series_key ORDER BY ts) AS rn
+         row_number() OVER (PARTITION BY series_key ORDER BY ts, dval) AS rn
   FROM p
 ),
 r(series_key, ts, rn, y) AS (
@@ -977,7 +977,7 @@ def mutate_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE {P_CTE},
 s AS (
   SELECT series_key, ts, dval,
-         row_number() OVER (PARTITION BY series_key ORDER BY ts) AS rn
+         row_number() OVER (PARTITION BY series_key ORDER BY ts, dval) AS rn
   FROM p
 ),
 r(series_key, ts, rn, l, b) AS (

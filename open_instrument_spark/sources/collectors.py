@@ -36,6 +36,19 @@ lines whose value contains another ``': '`` are SKIPPED-or-parsed
 here instead of crashing (the apache case keeps the remainder as the
 value).  Skips-by-design in the reference (mysql 3+ token lines,
 non-numeric values, df headers) are reproduced exactly.
+
+Further deliberate divergences on inputs where the reference raises
+or mis-emits (r9, advisor follow-up):
+- ``_num``-path parsers (meminfo, df, diskstats, net/dev, vmstat,
+  loadavg, entropy): a non-numeric token where a number is expected
+  makes the reference crash on ``float()``; here the ROW is dropped —
+  we never emit the reference-impossible NULL-dval/NULL-sval point.
+  parse_meminfo likewise drops non-numeric values rather than emitting
+  them as string samples (meminfo values are kB counters; a
+  non-numeric value is corruption, not data).
+- parse_proc_stat skips ``cpu`` lines with fewer than 8 fields (the
+  reference indexes fields[1:8] and would crash on a short line from
+  an ancient kernel).
 """
 
 from __future__ import annotations
@@ -85,14 +98,21 @@ def _addvar(df: DataFrame, name: Column, labels: Column,
 def _num(df: DataFrame, name: Column, labels: Column,
          dval: Column) -> DataFrame:
     """Emit an already-numeric sample (the ``float()``-before-AddVar
-    collector paths; non-floatable lines were skipped upstream)."""
+    collector paths; non-floatable lines were skipped upstream).
+
+    A value that still fails the cast here (e.g. a non-numeric token in
+    a later column of an otherwise well-formed df/diskstats/net_dev
+    line) is DROPPED: the reference would raise on ``float()`` — a
+    point with NULL dval and NULL sval is a shape it never produces,
+    so we never emit one (see module docstring divergence list)."""
+    d = dval.try_cast("double")
     return df.select(
         name.alias("name"),
         labels.alias("labels"),
         F.col("ts"),
-        dval.try_cast("double").alias("dval"),
+        d.alias("dval"),
         F.lit(None).cast("string").alias("sval"),
-    )
+    ).where(F.col("dval").isNotNull())
 
 
 def _labels(*pairs: tuple[str, Column | str]) -> Column:

@@ -114,4 +114,7 @@ def test_approx_p95_rank_guarantee(spark):
         assert approx[k] in vals, k          # an element, not interpolated
         rank = vals.index(approx[k]) + 1
         target = 0.95 * n
+        # Two-sided GK epsilon contract: a sketch returning each cell's
+        # max would satisfy the lower bound alone.
         assert rank >= math.floor(target) - max(1, 0.001 * n), (k, rank, n)
+        assert rank <= math.ceil(target) + max(1, 0.001 * n), (k, rank, n)
