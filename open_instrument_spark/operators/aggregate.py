@@ -432,7 +432,19 @@ def aggregate_anchored(points: DataFrame, agg_type: str,
     # eval-type inference can't read).
     run.__annotations__ = {"key": tuple, "pdf": pd.DataFrame,
                            "return": pd.DataFrame}
-    return pts.groupBy(*keys).applyInPandas(run, out_schema)
+    # Explicit repartition-by-num so AQE's byte-based coalescing can't
+    # squeeze this Python-compute-bound stage onto a handful of tasks
+    # (same rationale as resample.apply_kernel; hash(keys) satisfies the
+    # groupBy clustering requirement → still exactly one exchange).
+    # Groups beyond the distinct-key count leave empty partitions, which
+    # cost ~ms each — parallelism is bounded by distinct groups either
+    # way, the documented A1 scale bound.
+    n_parts = points.sparkSession.sparkContext.defaultParallelism * 4
+    return (
+        pts.repartition(n_parts, *keys)
+        .groupBy(*keys)
+        .applyInPandas(run, out_schema)
+    )
 
 
 def aggregate(points: DataFrame, agg_type: str, by_labels: list[str] | None = None,

@@ -469,7 +469,20 @@ def apply_kernel(points: DataFrame, kind: str, interval,
             }
         )
 
-    out = pts.groupBy("_b").applyInPandas(run, _OUT_SCHEMA)
+    # Explicit repartition-by-num, NOT a bare groupBy shuffle: AQE
+    # coalesces shuffle partitions by BYTES, and a per-series kernel
+    # stage is Python-compute-bound at ~KB/row — at sf0.1 the 128-bucket
+    # exchange is ~4 MB so AQE was coalescing it to 3 tasks, serializing
+    # the whole kernel onto 3 cores (and letting any host contention
+    # land on a 3-wide straggler stage — the r8 bench-tail cause). A
+    # user-specified partition count is exempt from AQE coalescing, and
+    # hash(_b) partitioning satisfies the groupBy's clustering
+    # requirement so no second exchange is added (plan-asserted).
+    out = (
+        pts.repartition(n_buckets, "_b")
+        .groupBy("_b")
+        .applyInPandas(run, _OUT_SCHEMA)
+    )
     return _restore_points_schema(out, keyed, restore_labels)
 
 

@@ -406,3 +406,24 @@ def test_distinct_series_partial_aggregates(spark, tables):
     for q in [agg_distinct_series, agg_distinct_series_hll]:
         plan = plan_of(q(spark, SF_SMOKE))
         assert plan.count("Exchange hashpartitioning") <= 2, q.__name__
+
+
+def test_kernel_stages_resist_aqe_coalescing(spark, tables):
+    """The grouped-map kernel shuffle is REPARTITION_BY_NUM, not a bare
+    groupBy exchange: AQE coalesces shuffles by BYTES, and a per-series
+    Python kernel stage is compute-bound at ~KB/row — byte-coalescing
+    once squeezed the sf0.1 kernel stage to 3 tasks (the r8 bench tail).
+    A user-specified partition count is exempt from coalescing; hash
+    partitioning on the group key must still satisfy the groupBy's
+    clustering requirement, so exactly ONE exchange remains."""
+    from open_instrument_spark.operators import aggregate, resample
+    from open_instrument_spark.queries.tsdb import _pts
+
+    pts = _pts(spark, SF_SMOKE)
+    for df in [
+        resample.apply_kernel(pts, "mean_anchored", "1h", restore_labels=False),
+        aggregate.aggregate_anchored(pts, "sum"),
+    ]:
+        plan = plan_of(df)
+        assert count_in(plan, "REPARTITION_BY_NUM") == 1, plan[:800]
+        assert count_in(plan, "Exchange") == 1, plan[:800]
