@@ -127,6 +127,9 @@ HEADLINE = [
     # quality aggregation, Holt forecasting, exact distinct-series,
     # and the cohort retention matrix.
     "collector_system_status",
+    # r9 addition, first benched r9 (baseline for later rounds): the
+    # SNMP table->variable mapping (two pivots + HC-override join).
+    "collector_snmp_hoststats",
     "ann_pq_seeded_topk",
     "corpus_source_stats",
     "mutate_holt_forecast",

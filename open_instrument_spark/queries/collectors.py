@@ -486,3 +486,151 @@ def collector_system_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return _out(out)
+
+
+# ---------------------------------------------------------------------------
+# SNMP host-stats poller (tools/snmp_hoststats.py)
+# ---------------------------------------------------------------------------
+
+_IFE = "iso.org.dod.internet.mgmt.mib-2.interfaces.ifTable.ifEntry"
+_IFX = "iso.org.dod.internet.mgmt.mib-2.ifMIB.ifMIBObjects.ifXTable.ifXEntry"
+_HRS = ("iso.org.dod.internet.mgmt.mib-2.host.hrStorage"
+        ".hrStorageTable.hrStorageEntry")
+_SYS = "iso.org.dod.internet.mgmt.mib-2.host.hrSystem"
+
+
+@query(
+    "collector_snmp_hoststats",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(user_id AS BIGINT) % 3 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT '/network/interface/stats/ifDescr{{datatype=string,hostname=sw' || h ||
+       ',interface=eth0,srchost=mon1}}' AS series_key, {_TS} AS ts,
+       CAST(NULL AS DOUBLE) AS dval, 'eth0' AS sval FROM a
+UNION ALL
+SELECT '/network/interface/stats/ifInOctets{{datatype=counter,hostname=sw' || h ||
+       ',interface=eth0,srchost=mon1}}', {_TS},
+       CAST(n * 1000 + h AS DOUBLE), CAST(NULL AS VARCHAR) FROM a
+UNION ALL
+SELECT '/network/interface/stats/ifSpeed{{datatype=gauge,hostname=sw' || h ||
+       ',interface=eth0,srchost=mon1}}', {_TS},
+       CAST((n % 10 + 1) * 100000000 AS DOUBLE), NULL FROM a
+UNION ALL
+SELECT '/network/interface/stats/ifPhysAddress{{datatype=string,hostname=sw' || h ||
+       ',interface=eth0,srchost=mon1}}', {_TS},
+       NULL, '41:42:43:31:32:3' || h FROM a
+UNION ALL
+SELECT '/network/interface/stats/ifDescr{{datatype=string,hostname=sw' || h ||
+       ',interface=eth1,srchost=mon1}}', {_TS}, NULL, 'eth1' FROM a
+UNION ALL
+SELECT '/network/interface/stats/ifInOctets{{datatype=counter,hostname=sw' || h ||
+       ',interface=eth1,srchost=mon1}}', {_TS},
+       CAST(n % 997 AS DOUBLE), NULL FROM a
+UNION ALL
+SELECT '/network/interface/stats/ifOutQLen{{datatype=integer,hostname=sw' || h ||
+       ',interface=eth1,srchost=mon1,units=ticks}}', {_TS},
+       CAST(n % 50 AS DOUBLE), NULL FROM a
+UNION ALL
+SELECT '/system/filesystem/' || m.m || '{{device=/,hostname=sw' || h ||
+       ',srchost=mon1}}', {_TS},
+       CAST(CASE m.m WHEN 'size' THEN (n % 1000 + 1) * 4096
+            WHEN 'used' THEN (n % 97) * 4096
+            ELSE ((n % 1000 + 1) - (n % 97)) * 4096 END AS DOUBLE), NULL
+FROM a CROSS JOIN (SELECT UNNEST(['size', 'used', 'available']) AS m) m
+UNION ALL
+SELECT '/system/ram/' || m.m || '{{datatype=gauge,hostname=sw' || h ||
+       ',space=Physical memory,srchost=mon1}}', {_TS},
+       CAST(CASE m.m WHEN 'size' THEN (n % 2048 + 2048) * 1024
+            WHEN 'used' THEN (n % 1024) * 1024
+            ELSE ((n % 2048 + 2048) - (n % 1024)) * 1024 END AS DOUBLE), NULL
+FROM a CROSS JOIN (SELECT UNNEST(['size', 'used', 'available']) AS m) m
+UNION ALL
+SELECT '/system/uptime{{datatype=gauge,hostname=sw' || h || ',srchost=mon1}}',
+       {_TS}, CAST(n AS DOUBLE), NULL FROM a
+UNION ALL
+SELECT '/system/boot/kernel-commandline{{datatype=string,hostname=sw' || h ||
+       ',srchost=mon1}}', {_TS}, NULL, 'root=/dev/sda' || h FROM a
+UNION ALL
+SELECT '/system/num_users/{{datatype=gauge,hostname=sw' || h ||
+       ',srchost=mon1}}', {_TS}, CAST(h + 1 AS DOUBLE), NULL FROM a
+UNION ALL
+SELECT '/system/num_processes/{{datatype=gauge,hostname=sw' || h ||
+       ',srchost=mon1}}', {_TS}, CAST(n % 500 AS DOUBLE), NULL FROM a
+""",
+)
+def collector_snmp_hoststats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 SNMP poller (tools/snmp_hoststats.py): deterministic walk
+    bindings — two interfaces (one with a Counter64 HC override, one
+    without), a fixed disk, a Physical-memory storage row, the hrSystem
+    scalars, and a planted unmapped-type binding — are synthesized per
+    host from events aggregates and pushed through the REAL
+    table→variable parser (sources/snmp.py). The oracle recomputes
+    every surviving point directly: the HC override value/type swap,
+    MAC formatting, TimeTicks units label, block-size multiplication,
+    uptime tick truncation, and the trailing-slash variable names all
+    sit under the value-hash gate."""
+    from open_instrument_spark.sources import snmp as SN
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    d = ev.groupBy((F.col("user_id") % 3).alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    n, h = F.col("n"), F.col("h")
+    hs = h.cast("string")
+
+    def b(oid: str, val, vtype: str) -> Column:
+        v = val if isinstance(val, Column) else F.lit(val)
+        return F.struct(
+            F.lit(oid).alias("oid"),
+            v.cast("string").alias("value"),
+            F.lit(vtype).alias("vtype"),
+        )
+
+    walk = d.select(
+        F.concat(F.lit("sw"), hs).alias("hostname"),
+        F.lit(NOW).cast("timestamp").alias("ts"),
+        F.explode(
+            F.array(
+                b(f"{_IFE}.ifIndex.1", 1, "Integer"),
+                b(f"{_IFE}.ifDescr.1", "eth0", "OctetString"),
+                b(f"{_IFE}.ifInOctets.1", n % 100000, "Counter32"),
+                b(f"{_IFE}.ifSpeed.1", (n % 10 + 1) * 100000000, "Gauge32"),
+                b(f"{_IFE}.ifPhysAddress.1",
+                  F.concat(F.lit("ABC12"), hs), "OctetString"),
+                # unmapped SNMP type → SetVarType None → dropped
+                b(f"{_IFE}.ifMtu.1", 1500, "Opaque"),
+                b(f"{_IFX}.ifName.1", "eth0", "OctetString"),
+                b(f"{_IFX}.ifHCInOctets.1", n * 1000 + h, "Counter64"),
+                b(f"{_IFE}.ifIndex.2", 2, "Integer"),
+                b(f"{_IFE}.ifDescr.2", "eth1", "OctetString"),
+                b(f"{_IFE}.ifInOctets.2", n % 997, "Counter32"),
+                b(f"{_IFE}.ifOutQLen.2", n % 50, "TimeTicks"),
+                b(f"{_HRS}.hrStorageType.1", "1.3.6.1.2.1.25.2.1.4",
+                  "OctetString"),
+                b(f"{_HRS}.hrStorageDescr.1", "/", "OctetString"),
+                b(f"{_HRS}.hrStorageAllocationUnits.1", 4096, "Integer"),
+                b(f"{_HRS}.hrStorageSize.1", n % 1000 + 1, "Integer"),
+                b(f"{_HRS}.hrStorageUsed.1", n % 97, "Integer"),
+                b(f"{_HRS}.hrStorageType.2", "1.3.6.1.2.1.25.2.1.2",
+                  "OctetString"),
+                b(f"{_HRS}.hrStorageDescr.2", "Physical memory",
+                  "OctetString"),
+                b(f"{_HRS}.hrStorageAllocationUnits.2", 1024, "Integer"),
+                b(f"{_HRS}.hrStorageSize.2", n % 2048 + 2048, "Integer"),
+                b(f"{_HRS}.hrStorageUsed.2", n % 1024, "Integer"),
+                b(f"{_SYS}.hrSystemUptime.0", n * 100 + h, "TimeTicks"),
+                b(f"{_SYS}.hrSystemInitialLoadParameters.0",
+                  F.concat(F.lit("root=/dev/sda"), hs), "OctetString"),
+                b(f"{_SYS}.hrSystemNumUsers.0", h + 1, "Gauge32"),
+                b(f"{_SYS}.hrSystemProcesses.0", n % 500, "Gauge32"),
+            )
+        ).alias("s"),
+    ).select("hostname", "ts", "s.oid", "s.value", "s.vtype")
+
+    pts = SN.parse_snmp_hoststats(walk, srchost="mon1")
+    return pts.select(
+        series_key().alias("series_key"), "ts", "dval", "sval"
+    )

@@ -76,7 +76,6 @@ DRIVER_WINDOW = [
     # -- never-driver-checked until now (r2-r7 _PAST_WINDOW_ORACLED) --
     "text_scrub",
     "corpus_pack_partitioned",
-    "list_max_variables",
     "multimodal_decode_fake",
     "ingest_validate_strict",
     "mutate_rate_chunked",
@@ -124,6 +123,10 @@ DRIVER_WINDOW = [
     "mutate_holt_forecast",
     "agg_distinct_series",
     "analytics_cohort_retention",
+    # r9-new: the SNMP table->variable mapping that finishes S13 — new
+    # this round, so it takes its driver row immediately (displacing
+    # list_max_variables, driver-green r2+r8).
+    "collector_snmp_hoststats",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -177,8 +180,10 @@ _PAST_WINDOW_ORACLED = [
     "temporal_asof_join",
     "temporal_sessionize",
     "temporal_funnel",
-    # r9 demotions — each was driver-green in 6-8 rounds (r1-r8) and
-    # stays under the pytest-hosted DuckDB gate (test_oracle_parity.py).
+    # r9 demotions — each was driver-green in 6-8 rounds (r1-r8, plus
+    # list_max_variables at r2+r8) and stays under the pytest-hosted
+    # DuckDB gate (test_oracle_parity.py).
+    "list_max_variables",
     "select_label_absent",
     "mutate_rate_signed",
     "mutate_delta",
