@@ -44,6 +44,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -212,6 +213,118 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                 lambda acc, x: acc + x,
             ),
         )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("adist", 6).alias("adist"))
+    )
+
+
+def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+               centroids: np.ndarray | None = None,
+               books: np.ndarray | None = None,
+               n_cells: int = 32, n_probe: int = 4, dim: int = 64,
+               m: int = 8, ksub: int = 16, cell_seed: int = 7,
+               pq_seed: int = 11, rerank: int = 0,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF + PQ composed — the faiss IVFPQ shape, and the actual 100 TB
+    ANN serving layout: the inverted file bounds WHICH rows are touched
+    (~n_probe/n_cells of the corpus, via the cell equi-join / partition
+    pruning), PQ bounds WHAT is read per touched row (an m-byte code,
+    ~30× smaller than the vector), and ADC scoring is m lookups + adds
+    in whole-stage codegen. Neither alone survives: IVF over full
+    vectors still reads 256 B/row in every probed cell; flat PQ still
+    scans every code in the corpus.
+
+    One combined map-only Arrow pass emits (n_id, cell, code); the
+    bounded query set's probe lists AND ADC tables are built
+    driver-side and broadcast together, so scoring needs no further
+    shuffle before the per-query top-k window.
+
+    Codes quantize RAW vectors, not cell residuals (faiss's
+    ``by_residual=False`` configuration) — one shared codebook table
+    keeps the encode pass centroid-independent (append/rebalance never
+    re-encodes) and lets the seeded configuration replay as a static
+    SQL oracle; residual encoding is a quantization-error refinement,
+    not a structural change.
+
+    ``rerank=R`` re-orders the ADC top-R shortlist by exact squared L2
+    (full vectors carried through the candidate join only when asked
+    for — the no-rerank scan stays code-sized). Output:
+    (q_id, n_id, rank, adist); adist is the exact distance when
+    reranking, else the ADC approximation, rounded to 6."""
+    from open_instrument_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    if centroids is None:
+        centroids = seeded_centroids(dim, n_cells, cell_seed)
+    if books is None:
+        books = pq_codebooks_seeded(dim, m, ksub, pq_seed)
+    C = centroids.astype(np.float64)
+    B = books.astype(np.float64)
+    mm, _, dsub = B.shape
+    spark = embeddings.sparkSession
+
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    index_cols = ["n_id", "cell", "code"] + (["v"] if rerank else [])
+    index = base.select(
+        "n_id",
+        ivf_assign("v", C).alias("cell"),
+        _encode_codes("v", B).alias("code"),
+        *(["v"] if rerank else []),
+    ).select(*index_cols)
+
+    qrows = base.filter(F.col("n_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r["v"], dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        tab = [
+            [float(((qv[j * dsub:(j + 1) * dsub] - c) ** 2).sum()) for c in B[j]]
+            for j in range(mm)
+        ]
+        for c in np.argsort(-(C @ qn))[:n_probe]:
+            probe_rows.append(
+                (r["n_id"], int(c), tab, [float(x) for x in qv])
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_id long, cell int, adc array<array<double>>, qv array<double>",
+    )
+    if not rerank:
+        probes = probes.drop("qv")
+
+    cand = index.join(F.broadcast(probes), "cell").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    scored = cand.withColumn(
+        "adist",
+        F.aggregate(
+            F.zip_with("code", "adc", lambda c, t: F.element_at(t, c + F.lit(1))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "q_id", "n_id", "rank", F.round("adist", 6).alias("adist")
+        )
+
+    exact = ranked.filter(F.col("rank") <= max(rerank, k)).withColumn(
+        "adist",
+        F.aggregate(
+            F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))

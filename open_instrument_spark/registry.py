@@ -76,7 +76,6 @@ DRIVER_WINDOW = [
     # -- never-driver-checked until now (r2-r7 _PAST_WINDOW_ORACLED) --
     "text_scrub",
     "corpus_pack_partitioned",
-    "multimodal_decode_fake",
     "ingest_validate_strict",
     "mutate_rate_chunked",
     "rle_encode_chunked",
@@ -123,10 +122,12 @@ DRIVER_WINDOW = [
     "mutate_holt_forecast",
     "agg_distinct_series",
     "analytics_cohort_retention",
-    # r9-new: the SNMP table->variable mapping that finishes S13 — new
-    # this round, so it takes its driver row immediately (displacing
-    # list_max_variables, driver-green r2+r8).
+    # r9-new: the SNMP table->variable mapping that finishes S13 and the
+    # IVF+PQ composed ANN search — new this round, so they take their
+    # driver rows immediately (displacing list_max_variables r2+r8 and
+    # multimodal_decode_fake r2+r8).
     "collector_snmp_hoststats",
+    "ann_ivfpq_seeded_topk",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -184,6 +185,7 @@ _PAST_WINDOW_ORACLED = [
     # list_max_variables at r2+r8) and stays under the pytest-hosted
     # DuckDB gate (test_oracle_parity.py).
     "list_max_variables",
+    "multimodal_decode_fake",
     "select_label_absent",
     "mutate_rate_signed",
     "mutate_delta",
@@ -199,6 +201,7 @@ _PAST_WINDOW_ORACLED = [
 
 _PAST_WINDOW_ROWS_ONLY = [
     "agg_anchored_sum",
+    "ann_ivfpq_topk",
     "ann_pq_topk",
     "agg_distinct_series_hll",
     "agg_p95_approx_by_name",
