@@ -1447,3 +1447,155 @@ def test_streaming_holt_matches_batch_across_batches(spark, tmp_path):
     # b=.5*1=0.5, f=5.5; step2: l=.25*0+.75*5.5=4.125, b=.5*(-0.875)+.25
     # = -0.1875, f=3.9375
     assert ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 3.9375) in got
+
+
+def test_streaming_anchored_matches_batch_across_batches(spark, tmp_path):
+    """Streaming A1 anchored aggregation (ninth state twin): per-group
+    buffered walk state must link micro-batches so that incremental
+    rounds plus the sentinel-closed remainder equal the batch
+    reference-exact kernel bit-for-bit — including the dropped
+    final bucket and the drift anchoring."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.aggregate import aggregate_anchored
+    from open_instrument_spark.streaming.anchored_state import (
+        CLOSE_SENTINEL,
+        anchored_stream,
+    )
+
+    schema = "name string, series_key string, ts timestamp, dval double"
+    base = dt.datetime(2024, 1, 1)
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(n, k, base + dt.timedelta(seconds=s), float(v))
+             for n, k, s, v in rows],
+            schema,
+        )
+
+    # Hand-traced against lib/protobuf.cc:49-85 semantics at I=30s:
+    # bucket@0 = [a0=1, b5=3, a10=2] flushes when both heads exit the
+    # bracket (mid-stream, batch 2); bucket@65 = [a65=5, b40=4, b70=6,
+    # b75=8] flushes at epoch close; a200=7 is the dropped final bucket.
+    b1 = [("/m", "a", 0, 1.0), ("/m", "b", 5, 3.0), ("/m", "a", 10, 2.0),
+          ("/m", "b", 40, 4.0)]
+    b2 = [("/m", "a", 65, 5.0), ("/m", "b", 70, 6.0)]
+    b3 = [("/m", "b", 75, 8.0), ("/m", "a", 200, 7.0)]
+
+    src = str(tmp_path / "an_src")
+    dest = str(tmp_path / "an_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            anchored_stream(stream, "sum", "30s")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "an_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    # non-vacuous incremental path: the @0 bucket must already be out
+    # BEFORE the epoch closes (flushed by the batch-2 rounds)
+    mid = {(r["name"], r["ts"], r["value"])
+           for r in spark.read.parquet(dest).collect()}
+    assert ("/m", base, 6.0) in mid
+
+    # close the epoch deterministically via the sentinel tombstone
+    pts([("/m", CLOSE_SENTINEL, 500, 0.0)]).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["name"], r["ts"], r["value"])
+           for r in spark.read.parquet(dest).collect()}
+    batch_in = pts(b1 + b2 + b3).select(
+        "name",
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {(r["name"], r["ts"], r["value"])
+            for r in aggregate_anchored(batch_in, "sum", "30s").collect()}
+    assert got == want == {
+        ("/m", base, 6.0),
+        ("/m", base + dt.timedelta(seconds=65), 23.0),
+    }
+
+
+def test_streaming_anchored_median_late_drop_and_roster_growth(spark, tmp_path):
+    """Anchored stream contract pins: (1) the upper-median fold, (2) a
+    sample at or before a series' last accepted position is dropped
+    (late data belongs to the batch pass), (3) a series first seen
+    mid-epoch joins the walk forward (key sorts after the roster)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.aggregate import aggregate_anchored
+    from open_instrument_spark.streaming.anchored_state import (
+        CLOSE_SENTINEL,
+        anchored_stream,
+    )
+
+    schema = "name string, series_key string, ts timestamp, dval double"
+    base = dt.datetime(2024, 1, 1)
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(n, k, base + dt.timedelta(seconds=s), float(v))
+             for n, k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("/m", "a", 0, 5.0), ("/m", "a", 10, 1.0)]
+    # a@8 arrives after a@10 was accepted → dropped; b joins mid-epoch
+    b2 = [("/m", "b", 45, 9.0), ("/m", "a", 100, 7.0), ("/m", "a", 8, 99.0)]
+
+    src = str(tmp_path / "am_src")
+    dest = str(tmp_path / "am_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            anchored_stream(stream, "median", "30s")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "am_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+    pts([("/m", CLOSE_SENTINEL, 500, 0.0)]).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["name"], r["ts"], r["value"])
+           for r in spark.read.parquet(dest).collect()}
+    # batch comparator over the data MINUS the dropped-late row (the
+    # declared divergence: the stream never saw a@8 as in-order data)
+    batch_in = pts(b1 + b2[:2]).select(
+        "name",
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {(r["name"], r["ts"], r["value"])
+            for r in aggregate_anchored(batch_in, "median", "30s").collect()}
+    assert got == want == {
+        ("/m", base, 5.0),                              # upper median of [1,5]
+        ("/m", base + dt.timedelta(seconds=100), 7.0),  # b@45=9 dropped final
+    }
