@@ -1,0 +1,145 @@
+"""The store maintenance loop — one idempotent background tick wiring
+retention (W1) and compaction (W2) the way the reference's
+StoreFileManager background thread does (server/store_file_manager.cc:
+178-191: every ``retention_policy.interval()`` seconds run the
+retention pass; compaction runs on the datastore's own small-file
+triggers, datastore.go:687-705).
+
+The reference's ``RunRetentionPolicy`` is LOG-ONLY — it walks every
+variable, computes each stream's verdict (keep/DROP, mutation chain,
+horizon) and logs a summary, but never rewrites a file
+(store_file_manager.cc:87-177). ``maintenance_tick(dry_run=True)`` is
+that pass: it returns the report rows and leaves the store untouched.
+``dry_run=False`` is the pass the log-only runner stops short of:
+apply the policy in place (``retention.run_retention_job`` — dynamic
+partition overwrite, write cost tracks aged data, not store size),
+then compact any date partition that has accumulated more parquet
+files than its bucket count (appends leave >1 file per bucket; the
+canonical compacted state is one).
+
+Idempotence contract: a second tick at the same ``now`` leaves the
+point set identical. Holds for the sample-fold mutations a retention
+policy uses (AVERAGE/MIN/MAX/LATEST are fixpoints on already-
+downsampled bands: one point per window resamples to itself);
+derivative mutations (RATE/DELTA) are not fixpoints and belong in
+query-time chains, not retention bands — the reference's sample
+config agrees (config.txt:59-81 uses AVERAGE only).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_instrument_spark.operators.retention import (
+    PolicyItem,
+    retention_report,
+    run_retention_job,
+)
+
+
+def _dt_dirs(store_path: str) -> dict[str, list[str]]:
+    """date string → its partition dirs, at either layout depth
+    (store/dt=D and the streaming sink's store/epoch=N/dt=D)."""
+    out: dict[str, list[str]] = {}
+    for pat in ("dt=*", os.path.join("epoch=*", "dt=*")):
+        for d in glob.glob(os.path.join(store_path, pat)):
+            out.setdefault(os.path.basename(d).split("=", 1)[1], []).append(d)
+    return out
+
+
+def compact_dates(spark, store_path: str, n_buckets: int = 16,
+                  max_files_per_date: int | None = None) -> list[str]:
+    """W2 in place: rewrite every date partition whose parquet file
+    count exceeds ``max_files_per_date`` (default: the bucket count —
+    i.e. some bucket holds more than one file) back to one sorted file
+    per bucket. Same staging discipline as the retention rewrite
+    (stage to disk BEFORE deleting sources; negative-epoch dir on an
+    epoch-layout store — see retention.run_retention_job). Local-FS
+    dir removal; on a cluster the same two steps go through the Hadoop
+    FileSystem API or a table format's replaceWhere. Returns the
+    compacted dates."""
+    from open_instrument_spark.sources.ingest import write_points
+
+    limit = n_buckets if max_files_per_date is None else max_files_per_date
+    todo = [
+        (date, dirs)
+        for date, dirs in _dt_dirs(store_path).items()
+        if sum(
+            len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+            for d in dirs
+        ) > limit
+    ]
+    if not todo:
+        return []
+    dates = sorted(date for date, _ in todo)
+    pts = (
+        spark.read.parquet(store_path)
+        .filter(F.col("dt").cast("string").isin(dates))
+        .drop("dt", "bucket", "name_bucket", "epoch")
+    )
+    staging = store_path.rstrip("/") + "_compact_staging"
+    pts.write.mode("overwrite").parquet(staging)
+    for _, dirs in todo:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    epoch_dirs = glob.glob(os.path.join(store_path, "epoch=*"))
+    dest = store_path
+    if epoch_dirs:
+        epochs = []
+        for p in epoch_dirs:
+            try:
+                epochs.append(int(os.path.basename(p).split("=", 1)[1]))
+            except ValueError:
+                pass
+        dest = os.path.join(store_path, f"epoch={min(epochs, default=0) - 1}")
+    write_points(spark.read.parquet(staging), dest, n_buckets=n_buckets,
+                 mode="append")
+    shutil.rmtree(staging, ignore_errors=True)
+    return dates
+
+
+def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
+                     now, dry_run: bool = False, n_buckets: int = 16,
+                     max_files_per_date: int | None = None
+                     ) -> tuple[DataFrame, dict]:
+    """One StoreFileManager tick. Returns ``(report, summary)``:
+    ``report`` is the retention_report rows AS OF tick start (the
+    reference logs what it sees before anything changes), ``summary``
+    mirrors the runner's closing LOG(INFO) counters
+    (store_file_manager.cc:170-171: variables and values examined)
+    plus what the tick did (``applied``, ``compacted_dates``).
+
+    ``dry_run=True`` is the reference-exact log-only pass: no write,
+    no delete, store bytes untouched."""
+    pts = spark.read.parquet(store_path).drop(
+        "dt", "bucket", "name_bucket", "epoch"
+    )
+    report = retention_report(pts, policy, now)
+    from open_instrument_spark.model import series_key
+
+    counts = pts.select(
+        F.countDistinct(series_key()).alias("variables"),
+        F.count(F.lit(1)).alias("values"),
+    ).first()
+    summary = {
+        "variables": counts["variables"],
+        "values": counts["values"],
+        "applied": not dry_run,
+        "compacted_dates": [],
+    }
+    if dry_run:
+        return report, summary
+    # the caller reads the report AFTER the rewrite — materialize it
+    # now so the returned frame reflects tick-START state, not a lazy
+    # re-scan of rewritten (or deleted) files
+    report = spark.createDataFrame(report.collect(), report.schema)
+    run_retention_job(spark, store_path, policy, now, n_buckets=n_buckets)
+    summary["compacted_dates"] = compact_dates(
+        spark, store_path, n_buckets=n_buckets,
+        max_files_per_date=max_files_per_date,
+    )
+    return report, summary
