@@ -45,6 +45,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "build_ivfpq_index",
+    "search_ivfpq_index",
 ]
 
 
@@ -325,6 +327,170 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", F.round("adist", 6).alias("adist"))
+    )
+
+
+def build_ivfpq_index(embeddings: DataFrame, path: str,
+                      centroids: np.ndarray | None = None,
+                      books: np.ndarray | None = None,
+                      n_cells: int = 32, dim: int = 64, m: int = 8,
+                      ksub: int = 16, cell_seed: int = 7,
+                      pq_seed: int = 11, include_vectors: bool = False,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the on-disk IVFPQ serving index — the composition of
+    :func:`similarity.build_ivf_index`'s cell partitioning with PQ
+    codes INSTEAD of raw vectors, which is the layout that actually
+    fits 100 TB of embeddings in a searchable footprint: the codes
+    table is ~30× smaller than the vectors it replaces, and search
+    reads only probed-cell partitions of it (parquet partition
+    pruning).
+
+    Layout: ``{path}/codes`` (n_id, code, cell=partition),
+    ``{path}/centroids`` (cell, c), ``{path}/codebooks`` (j, cc, cv).
+    ``include_vectors=True`` additionally writes the raw-vector IVF
+    layout at ``{path}/vectors`` for exact re-ranking — an optional
+    sidecar, typically on cheaper storage; codes-only search never
+    touches it. One combined map-only Arrow pass computes (cell, code);
+    the write shuffles once on cell. Raw-vector codes
+    (``by_residual=False``) mean appends never re-encode against moved
+    centroids — ``similarity.append_to_ivf_index``'s reasoning applies
+    to the codes table verbatim. Pass trained ``centroids``/``books``
+    (``_kmeans`` / :func:`pq_train`) for the production path; the
+    seeded defaults replay under static oracles. Returns
+    ``(centroids, books)``."""
+    from open_instrument_spark.operators.similarity import (
+        ivf_assign,
+        seeded_centroids,
+    )
+
+    if centroids is None:
+        centroids = seeded_centroids(dim, n_cells, cell_seed)
+    if books is None:
+        books = pq_codebooks_seeded(dim, m, ksub, pq_seed)
+    C = centroids.astype(np.float64)
+    B = books.astype(np.float64)
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = base.select(
+        "n_id",
+        ivf_assign("v", C).alias("cell"),
+        _encode_codes("v", B).alias("code"),
+        "v",
+    )
+    assigned.select("n_id", "code", "cell").write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/codes")
+    if include_vectors:
+        assigned.select("n_id", "v", "cell").write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
+        "cell int, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(j, cc, [float(x) for x in B[j, cc]])
+         for j in range(B.shape[0]) for cc in range(B.shape[1])],
+        "j int, cc int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return C, B
+
+
+def search_ivfpq_index(spark, path: str, queries: dict[int, list],
+                       k: int = 10, n_probe: int = 4, rerank: int = 0,
+                       exclude_self: bool = False) -> DataFrame:
+    """Top-k ADC search against a :func:`build_ivfpq_index` layout.
+
+    ``queries``: {q_id: vector} — external query vectors (same
+    ``exclude_self`` contract as ``similarity.search_ivf_index``: only
+    set it when q_ids are corpus ids). Probe lists AND ADC tables are
+    built driver-side from the two small side tables; the codes read
+    carries ``cell IN (probed)`` so partition pruning skips every
+    unprobed cell's files (PartitionFilters-asserted in tests); scoring
+    is the same whole-stage-codegen lookup fold as the in-memory
+    :func:`ivfpq_topk`. ``rerank=R`` re-orders the ADC top-R by exact
+    squared L2 against the ``{path}/vectors`` sidecar (pruned to the
+    same cells); requires ``include_vectors=True`` at build. Output:
+    (q_id, n_id, rank, adist)."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"IVFPQ index at {path} has an empty centroids table")
+    dim = len(crows[0]["c"])
+    C = np.zeros((max(r["cell"] for r in crows) + 1, dim))
+    for r in crows:
+        C[r["cell"]] = r["c"]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    if not brows:
+        raise ValueError(f"IVFPQ index at {path} has an empty codebooks table")
+    m = max(r["j"] for r in brows) + 1
+    ksub = max(r["cc"] for r in brows) + 1
+    dsub = len(brows[0]["cv"])
+    B = np.zeros((m, ksub, dsub))
+    for r in brows:
+        B[r["j"], r["cc"]] = r["cv"]
+
+    probe_rows = []
+    for qid, qv in queries.items():
+        qv = np.asarray(qv, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        tab = [
+            [float(((qv[j * dsub:(j + 1) * dsub] - c) ** 2).sum()) for c in B[j]]
+            for j in range(m)
+        ]
+        for c in np.argsort(-(C @ qn))[:n_probe]:
+            probe_rows.append(
+                (int(qid), int(c), tab, [float(x) for x in qv])
+            )
+    probes = spark.createDataFrame(
+        probe_rows,
+        "q_id long, cell int, adc array<array<double>>, qv array<double>",
+    )
+    if not rerank:
+        probes = probes.drop("qv")
+    cells_needed = sorted({c for _, c, *_ in probe_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("cell").isin(cells_needed)
+    )
+    cand = codes.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("n_id") != F.col("q_id"))
+    scored = cand.withColumn(
+        "adist",
+        F.aggregate(
+            F.zip_with("code", "adc", lambda c, t: F.element_at(t, c + F.lit(1))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("n_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k).select(
+            "q_id", "n_id", "rank", F.round("adist", 6).alias("adist")
+        )
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells_needed)
+    ).select("n_id", "v")
+    exact = (
+        ranked.filter(F.col("rank") <= max(rerank, k))
+        .select("q_id", "n_id", "qv")
+        .join(vectors, "n_id")
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with("qv", "v", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     )
     return (
         exact.withColumn("rank", F.row_number().over(w))

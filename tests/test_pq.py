@@ -279,3 +279,45 @@ def test_ivfpq_scan_fraction_tracks_probes(spark, emb, emb_np):
     # and the Spark plan actually joins on cell (bounded candidates):
     got = pq.ivfpq_topk(emb, [0], k=5, n_probe=4)
     assert got.count() == 5
+
+
+def test_ivfpq_index_persist_matches_in_memory_search(spark, emb, tmp_path):
+    """The on-disk IVFPQ layout (cell-partitioned CODES + centroids +
+    codebooks tables) must return exactly the in-memory composed
+    search's rows, the probe must reach parquet as partition pruning,
+    and the codes table must actually be the small thing (the 100 TB
+    point: search reads codes, never vectors)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "ivfpq")
+    pq.build_ivfpq_index(emb, path, include_vectors=True)
+
+    qids = [0, 1, 2, 3, 4]
+    mem = {(r["q_id"], r["n_id"], r["rank"], r["adist"])
+           for r in pq.ivfpq_topk(emb, qids, k=10).collect()}
+    qvecs = {r["vec_id"]: list(r["embedding"])
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    disk_df = pq.search_ivfpq_index(spark, path, qvecs, k=10,
+                                    exclude_self=True)
+    disk = {(r["q_id"], r["n_id"], r["rank"], r["adist"])
+            for r in disk_df.collect()}
+    assert disk == mem
+
+    plan = disk_df._sc._jvm.PythonSQLUtils.explainString(
+        disk_df._jdf.queryExecution(), "simple")
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:80]
+
+    def nbytes(sub):
+        return sum(os.path.getsize(f) for f in glob.glob(
+            os.path.join(path, sub, "**", "*.parquet"), recursive=True))
+
+    assert nbytes("codes") < 0.25 * nbytes("vectors")
+
+    # re-rank path: exact distances over the sidecar, same top-1 as
+    # brute force within probed cells (replay gives exact L2 ordering)
+    rr = pq.search_ivfpq_index(spark, path, {0: qvecs[0]}, k=3,
+                               rerank=50)
+    top = rr.filter(F.col("rank") == 1).first()
+    assert top["n_id"] == 0 and top["adist"] == 0.0   # own vector, d=0
