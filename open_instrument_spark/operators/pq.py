@@ -47,6 +47,7 @@ __all__ = [
     "ivfpq_topk",
     "build_ivfpq_index",
     "search_ivfpq_index",
+    "append_to_ivfpq_index",
 ]
 
 
@@ -497,3 +498,53 @@ def search_ivfpq_index(spark, path: str, queries: dict[int, list],
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", F.round("adist", 6).alias("adist"))
     )
+
+
+def append_to_ivfpq_index(new_vectors: DataFrame, path: str,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> None:
+    """Incremental IVFPQ maintenance — the reason the index quantizes
+    RAW vectors (``by_residual=False``): new vectors are assigned to
+    the EXISTING centroids and encoded against the EXISTING codebooks,
+    then appended into the cell partitions of ``{path}/codes`` (and of
+    the ``{path}/vectors`` sidecar when the index carries one). No
+    existing code is ever rewritten; search sees the union immediately
+    through the same partition pruning. One map-only Arrow pass + one
+    cell-partitioned append — the nightly-embedding-batch path
+    (``similarity.append_to_ivf_index``'s centroid-immutability
+    reasoning applies verbatim; codebook drift is likewise a re-train
+    decision, not an append concern)."""
+    import os
+
+    from open_instrument_spark.operators.similarity import ivf_assign
+
+    spark = new_vectors.sparkSession
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"IVFPQ index at {path} has an empty centroids table")
+    dim = len(crows[0]["c"])
+    C = np.zeros((max(r["cell"] for r in crows) + 1, dim))
+    for r in crows:
+        C[r["cell"]] = r["c"]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    if not brows:
+        raise ValueError(f"IVFPQ index at {path} has an empty codebooks table")
+    m = max(r["j"] for r in brows) + 1
+    ksub = max(r["cc"] for r in brows) + 1
+    B = np.zeros((m, ksub, len(brows[0]["cv"])))
+    for r in brows:
+        B[r["j"], r["cc"]] = r["cv"]
+    base = new_vectors.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = base.select(
+        "n_id", ivf_assign("v", C).alias("cell"),
+        _encode_codes("v", B).alias("code"), "v",
+    )
+    assigned.select("n_id", "code", "cell").write.partitionBy(
+        "cell"
+    ).mode("append").parquet(f"{path}/codes")
+    if os.path.exists(f"{path}/vectors"):
+        assigned.select("n_id", "v", "cell").write.partitionBy(
+            "cell"
+        ).mode("append").parquet(f"{path}/vectors")

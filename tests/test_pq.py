@@ -321,3 +321,31 @@ def test_ivfpq_index_persist_matches_in_memory_search(spark, emb, tmp_path):
                                rerank=50)
     top = rr.filter(F.col("rank") == 1).first()
     assert top["n_id"] == 0 and top["adist"] == 0.0   # own vector, d=0
+
+
+def test_ivfpq_index_append_matches_rebuild(spark, emb, tmp_path):
+    """Appending a batch into the codes partitions must yield the
+    exact same search results as rebuilding the index over the union —
+    the raw-vector-codes property (no re-encode against moved
+    centroids, because nothing moves)."""
+    path_a = str(tmp_path / "ivfpq_a")
+    path_b = str(tmp_path / "ivfpq_b")
+    first = emb.filter(F.col("vec_id") < 400)
+    rest = emb.filter(F.col("vec_id") >= 400)
+
+    pq.build_ivfpq_index(first, path_a)
+    pq.append_to_ivfpq_index(rest, path_a)
+    pq.build_ivfpq_index(emb, path_b)
+
+    qvecs = {r["vec_id"]: list(r["embedding"])
+             for r in emb.filter(F.col("vec_id").isin([0, 450])).collect()}
+
+    def rows(p):
+        return {(r["q_id"], r["n_id"], r["rank"], r["adist"])
+                for r in pq.search_ivfpq_index(
+                    spark, p, qvecs, k=10, exclude_self=True).collect()}
+
+    got = rows(path_a)
+    assert got == rows(path_b)
+    # the appended batch is actually searchable: 450's own cell-mates
+    assert any(q == 450 for q, *_ in got)
