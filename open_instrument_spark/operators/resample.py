@@ -358,6 +358,45 @@ def holt_kernel(ts, vals, duration, alpha: float = 0.25, beta: float = 0.5):
     return np.asarray(ts, dtype=np.int64), out
 
 
+def holt_winters_kernel(ts, vals, duration, alpha: float = 0.25,
+                        beta: float = 0.5, gamma: float = 0.25,
+                        period: int = 24):
+    """Holt-Winters ADDITIVE seasonal smoothing per series — the
+    seasonal rung above Holt (Winters 1960, public): level + trend +
+    a ``period``-slot seasonal component updated cyclically,
+
+      l₀ = x₀, b₀ = 0, s = [0]·period            (zero seasonal init)
+      lᵢ = α·(xᵢ - s[i mod p]) + (1-α)·(lᵢ₋₁ + bᵢ₋₁)
+      bᵢ = β·(lᵢ - lᵢ₋₁) + (1-β)·bᵢ₋₁
+      s[i mod p] ← γ·(xᵢ - lᵢ) + (1-γ)·s[i mod p]
+
+    Output per point is the ONE-STEP FORECAST lᵢ + bᵢ + s[(i+1) mod p]
+    (next step's seasonal slot, read AFTER this step's update — it was
+    written p-1 steps ago, or is still the 0 init inside the first
+    season). The zero-init convention (vs. a first-season average
+    warm-up) keeps every step pure IEEE multiply/add so, with
+    binary-exact α=1/4, β=1/2, γ=1/4, the recursive-CTE oracle —
+    which carries the seasonal slots as a LIST column — matches
+    BIT-EXACTLY (the ewma/holt precedent, one more rung up).
+    Not in the reference; north-star TSDB extension. ``duration``
+    unused (kernel-contract placeholder)."""
+    out = np.empty(len(vals), dtype=np.float64)
+    sl = [0.0] * period
+    l = b = 0.0
+    for i, x in enumerate(vals):
+        ph = i % period
+        if i == 0:
+            l, b = x, 0.0
+        else:
+            sp = sl[ph]
+            lp = l
+            l = alpha * (x - sp) + (1.0 - alpha) * (l + b)
+            b = beta * (l - lp) + (1.0 - beta) * b
+            sl[ph] = gamma * (x - l) + (1.0 - gamma) * sp
+        out[i] = l + b + sl[(i + 1) % period]
+    return np.asarray(ts, dtype=np.int64), out
+
+
 def min_anchored_kernel(ts, vals, duration):
     return _minmax_anchored_kernel(ts, vals, duration, min)
 
@@ -375,6 +414,7 @@ _OUT_SCHEMA = "series_key string, ts timestamp, dval double"
 _KERNELS = {
     "ewma": ewma_kernel,
     "holt": holt_kernel,
+    "holt_winters": holt_winters_kernel,
     "interpolate": interpolate_kernel,
     "mean_anchored": mean_anchored_kernel,
     "min_anchored": min_anchored_kernel,
@@ -712,3 +752,14 @@ def holt(points: DataFrame, alpha: float = 0.25, beta: float = 0.5,
     binary-exact α=1/4, β=1/2 defaults keep it engine-bit-exact."""
     return apply_kernel(points, "holt", "1s",
                         kernel_kwargs={"alpha": alpha, "beta": beta}, **kw)
+
+
+def holt_winters(points: DataFrame, alpha: float = 0.25, beta: float = 0.5,
+                 gamma: float = 0.25, period: int = 24, **kw) -> DataFrame:
+    """Holt-Winters additive seasonal one-step forecast per series (see
+    holt_winters_kernel); binary-exact α=1/4, β=1/2, γ=1/4 defaults
+    keep it engine-bit-exact; ``period`` in samples."""
+    return apply_kernel(points, "holt_winters", "1s",
+                        kernel_kwargs={"alpha": alpha, "beta": beta,
+                                       "gamma": gamma, "period": period},
+                        **kw)

@@ -1004,6 +1004,57 @@ def mutate_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+_HW_P = 24
+_HW_ZEROS = "[" + ", ".join(["0.0"] * _HW_P) + "]::DOUBLE[]"
+
+@query(
+    "mutate_holt_winters",
+    oracle=f"""
+WITH RECURSIVE {{P_CTE}},
+s AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts, dval) AS rn
+  FROM p
+),
+r(series_key, ts, rn, l, b, sl) AS (
+  SELECT series_key, ts, rn, dval, CAST(0.0 AS DOUBLE), {_HW_ZEROS}
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT series_key, ts, rn, lnew,
+         0.5 * (lnew - lold) + 0.5 * bold,
+         list_slice(sl, 1, ph) ||
+         [0.25 * (x - lnew) + 0.75 * sp] ||
+         list_slice(sl, ph + 2, {_HW_P})
+  FROM (
+    SELECT s.series_key, s.ts, s.rn,
+           ((s.rn - 1) % {_HW_P}) AS ph,
+           r.sl AS sl, r.l AS lold, r.b AS bold, s.dval AS x,
+           r.sl[((s.rn - 1) % {_HW_P}) + 1] AS sp,
+           0.25 * (s.dval - r.sl[((s.rn - 1) % {_HW_P}) + 1])
+             + 0.75 * (r.l + r.b) AS lnew
+    FROM r JOIN s ON s.series_key = r.series_key AND s.rn = r.rn + 1
+  )
+)
+SELECT series_key, ts,
+       l + b + sl[(rn % {_HW_P}) + 1] AS dval
+FROM r
+""".replace("{P_CTE}", P_CTE),
+)
+def mutate_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal one-step forecast per series
+    (α = 1/4, β = 1/2, γ = 1/4, period = 24 samples — all binary-exact,
+    so every recurrence step is the same IEEE multiplies + adds in any
+    engine and the recursive-CTE oracle — which carries the 24
+    seasonal slots as a LIST column, rewriting one slot per step via
+    list_slice concatenation — matches BIT-EXACTLY, compared unrounded;
+    the mutate_ewma → mutate_holt_forecast ladder, seasonal rung).
+    North-star TSDB extension (resample.holt_winters_kernel)."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.holt_winters(_pts(spark, sf_dir), restore_labels=False)
+    return out.select("series_key", "ts", "dval")
+
+
 @query(
     "mutate_zscore",
     oracle=f"""

@@ -131,6 +131,10 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
+    # r9-new oracled queries — never in the window yet (it is full with
+    # the 11 r8-new + 2 r9-new entries); under the pytest-hosted DuckDB
+    # gate now, rotated into the window next round.
+    "mutate_holt_winters",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.

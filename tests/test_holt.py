@@ -74,3 +74,33 @@ def test_holt_spark_equals_kernel(spark):
         exp = replay(vals)
         gv = [r["dval"] for r in got if r["series_key"] == s]
         assert gv == exp  # bit-exact
+
+
+def test_holt_winters_kernel_hand_computed_seasonal_engagement():
+    """Period-2 trace where a seasonal slot WRITTEN at i=1 is READ at
+    i=3 (sp=0.75) — the seasonality path, not just Holt with extra
+    zeros. All constants binary-exact; asserted equal, not approx."""
+    from open_instrument_spark.operators.resample import holt_winters_kernel
+
+    ts = [0, 1, 2, 3]
+    xs = [4.0, 8.0, 6.0, 10.0]
+    _, out = holt_winters_kernel(ts, xs, None, period=2)
+    assert list(out) == [4.0, 5.5, 6.9375, 7.9921875]
+
+
+def test_holt_winters_reduces_to_holt_with_zero_gamma():
+    """γ=0 freezes the zero-init seasonal slots, so the forecast must
+    equal plain Holt exactly on any input."""
+    import numpy as np
+
+    from open_instrument_spark.operators.resample import (
+        holt_kernel,
+        holt_winters_kernel,
+    )
+
+    rng = np.random.RandomState(3)
+    xs = rng.standard_normal(50).tolist()
+    ts = list(range(50))
+    _, want = holt_kernel(ts, xs, None)
+    _, got = holt_winters_kernel(ts, xs, None, gamma=0.0, period=7)
+    assert list(got) == list(want)

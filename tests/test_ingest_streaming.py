@@ -1681,3 +1681,74 @@ def test_maintenance_tick_dry_run_apply_fixpoint(spark, tmp_path):
                                    max_files_per_date=1)
     assert pset() == state1                         # fixpoint
     assert summary3["compacted_dates"] == []
+
+
+def test_streaming_holt_winters_matches_batch_across_batches(spark, tmp_path):
+    """Streaming Holt-Winters (tenth state twin): the carried
+    (count, level, trend, seasonal slots) must link micro-batches so
+    cumulative output equals the batch kernel BIT-EXACTLY (α=1/4,
+    β=1/2, γ=1/4 binary-exact; period=3 so the seasonal slots cycle
+    within the test data)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.holt_winters_state import (
+        holt_winters_stream,
+    )
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 4.0), ("a", 1, 8.0), ("b", 0, 1.0)]
+    b2 = [("a", 2, 0.0), ("a", 3, 6.0), ("b", 3, 5.0)]
+    b3 = [("a", 9, 16.0), ("a", 10, 2.0), ("b", 4, 2.0)]
+
+    src = str(tmp_path / "hw_src")
+    dest = str(tmp_path / "hw_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            holt_winters_stream(stream, period=3)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "hw_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    got = {(r["series_key"], r["ts"], r["dval"])
+           for r in spark.read.parquet(dest).collect()}
+    batch_in = pts(b1 + b2 + b3).select(
+        F.lit("/s").alias("name"),
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {
+        (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+        for r in resample.holt_winters(batch_in, period=3,
+                                       restore_labels=False)
+        .select("series_key", "ts", "dval").collect()
+    }
+    assert got == want and len(got) == 9
+    # hand-check series a, period 3: i0: l=4,b=0,sl=[0,0,0],f=4.
+    # i1(ph=1): l=.25*8+.75*4=5, b=.5*1=0.5, sl[1]=.25*(8-5)=0.75,
+    #   f=l+b+sl[2]=5.5. i2(ph=2): l=.25*0+.75*5.5=4.125,
+    #   b=.5*(4.125-5)+.25=-0.1875, sl[2]=.25*(0-4.125)=-1.03125,
+    #   f=4.125-0.1875+sl[0=ph(3)]... sl[0]=0 -> 3.9375
+    assert ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 3.9375) in got
