@@ -397,6 +397,31 @@ def holt_winters_kernel(ts, vals, duration, alpha: float = 0.25,
     return np.asarray(ts, dtype=np.int64), out
 
 
+def cusum_kernel(ts, vals, duration, slack: float = 0.0):
+    """One-sided (positive) CUSUM change detector per series (Page
+    1954, public) — the sequential drift alarm one rung up from
+    thresholding a z-score:
+
+      c₀ = 0,  cᵢ = max(0, cᵢ₋₁ + (xᵢ - x₀ - slack))
+
+    with the series' FIRST value as the reference level (the
+    "in-control" mean a fresh monitor observes) and ``slack`` the
+    allowance k. The statistic accumulates only sustained upward
+    drift; a single spike decays the next step. All ops are one IEEE
+    subtract/add/max per step, so with a binary-exact slack the
+    recursive-CTE oracle matches BIT-EXACTLY (the ewma precedent).
+    The ``+ 0.0`` on emit normalizes a signed zero so engines cannot
+    disagree on -0.0 vs 0.0. Not in the reference; north-star TSDB
+    extension. ``duration`` unused (kernel-contract placeholder)."""
+    out = np.empty(len(vals), dtype=np.float64)
+    target = float(vals[0]) + slack
+    c = 0.0
+    for i, x in enumerate(vals):
+        c = max(0.0, c + (float(x) - target))
+        out[i] = c + 0.0
+    return np.asarray(ts, dtype=np.int64), out
+
+
 def min_anchored_kernel(ts, vals, duration):
     return _minmax_anchored_kernel(ts, vals, duration, min)
 
@@ -415,6 +440,7 @@ _KERNELS = {
     "ewma": ewma_kernel,
     "holt": holt_kernel,
     "holt_winters": holt_winters_kernel,
+    "cusum": cusum_kernel,
     "interpolate": interpolate_kernel,
     "mean_anchored": mean_anchored_kernel,
     "min_anchored": min_anchored_kernel,
@@ -752,6 +778,13 @@ def holt(points: DataFrame, alpha: float = 0.25, beta: float = 0.5,
     binary-exact α=1/4, β=1/2 defaults keep it engine-bit-exact."""
     return apply_kernel(points, "holt", "1s",
                         kernel_kwargs={"alpha": alpha, "beta": beta}, **kw)
+
+
+def cusum(points: DataFrame, slack: float = 0.0, **kw) -> DataFrame:
+    """One-sided positive CUSUM drift statistic per series (see
+    cusum_kernel); binary-exact slack keeps it engine-bit-exact."""
+    return apply_kernel(points, "cusum", "1s",
+                        kernel_kwargs={"slack": slack}, **kw)
 
 
 def holt_winters(points: DataFrame, alpha: float = 0.25, beta: float = 0.5,

@@ -77,6 +77,33 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
     )
 
 
+def cosine_range_search(embeddings: DataFrame, query_ids: list[int],
+                        threshold: float = 0.3, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Radius query — the top-k sibling every vector store pairs with
+    it (faiss ``range_search``): ALL corpus vectors with cos ≥ τ of
+    each query, not a fixed count. The retrieval shape for "everything
+    semantically this close" (dedup sweeps, recall-complete retrieval)
+    where k-NN silently truncates dense neighborhoods and pads sparse
+    ones. Same broadcast-queries scan as :func:`cosine_topk` but the
+    threshold replaces the rank window — NO shuffle at all (the top-k
+    window's exchange disappears; plan-asserted), so it scales as one
+    corpus pass regardless of result density. Deterministic output
+    order left to the caller; rows: (q_id, n_id, cos)."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    queries = base.filter(F.col("n_id").isin(query_ids)).select(
+        F.col("n_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    return (
+        base.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("v")))
+        .filter(F.col("cos") >= threshold)
+        .select("q_id", "n_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    modulus: int | None = None,

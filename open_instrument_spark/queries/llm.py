@@ -1393,6 +1393,34 @@ def embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embed_range_search",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_COS_SQL} AS cos
+  FROM e a JOIN e b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+)
+SELECT q_id, n_id, round(cos, 6) AS cos FROM scored WHERE cos >= 0.3
+""",
+)
+def embed_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 cosine RADIUS query (faiss range_search shape) for query
+    vectors 0-4 at τ=0.3: every neighbor within the radius, however
+    many — the recall-complete retrieval top-k truncates. One
+    broadcast-queries corpus pass, zero shuffle (the rank window's
+    exchange disappears; plan-asserted in test_plan_shapes). τ sits
+    ≥0.001 from every cosine in the sf0.01 corpus (nearest: 0.3028 /
+    0.2988), so the float boundary cannot flip a row between engines
+    (operators/similarity.py cosine_range_search)."""
+    from open_instrument_spark.operators.similarity import cosine_range_search
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return cosine_range_search(emb, [0, 1, 2, 3, 4], threshold=0.3)
+
+
+@query(
     "embed_quantize_uint8",
     oracle="""
 WITH v AS (

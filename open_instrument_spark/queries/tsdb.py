@@ -1004,6 +1004,40 @@ def mutate_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+@query(
+    "mutate_cusum",
+    oracle=f"""
+WITH RECURSIVE {P_CTE},
+s AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER (PARTITION BY series_key ORDER BY ts, dval) AS rn
+  FROM p
+),
+r(series_key, ts, rn, t, c) AS (
+  SELECT series_key, ts, rn, dval, CAST(0.0 AS DOUBLE) FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.series_key, s.ts, s.rn, r.t,
+         greatest(0.0, r.c + (s.dval - r.t))
+  FROM r JOIN s ON s.series_key = r.series_key AND s.rn = r.rn + 1
+)
+SELECT series_key, ts, c + 0.0 AS dval FROM r
+""",
+)
+def mutate_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided positive CUSUM drift statistic per series (Page's
+    sequential change detector; reference level = the series' first
+    value, slack 0 — both binary-exact, so every step is one IEEE
+    subtract/add/max in any engine and the recursive-CTE oracle
+    matches BIT-EXACTLY, compared unrounded; signed zero normalized
+    with +0.0 on both sides). North-star TSDB extension
+    (resample.cusum_kernel) — the alerting-side companion of
+    mutate_zscore."""
+    from open_instrument_spark.operators import resample
+
+    out = resample.cusum(_pts(spark, sf_dir), restore_labels=False)
+    return out.select("series_key", "ts", "dval")
+
+
 _HW_P = 24
 _HW_ZEROS = "[" + ", ".join(["0.0"] * _HW_P) + "]::DOUBLE[]"
 

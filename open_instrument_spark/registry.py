@@ -135,6 +135,8 @@ _PAST_WINDOW_ORACLED = [
     # the 11 r8-new + 2 r9-new entries); under the pytest-hosted DuckDB
     # gate now, rotated into the window next round.
     "mutate_holt_winters",
+    "mutate_cusum",
+    "embed_range_search",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.

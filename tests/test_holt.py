@@ -104,3 +104,17 @@ def test_holt_winters_reduces_to_holt_with_zero_gamma():
     _, want = holt_kernel(ts, xs, None)
     _, got = holt_winters_kernel(ts, xs, None, gamma=0.0, period=7)
     assert list(got) == list(want)
+
+
+def test_cusum_kernel_hand_computed():
+    """Spike decays, sustained drift accumulates — the CUSUM contract.
+    Reference level = first value (4.0)."""
+    from open_instrument_spark.operators.resample import cusum_kernel
+
+    xs = [4.0, 9.0, 1.0, 6.0, 6.0, 6.0]
+    # c: 0, 5, max(0,5-3)=2, 4, 6, 8
+    _, out = cusum_kernel(list(range(6)), xs, None)
+    assert list(out) == [0.0, 5.0, 2.0, 4.0, 6.0, 8.0]
+    # pure spike fully decays
+    _, out2 = cusum_kernel([0, 1, 2, 3], [4.0, 9.0, -10.0, 4.0], None)
+    assert list(out2) == [0.0, 5.0, 0.0, 0.0]

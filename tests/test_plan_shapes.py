@@ -427,3 +427,17 @@ def test_kernel_stages_resist_aqe_coalescing(spark, tables):
         plan = plan_of(df)
         assert count_in(plan, "REPARTITION_BY_NUM") == 1, plan[:800]
         assert count_in(plan, "Exchange") == 1, plan[:800]
+
+
+def test_range_search_has_no_exchange(spark, tables):
+    """The radius query's whole point vs top-k: dropping the rank
+    window drops its SHUFFLE exchange — one corpus pass; the only
+    exchange left is the broadcast of the tiny query set."""
+    from open_instrument_spark.operators.similarity import cosine_range_search
+    from open_instrument_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    plan = plan_of(cosine_range_search(emb, [0, 1, 2], threshold=0.3))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan
