@@ -127,9 +127,15 @@ HEADLINE = [
     # quality aggregation, Holt forecasting, exact distinct-series,
     # and the cohort retention matrix.
     "collector_system_status",
-    # r9 addition, first benched r9 (baseline for later rounds): the
-    # SNMP table->variable mapping (two pivots + HC-override join).
+    # r9 additions, first benched r9 (baseline for later rounds): the
+    # SNMP table->variable mapping (two pivots + HC-override join),
+    # the composed IVFPQ ANN search, the seasonal Holt-Winters kernel,
+    # CUSUM drift detection, and the shuffle-free cosine radius query.
     "collector_snmp_hoststats",
+    "ann_ivfpq_seeded_topk",
+    "mutate_holt_winters",
+    "mutate_cusum",
+    "embed_range_search",
     "ann_pq_seeded_topk",
     "corpus_source_stats",
     "mutate_holt_forecast",

@@ -1752,3 +1752,67 @@ def test_streaming_holt_winters_matches_batch_across_batches(spark, tmp_path):
     #   b=.5*(4.125-5)+.25=-0.1875, sl[2]=.25*(0-4.125)=-1.03125,
     #   f=4.125-0.1875+sl[0=ph(3)]... sl[0]=0 -> 3.9375
     assert ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 3.9375) in got
+
+
+def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
+    """Streaming CUSUM (eleventh state twin): the carried (reference,
+    accumulator) pair must link micro-batches so cumulative output
+    equals the batch kernel BIT-EXACTLY — including the spike decay
+    crossing a batch boundary."""
+    import datetime as dt
+
+    from open_instrument_spark.operators import resample
+    from open_instrument_spark.streaming.cusum_state import cusum_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 4.0), ("a", 1, 9.0), ("b", 0, 1.0)]
+    b2 = [("a", 2, 1.0), ("b", 3, 5.0)]          # a's spike decays here
+    b3 = [("a", 3, 6.0), ("b", 4, 2.0)]
+
+    src = str(tmp_path / "cu_src")
+    dest = str(tmp_path / "cu_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            cusum_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cu_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    got = {(r["series_key"], r["ts"], r["dval"])
+           for r in spark.read.parquet(dest).collect()}
+    batch_in = pts(b1 + b2 + b3).select(
+        F.lit("/s").alias("name"),
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {
+        (r["series_key"].split("=")[1].rstrip("}"), r["ts"], r["dval"])
+        for r in resample.cusum(batch_in, restore_labels=False)
+        .select("series_key", "ts", "dval").collect()
+    }
+    assert got == want and len(got) == 7
+    # series a: c = 0, 5, max(0,5-3)=2, 2+2=4 — decay spans b1→b2
+    assert ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 2.0) in got
+    assert ("a", dt.datetime(2024, 1, 1, 0, 0, 3), 4.0) in got
