@@ -349,3 +349,52 @@ def test_ivfpq_index_append_matches_rebuild(spark, emb, tmp_path):
     assert got == rows(path_b)
     # the appended batch is actually searchable: 450's own cell-mates
     assert any(q == 450 for q, *_ in got)
+
+
+def test_ivfpq_index_streaming_maintenance(spark, emb, tmp_path):
+    """The live-corpus composition: an embedding STREAM appended into
+    the on-disk IVFPQ index micro-batch by micro-batch (foreachBatch →
+    append_to_ivfpq_index — encode against the frozen centroids/
+    codebooks, cell-partitioned append). After the stream drains,
+    search must equal a batch rebuild over everything — streaming
+    index maintenance loses nothing."""
+    import os
+
+    path = str(tmp_path / "ivfpq_s")
+    path_b = str(tmp_path / "ivfpq_sb")
+    first = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300).select("vec_id", "embedding")
+
+    pq.build_ivfpq_index(first, path)
+
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src, exist_ok=True)
+    # two micro-batch files
+    rest.filter(F.col("vec_id") < 400).write.mode("append").parquet(src)
+    rest.filter(F.col("vec_id") >= 400).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+
+    def sink(batch, _epoch):
+        if batch.take(1):
+            pq.append_to_ivfpq_index(batch, path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ivfpq_ck"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pq.build_ivfpq_index(emb, path_b)
+    qvecs = {r["vec_id"]: list(r["embedding"])
+             for r in emb.filter(F.col("vec_id").isin([0, 350, 450])).collect()}
+
+    def rows(p):
+        return {(r["q_id"], r["n_id"], r["rank"], r["adist"])
+                for r in pq.search_ivfpq_index(
+                    spark, p, qvecs, k=10, exclude_self=True).collect()}
+
+    assert rows(path) == rows(path_b)
