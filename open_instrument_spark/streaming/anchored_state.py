@@ -103,10 +103,12 @@ def _run_rounds(bufs_t, bufs_v, anchor, bucket, interval_us, calc,
             anchor = 0
 
 
-def _make_emitter(interval_us: int, calc, close_after_ms: int | None):
-    def _out(name, out_t, out_v):
+def _make_emitter(interval_us: int, calc, close_after_ms: int | None,
+                  key_cols: tuple[str, ...] = ("name",)):
+    def _out(key, out_t, out_v):
         return pd.DataFrame(
-            {"name": name, "ts": pd.to_datetime(out_t, unit="us"),
+            {**{c: key[i] for i, c in enumerate(key_cols)},
+             "ts": pd.to_datetime(out_t, unit="us"),
              "value": out_v}
         )
 
@@ -123,7 +125,7 @@ def _make_emitter(interval_us: int, calc, close_after_ms: int | None):
             )
             state.remove()
             if out_t:
-                yield _out(key[0], out_t, out_v)
+                yield _out(key, out_t, out_v)
             return
 
         rows = pd.concat(list(pdfs)).sort_values(
@@ -184,34 +186,56 @@ def _make_emitter(interval_us: int, calc, close_after_ms: int | None):
             if close_after_ms is not None:
                 state.setTimeoutDuration(close_after_ms)
         if out_t:
-            yield _out(key[0], out_t, out_v)
+            yield _out(key, out_t, out_v)
 
     return _emit
 
 
 def anchored_stream(points_stream: DataFrame, agg_type: str,
                     sample_interval="30s",
-                    close_after_ms: int | None = None) -> DataFrame:
-    """Per-group (name) streaming A1 anchored aggregation; append-mode.
-    Input needs ``name``, ``series_key`` (``model.with_series_key``),
-    ``ts``, ``dval``. Non-numeric samples filtered like the batch
-    kernel. A row with ``series_key == CLOSE_SENTINEL`` closes its
-    group's epoch deterministically; ``close_after_ms`` (optional)
-    additionally closes after that much group silence via
-    ProcessingTimeTimeout — for continuous triggers only (see module
-    docstring)."""
+                    close_after_ms: int | None = None,
+                    by_label: str | None = None) -> DataFrame:
+    """Per-group streaming A1 anchored aggregation; append-mode.
+    Group = variable name, or name × label value with ``by_label``
+    (the batch twin's A8-style grouping; missing/empty label rows are
+    dropped — drop_missing semantics, and the label value must then be
+    present in the input's ``labels`` map column). Input needs
+    ``name``, ``series_key`` (``model.with_series_key``), ``ts``,
+    ``dval`` (+ ``labels`` when ``by_label``). Non-numeric samples
+    filtered like the batch kernel. A row with ``series_key ==
+    CLOSE_SENTINEL`` closes its group's epoch deterministically;
+    ``close_after_ms`` (optional) additionally closes after that much
+    group silence via ProcessingTimeTimeout — for continuous triggers
+    only (see module docstring)."""
+    from pyspark.sql import functions as F
+
     from open_instrument_spark.functions.durations import parse_duration_ms
     from open_instrument_spark.operators.aggregate import _drift_calc_fns
 
     interval_us = parse_duration_ms(sample_interval) * 1000
     calc = _drift_calc_fns()[agg_type.lower()]
+    if by_label is None:
+        keys = ["name"]
+        src = points_stream.select("name", "series_key", "ts", "dval")
+    else:
+        keys = ["name", "label_value"]
+        # a sentinel must carry the label too — groups are keyed
+        # (name, label_value), so each label group closes separately
+        src = points_stream.select(
+            "name",
+            F.col("labels").getItem(by_label).alias("label_value"),
+            "series_key", "ts", "dval",
+        ).where(
+            F.col("label_value").isNotNull() & (F.col("label_value") != "")
+        )
+    out_schema = ", ".join(f"{k} string" for k in keys) + \
+        ", ts timestamp, value double"
     return (
-        points_stream.select("name", "series_key", "ts", "dval")
-        .where("dval IS NOT NULL")
-        .groupBy("name")
+        src.where("dval IS NOT NULL")
+        .groupBy(*keys)
         .applyInPandasWithState(
-            _make_emitter(interval_us, calc, close_after_ms),
-            outputStructType=OUT_SCHEMA,
+            _make_emitter(interval_us, calc, close_after_ms, tuple(keys)),
+            outputStructType=out_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=(

@@ -1816,3 +1816,76 @@ def test_streaming_cusum_matches_batch_across_batches(spark, tmp_path):
     # series a: c = 0, 5, max(0,5-3)=2, 2+2=4 — decay spans b1→b2
     assert ("a", dt.datetime(2024, 1, 1, 0, 0, 2), 2.0) in got
     assert ("a", dt.datetime(2024, 1, 1, 0, 0, 3), 4.0) in got
+
+
+def test_streaming_anchored_by_label_matches_batch(spark, tmp_path):
+    """Anchored stream with A8-style label grouping: groups are
+    (name, label value), missing-label rows dropped (drop_missing),
+    closed-stream output equals aggregate_anchored(by_label=...)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.aggregate import aggregate_anchored
+    from open_instrument_spark.streaming.anchored_state import (
+        CLOSE_SENTINEL,
+        anchored_stream,
+    )
+
+    schema = ("name string, labels map<string,string>, series_key string, "
+              "ts timestamp, dval double")
+    base = dt.datetime(2024, 1, 1)
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(n, lab, k, base + dt.timedelta(seconds=s), float(v))
+             for n, lab, k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("/m", {"u": "x"}, "a", 0, 1.0), ("/m", {"u": "x"}, "b", 5, 3.0),
+          ("/m", {"u": "y"}, "c", 2, 10.0),
+          ("/m", {}, "d", 1, 99.0)]            # no label -> dropped
+    b2 = [("/m", {"u": "x"}, "a", 70, 2.0), ("/m", {"u": "x"}, "b", 75, 4.0),
+          ("/m", {"u": "y"}, "c", 80, 20.0)]
+
+    src = str(tmp_path / "al_src")
+    dest = str(tmp_path / "al_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            anchored_stream(stream, "sum", "30s", by_label="u")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "al_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+    # close each label group with its own labeled sentinel
+    pts([("/m", {"u": "x"}, CLOSE_SENTINEL, 500, 0.0),
+         ("/m", {"u": "y"}, CLOSE_SENTINEL, 500, 0.0)]
+        ).write.mode("append").parquet(src)
+    run_once()
+
+    got = {(r["name"], r["label_value"], r["ts"], r["value"])
+           for r in spark.read.parquet(dest).collect()}
+    batch_in = pts(b1 + b2).select("name", "labels", "ts", "dval",
+                                   F.lit(None).cast("string").alias("sval"))
+    want = {(r["name"], r["label_value"], r["ts"], r["value"])
+            for r in aggregate_anchored(batch_in, "sum", "30s",
+                                        by_label="u").collect()}
+    # group x: bucket@0=[1,3] flushes when 70/75 exit the bracket;
+    # [2,4]@70 is the dropped final. group y: [10]@2 flushes; [20] dropped.
+    assert got == want == {
+        ("/m", "x", base, 4.0),
+        ("/m", "y", base + dt.timedelta(seconds=2), 10.0),
+    }
