@@ -1004,6 +1004,63 @@ def mutate_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+_CMS_PROBES = ["1", "2", "3", "5", "8", "13", "21", "34", "55", "89",
+               "144", "9999999"]
+_CMS_PROBE_SQL = "[" + ", ".join(f"'{p}'" for p in _CMS_PROBES) + "]"
+
+
+@query(
+    "agg_cms_label_counts",
+    oracle=f"""
+WITH pts AS (
+  SELECT '/events/' || event_type AS name, CAST(user_id AS VARCHAR) AS v
+  FROM events
+),
+tab AS (
+  SELECT name, i,
+         CAST(('0x' || substr(md5('cms' || i || ':' || v), 1, 8)) AS BIGINT)
+           % 256 AS bucket,
+         COUNT(*) AS n
+  FROM pts CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)
+  GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT k.name, p.value, i.i,
+         CAST(('0x' || substr(md5('cms' || i.i || ':' || p.value), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM (SELECT DISTINCT name FROM pts) k
+  CROSS JOIN (SELECT unnest({_CMS_PROBE_SQL}) AS value) p
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+)
+SELECT g.name, g.value, CAST(min(coalesce(t.n, 0)) AS BIGINT) AS est
+FROM grid g
+LEFT JOIN tab t ON t.name = g.name AND t.i = g.i AND t.bucket = g.bucket
+GROUP BY 1, 2
+""",
+)
+def agg_cms_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates — per variable name,
+    how often each probed user_id label value occurs, answered from
+    the FIXED-SIZE bucket table instead of an unbounded (name, value)
+    aggregation (the frequency member of the mergeable-sketch trio;
+    see operators/sketch.py for the 100 TB case). Deterministic
+    md5-seeded bucketing means build + probe + min all replay in SQL —
+    a FULLY hash-gated sketch, unlike builtin sketch aggs whose binary
+    state is engine-private. Probes include an absent id (9999999):
+    its estimate is whatever its buckets collide with — usually 0,
+    never negative, and identical in both engines."""
+    from open_instrument_spark.operators.sketch import cms_estimate, cms_table
+
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    pts = ev.select(
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    tab = cms_table(pts, "name", "v")
+    return cms_estimate(tab, "name", _CMS_PROBES)
+
+
 @query(
     "mutate_cusum",
     oracle=f"""

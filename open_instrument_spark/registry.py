@@ -137,6 +137,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_holt_winters",
     "mutate_cusum",
     "embed_range_search",
+    "agg_cms_label_counts",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.
