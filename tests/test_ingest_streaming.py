@@ -1889,3 +1889,98 @@ def test_streaming_anchored_by_label_matches_batch(spark, tmp_path):
         ("/m", "x", base, 4.0),
         ("/m", "y", base + dt.timedelta(seconds=2), 10.0),
     }
+
+
+def test_streaming_anchored_randomized_equality(spark, tmp_path):
+    """Randomized closed-stream ≡ batch for the anchored twin: three
+    seeded datasets (random series counts, timestamps incl. bracket
+    ties and long gaps), each split into 3 arbitrary ts-ordered
+    micro-batches + sentinel close — cumulative stream output must
+    equal aggregate_anchored exactly, every time."""
+    import datetime as dt
+    import random
+
+    from open_instrument_spark.operators.aggregate import aggregate_anchored
+    from open_instrument_spark.streaming.anchored_state import (
+        CLOSE_SENTINEL,
+        anchored_stream,
+    )
+
+    schema = "name string, series_key string, ts timestamp, dval double"
+    base = dt.datetime(2024, 1, 1)
+
+    for trial in range(3):
+        rng = random.Random(100 + trial)
+        n_series = rng.randint(2, 4)
+        rows = []
+        for si in range(n_series):
+            t = rng.randint(0, 40)
+            for _ in range(rng.randint(3, 8)):
+                rows.append((f"s{si}", t, float(rng.randint(-5, 20))))
+                t += rng.choice([1, 7, 29, 30, 31, 95])
+        # group arrival in ts order (the family contract), and every
+        # series present from the FIRST batch (the D16 roster clause:
+        # a later-sorting first appearance must not need to retro-steal
+        # finalized anchors) — so cuts land after the last first-sight
+        rows.sort(key=lambda r: (r[1], r[2]))
+        seen: set[str] = set()
+        first_all = 0
+        for i, r in enumerate(rows):
+            if r[0] not in seen:
+                seen.add(r[0])
+                first_all = i
+        lo = min(first_all + 1, len(rows) - 2)
+        cuts = sorted(rng.sample(range(lo, len(rows)), 2))
+        batches = [rows[:cuts[0]], rows[cuts[0]:cuts[1]], rows[cuts[1]:]]
+
+        src = str(tmp_path / f"ar{trial}_src")
+        dest = str(tmp_path / f"ar{trial}_out")
+        ck = str(tmp_path / f"ar{trial}_ck")
+        os.makedirs(src, exist_ok=True)
+
+        def pts(rs):
+            return spark.createDataFrame(
+                [("/m", k, base + dt.timedelta(seconds=s), v)
+                 for k, s, v in rs],
+                schema,
+            )
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+
+            def sink(batch, _epoch):
+                batch.write.mode("append").parquet(dest)
+
+            q = (
+                anchored_stream(stream, "sum", "30s")
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for b in batches:
+            pts(b).write.mode("append").parquet(src)
+            run_once()
+        spark.createDataFrame(
+            [("/m", CLOSE_SENTINEL, base + dt.timedelta(seconds=10**6), 0.0)],
+            schema,
+        ).write.mode("append").parquet(src)
+        run_once()
+
+        got = sorted(
+            (r["name"], r["ts"], r["value"])
+            for r in spark.read.parquet(dest).collect()
+        )
+        batch_in = pts(rows).select(
+            "name",
+            F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+            "ts", "dval", F.lit(None).cast("string").alias("sval"),
+        )
+        want = sorted(
+            (r["name"], r["ts"], r["value"])
+            for r in aggregate_anchored(batch_in, "sum", "30s").collect()
+        )
+        assert got == want, (trial, got, want)
