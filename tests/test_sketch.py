@@ -68,3 +68,46 @@ def test_cms_table_is_bounded_and_mergeable(spark, pts):
     a = {tuple(r) for r in tab.collect()}
     b = {tuple(r) for r in merged.collect()}
     assert a == b
+
+
+def test_cms_table_streaming_equals_batch(spark, tmp_path):
+    """The sketch build is a plain explode + groupBy-count, so it runs
+    UNCHANGED as a streaming aggregation (complete mode) — the
+    closed-stream bucket table must equal the batch build over the
+    same rows. This is what 'mergeable by addition' buys: Spark's
+    streaming state IS the sketch."""
+    import os
+
+    rows1 = [("/m", str(i % 7)) for i in range(40)]
+    rows2 = [("/m", str(i % 5)) for i in range(25)] + [("/n", "3")] * 6
+    schema = "name string, v string"
+
+    src = str(tmp_path / "cms_src")
+    dest = str(tmp_path / "cms_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        tab = cms_table(stream, "name", "v", d=2, w=32)
+
+        def sink(batch, _epoch):
+            batch.write.mode("overwrite").parquet(dest)
+
+        q = (
+            tab.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cms_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        run_once()
+
+    got = {tuple(r) for r in spark.read.parquet(dest).collect()}
+    want = {tuple(r) for r in cms_table(
+        spark.createDataFrame(rows1 + rows2, schema), "name", "v",
+        d=2, w=32).collect()}
+    assert got == want and len(got) > 0
