@@ -147,3 +147,20 @@ def run_rules_tick(points: DataFrame, rules_store: str,
     Returns {rule output: partition written}."""
     return {r.output: record_rule(points, rules_store, r, now)
             for r in rules}
+
+
+def backfill_rule(points: DataFrame, rules_store: str,
+                  rule: RecordingRule, start, end) -> list[str]:
+    """Record every complete window of ``rule`` inside [start, end) —
+    the repair/bootstrap path when a rule is added over an existing
+    corpus (or a window's raw data arrived late). Just the tick in a
+    loop: same per-window overwrite, so backfilling over already-
+    recorded windows is a no-op rewrite, and a crashed backfill can
+    simply be restarted. Returns the partition paths written."""
+    iv = dt.timedelta(milliseconds=parse_duration_ms(rule.interval))
+    paths = []
+    now = window_for(rule, start + iv)[1]  # first tick whose window ⊇ start
+    while window_for(rule, now)[1] <= end:
+        paths.append(record_rule(points, rules_store, rule, now))
+        now = now + iv
+    return paths

@@ -115,3 +115,24 @@ def test_label_grouped_rule_records_label_map(spark, points, tmp_path):
     record_rule(points, store, rule, BASE + dt.timedelta(hours=2))
     out = read_rules(spark, store, rule.output).collect()
     assert {r["labels"]["host"] for r in out} == {"a", "b"}
+
+
+def test_backfill_covers_history_and_equals_ticks(spark, points, tmp_path):
+    """Backfill over [0h, 3h) must write exactly the three hourly
+    windows and produce the same store as three live ticks."""
+    s1 = str(tmp_path / "bf")
+    s2 = str(tmp_path / "live")
+    from open_instrument_spark.plans.rules import backfill_rule
+
+    paths = backfill_rule(points, s1, AGG_RULE, BASE,
+                          BASE + dt.timedelta(hours=3))
+    assert len(paths) == 3
+    for h in (1, 2, 3):
+        record_rule(points, s2, AGG_RULE,
+                    BASE + dt.timedelta(hours=h, minutes=1))
+
+    def snap(store):
+        return sorted((r["name"], r["ts"], r["dval"])
+                      for r in read_rules(spark, store).collect())
+
+    assert snap(s1) == snap(s2) and len(snap(s1)) > 0
