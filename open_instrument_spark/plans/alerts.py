@@ -1,0 +1,135 @@
+"""Alert rules — threshold conditions with a ``for``-duration over any
+Get-pipeline result, the Prometheus-alerting-rule sibling of
+``plans.rules`` (north-star extension; the reference has no alerting).
+
+Semantics (the Prometheus model, public): a series whose sample
+violates the condition enters PENDING; once the violation has held
+CONTINUOUSLY for ``for_duration`` it is FIRING; any non-violating
+sample resets it to INACTIVE (resolution). "Continuously" is judged
+on the sample timeline — a breach run is the maximal span of
+consecutive violating samples, and a sample fires when the run has
+covered at least the duration by its timestamp.
+
+The whole state machine is three window functions — a cumulative
+count of non-breach rows forms the run id, a min-over-run gives the
+run start, a timestamp difference classifies — so it runs in
+whole-stage codegen with ONE shuffle (the per-series sort the window
+needs), and, being pure SQL, replays under the DuckDB value-hash gate
+(`alert_rule_states` / `alert_rule_transitions`) — an ALERTING engine
+whose exact firing behavior is oracle-verified.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from open_instrument_spark.functions.durations import parse_duration_ms
+from open_instrument_spark.plans.api import GetRequest, get
+
+_OPS = {
+    ">": lambda c, t: c > t,
+    ">=": lambda c, t: c >= t,
+    "<": lambda c, t: c < t,
+    "<=": lambda c, t: c <= t,
+}
+
+
+@dataclass(frozen=True)
+class AlertRule:
+    """``request`` is the expression (evaluated through the Get
+    pipeline); the alert compares its ``dval``/``value`` samples
+    against ``threshold`` with ``condition``; ``for_duration`` is the
+    continuous-violation requirement before PENDING → FIRING."""
+
+    name: str
+    request: GetRequest
+    condition: str = ">"
+    threshold: float = 0.0
+    for_duration: str = "0s"
+
+
+def classify_states(samples: DataFrame, condition: str, threshold: float,
+                    for_duration, key_col: str = "series_key",
+                    value_col: str = "dval") -> DataFrame:
+    """Per-sample alert states over (key, ts, value) rows. Returns the
+    input columns plus ``state`` ∈ inactive|pending|firing. Tie order
+    pinned (ts, value) like the rest of the engine."""
+    if condition not in _OPS:
+        raise ValueError(f"condition must be one of {sorted(_OPS)}")
+    for_us = parse_duration_ms(for_duration) * 1000
+    breach = _OPS[condition](F.col(value_col), F.lit(threshold))
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy("ts", value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.when(breach, 0).otherwise(1)).over(w_cum)
+    df = samples.withColumn("_breach", breach).withColumn("_run", run)
+    w_run = Window.partitionBy(key_col, "_run")
+    run_start = F.min(
+        F.when(F.col("_breach"), F.unix_micros(F.col("ts").cast("timestamp")))
+    ).over(w_run)
+    state = (
+        F.when(~F.col("_breach"), F.lit("inactive"))
+        .when(
+            F.unix_micros(F.col("ts").cast("timestamp")) - run_start
+            >= F.lit(for_us),
+            F.lit("firing"),
+        )
+        .otherwise(F.lit("pending"))
+    )
+    return df.withColumn("state", state).drop("_breach", "_run")
+
+
+def transitions(states: DataFrame, key_col: str = "series_key") -> DataFrame:
+    """State-change events: the first sample of each series plus every
+    sample whose state differs from its predecessor — what a notifier
+    consumes (pending→firing = page, firing→inactive = resolve)."""
+    w = Window.partitionBy(key_col).orderBy("ts", "dval")
+    prev = F.lag("state").over(w)
+    return (
+        states.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+        .withColumnRenamed("_prev", "from_state")
+    )
+
+
+def evaluate_alert(points: DataFrame, rule: AlertRule,
+                   now: dt.datetime | None = None) -> DataFrame:
+    """Evaluate the rule's expression through the Get pipeline, then
+    classify. Aggregation outputs (name[, label_value], ts, value) are
+    keyed by name (+ label value); mutation/raw outputs by series_key
+    (computed if absent). Output: (alert, series_key, ts, value,
+    state)."""
+    import dataclasses
+
+    req = dataclasses.replace(rule.request, now=now) if now is not None \
+        else rule.request
+    out = get(points, req)
+    if isinstance(out, list):
+        raise ValueError("alert rules require a single output stream set")
+    cols = set(out.columns)
+    if "dval" in cols:
+        if "series_key" not in cols:
+            from open_instrument_spark.model import series_key
+
+            out = out.withColumn("series_key", series_key())
+        samples = out.select("series_key", "ts", "dval")
+    else:
+        key = F.concat(
+            F.col("name"),
+            *( [F.lit("{"), F.col("label_value"), F.lit("}")]
+               if "label_value" in cols else [] ),
+        )
+        samples = out.select(
+            key.alias("series_key"), "ts", F.col("value").alias("dval")
+        )
+    states = classify_states(samples, rule.condition, rule.threshold,
+                             rule.for_duration)
+    return states.select(
+        F.lit(rule.name).alias("alert"), "series_key", "ts",
+        F.col("dval").alias("value"), "state",
+    )

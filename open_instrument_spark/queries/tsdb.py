@@ -1004,6 +1004,101 @@ def mutate_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_key", "ts", "dval")
 
 
+_ALERT_CTE = f"""
+a AS (
+  SELECT name, {_bucket_sql(21600000)} AS ts, SUM(dval) AS v
+  FROM p GROUP BY 1, 2
+),
+runs AS (
+  SELECT name, ts, v,
+         CASE WHEN v > 1000.0 THEN 0 ELSE 1 END AS nb,
+         SUM(CASE WHEN v > 1000.0 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY name ORDER BY ts, v
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM a
+),
+cl AS (
+  SELECT name, ts, v, nb,
+         MIN(CASE WHEN nb = 0 THEN epoch_us(ts) END)
+           OVER (PARTITION BY name, run) AS rs
+  FROM runs
+),
+st AS (
+  SELECT 'sum6h_high' AS alert, name AS series_key, ts,
+         round(v, 6) AS value,
+         CASE WHEN nb = 1 THEN 'inactive'
+              WHEN epoch_us(ts) - rs >= 43200000000 THEN 'firing'
+              ELSE 'pending' END AS state
+  FROM cl
+)
+"""
+
+
+def _alert_rule():
+    from open_instrument_spark.plans.alerts import AlertRule
+    from open_instrument_spark.plans.api import GetRequest
+
+    return AlertRule(
+        name="sum6h_high",
+        request=GetRequest(variable="/events/*", aggregation="sum",
+                           sample_interval="6h"),
+        condition=">", threshold=1000.0, for_duration="12h",
+    )
+
+
+@query(
+    "alert_rule_states",
+    oracle=f"WITH {P_CTE},\n{_ALERT_CTE}\nSELECT * FROM st",
+)
+def alert_rule_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting engine (plans/alerts.py): per-sample
+    inactive/pending/firing states for a Prometheus-shape rule — 6-hour
+    SUM per variable name > 1000 for 12h. The whole state machine is
+    three window functions (cumulative non-breach count = run id,
+    min-over-run = run start, µs difference = classification), so the
+    EXACT firing behavior replays under the DuckDB hash gate; the
+    threshold sits 2.09 from the nearest 6h sum, far above cross-engine
+    float-fold noise. Values rounded to 6 (engine sum association)."""
+    from open_instrument_spark.plans.alerts import evaluate_alert
+
+    pts = _pts(spark, sf_dir)
+    out = evaluate_alert(pts, _alert_rule())
+    return out.withColumn("value", F.round("value", 6))
+
+
+@query(
+    "alert_rule_transitions",
+    oracle=f"""WITH {P_CTE},
+{_ALERT_CTE},
+tr AS (
+  SELECT alert, series_key, ts, value, state,
+         lag(state) OVER (PARTITION BY series_key ORDER BY ts, value)
+           AS from_state
+  FROM st
+)
+SELECT * FROM tr WHERE from_state IS NULL OR from_state != state
+""",
+)
+def alert_rule_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The notifier feed: state-CHANGE events only (first sample plus
+    every pending→firing page and →inactive resolve), from the same
+    oracled state machine (plans/alerts.py transitions)."""
+    from open_instrument_spark.plans.alerts import (
+        evaluate_alert,
+        transitions,
+    )
+
+    pts = _pts(spark, sf_dir)
+    st = evaluate_alert(pts, _alert_rule()).withColumnRenamed(
+        "value", "dval"
+    )
+    out = transitions(st)
+    return out.select(
+        "alert", "series_key", "ts",
+        F.round("dval", 6).alias("value"), "state", "from_state",
+    )
+
+
 _CMS_PROBES = ["1", "2", "3", "5", "8", "13", "21", "34", "55", "89",
                "144", "9999999"]
 _CMS_PROBE_SQL = "[" + ", ".join(f"'{p}'" for p in _CMS_PROBES) + "]"

@@ -138,6 +138,8 @@ _PAST_WINDOW_ORACLED = [
     "mutate_cusum",
     "embed_range_search",
     "agg_cms_label_counts",
+    "alert_rule_states",
+    "alert_rule_transitions",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.
