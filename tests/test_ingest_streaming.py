@@ -1984,3 +1984,61 @@ def test_streaming_anchored_randomized_equality(spark, tmp_path):
             for r in aggregate_anchored(batch_in, "sum", "30s").collect()
         )
         assert got == want, (trial, got, want)
+
+
+def test_streaming_alert_states_matches_batch_across_batches(spark, tmp_path):
+    """Streaming alert twin (twelfth state member): the carried breach
+    run-start must link micro-batches so a run SPANNING a boundary
+    still escalates pending→firing at the right sample, equal to the
+    batch window-function classification."""
+    import datetime as dt
+
+    from open_instrument_spark.plans.alerts import classify_states
+    from open_instrument_spark.streaming.alert_state import alert_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+    base = dt.datetime(2024, 1, 1)
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, base + dt.timedelta(minutes=m), float(v)) for k, m, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 1.0), ("a", 10, 9.0), ("b", 0, 9.0)]
+    b2 = [("a", 20, 9.0), ("b", 10, 1.0)]     # a's run spans b1→b2
+    b3 = [("a", 30, 9.0), ("a", 40, 1.0), ("b", 30, 9.0)]
+
+    src = str(tmp_path / "as_src")
+    dest = str(tmp_path / "as_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            batch.write.mode("append").parquet(dest)
+
+        q = (
+            alert_stream(stream, ">", 5.0, "20m")
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "as_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    got = {(r["series_key"], r["ts"], r["dval"], r["state"])
+           for r in spark.read.parquet(dest).collect()}
+    want = {(r["series_key"], r["ts"], r["dval"], r["state"])
+            for r in classify_states(pts(b1 + b2 + b3), ">", 5.0,
+                                     "20m").collect()}
+    assert got == want and len(got) == 8
+    # the boundary-spanning escalation: a@30 fires (run started a@10)
+    assert ("a", base + dt.timedelta(minutes=30), 9.0, "firing") in got
+    assert ("a", base + dt.timedelta(minutes=20), 9.0, "pending") in got
