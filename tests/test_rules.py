@@ -136,3 +136,84 @@ def test_backfill_covers_history_and_equals_ticks(spark, points, tmp_path):
                       for r in read_rules(spark, store).collect())
 
     assert snap(s1) == snap(s2) and len(snap(s1)) > 0
+
+
+def test_ops_loop_composition(spark, tmp_path):
+    """The full operations loop a production deployment runs on one
+    cadence: raw store → recording rule materializes a derived series
+    → an alert rule evaluates the RECORDED series (the Prometheus
+    pairing: alert on cheap recorded data, not raw) → the maintenance
+    tick ages the raw store without touching what the rule already
+    recorded."""
+    import glob
+    import os
+
+    from open_instrument_spark.operators.retention import PolicyItem
+    from open_instrument_spark.plans.alerts import AlertRule, evaluate_alert
+    from open_instrument_spark.plans.maintenance import maintenance_tick
+    from open_instrument_spark.sources.ingest import write_points
+
+    raw = str(tmp_path / "raw")
+    rules_store = str(tmp_path / "derived")
+    now = BASE + dt.timedelta(hours=3)
+
+    rows = []
+    for h in range(3):
+        for mi in (0, 30):
+            rows.append(("/svc/errors", {"host": "a"},
+                         BASE + dt.timedelta(hours=h, minutes=mi),
+                         float(10 * h), None))
+    # plus aged data the maintenance pass will downsample
+    rows += [("/svc/errors", {"host": "a"},
+              BASE - dt.timedelta(days=400, hours=hh), 5.0, None)
+             for hh in range(3)]
+    pts_df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    write_points(pts_df, raw, n_buckets=2)
+
+    # 1. record hourly error sums from the raw store
+    rule = RecordingRule(
+        output="/derived/svc/errors_sum",
+        request=GetRequest(variable="/svc/errors", aggregation="sum",
+                           sample_interval="1h"),
+        interval="1h",
+    )
+    from open_instrument_spark.plans.rules import backfill_rule
+
+    backfill_rule(spark.read.parquet(raw).drop("dt", "bucket"),
+                  rules_store, rule, BASE, now)
+
+    # 2. alert on the RECORDED series
+    recorded = read_rules(spark, rules_store, rule.output)
+    alert = AlertRule(
+        name="errors_high",
+        request=GetRequest(variable="/derived/svc/errors_sum"),
+        condition=">", threshold=15.0, for_duration="30m",
+    )
+    states = {(r["ts"], r["state"])
+              for r in evaluate_alert(recorded, alert).collect()}
+    # hourly sums: 0, 20, 40 → inactive, pending (run start 1h), firing
+    assert states == {
+        (BASE, "inactive"),
+        (BASE + dt.timedelta(hours=1), "pending"),
+        (BASE + dt.timedelta(hours=2), "firing"),
+    }
+
+    # 3. maintenance ages the raw store; the derived store is untouched
+    policy = [
+        PolicyItem(("*",), keep=True, max_age="4w"),
+        PolicyItem(("*",), keep=True, min_age="4w", max_age="5y",
+                   mutations=(("mean", "1d"),)),
+    ]
+    derived_before = sorted(
+        glob.glob(os.path.join(rules_store, "**", "*.parquet"),
+                  recursive=True))
+    maintenance_tick(spark, raw, policy, "2024-01-31 00:00:00",
+                     n_buckets=2)
+    aged = spark.read.parquet(raw).filter(F.col("ts") < "2023-06-01").collect()
+    # the 3 hourly points straddle a date boundary → two daily means
+    assert len(aged) == 2 and all(r["dval"] == 5.0 for r in aged)
+    assert derived_before == sorted(
+        glob.glob(os.path.join(rules_store, "**", "*.parquet"),
+                  recursive=True))
