@@ -136,6 +136,8 @@ HEADLINE = [
     "mutate_holt_winters",
     "mutate_cusum",
     "embed_range_search",
+    "agg_cms_label_counts",
+    "alert_rule_states",
     "ann_pq_seeded_topk",
     "corpus_source_stats",
     "mutate_holt_forecast",
