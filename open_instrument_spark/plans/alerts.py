@@ -133,3 +133,24 @@ def evaluate_alert(points: DataFrame, rule: AlertRule,
         F.lit(rule.name).alias("alert"), "series_key", "ts",
         F.col("dval").alias("value"), "state",
     )
+
+
+def alerts_series(states: DataFrame) -> DataFrame:
+    """The Prometheus ``ALERTS{alertname, alertstate}`` idiom: active
+    alert states re-entered into the TSDB as a synthetic points series
+    (name ``/alerts``, value 1.0 per active sample), so alert history
+    is queryable/recordable/retained with the same Get pipeline and
+    store machinery as any other variable. Inactive samples emit
+    nothing — series presence IS the signal, exactly like the
+    original."""
+    return states.filter(F.col("state") != "inactive").select(
+        F.lit("/alerts").alias("name"),
+        F.create_map(
+            F.lit("alertname"), F.col("alert"),
+            F.lit("alertstate"), F.col("state"),
+            F.lit("series"), F.col("series_key"),
+        ).alias("labels"),
+        "ts",
+        F.lit(1.0).alias("dval"),
+        F.lit(None).cast("string").alias("sval"),
+    )

@@ -77,3 +77,23 @@ def test_evaluate_alert_keys_aggregation_by_label(spark):
 def test_bad_condition_rejected(spark):
     with pytest.raises(ValueError):
         classify_states(_samples(spark, [(0, 1.0)]), "!=", 5.0, "0s")
+
+
+def test_alerts_series_roundtrips_through_get(spark):
+    """ALERTS-style synthetic series: active states become /alerts
+    points whose presence is the signal, and they answer a normal Get
+    request (label-matched) like any other variable."""
+    from open_instrument_spark.plans.alerts import alerts_series
+    from open_instrument_spark.plans.api import get
+
+    pts = _samples(spark, [(0, 1.0), (10, 9.0), (20, 9.0), (30, 9.0)])
+    st = classify_states(pts, ">", 5.0, "20m").withColumn(
+        "alert", F.lit("hi")).withColumnRenamed("dval", "value")
+    out = alerts_series(st.select(
+        "alert", "series_key", "ts", F.col("value").alias("dval"), "state"))
+    rows = out.collect()
+    assert {r["labels"]["alertstate"] for r in rows} == {"pending", "firing"}
+    assert all(r["name"] == "/alerts" and r["dval"] == 1.0 for r in rows)
+    assert len(rows) == 3                       # inactive emits nothing
+    got = get(out, GetRequest(variable="/alerts{alertstate=firing}"))
+    assert got.count() == 1
