@@ -441,3 +441,34 @@ def test_range_search_has_no_exchange(spark, tables):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_cms_build_single_aggregation(spark, tables):
+    """The sketch build must be scan → explode → one hash aggregation
+    (with map-side partial) — no extra exchange beyond the groupBy's."""
+    from open_instrument_spark.operators.sketch import cms_table
+    from open_instrument_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, SF_SMOKE).table("events")
+    pts = ev.select(
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    plan = plan_of(cms_table(pts, "name", "v"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_alert_states_single_sort_shuffle(spark, tables):
+    """The alert state machine is window functions over one per-series
+    sort — exactly one shuffle, no join, no Python."""
+    from open_instrument_spark.plans.alerts import classify_states
+    from open_instrument_spark.sources.tables import points_from_dir
+
+    pts = points_from_dir(spark, SF_SMOKE)
+    from open_instrument_spark.operators.mutate import _with_key
+
+    samples = _with_key(pts).select("series_key", "ts", "dval")
+    plan = plan_of(classify_states(samples, ">", 250.0, "1h"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
