@@ -1764,3 +1764,62 @@ def export_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_export(_pts(spark, sf_dir), value_format="%.6f")
 
 
+
+
+@query(
+    "mutate_predict_linear",
+    oracle=f"""
+WITH {P_CTE},
+g AS (
+  SELECT series_key,
+         count(*) AS n_samples,
+         covar_pop(epoch(ts), dval) AS cxy,
+         var_pop(epoch(ts)) AS vx,
+         avg(epoch(ts)) AS ax,
+         avg(dval) AS ay,
+         max(epoch(ts)) AS mx
+  FROM p GROUP BY series_key
+)
+SELECT series_key, n_samples,
+       round(cxy / vx * 3600.0, 6) AS deriv_per_hour,
+       round(ay + cxy / vx * (mx + 3600.0 - ax), 6) AS predict_1h
+FROM g WHERE vx > 0
+""",
+)
+def mutate_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares derivative + 1 h extrapolation (the
+    PromQL ``deriv`` / ``predict_linear`` pair over a Get selection —
+    disk-full-in-N-hours style capacity alerts). Single groupBy of
+    shift-invariant moments (covar_pop/var_pop — no centering pass
+    needed); series without two distinct timestamps are dropped.
+    North-star TSDB extension (operators/trend.py)."""
+    from open_instrument_spark.operators.trend import predict_linear
+
+    return predict_linear(_pts(spark, sf_dir), horizon_s=3600.0)
+
+
+@query(
+    "mutate_counter_resets",
+    oracle=f"""
+WITH {P_CTE},
+s AS (
+  SELECT series_key, dval, lag(dval) OVER w AS pv
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts, dval)
+)
+SELECT series_key, count(*) AS n_samples,
+       CAST(sum(CASE WHEN dval < pv THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND dval != pv THEN 1 ELSE 0 END)
+            AS BIGINT) AS changes
+FROM s GROUP BY series_key
+""",
+)
+def mutate_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series counter health: PromQL-shaped ``resets`` (value
+    decreased — the precondition RATE's monotonic-counter contract
+    cares about, D1) and ``changes`` counts plus sample count. One
+    lag window + reusing-the-same-exchange groupBy; integer outputs
+    compared exactly. North-star TSDB extension
+    (operators/trend.py)."""
+    from open_instrument_spark.operators.trend import counter_stats
+
+    return counter_stats(_pts(spark, sf_dir))

@@ -136,6 +136,8 @@ _PAST_WINDOW_ORACLED = [
     # gate now, rotated into the window next round.
     "mutate_holt_winters",
     "mutate_cusum",
+    "mutate_predict_linear",
+    "mutate_counter_resets",
     "embed_range_search",
     "agg_cms_label_counts",
     "alert_rule_states",

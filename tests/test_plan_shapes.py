@@ -472,3 +472,25 @@ def test_alert_states_single_sort_shuffle(spark, tables):
     plan = plan_of(classify_states(samples, ">", 250.0, "1h"))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_predict_linear_single_exchange(spark, tables):
+    """Shift-invariant moments need no centering pass: scan → one hash
+    exchange → final aggregate, all JVM."""
+    from open_instrument_spark.operators.trend import predict_linear
+    from open_instrument_spark.sources.tables import points_from_dir
+
+    plan = plan_of(predict_linear(points_from_dir(spark, SF_SMOKE)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_counter_stats_reuses_window_exchange(spark, tables):
+    """The lag window and the final groupBy cluster on the same key, so
+    Catalyst plans exactly one exchange for both."""
+    from open_instrument_spark.operators.trend import counter_stats
+    from open_instrument_spark.sources.tables import points_from_dir
+
+    plan = plan_of(counter_stats(points_from_dir(spark, SF_SMOKE)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
