@@ -809,3 +809,88 @@ def rebalance_ivf_index(spark, path: str, out_path: str | None = None,
     after = ivf_cell_stats(spark, out_path)
     return {"rebalanced": True, "skew_before": stats["skew"],
             "skew_after": after["skew"], "out_path": out_path}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+def _lit_vec(c) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
+                   threshold: float = 0.35,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   ) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
+    vector to its nearest centroid, compute pairwise cosine ONLY inside
+    each cluster, and mark duplicates above ``threshold``, keeping the
+    member with the LOWEST similarity to its centroid (the paper's
+    keep-rule: retain the cluster's least "typical" example; ties break
+    on lower id). Never all-pairs: the join is an equi-join on the cell
+    id, so candidate work is Σ|cell|² — with k grown ∝ N (the paper
+    trains k-means at corpus scale precisely so cluster sizes stay
+    bounded) each cell is a constant-sized block and total work is
+    linear in N.
+
+    Entirely JVM-side: the per-cell dots are literal-array HOF folds,
+    assignment is first-index-of-max over that dot array (bit-matching
+    the DuckDB oracle's list_indexof(ds, max) — the _ann_ivf_oracle
+    precedent), and centroid norms are driver-computed floats emitted
+    identically into both engines' literals.
+
+    Output: (vec_id, cell, centroid_sim rounded 6dp, is_dup).
+    """
+    v = as_double(F.col(vec_col))
+    ds = F.array(*[dot(v, _lit_vec(c)) for c in centroids])
+    cnorms = F.array(*[F.lit(float(np.sqrt(np.dot(c, c)))) for c in centroids])
+    cell = (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
+    asg = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        cell.alias("cell"),
+        (F.array_max(ds) / (norm(v) * F.element_at(cnorms, cell + 1)))
+        .alias("csim"),
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("a.vec_id") < F.col("b.vec_id")])
+        .where(cosine(F.col("a.v"), F.col("b.v")) > F.lit(float(threshold)))
+        .select(
+            F.when(
+                (F.col("a.csim") > F.col("b.csim"))
+                | ((F.col("a.csim") == F.col("b.csim"))
+                   & (F.col("a.vec_id") > F.col("b.vec_id"))),
+                F.col("a.vec_id"),
+            ).otherwise(F.col("b.vec_id")).alias("vec_id")
+        )
+    )
+    losers = pairs.distinct().withColumn("is_dup", F.lit(True))
+    return (
+        asg.join(losers, on="vec_id", how="left")
+        .select(
+            "vec_id", "cell",
+            F.round("csim", 6).alias("centroid_sim"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def semantic_dedup_trained(embeddings: DataFrame, threshold: float = 0.35,
+                           n_cells: int = 32, train_n: int = 2048,
+                           seed: int = 43, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup with centroids TRAINED by the same bounded-sample
+    k-means the IVF index uses (train is data-dependent → rows-only
+    gate; the seeded twin ``semantic_dedup`` carries the full oracle,
+    the ann_ivf_topk / ann_ivf_seeded_topk precedent)."""
+    sample = (
+        embeddings.select(as_double(F.col(vec_col)).alias("v"))
+        .limit(train_n).toPandas()
+    )
+    train = np.array(sample["v"].tolist())
+    C = _kmeans(train, n_cells, seed=seed)
+    return semantic_dedup(embeddings, C, threshold=threshold,
+                          id_col=id_col, vec_col=vec_col)

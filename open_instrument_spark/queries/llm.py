@@ -2347,3 +2347,84 @@ def corpus_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_tables(spark, sf_dir).table("documents")
     return source_filter(docs).select("doc_id", "source")
+
+
+def _semdedup_oracle(threshold: float = 0.35, n_cells: int = 32,
+                     dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity.semantic_dedup with the seeded
+    centroids as literal arrays: per-cell dots via the same sequential
+    list_sum fold, first-max assignment (list_indexof parity with
+    Spark's array_position-of-array_max), centroid-similarity keep rule
+    with (csim, vec_id) tie-break, LEFT JOIN dup flag. Centroid norms
+    are the SAME driver-computed float literals the Spark side embeds,
+    so csim is bit-identical before the shared 6-dp rounding."""
+    import numpy as np
+
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    C = seeded_centroids(dim, n_cells, seed)
+
+    def dot(c) -> str:
+        lit = ", ".join(repr(float(x)) for x in c)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    ds = ",\n    ".join(dot(c) for c in C)
+    cnorms = ", ".join(repr(float(np.sqrt(np.dot(c, c)))) for c in C)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM e),
+asg AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell,
+         list_aggregate(ds, 'max')
+           / (sqrt(list_sum(list_transform(v, x -> x * x)))
+              * ([{cnorms}])[CAST(list_indexof(ds, list_aggregate(ds, 'max')) AS INTEGER)])
+           AS csim
+  FROM d),
+pr AS (
+  SELECT CASE WHEN (a.csim > b.csim)
+              OR (a.csim = b.csim AND a.vec_id > b.vec_id)
+         THEN a.vec_id ELSE b.vec_id END AS vec_id
+  FROM asg a JOIN asg b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL} > {threshold}),
+losers AS (SELECT DISTINCT vec_id FROM pr)
+SELECT asg.vec_id, cell, round(csim, 6) AS centroid_sim,
+       (losers.vec_id IS NOT NULL) AS is_dup
+FROM asg LEFT JOIN losers ON losers.vec_id = asg.vec_id
+"""
+
+
+@query("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 semantic dedup, SemDeDup-shaped (cluster with seeded
+    centroids, pairwise cosine ONLY within each cluster, keep the
+    least-typical member of each duplicate pair). Fully oracled: the
+    seeded centroids make every stage — fold-dot assignment, in-cell
+    threshold join, centroid-sim keep rule — replayable in SQL with the
+    centroids as literals (the ann_ivf_seeded_topk precedent). The
+    trained twin (``dedup_semantic_trained``) is the rows-only
+    data-dependent variant."""
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return semantic_dedup(emb, seeded_centroids(64, 32, 7), threshold=0.35)
+
+
+@query("dedup_semantic_trained")
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with bounded-sample k-means centroids (the paper's
+    actual procedure; train is data-dependent → rows-only, with the
+    seeded twin carrying the full oracle — ann_ivf_topk precedent).
+    Sanity pinned by test_semantic_dedup_trained_* (cluster sizes
+    bounded, dup set ⊂ threshold graph)."""
+    from open_instrument_spark.operators.similarity import semantic_dedup_trained
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return semantic_dedup_trained(emb, threshold=0.35)

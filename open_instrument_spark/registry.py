@@ -138,6 +138,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_cusum",
     "mutate_predict_linear",
     "mutate_counter_resets",
+    "dedup_semantic",
     "embed_range_search",
     "agg_cms_label_counts",
     "alert_rule_states",
@@ -211,6 +212,7 @@ _PAST_WINDOW_ORACLED = [
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
+    "dedup_semantic_trained",
     "agg_anchored_sum",
     "ann_ivfpq_topk",
     "ann_pq_topk",

@@ -1076,3 +1076,71 @@ def test_ivf_rebalance_restores_balance_and_recall(spark, tmp_path):
     brute = {r["q_id"]: r["n_id"]
              for r in cosine_topk(all_vecs, [3], k=1).collect()}
     assert top[3] == brute[3]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (similarity.semantic_dedup)
+# ---------------------------------------------------------------------------
+
+def _semdedup_reference(V, ids, C, thr):
+    """Line-for-line numpy spec of the SemDeDup keep rule: assign by
+    first-max dot, flag within-cell pairs above thr, drop the member
+    with the greater (centroid_sim, id)."""
+    import numpy as np
+
+    cells = (V @ C.T).argmax(axis=1)
+    cnorm = np.linalg.norm(C, axis=1)
+    vnorm = np.linalg.norm(V, axis=1)
+    csim = (V @ C.T).max(axis=1) / (vnorm * cnorm[cells])
+    dup = set()
+    for c in set(cells.tolist()):
+        idx = [i for i in range(len(ids)) if cells[i] == c]
+        for x in range(len(idx)):
+            for y in range(x + 1, len(idx)):
+                i, j = idx[x], idx[y]
+                cos = V[i] @ V[j] / (vnorm[i] * vnorm[j])
+                if cos > thr:
+                    loser = i if (csim[i], ids[i]) > (csim[j], ids[j]) else j
+                    dup.add(int(ids[loser]))
+    return dup
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    import numpy as np
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C = similarity.seeded_centroids(64, 8, 7)
+    got = similarity.semantic_dedup(emb, C, threshold=0.3).collect()
+    rows = sorted((r["vec_id"], r["v"]) for r in emb.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("v")).collect())
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows])
+    want = _semdedup_reference(V, ids, C, 0.3)
+    assert {r["vec_id"] for r in got if r["is_dup"]} == want
+    assert len(got) == len(ids)
+
+
+def test_semantic_dedup_trained_flags_are_threshold_pairs(spark):
+    """Trained-centroid variant: every flagged dup has a within-cell
+    neighbor above the threshold, and cluster sizes stay bounded (the
+    Σ|cell|² scale contract)."""
+    import numpy as np
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    out = similarity.semantic_dedup_trained(emb, threshold=0.3, n_cells=8)
+    rows = out.join(
+        emb.select("vec_id", similarity.as_double(F.col("embedding")).alias("v")),
+        "vec_id").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    n = len(rows)
+    assert max(len(v) for v in by_cell.values()) <= max(8, 6 * n // 8)
+    for cell, members in by_cell.items():
+        V = np.array([m["v"] for m in members])
+        nrm = np.linalg.norm(V, axis=1)
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        for i, m in enumerate(members):
+            if m["is_dup"]:
+                others = [j for j in range(len(members)) if j != i]
+                assert any(S[i, j] > 0.3 for j in others), (cell, m["vec_id"])

@@ -494,3 +494,19 @@ def test_counter_stats_reuses_window_exchange(spark, tables):
     plan = plan_of(counter_stats(points_from_dir(spark, SF_SMOKE)))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_semantic_dedup_all_jvm_and_cell_join(spark, tables):
+    """SemDeDup's assignment is a literal-array fold (whole-stage
+    codegen, no Python anywhere) and the pair stage is an equi-join on
+    the cell id — never a cross product."""
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+    from open_instrument_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    plan = plan_of(semantic_dedup(emb, seeded_centroids(64, 8, 7), 0.3))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
