@@ -525,3 +525,70 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def duplicated_spans(docs: DataFrame, width: int = 8,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     ) -> DataFrame:
+    """Exact duplicated-span detection — the scalable fixed-width
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): hash every ``width``-token window (stride 1),
+    call a span duplicated when its hash occurs in ≥2 DISTINCT
+    documents, and report per-document totals.
+
+    Output: (doc_id, n_spans, n_dup_spans) — every input document keeps
+    a row (0/0 when shorter than ``width`` tokens).
+
+    100 TB shape: explode is one linear pass (spans ≈ token count, the
+    BPE corpus-pass budget), the duplicate set is one hash groupBy, the
+    flag join is an equi-join on the span hash that reuses the groupBy's
+    partitioning, and the final rollup is a groupBy on doc_id — no
+    all-pairs stage anywhere. The driver never materializes spans.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    spans = (
+        base.where(F.col("n") >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - width + 1)
+            ).alias("g"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", F.col("g"), width), " "))
+            .alias("h"),
+        )
+    )
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    dup_per_doc = (
+        spans.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+        )
+    )

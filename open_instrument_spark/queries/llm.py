@@ -2428,3 +2428,39 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
     return semantic_dedup_trained(emb, threshold=0.35)
+
+
+@query(
+    "dedup_spans",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sp AS (
+  SELECT doc_id, md5(array_to_string(toks[g:g+7], ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, n - 7)) AS g
+        FROM b WHERE n >= 8)),
+dh AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+ns AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+dd AS (SELECT doc_id, count(*) AS n_dup FROM sp JOIN dh USING (h)
+       GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup_spans
+FROM documents d LEFT JOIN ns ON ns.doc_id = d.doc_id
+                 LEFT JOIN dd ON dd.doc_id = d.doc_id
+""",
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 exact duplicated-span detection (Lee et al. 2107.06499,
+    fixed-width approximation): hash every 8-token window, flag hashes
+    seen in ≥2 distinct docs, report per-doc span totals. Exact string
+    parity pins the whole tokenize→slice→join path cross-engine
+    (split-on-space, 1-based slice, single-space re-join, md5)."""
+    from open_instrument_spark.operators.dedup import duplicated_spans
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return duplicated_spans(docs, width=8)

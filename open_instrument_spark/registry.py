@@ -139,6 +139,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_predict_linear",
     "mutate_counter_resets",
     "dedup_semantic",
+    "dedup_spans",
     "embed_range_search",
     "agg_cms_label_counts",
     "alert_rule_states",

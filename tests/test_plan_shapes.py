@@ -510,3 +510,18 @@ def test_semantic_dedup_all_jvm_and_cell_join(spark, tables):
     plan = plan_of(semantic_dedup(emb, seeded_centroids(64, 8, 7), 0.3))
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_duplicated_spans_no_python_no_cross(spark, tables):
+    """Span dedup is explode → hash groupBy → hash-equi flag join →
+    doc rollup: all JVM, never a cross product, and the final plan
+    carries no more than 5 hash exchanges (spans, dup-set, flag join,
+    doc rollups)."""
+    from open_instrument_spark.operators.dedup import duplicated_spans
+    from open_instrument_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    plan = plan_of(duplicated_spans(docs, width=8))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 5
