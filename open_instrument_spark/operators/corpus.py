@@ -245,3 +245,84 @@ def source_filter(docs: DataFrame, min_quality: float = 0.78,
         F.broadcast(keep),
         docs[source_col] == keep["source"],
     ).drop(keep["source"])
+
+
+def mixture_by_tokens(docs: DataFrame, group_col: str,
+                      budgets: dict[str, int], text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Token-budgeted data-mixture sampling (the DoReMi / Pile-style
+    "N tokens from each domain" recipe): within each group, walk
+    documents in the deterministic per-group md5 order and keep them
+    while the running token total BEFORE the document is under that
+    group's budget — so the budget-crossing document is included and
+    every budget is met (or the group exhausted) deterministically.
+    Groups absent from ``budgets`` are dropped.
+
+    Token count is the whitespace count (`size(split(text, ' '))` — the
+    text_stats convention). Output adds (n_tokens, tokens_before).
+
+    One shuffle on the group key, same as stratified_sample_quota, and
+    the same pre-thin composition bounds per-task sort size when a
+    domain is monstrous: stratified_sample_frac at a generous multiple
+    of budget/avg_doc_tokens first, then this walk over the survivors.
+    """
+    h = _sample_hash(F.col(group_col), F.col(id_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(group_col)]
+    return (
+        docs.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("tokens_before") < budget)
+    )
+
+
+def chunk_documents(docs: DataFrame, width: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    ) -> DataFrame:
+    """Retrieval-style chunking: overlapping ``width``-token windows at
+    ``stride`` (the RAG/embedding prep pass). Every non-empty document
+    emits ≥1 chunk; the final chunk is the natural short tail. Output:
+    (doc_id, chunk_start 1-based, chunk_tokens, chunk_md5) — the md5
+    stands in for the chunk text so results stay hashable and small
+    while still pinning the exact chunk bytes cross-engine.
+
+    Map-only: explode over a per-row stride sequence, no shuffle at all
+    (plan-asserted) — at 100 TB this runs at scan speed and feeds the
+    embedding UDF stage directly.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    chunk = F.slice("toks", F.col("chunk_start"), width)
+    return (
+        base.where(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n"), F.lit(stride))
+            ).alias("chunk_start"),
+        )
+        # stride tails that start past the end of a PREVIOUS full
+        # window would duplicate coverage; sequence(1, n, stride)
+        # already stops at n so every start is in-range.
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )

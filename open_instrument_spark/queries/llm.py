@@ -2464,3 +2464,74 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_tables(spark, sf_dir).table("documents")
     return duplicated_spans(docs, width=8)
+
+
+_MIX_BUDGETS = {f"src{i}": 700 for i in range(16)}
+_MIX_BUDGETS.update({"src16": 1200, "src17": 300})  # src18/src19 dropped
+
+
+def _mixture_oracle() -> str:
+    vals = ",\n".join(f"('{k}', {v})" for k, v in _MIX_BUDGETS.items())
+    return f"""
+WITH bg(source, budget) AS (VALUES
+{vals}),
+d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM d)
+SELECT c.doc_id, c.source,
+       CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       CAST(c.tokens_before AS BIGINT) AS tokens_before
+FROM c JOIN bg ON bg.source = c.source
+WHERE c.tokens_before < bg.budget
+"""
+
+
+@query("corpus_mixture_tokens", oracle=_mixture_oracle())
+def corpus_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture sampling (the "N tokens per domain"
+    pretraining-mix recipe): deterministic per-source md5 walk, keep
+    while the running total before the doc is under the source's
+    budget; the crossing doc is included, unlisted sources drop.
+    Budgets bite at sf0.01 (each source holds ~1.3k tokens against
+    300-1200 budgets) so the boundary semantics are actually
+    exercised by the gate."""
+    from open_instrument_spark.operators.corpus import mixture_by_tokens
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return mixture_by_tokens(docs, "source", _MIX_BUDGETS).select(
+        "doc_id", "source", "n_tokens", "tokens_before"
+    )
+
+
+@query(
+    "corpus_chunk",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents)
+SELECT doc_id, g AS chunk_start,
+       CAST(len(toks[g:g+63]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(toks[g:g+63], ' ')) AS chunk_md5
+FROM (SELECT doc_id, toks, unnest(generate_series(1, n, 48)) AS g
+      FROM b WHERE n >= 1)
+""",
+)
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval/embedding-prep chunking: overlapping 64-token windows
+    at stride 48, chunk bytes pinned cross-engine via md5. Map-only —
+    zero exchanges (plan-asserted), runs at scan speed at 100 TB."""
+    from open_instrument_spark.operators.corpus import chunk_documents
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return chunk_documents(docs, width=64, stride=48)

@@ -140,6 +140,8 @@ _PAST_WINDOW_ORACLED = [
     "mutate_counter_resets",
     "dedup_semantic",
     "dedup_spans",
+    "corpus_mixture_tokens",
+    "corpus_chunk",
     "embed_range_search",
     "agg_cms_label_counts",
     "alert_rule_states",

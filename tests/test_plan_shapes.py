@@ -525,3 +525,25 @@ def test_duplicated_spans_no_python_no_cross(spark, tables):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_chunk_documents_zero_exchange(spark, tables):
+    """Chunking is a pure scan-explode-project — no shuffle at all."""
+    from open_instrument_spark.operators.corpus import chunk_documents
+    from open_instrument_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    plan = plan_of(chunk_documents(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_mixture_by_tokens_single_exchange(spark, tables):
+    """The budget walk is one window pass on the group key."""
+    from open_instrument_spark.operators.corpus import mixture_by_tokens
+    from open_instrument_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    plan = plan_of(mixture_by_tokens(docs, "source", {"src0": 100}))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
