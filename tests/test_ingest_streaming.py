@@ -2042,3 +2042,78 @@ def test_streaming_alert_states_matches_batch_across_batches(spark, tmp_path):
     # the boundary-spanning escalation: a@30 fires (run started a@10)
     assert ("a", base + dt.timedelta(minutes=30), 9.0, "firing") in got
     assert ("a", base + dt.timedelta(minutes=20), 9.0, "pending") in got
+
+
+def test_streaming_counter_stats_matches_batch(spark, tmp_path):
+    """Streaming counter health (tenth state twin, first AGGREGATE
+    twin): running (n, resets, changes) per series carried across
+    micro-batches; the last emitted row per series on the closed
+    stream equals trend.counter_stats on the union — integers, exact."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.trend import counter_stats
+    from open_instrument_spark.streaming.counter_state import counter_stats_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, 0, s), float(v)) for k, s, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 4.0), ("a", 1, 8.0), ("b", 0, 1.0)]
+    b2 = [("a", 2, 0.0), ("b", 3, 5.0), ("b", 5, 5.0)]
+    b3 = [("a", 9, 16.0), ("b", 9, 2.0)]  # in-order arrivals (family contract)
+
+    src = str(tmp_path / "cs_src")
+    dest = str(tmp_path / "cs_out")
+    os.makedirs(src, exist_ok=True)
+    seq = [0]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            seq[0] += 1
+            batch.withColumn("run", F.lit(seq[0])).write.mode(
+                "append").parquet(dest)
+
+        q = (
+            counter_stats_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "cs_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    rows = spark.read.parquet(dest).collect()
+    last = {}
+    for r in rows:
+        if r["series_key"] not in last or r["run"] > last[r["series_key"]]["run"]:
+            last[r["series_key"]] = r
+    got = {(k, r["n_samples"], r["resets"], r["changes"])
+           for k, r in last.items()}
+
+    batch_in = pts(b1 + b2 + b3).select(
+        F.lit("/s").alias("name"),
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval", F.lit(None).cast("string").alias("sval"),
+    )
+    want = {
+        (r["series_key"].split("=")[1].rstrip("}"), r["n_samples"],
+         r["resets"], r["changes"])
+        for r in counter_stats(batch_in).collect()
+    }
+    assert got == want and len(got) == 2
+    # hand-check series b (1, 5, 5, 2): one reset (5→2), two changes
+    # (1→5, 5→2); equality holds under the family-wide in-order
+    # arrival contract (per-series ts order across micro-batches —
+    # what a scrape loop provides).
+    assert ("b", 4, 1, 2) in got
