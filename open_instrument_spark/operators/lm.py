@@ -181,3 +181,49 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
             "avg_logp",
         )
     )
+
+
+def hash_classifier_score(docs: DataFrame, weights: list[float],
+                          bias: float, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Hashed-feature linear quality classifier (the fastText-style
+    shape: hash tokens into B buckets, mean-pool the bucket weights,
+    sigmoid) — the APPLY side of a learned quality filter, with the
+    trained weights passed in as plain floats. With seeded weights the
+    whole apply path is SQL-replayable (registry
+    ``text_quality_classifier`` — the seeded-parameter precedent);
+    swapping in real trained weights changes nothing structurally.
+
+    Bucket = the first two md5 nibbles of each normalized token
+    (integer-exact in any engine), so B must be ≤256; weight lookup is
+    a literal-array element_at — no join, no Python. One explode + one
+    doc-id aggregation: linear, two exchanges max.
+
+    Output: (doc_id, n_toks, score rounded 6dp, quality_pass) —
+    ``quality_pass`` is the unrounded z > 0 decision (sigmoid > 0.5).
+    """
+    from open_instrument_spark.operators.text import words
+
+    B = len(weights)
+    if B > 256:
+        raise ValueError("hash_classifier_score supports at most 256 buckets")
+    wl = F.array(*[F.lit(float(w)) for w in weights])
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("t"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("int") % B
+    )
+    scored = (
+        tok.select("doc_id", F.element_at(wl, bucket + 1).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.avg("w").alias("mw"))
+    )
+    z = F.lit(float(bias)) + F.col("mw")
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        (z > 0).alias("quality_pass"),
+    )

@@ -2535,3 +2535,51 @@ def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_tables(spark, sf_dir).table("documents")
     return chunk_documents(docs, width=64, stride=48)
+
+
+def _classifier_oracle(n_buckets: int = 256, seed: int = 17,
+                       bias: float = 0.05) -> str:
+    """DuckDB twin of lm.hash_classifier_score with the seeded weights
+    as a literal array: same normalized tokens (_WORDS_SQL), same
+    two-nibble md5 bucket (strpos decode — integer-exact vs Spark's
+    conv), same mean-pool + sigmoid, 6-dp rounding on the score and the
+    unrounded z > 0 pass decision on both sides."""
+    import numpy as np
+
+    w = np.random.RandomState(seed).normal(0.0, 1.0, n_buckets)
+    lits = ", ".join(repr(float(x)) for x in w)
+    d1 = "(strpos('0123456789abcdef', substr(m, 1, 1)) - 1)"
+    d2 = "(strpos('0123456789abcdef', substr(m, 2, 1)) - 1)"
+    return f"""
+WITH wl(ws) AS (VALUES ([{lits}])),
+tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS t FROM documents),
+b AS (
+  SELECT doc_id, ws[(({d1} * 16 + {d2}) % {n_buckets}) + 1] AS w
+  FROM (SELECT doc_id, md5(t) AS m FROM tok), wl),
+g AS (
+  SELECT doc_id, count(*) AS n_toks, {bias!r} + avg(w) AS z
+  FROM b GROUP BY doc_id)
+SELECT doc_id, n_toks, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       (z > 0) AS quality_pass
+FROM g
+"""
+
+
+def _classifier_weights(n_buckets: int = 256, seed: int = 17):
+    import numpy as np
+
+    return np.random.RandomState(seed).normal(0.0, 1.0, n_buckets).tolist()
+
+
+@query("text_quality_classifier", oracle=_classifier_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier apply (fastText-lite):
+    seeded weights → the whole apply path (normalize/tokenize, md5
+    bucket, literal-weight mean pool, sigmoid, pass decision) replays
+    in SQL. The learned-filter slot between the shape heuristics
+    (text_stats) and the corpus LM (text_lm_score)."""
+    from open_instrument_spark.operators.lm import hash_classifier_score
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return hash_classifier_score(docs, _classifier_weights(), bias=0.05)

@@ -142,6 +142,7 @@ _PAST_WINDOW_ORACLED = [
     "dedup_spans",
     "corpus_mixture_tokens",
     "corpus_chunk",
+    "text_quality_classifier",
     "embed_range_search",
     "agg_cms_label_counts",
     "alert_rule_states",

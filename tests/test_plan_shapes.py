@@ -547,3 +547,16 @@ def test_mixture_by_tokens_single_exchange(spark, tables):
     plan = plan_of(mixture_by_tokens(docs, "source", {"src0": 100}))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_quality_classifier_two_exchanges_no_python(spark, tables):
+    """Classifier apply is explode → literal-array lookup → one doc
+    aggregation: all JVM, no join, ≤2 exchanges."""
+    from open_instrument_spark.operators.lm import hash_classifier_score
+    from open_instrument_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    plan = plan_of(hash_classifier_score(docs, [0.1] * 256, 0.05))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
