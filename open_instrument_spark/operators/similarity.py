@@ -819,10 +819,32 @@ def _lit_vec(c) -> Column:
     return F.array(*[F.lit(float(x)) for x in c])
 
 
+def _semdedup_assign_arrow(centroids: np.ndarray):
+    """Arrow-batched (cell, centroid_sim) for semantic_dedup's scale
+    path: one matmul per batch, argmax by raw dot (the fold-assign
+    semantics), csim = max dot / (|v|·|c|)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.astype(np.float64)
+    cn = np.linalg.norm(C, axis=1)
+
+    def _assign(v):
+        X = np.stack(v.values).astype(np.float64)
+        D = X @ C.T
+        cell = D.argmax(axis=1)
+        vmax = D[np.arange(len(X)), cell]
+        csim = vmax / (np.linalg.norm(X, axis=1) * cn[cell])
+        return pd.DataFrame({"cell": cell.astype("int32"), "csim": csim})
+
+    _assign.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(_assign, "cell int, csim double")
+
+
 def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   ) -> DataFrame:
+                   assign: str = "fold") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
     vector to its nearest centroid, compute pairwise cosine ONLY inside
     each cluster, and mark duplicates above ``threshold``, keeping the
@@ -841,18 +863,35 @@ def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
     identically into both engines' literals.
 
     Output: (vec_id, cell, centroid_sim rounded 6dp, is_dup).
+
+    ``assign`` picks the assignment engine: "fold" (default) is the
+    oracle-exact literal-array HOF fold — right for the oracled seeded
+    configuration, but its expression size grows with the centroid
+    count; "arrow" is the matmul pandas_udf (the ivf_assign shape) —
+    the scale path when k grows ∝ N, same argmax-by-raw-dot semantics.
     """
     v = as_double(F.col(vec_col))
-    ds = F.array(*[dot(v, _lit_vec(c)) for c in centroids])
-    cnorms = F.array(*[F.lit(float(np.sqrt(np.dot(c, c)))) for c in centroids])
-    cell = (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
-    asg = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        cell.alias("cell"),
-        (F.array_max(ds) / (norm(v) * F.element_at(cnorms, cell + 1)))
-        .alias("csim"),
-    )
+    if assign == "arrow":
+        a0 = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            _semdedup_assign_arrow(centroids)(v).alias("a"),
+        )
+        asg = a0.select("vec_id", "v", F.col("a.cell").alias("cell"),
+                        F.col("a.csim").alias("csim"))
+    else:
+        ds = F.array(*[dot(v, _lit_vec(c)) for c in centroids])
+        cnorms = F.array(
+            *[F.lit(float(np.sqrt(np.dot(c, c)))) for c in centroids]
+        )
+        cell = (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
+        asg = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            cell.alias("cell"),
+            (F.array_max(ds) / (norm(v) * F.element_at(cnorms, cell + 1)))
+            .alias("csim"),
+        )
     a, b = asg.alias("a"), asg.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.cell") == F.col("b.cell"),

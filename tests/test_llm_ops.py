@@ -1144,3 +1144,20 @@ def test_semantic_dedup_trained_flags_are_threshold_pairs(spark):
             if m["is_dup"]:
                 others = [j for j in range(len(members)) if j != i]
                 assert any(S[i, j] > 0.3 for j in others), (cell, m["vec_id"])
+
+
+def test_semantic_dedup_arrow_assign_matches_fold(spark):
+    """The scale-path (matmul) assignment must agree with the
+    oracle-exact fold assignment: identical cells and dup flags,
+    csim equal to 1e-9 (different summation order only)."""
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C = similarity.seeded_centroids(64, 8, 7)
+    fold = {r["vec_id"]: r for r in
+            similarity.semantic_dedup(emb, C, 0.3).collect()}
+    arrow = {r["vec_id"]: r for r in
+             similarity.semantic_dedup(emb, C, 0.3, assign="arrow").collect()}
+    assert fold.keys() == arrow.keys()
+    for k, f in fold.items():
+        a = arrow[k]
+        assert (f["cell"], f["is_dup"]) == (a["cell"], a["is_dup"]), k
+        assert abs(f["centroid_sim"] - a["centroid_sim"]) < 1e-9, k

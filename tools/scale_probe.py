@@ -349,6 +349,46 @@ def main() -> None:
         )
     peaks["docs_source_stats_x100"] = peak_rss_mb()
 
+    # r9 additions: duplicated-span dedup (explode-dominated — the
+    # heaviest linear pass in the LLM family) and the hashed-feature
+    # classifier at three decades over the same constant-source corpus.
+    from open_instrument_spark.operators.dedup import duplicated_spans
+    from open_instrument_spark.operators.lm import hash_classifier_score
+
+    _w = [0.1] * 256
+    run(duplicated_spans(full_docs, width=8))  # warm
+    run(hash_classifier_score(full_docs, _w, 0.05))  # warm
+    for k in (1, 10, 100):
+        big = multiplied_full_docs(full_docs, k)
+        report.setdefault("dedup_spans", {})[f"x{k}"] = round(
+            run(duplicated_spans(big, width=8)), 2
+        )
+        report.setdefault("quality_classifier", {})[f"x{k}"] = round(
+            run(hash_classifier_score(big, _w, 0.05)), 2
+        )
+    peaks["docs_spans_x100"] = peak_rss_mb()
+
+    # SemDeDup at its documented scale path: centroid count grows ∝ N so
+    # cell sizes (and with them Σ|cell|² pair work) stay bounded — the
+    # probe measures the whole assign+in-cell-join+flag pipeline.
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+
+    # (arrow assignment at every tier — the k∝N engine — so the tier
+    # ratios compare the same pipeline; fold vs arrow equality is
+    # pytest-pinned at the oracled 32-cell config.)
+    run(semantic_dedup(emb, seeded_centroids(64, 32, 7), 0.35,
+                       assign="arrow"))  # warm
+    for k in emb_mults:
+        big_emb = multiplied_emb(emb, k)
+        C = seeded_centroids(64, 32 * k, 7)
+        report.setdefault("semantic_dedup", {})[f"x{k}"] = round(
+            run(semantic_dedup(big_emb, C, 0.35, assign="arrow")), 2
+        )
+    peaks["emb_semdedup"] = peak_rss_mb()
+
     run(near_dup_pairs_lsh(emb, threshold=0.4))  # warm
     for k in emb_mults:
         label = f"x{k}"
