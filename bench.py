@@ -143,6 +143,16 @@ HEADLINE = [
     "mutate_holt_forecast",
     "agg_distinct_series",
     "analytics_cohort_retention",
+    # late-r9 additions, first benched r9 (baseline for later rounds):
+    # SemDeDup, duplicated spans, token-budget mixture, retrieval
+    # chunking, the hashed-feature classifier, and the trend pair.
+    "dedup_semantic",
+    "dedup_spans",
+    "corpus_mixture_tokens",
+    "corpus_chunk",
+    "text_quality_classifier",
+    "mutate_predict_linear",
+    "mutate_counter_resets",
 ]
 
 

@@ -1,6 +1,6 @@
 """Stateful streaming counter health — the streaming twin of
-``trend.counter_stats`` (tenth member of the stateful family, and the
-first AGGREGATE twin that emits a running per-series summary rather
+``trend.counter_stats`` (thirteenth member of the stateful family, and
+the first AGGREGATE twin that emits a running per-series summary rather
 than per-point output). State is (last dval, n, resets, changes); each
 micro-batch emits ONE row per touched series with the running totals,
 so the last emitted row per series on a closed stream equals the batch

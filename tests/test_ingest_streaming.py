@@ -2045,7 +2045,7 @@ def test_streaming_alert_states_matches_batch_across_batches(spark, tmp_path):
 
 
 def test_streaming_counter_stats_matches_batch(spark, tmp_path):
-    """Streaming counter health (tenth state twin, first AGGREGATE
+    """Streaming counter health (thirteenth state twin, first AGGREGATE
     twin): running (n, resets, changes) per series carried across
     micro-batches; the last emitted row per series on the closed
     stream equals trend.counter_stats on the union — integers, exact."""
