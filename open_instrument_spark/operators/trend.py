@@ -43,8 +43,11 @@ def predict_linear(points: DataFrame, horizon_s: float = 3600.0) -> DataFrame:
     ``avg_y + slope * (max_x + h - avg_x)`` only ever sees the small
     in-range offset, so no per-series centering join is needed.
     """
-    pts = _with_key(points).select("series_key", _x().alias("x"),
-                                   F.col("dval").alias("y"))
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull())  # string samples carry no trend
+        .select("series_key", _x().alias("x"), F.col("dval").alias("y"))
+    )
     g = pts.groupBy("series_key").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.covar_pop("x", "y").alias("cxy"),
@@ -75,7 +78,11 @@ def counter_stats(points: DataFrame) -> DataFrame:
     this repo so ties are deterministic cross-engine. Integer outputs —
     compared exactly.
     """
-    pts = _with_key(points).select("series_key", "ts", "dval")
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull())  # same numeric-only contract
+        .select("series_key", "ts", "dval")  # as the streaming twin
+    )
     w = Window.partitionBy("series_key").orderBy("ts", "dval")
     pv = F.lag("dval").over(w)
     stepped = pts.select(

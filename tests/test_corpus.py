@@ -202,3 +202,58 @@ def test_source_filter_plan_broadcasts_keep_set(spark):
     docs = load_tables(spark, SF_SMOKE).table("documents")
     plan = plan_of(source_filter(docs))
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_mixture_by_tokens_budget_contract(spark):
+    """Each budgeted source is filled to ≥ its budget (or exhausted),
+    the kept set is minimal (dropping the last-kept doc dips under
+    budget), and unlisted sources vanish."""
+    from open_instrument_spark.operators.corpus import mixture_by_tokens
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    budgets = {"src0": 120, "src1": 10_000_000, "src2": 1}
+    out = mixture_by_tokens(docs, "source", budgets).collect()
+    totals = {}
+    for r in out:
+        assert r["source"] in budgets
+        totals.setdefault(r["source"], []).append(r)
+    all_counts = {
+        r["source"]: r["n"] for r in
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, rows in totals.items():
+        kept = sum(r["n_tokens"] for r in rows)
+        if len(rows) < all_counts[src]:
+            assert kept >= budgets[src], src
+            last = max(rows, key=lambda r: r["tokens_before"])
+            assert kept - last["n_tokens"] < budgets[src], src
+        # budget 1 → exactly one doc (the first in md5 order)
+    assert len(totals["src2"]) == 1
+    assert totals["src1"][0]  # huge budget keeps everything
+    assert len(totals["src1"]) == all_counts["src1"]
+
+
+def test_chunk_documents_tiles_every_token(spark):
+    """Chunks start at 1, step by the stride, and the final chunk ends
+    exactly at the doc's last token; every position is covered because
+    stride < width."""
+    from open_instrument_spark.operators.corpus import chunk_documents
+
+    docs = load_tables(spark, SF_SMOKE).table("documents")
+    n_by_doc = {
+        r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    chunks = {}
+    for r in chunk_documents(docs, width=64, stride=48).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    assert chunks.keys() == n_by_doc.keys()
+    for doc_id, rows in chunks.items():
+        n = n_by_doc[doc_id]
+        starts = sorted(r["chunk_start"] for r in rows)
+        assert starts[0] == 1
+        assert all(b - a == 48 for a, b in zip(starts, starts[1:]))
+        last = max(rows, key=lambda r: r["chunk_start"])
+        assert last["chunk_start"] + last["chunk_tokens"] - 1 == n
+        for r in rows:
+            assert r["chunk_tokens"] == min(64, n - r["chunk_start"] + 1)
