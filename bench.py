@@ -153,6 +153,9 @@ HEADLINE = [
     "text_quality_classifier",
     "mutate_predict_linear",
     "mutate_counter_resets",
+    # final-r9 addition: Bloom-filter decontamination (the membership
+    # sketch; corpus pass is scan-project — no shuffle).
+    "dedup_bloom_contaminated",
 ]
 
 

@@ -1,8 +1,9 @@
-"""Count-min sketch (CMS) — the frequency member of the classic
-mergeable-sketch trio this engine ships (HLL++ distinct counts in
-agg_distinct_series_hll, Greenwald-Khanna percentiles in
-agg_p95_approx_by_name, CMS point frequencies here; Cormode &
-Muthukrishnan 2005, public).
+"""Mergeable sketches: count-min (frequency) and Bloom (membership).
+
+Together with HLL++ distinct counts (agg_distinct_series_hll) and
+Greenwald-Khanna percentiles (agg_p95_approx_by_name) these complete
+the classic mergeable-sketch family — CMS per Cormode & Muthukrishnan
+2005, Bloom per Bloom 1970; both public.
 
 Why a sketch at 100 TB: "how often does label value v occur under
 name n" over a metric fleet has unbounded key cardinality — the exact
@@ -32,9 +33,13 @@ has no sketches; north-star extension (SURVEY §2.9 family).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["cms_table", "cms_estimate"]
+__all__ = [
+    "cms_table", "cms_estimate",
+    "bloom_bits", "bloom_bitmap", "bloom_hit_expr", "bloom_probe_join",
+    "bloom_decontaminate",
+]
 
 
 def _bucket(d_col, value_col, w: int):
@@ -97,4 +102,148 @@ def cms_estimate(table: DataFrame, key_col: str, probe_values: list,
         .select(key_col, "value", F.coalesce("n", F.lit(0)).alias("n"))
         .groupBy(key_col, "value")
         .agg(F.min("n").alias("est"))
+    )
+
+
+# ---- Bloom filter (membership) ---------------------------------------------
+#
+# Why at 100 TB: benchmark DECONTAMINATION joins every corpus shingle
+# against the benchmark shingle set. dedup.contamination broadcasts the
+# raw benchmark shingles — fine for eval sets, but once the "deny list"
+# grows to billions of n-grams (all past eval suites + user opt-outs)
+# the raw set no longer broadcasts. A Bloom filter is FIXED-SIZE (m
+# bits, chosen up front), mergeable by bitwise OR (the bit TABLE below
+# merges by plain union-distinct — Spark's partial aggregation does
+# it map-side), never false-negative, and its false-positive rate
+# (1 - e^(-kn/m))^k is a knob. Probing is map-only: the filter ships
+# to executors as a literal/broadcast and the corpus NEVER shuffles.
+#
+# Hashing reuses the CMS md5 idiom — bit_j(v) = first 8 md5 nibbles of
+# 'bloom{j}:{v}' mod m — so build + probe replay exactly in DuckDB and
+# the whole pipeline sits under the driver's value-hash gate
+# (dedup_bloom_contaminated), false positives included: they are
+# deterministic, identical in both engines.
+
+
+def _bloom_bit(j_col: Column, value_col: Column, m: int) -> Column:
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bloom"), j_col.cast("string"),
+                               F.lit(":"), value_col)),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(m),
+    )
+
+
+def bloom_bits(df: DataFrame, value_col: str, k: int = 4,
+               m: int = 8192) -> DataFrame:
+    """Distributed build: the DISTINCT set bit positions for every
+    value — at most ``m`` rows regardless of input size. This is the
+    mergeable representation (merge = union-distinct; Spark's
+    map-side partial dedup keeps the shuffle bounded by m per
+    partition). Output: (bit long)."""
+    vals = df.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    return (
+        vals.select(
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+            F.col("_v"),
+        )
+        .select(_bloom_bit(F.col("j"), F.col("_v"), m).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_bitmap(bits: DataFrame, m: int) -> str:
+    """Collapse the bit table to a '0'/'1' string of length ``m`` — the
+    broadcastable probe-side form. Driver materialization is bounded by
+    m (a model artifact, like codebooks/centroids): keep m ≤ ~16M for
+    this literal-string path; beyond that use :func:`bloom_probe_join`,
+    which never leaves the cluster."""
+    positions = {r["bit"] for r in bits.collect()}
+    return "".join("1" if i in positions else "0" for i in range(m))
+
+
+def bloom_hit_expr(value_col: Column, bitmap: str, k: int = 4,
+                   m: int | None = None) -> Column:
+    """Pure-JVM membership test: true iff all k bits for the value are
+    set in the literal bitmap. Usable inside higher-order functions
+    (zero joins, zero shuffles — the probe side is scan-project)."""
+    m = len(bitmap) if m is None else m
+    checks = [
+        F.lit(bitmap).substr(
+            (_bloom_bit(F.lit(j), value_col, m) + 1).cast("int"), F.lit(1)
+        ) == "1"
+        for j in range(k)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_probe_join(bits: DataFrame, probes: DataFrame, value_col: str,
+                     k: int = 4, m: int = 8192) -> DataFrame:
+    """Large-m probe path: broadcast-join each probe value's k bit
+    positions against the bit table; present iff all k matched. The
+    probe side keeps its partitioning (broadcast join), then one
+    count-distinct-j aggregation per value. Output: probes' columns +
+    ``maybe_present`` boolean."""
+    cols = probes.columns
+    expl = probes.select(
+        *cols,
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    ).select(
+        *cols, "j",
+        _bloom_bit(F.col("j"), F.col(value_col), m).alias("bit"),
+    )
+    # left join (bits is distinct — no fan-out), not left_semi: a value
+    # with NO set bits must still emit maybe_present=false.
+    return (
+        expl.join(F.broadcast(bits.withColumn("_in", F.lit(1))), "bit", "left")
+        .groupBy(*cols)
+        .agg(F.sum(F.coalesce("_in", F.lit(0))).alias("_hits"))
+        .select(*cols, (F.col("_hits") == k).alias("maybe_present"))
+    )
+
+
+def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", shingle_k: int = 5,
+                        k: int = 4, m: int = 8192) -> DataFrame:
+    """Bloom-filter decontamination: count each training doc's distinct
+    word ``shingle_k``-gram shingles that MAY appear in the benchmark
+    shingle set (never-false-negative superset of
+    :func:`dedup.contamination` hits — property-tested).
+
+    100 TB shape: the benchmark side collapses to an m-bit filter
+    (bounded driver materialization); the corpus side is ONE
+    scan-project — the membership test runs inside a higher-order
+    ``filter`` over the shingle array, so the corpus is never exploded,
+    joined, or shuffled. Output: (doc_id, n_shingles, n_maybe_hits,
+    flagged) with flagged = n_maybe_hits ≥ 2 (mirrors contamination's
+    min_overlap=2).
+    """
+    from open_instrument_spark.operators.dedup import shingles
+
+    b_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    bitmap = bloom_bitmap(bloom_bits(b_sh, "sh", k=k, m=m), m)
+    return docs.select(
+        "doc_id",
+        shingles(F.col(text_col), shingle_k).alias("_shs"),
+    ).select(
+        "doc_id",
+        F.size("_shs").alias("n_shingles"),
+        F.size(
+            F.filter("_shs", lambda s: bloom_hit_expr(s, bitmap, k=k, m=m))
+        ).alias("n_maybe_hits"),
+    ).select(
+        "doc_id", "n_shingles", "n_maybe_hits",
+        (F.col("n_maybe_hits") >= 2).alias("flagged"),
     )

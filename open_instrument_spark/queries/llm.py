@@ -1203,6 +1203,64 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_bloom_contaminated",
+    oracle=f"""
+WITH bench0 AS (
+  SELECT doc_id AS bench_id, left(text, 120) AS text
+  FROM documents WHERE doc_id % 29 = 0
+),
+bs AS ({_shingle_cte("bench0", "bench_id")}),
+bsh AS (SELECT DISTINCT unnest(s) AS sh FROM bs),
+bbits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('bloom' || j || ':' || sh), 1, 8))
+                       AS BIGINT) % 8192 AS bit
+  FROM bsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+dsh AS ({_shingle_cte("documents")}),
+dds AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM dsh),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM dds GROUP BY 1),
+probe AS (
+  SELECT doc_id, sh,
+         CAST(('0x' || substr(md5('bloom' || j || ':' || sh), 1, 8))
+              AS BIGINT) % 8192 AS bit
+  FROM dds CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+hit AS (
+  SELECT doc_id, sh FROM probe JOIN bbits USING (bit)
+  GROUP BY 1, 2 HAVING count(*) = 4
+),
+nh AS (SELECT doc_id, count(*) AS n_maybe_hits FROM hit GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_shingles AS INT) AS n_shingles,
+       CAST(coalesce(nh.n_maybe_hits, 0) AS INT) AS n_maybe_hits,
+       coalesce(nh.n_maybe_hits, 0) >= 2 AS flagged
+FROM sizes s LEFT JOIN nh USING (doc_id)
+""",
+)
+def dedup_bloom_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 decontamination at deny-list scale: the benchmark shingle
+    set collapses to an 8192-bit Bloom filter (membership member of the
+    mergeable-sketch trio, operators/sketch.py) and each training doc
+    counts its distinct 5-gram shingles that MAY be in it. Same
+    benchmark construction as dedup_contamination (every 29th doc's
+    120-char prefix) so the superset property is testable: Bloom never
+    misses a true hit, and its false positives are deterministic
+    md5-seeded collisions that replay identically in DuckDB — the
+    WHOLE sketch sits under the value-hash gate. Corpus side is one
+    scan-project (membership runs inside a higher-order filter over
+    the shingle array — no explode, no join, no shuffle;
+    plan-asserted)."""
+    from open_instrument_spark.operators.sketch import bloom_decontaminate
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    return bloom_decontaminate(docs, bench)
+
+
+@query(
     "dedup_minhash_md5",
     oracle=f"""
 WITH {_NEAR_CORPUS_SQL},

@@ -1,12 +1,23 @@
-"""Count-min sketch (operators/sketch.py): overestimate guarantee,
-error bound, mergeability-by-addition, and the bounded-table property."""
+"""Mergeable sketches (operators/sketch.py). CMS: overestimate
+guarantee, error bound, mergeability-by-addition, bounded table.
+Bloom: never-false-negative vs the exact join, literal-string ≡
+broadcast-join probe paths, bounded/mergeable bit table, zero-shuffle
+probe plan."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from open_instrument_spark.operators.sketch import cms_estimate, cms_table
+from open_instrument_spark.operators.sketch import (
+    bloom_bitmap,
+    bloom_bits,
+    bloom_decontaminate,
+    bloom_hit_expr,
+    bloom_probe_join,
+    cms_estimate,
+    cms_table,
+)
 from open_instrument_spark.sources.tables import load_tables
 from tests.conftest import SF_ORACLE
 
@@ -111,3 +122,96 @@ def test_cms_table_streaming_equals_batch(spark, tmp_path):
         spark.createDataFrame(rows1 + rows2, schema), "name", "v",
         d=2, w=32).collect()}
     assert got == want and len(got) > 0
+
+
+# ---- Bloom ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_tables(spark, SF_ORACLE).table("documents").select(
+        "doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text"))
+    return docs, bench
+
+
+def test_bloom_never_false_negative(spark, corpus):
+    """The Bloom contract half that is deterministic: every shingle
+    truly in the benchmark set MUST hit, so each doc's bloom count is
+    >= its exact overlap-with-the-union count — and every doc the
+    exact contamination join flags (>=2 shared shingles with some
+    bench doc) is bloom-flagged."""
+    from open_instrument_spark.operators.dedup import contamination, shingles
+
+    docs, bench = corpus
+    bloom = {r["doc_id"]: r for r in
+             bloom_decontaminate(docs, bench).collect()}
+
+    b_sh = bench.select(F.explode(shingles(F.col("text"))).alias("sh")).distinct()
+    exact_union = {
+        r["doc_id"]: r["n"] for r in
+        docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("sh"))
+        .join(b_sh, "sh").groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert bloom and exact_union
+    for doc_id, n_exact in exact_union.items():
+        assert bloom[doc_id]["n_maybe_hits"] >= n_exact, doc_id
+
+    flagged_exact = {r["doc_id"] for r in
+                     contamination(docs, bench, min_overlap=2).collect()}
+    assert flagged_exact
+    for doc_id in flagged_exact:
+        assert bloom[doc_id]["flagged"], doc_id
+
+
+def test_bloom_probe_paths_agree(spark, corpus):
+    """The literal-bitmap expression (small m, zero joins) and the
+    broadcast-join path (large m) are the same filter: identical
+    verdicts on every distinct corpus shingle."""
+    from open_instrument_spark.operators.dedup import shingles
+
+    docs, bench = corpus
+    b_sh = bench.select(F.explode(shingles(F.col("text"))).alias("sh"))
+    bits = bloom_bits(b_sh, "sh", k=4, m=2048)
+    bitmap = bloom_bitmap(bits, 2048)
+
+    probes = docs.select(
+        F.explode(shingles(F.col("text"))).alias("sh")).distinct()
+    via_expr = {
+        r["sh"]: r["hit"] for r in probes.select(
+            "sh", bloom_hit_expr(F.col("sh"), bitmap, k=4).alias("hit")
+        ).collect()
+    }
+    via_join = {
+        r["sh"]: r["maybe_present"] for r in
+        bloom_probe_join(bits, probes, "sh", k=4, m=2048).collect()
+    }
+    assert via_expr == via_join and any(via_expr.values())
+    assert not all(via_expr.values())  # non-vacuous: both verdicts occur
+
+
+def test_bloom_bits_bounded_and_mergeable(spark, corpus):
+    """State contract: <= m rows however large the input; bits of a
+    union = union of bits (merge is bitwise OR == union-distinct)."""
+    docs, _ = corpus
+    sh = docs.select(F.col("text").alias("sh"))
+    bits = bloom_bits(sh, "sh", k=4, m=512)
+    assert bits.count() <= 512
+
+    half1 = sh.filter(F.crc32("sh") % 2 == 0)
+    half2 = sh.filter(F.crc32("sh") % 2 == 1)
+    merged = bloom_bits(half1, "sh", k=4, m=512).unionByName(
+        bloom_bits(half2, "sh", k=4, m=512)).distinct()
+    assert ({r["bit"] for r in bits.collect()}
+            == {r["bit"] for r in merged.collect()})
+
+
+def test_bloom_decontaminate_probe_is_shuffle_free(spark, corpus):
+    """The 100 TB property the operator exists for: once the filter is
+    built (bounded driver artifact), the corpus pass is scan-project —
+    no Exchange anywhere in the plan."""
+    docs, bench = corpus
+    plan = bloom_decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

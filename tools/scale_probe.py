@@ -356,8 +356,19 @@ def main() -> None:
     from open_instrument_spark.operators.lm import hash_classifier_score
 
     _w = [0.1] * 256
+    # Bloom decontamination (final r9): the deny list stays CONSTANT
+    # (built once from the base corpus's bench subset) while the corpus
+    # grows ×k — the realistic shape. The probe pass is scan-project
+    # (no shuffle, plan-asserted in test_sketch.py), so the row should
+    # be exactly linear.
+    from open_instrument_spark.operators.sketch import bloom_decontaminate
+
+    _bench = full_docs.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
     run(duplicated_spans(full_docs, width=8))  # warm
     run(hash_classifier_score(full_docs, _w, 0.05))  # warm
+    run(bloom_decontaminate(full_docs, _bench))  # warm
     for k in (1, 10, 100):
         big = multiplied_full_docs(full_docs, k)
         report.setdefault("dedup_spans", {})[f"x{k}"] = round(
@@ -365,6 +376,9 @@ def main() -> None:
         )
         report.setdefault("quality_classifier", {})[f"x{k}"] = round(
             run(hash_classifier_score(big, _w, 0.05)), 2
+        )
+        report.setdefault("bloom_decontaminate", {})[f"x{k}"] = round(
+            run(bloom_decontaminate(big, _bench)), 2
         )
     peaks["docs_spans_x100"] = peak_rss_mb()
 
