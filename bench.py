@@ -153,9 +153,11 @@ HEADLINE = [
     "text_quality_classifier",
     "mutate_predict_linear",
     "mutate_counter_resets",
-    # final-r9 addition: Bloom-filter decontamination (the membership
-    # sketch; corpus pass is scan-project — no shuffle).
+    # final-r9 additions: Bloom-filter decontamination (the membership
+    # sketch; corpus pass is scan-project — no shuffle) and the PromQL
+    # histogram_quantile estimator over cumulative le-bucket summaries.
     "dedup_bloom_contaminated",
+    "agg_histogram_quantile",
 ]
 
 

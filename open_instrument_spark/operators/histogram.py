@@ -1,0 +1,126 @@
+"""Prometheus-style cumulative le-bucket histograms and
+``histogram_quantile`` — the storage format and quantile estimator
+every latency dashboard runs (promql/quantile.go bucketQuantile
+semantics; public). North-star A-family extension alongside the flat
+fixed-width histogram (aggregate.histogram_by_name) and the GK/CMS/
+HLL/Bloom sketch family.
+
+Why at 100 TB: raw latency points are unbounded, but the cumulative
+bucket table is |groups| × |les| rows — a fixed-size distribution
+summary that merges by bucketwise ADDITION of the non-cumulative
+counts (Spark's map-side partial agg), exactly how Prometheus
+federates histograms. Quantiles are then answered from the summary
+without touching raw data.
+
+Spark shape: bucket assignment is a higher-order ``filter`` over the
+literal le array (scan-project, no explode of the raw points — the
+explode to the full le grid happens AFTER aggregation, on |groups|
+rows); one count shuffle; the cumulative sum and the quantile pick are
+windows over the same (name, ts) clustering so Catalyst reuses one
+exchange. Everything is JVM expressions — fully SQL-replayable, so the
+estimator sits under the driver's value-hash gate
+(agg_histogram_quantile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["histogram_buckets", "histogram_quantile"]
+
+DEFAULT_LES = [5.0, 10.0, 25.0, 50.0, 100.0, 250.0]
+
+
+def histogram_buckets(points: DataFrame, les: list[float] | None = None,
+                      interval_ms: int = 86_400_000) -> DataFrame:
+    """Cumulative le-bucket counts per (name, window): the
+    ``_bucket{le=...}`` series family a Prometheus client would expose,
+    materialized from raw points. ``les`` are the finite upper bounds
+    (ascending); the +Inf bucket is implicit as idx len(les) and its
+    cumulative count is the window's total observation count.
+
+    Every (group, le) cell is present — zero-count buckets included —
+    because downstream cumulative walks need the full grid. Output:
+    (name, ts, idx, le, cum) with le = +Inf on the last row of each
+    group and ``cum`` monotone in idx.
+    """
+    les = DEFAULT_LES if les is None else les
+    arr = F.array(*[F.lit(float(x)) for x in les])
+    # idx = how many les are strictly below dval = this point's bucket
+    # (0-based); dval above every finite le lands at len(les) == +Inf.
+    pts = points.where(
+        F.col("dval").isNotNull()  # numeric-only, like the trend ops
+    ).select(
+        "name",
+        F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts"),
+        F.size(F.filter(arr, lambda le: le < F.col("dval"))).alias("idx"),
+    )
+    counts = pts.groupBy("name", "ts", "idx").agg(
+        F.count(F.lit(1)).alias("n"))
+    # full grid AFTER aggregation: |groups| × (len(les)+1) rows
+    grid = (
+        counts.select("name", "ts").distinct()
+        .select(
+            "name", "ts",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(len(les) + 1)])
+            ).alias("idx"),
+        )
+    )
+    les_with_inf = F.array(*([F.lit(float(x)) for x in les]
+                             + [F.lit(float("inf"))]))
+    w = (Window.partitionBy("name", "ts").orderBy("idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        grid.join(counts, ["name", "ts", "idx"], "left")
+        .select(
+            "name", "ts", "idx",
+            F.element_at(les_with_inf, F.col("idx") + 1).alias("le"),
+            F.sum(F.coalesce("n", F.lit(0))).over(w).alias("cum"),
+        )
+    )
+
+
+def histogram_quantile(buckets: DataFrame, q: float = 0.9) -> DataFrame:
+    """The PromQL ``histogram_quantile(q, ...)`` estimator over a
+    cumulative bucket table (histogram_buckets output): find the
+    bucket where the cumulative count crosses q·total, linearly
+    interpolate inside it (bucketQuantile in promql/quantile.go):
+
+      rank        = q * total          (total = the +Inf cum)
+      b           = lowest idx with cum >= rank
+      in +Inf     -> highest finite le
+      else        -> start + (le_b - start) * (rank - cum_{b-1}) / n_b
+                     with start = le_{b-1} (0 for the first bucket)
+
+    Output: (name, ts, q<percent>) rounded to 6 dp — the arithmetic is
+    the same double expression in both engines.
+    """
+    w = Window.partitionBy("name", "ts").orderBy("idx")
+    wall = Window.partitionBy("name", "ts")
+    annotated = buckets.select(
+        "name", "ts", "idx", "le", "cum",
+        F.lag("cum", 1, 0).over(w).alias("prev_cum"),
+        F.lag("le").over(w).alias("prev_le"),
+        F.max("cum").over(wall).alias("total"),
+        F.max(F.when(F.col("le") != float("inf"), F.col("le")))
+        .over(wall).alias("max_finite_le"),
+    )
+    rank = F.lit(float(q)) * F.col("total")
+    crossing = (
+        annotated
+        .where((F.col("cum") >= rank) & (F.col("total") > 0))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    start = F.coalesce("prev_le", F.lit(0.0))
+    interp = start + (F.col("le") - start) * (
+        (rank - F.col("prev_cum"))
+        / (F.col("cum") - F.col("prev_cum"))
+    )
+    est = F.when(F.col("le") == float("inf"), F.col("max_finite_le")) \
+           .otherwise(interp)
+    out_col = f"q{int(round(q * 100)):02d}"
+    return crossing.select(
+        "name", "ts", F.round(est, 6).alias(out_col))

@@ -1441,6 +1441,72 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_by_name(_pts(spark, sf_dir), 5.0, 3_600_000)
 
 
+_LES_SQL = "[5.0, 10.0, 25.0, 50.0, 100.0, 250.0]"
+
+
+@query(
+    "agg_histogram_quantile",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT name, {_bucket_sql(86_400_000)} AS ts,
+         len(list_filter({_LES_SQL}, le -> le < dval)) AS idx
+  FROM p
+),
+counts AS (SELECT name, ts, idx, count(*) AS n FROM b GROUP BY 1, 2, 3),
+grid AS (
+  SELECT DISTINCT c.name, c.ts, i.idx
+  FROM counts c CROSS JOIN (SELECT unnest(range(7)) AS idx) i
+),
+cumt AS (
+  SELECT g.name, g.ts, g.idx,
+         list_extract({_LES_SQL} || ['infinity'::DOUBLE], g.idx + 1) AS le,
+         sum(coalesce(c.n, 0)) OVER (
+           PARTITION BY g.name, g.ts ORDER BY g.idx) AS cum
+  FROM grid g LEFT JOIN counts c
+    ON c.name = g.name AND c.ts = g.ts AND c.idx = g.idx
+),
+ann AS (
+  SELECT name, ts, idx, le, cum,
+         lag(cum, 1, 0) OVER w AS prev_cum,
+         lag(le) OVER w AS prev_le,
+         max(cum) OVER (PARTITION BY name, ts) AS total,
+         max(CASE WHEN le != 'infinity'::DOUBLE THEN le END)
+           OVER (PARTITION BY name, ts) AS max_finite_le
+  FROM cumt WINDOW w AS (PARTITION BY name, ts ORDER BY idx)
+),
+cr AS (
+  SELECT *, row_number() OVER (PARTITION BY name, ts ORDER BY idx) AS rn
+  FROM ann WHERE cum >= 0.9 * total AND total > 0
+)
+SELECT name, ts,
+       round(CASE WHEN le = 'infinity'::DOUBLE THEN max_finite_le
+             ELSE coalesce(prev_le, 0.0)
+                  + (le - coalesce(prev_le, 0.0))
+                    * (0.9 * total - prev_cum) / (cum - prev_cum)
+             END, 6) AS q90
+FROM cr WHERE rn = 1
+""",
+)
+def agg_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.9, ...)`` over per-(name, day)
+    cumulative le-bucket tables built from raw points — the
+    latency-SLO query, answered from a fixed-size distribution summary
+    (|groups| × 7 rows) instead of raw data. Bucket assignment is a
+    higher-order filter over the literal le array (no explode of the
+    raw points); the crossing pick + interpolation replicate
+    promql/quantile.go bucketQuantile exactly, so the whole estimator
+    replays in SQL (operators/histogram.py). North-star A-family
+    extension."""
+    from open_instrument_spark.operators.histogram import (
+        histogram_buckets,
+        histogram_quantile,
+    )
+
+    buckets = histogram_buckets(_pts(spark, sf_dir))
+    return histogram_quantile(buckets, q=0.9)
+
+
 @query(
     "agg_distinct_series",
     oracle=f"""

@@ -1,0 +1,93 @@
+"""Cumulative le-bucket histograms + histogram_quantile
+(operators/histogram.py): grid completeness, monotone cumulative
+counts, merge-by-addition, PromQL interpolation exactness on a
+hand-built distribution, quantile monotonicity in q, and the
+no-raw-explode plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_instrument_spark.operators.histogram import (
+    DEFAULT_LES,
+    histogram_buckets,
+    histogram_quantile,
+)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        [("/m", datetime(2024, 1, 1, 0, 0, i % 60, i // 60), float(v))
+         for i, v in enumerate(rows)],
+        "name string, ts timestamp, dval double",
+    )
+
+
+def test_bucket_grid_complete_monotone_and_totaled(spark):
+    vals = [1, 4, 7, 30, 80, 120, 400, 3]
+    b = histogram_buckets(_pts(spark, vals)).collect()
+    assert len(b) == len(DEFAULT_LES) + 1  # one day window, full grid
+    by_idx = sorted(b, key=lambda r: r["idx"])
+    cums = [r["cum"] for r in by_idx]
+    assert cums == sorted(cums)                      # monotone
+    assert cums[-1] == len(vals)                     # +Inf = total
+    assert by_idx[-1]["le"] == float("inf")
+    # hand-check: <=5 -> {1,4,3}; <=10 -> +{7}; <=25 -> same; <=50 ->
+    # +{30}; <=100 -> +{80}; <=250 -> +{120}; inf -> +{400}
+    assert cums == [3, 4, 4, 5, 6, 7, 8]
+
+
+def test_buckets_merge_by_addition(spark):
+    a, b = [1, 30, 400], [4, 7, 80, 120, 3]
+    whole = {(r["idx"]): r["cum"]
+             for r in histogram_buckets(_pts(spark, a + b)).collect()}
+    pa = {r["idx"]: r["cum"] for r in histogram_buckets(_pts(spark, a)).collect()}
+    pb = {r["idx"]: r["cum"] for r in histogram_buckets(_pts(spark, b)).collect()}
+    assert whole == {i: pa[i] + pb[i] for i in whole}
+
+
+def test_quantile_interpolation_exact(spark):
+    """20 points uniform in (0, 100]: rank(0.9) = 18 lands in the
+    (50, 100] bucket holding points 11..20 at cum 10..20 — PromQL
+    interpolates 50 + 50 * (18 - 10) / 10 = 90."""
+    vals = [5 * (i + 1) for i in range(20)]  # 5, 10, ..., 100
+    q = histogram_quantile(histogram_buckets(_pts(spark, vals)), 0.9).collect()
+    assert len(q) == 1
+    assert q[0]["q90"] == pytest.approx(90.0, abs=1e-9)
+
+
+def test_quantile_monotone_in_q_and_bounded(spark):
+    vals = [1, 4, 7, 30, 80, 120, 400, 3, 9, 60, 200, 15]
+    buckets = histogram_buckets(_pts(spark, vals))
+    got = {}
+    for q in (0.5, 0.9, 0.99):
+        rows = histogram_quantile(buckets, q).collect()
+        got[q] = rows[0][f"q{int(round(q * 100)):02d}"]
+    assert got[0.5] <= got[0.9] <= got[0.99]
+    assert all(0 < v <= max(DEFAULT_LES) for v in got.values())
+
+
+def test_rank_in_inf_bucket_returns_highest_finite_le(spark):
+    """All mass above the last finite bound: PromQL returns the
+    second-to-last upper bound rather than +Inf."""
+    q = histogram_quantile(
+        histogram_buckets(_pts(spark, [300, 400, 500])), 0.9).collect()
+    assert q[0]["q90"] == max(DEFAULT_LES)
+
+
+def test_raw_points_are_never_exploded(spark):
+    """The le-grid explode runs on POST-aggregation rows: in the
+    executed plan every Generate (explode) sits above the first
+    HashAggregate — the raw scan side is scan-project only."""
+    plan = (
+        histogram_buckets(_pts(spark, [1.0, 2.0]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    first_agg = plan.index("HashAggregate")
+    gen = plan.find("Generate")
+    assert gen != -1 and gen < first_agg  # plan prints top-down:
+    # Generate appearing BEFORE the first (deepest-printed-last)
+    # aggregate means it consumes aggregated rows, not the raw scan.
