@@ -27,23 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["histogram_buckets", "histogram_quantile"]
+__all__ = ["histogram_bucket_counts", "cumulative_from_counts",
+           "histogram_buckets", "histogram_quantile"]
 
 DEFAULT_LES = [5.0, 10.0, 25.0, 50.0, 100.0, 250.0]
 
 
-def histogram_buckets(points: DataFrame, les: list[float] | None = None,
-                      interval_ms: int = 86_400_000) -> DataFrame:
-    """Cumulative le-bucket counts per (name, window): the
-    ``_bucket{le=...}`` series family a Prometheus client would expose,
-    materialized from raw points. ``les`` are the finite upper bounds
-    (ascending); the +Inf bucket is implicit as idx len(les) and its
-    cumulative count is the window's total observation count.
-
-    Every (group, le) cell is present — zero-count buckets included —
-    because downstream cumulative walks need the full grid. Output:
-    (name, ts, idx, le, cum) with le = +Inf on the last row of each
-    group and ``cum`` monotone in idx.
+def histogram_bucket_counts(points: DataFrame,
+                            les: list[float] | None = None,
+                            interval_ms: int = 86_400_000) -> DataFrame:
+    """NON-cumulative bucket counts per (name, window, idx) — the
+    mergeable state (merge = plain addition). This stage is a plain
+    windowed aggregation, so it runs UNCHANGED as a streaming query
+    (complete/update mode) — Spark's streaming state IS the histogram,
+    exactly like the CMS build. Output: (name, ts, idx, n); only
+    occupied buckets appear.
     """
     les = DEFAULT_LES if les is None else les
     arr = F.array(*[F.lit(float(x)) for x in les])
@@ -56,9 +54,18 @@ def histogram_buckets(points: DataFrame, les: list[float] | None = None,
         F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts"),
         F.size(F.filter(arr, lambda le: le < F.col("dval"))).alias("idx"),
     )
-    counts = pts.groupBy("name", "ts", "idx").agg(
+    return pts.groupBy("name", "ts", "idx").agg(
         F.count(F.lit(1)).alias("n"))
-    # full grid AFTER aggregation: |groups| × (len(les)+1) rows
+
+
+def cumulative_from_counts(counts: DataFrame,
+                           les: list[float] | None = None) -> DataFrame:
+    """Presentation-time transform: non-cumulative counts → the full
+    cumulative le grid (zero-count buckets included — downstream
+    cumulative walks need every cell). Runs on |groups| × (len(les)+1)
+    POST-aggregation rows. Output: (name, ts, idx, le, cum), le = +Inf
+    on each group's last row, cum monotone in idx."""
+    les = DEFAULT_LES if les is None else les
     grid = (
         counts.select("name", "ts").distinct()
         .select(
@@ -80,6 +87,16 @@ def histogram_buckets(points: DataFrame, les: list[float] | None = None,
             F.sum(F.coalesce("n", F.lit(0))).over(w).alias("cum"),
         )
     )
+
+
+def histogram_buckets(points: DataFrame, les: list[float] | None = None,
+                      interval_ms: int = 86_400_000) -> DataFrame:
+    """Cumulative le-bucket counts per (name, window): the
+    ``_bucket{le=...}`` series family a Prometheus client would expose,
+    materialized from raw points (= bucket_counts ∘
+    cumulative_from_counts)."""
+    return cumulative_from_counts(
+        histogram_bucket_counts(points, les, interval_ms), les)
 
 
 def histogram_quantile(buckets: DataFrame, q: float = 0.9) -> DataFrame:

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from open_instrument_spark.operators.histogram import (
     DEFAULT_LES,
+    cumulative_from_counts,
+    histogram_bucket_counts,
     histogram_buckets,
     histogram_quantile,
 )
@@ -76,6 +78,54 @@ def test_rank_in_inf_bucket_returns_highest_finite_le(spark):
     q = histogram_quantile(
         histogram_buckets(_pts(spark, [300, 400, 500])), 0.9).collect()
     assert q[0]["q90"] == max(DEFAULT_LES)
+
+
+def test_bucket_counts_streaming_equals_batch(spark, tmp_path):
+    """The bucket build is a plain windowed aggregation, so it runs
+    UNCHANGED as a streaming query — the closed-stream count table
+    (and thus the full cumulative grid derived from it) must equal the
+    batch build over the same rows. Like the CMS build equality (not a
+    custom stateful twin): Spark's streaming state IS the histogram."""
+    import os
+
+    rows1 = [("/m", datetime(2024, 1, 1, 0, 0, i % 60), float(v))
+             for i, v in enumerate([1, 4, 7, 30, 80])]
+    rows2 = [("/m", datetime(2024, 1, 2, 0, 0, i % 60), float(v))
+             for i, v in enumerate([120, 400, 3])] + \
+            [("/n", datetime(2024, 1, 1, 12, 0, 0), 60.0)]
+    schema = "name string, ts timestamp, dval double"
+
+    src = str(tmp_path / "hist_src")
+    dest = str(tmp_path / "hist_out")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        counts = histogram_bucket_counts(stream)
+
+        def sink(batch, _epoch):
+            batch.write.mode("overwrite").parquet(dest)
+
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "hist_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        run_once()
+
+    streamed_counts = spark.read.parquet(dest)
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    assert ({tuple(r) for r in streamed_counts.collect()}
+            == {tuple(r) for r in histogram_bucket_counts(batch).collect()})
+    got = {tuple(r) for r in cumulative_from_counts(streamed_counts).collect()}
+    want = {tuple(r) for r in histogram_buckets(batch).collect()}
+    assert got == want and len(got) == 3 * (len(DEFAULT_LES) + 1)
 
 
 def test_raw_points_are_never_exploded(spark):
