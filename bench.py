@@ -158,6 +158,7 @@ HEADLINE = [
     # histogram_quantile estimator over cumulative le-bucket summaries.
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
+    "corpus_weighted_sample",
 ]
 
 

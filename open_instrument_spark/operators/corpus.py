@@ -132,6 +132,58 @@ def stratified_sample_quota(
     )
 
 
+def weighted_sample(docs: DataFrame, weight_col: str, n: int,
+                    group_col: str | None = None, id_col: str = "doc_id",
+                    seed: str = "ws1") -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    2006 A-Res (public): each row draws a deterministic uniform
+    u ∈ (0, 1] from md5(seed:id) and competes with key u^(1/w); the
+    top-n keys are the sample, giving inclusion probability ∝ weight.
+    The quality/size-weighted corpus subsample recipe ("sample docs
+    proportional to quality score") with the same growth-stability as
+    the hash split: adding documents never changes existing rows'
+    keys.
+
+    Ranking uses the monotone-equivalent ln(u)/w (larger = better; no
+    pow), ROUNDED to 9 dp with the id as tiebreak, so the order —
+    not just the output values — is pinned cross-engine (ln differs
+    from DuckDB's by ≤1 ulp; a 1-ulp wobble never crosses a 9-dp
+    boundary except on measure-zero inputs, the repo's standard
+    rounding contract). One rank exchange per group; a GLOBAL top-n
+    (group_col=None) funnels through a single-task sort, so at corpus
+    scale either group first or pre-thin with stratified_sample_frac
+    at a generous multiple of n (the stratified_sample_quota
+    composition — same exact-n guarantee, bounded sort). Weights must
+    be > 0; non-positive weights raise at execution. Output: input
+    columns + ``priority`` (the rounded ln(u)/w key) +
+    ``sample_rank`` (1-based within the group).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.lit(":"),
+                               F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double") + 1.0
+    ) / F.lit(float(2 ** 32))
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.log(u) / w, 9)
+    keys = [group_col] if group_col else []
+    win = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    return (
+        docs.withColumn(
+            "priority",
+            F.when(w > 0, pri).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("weighted_sample: non-positive weight for id "),
+                    F.col(id_col).cast("string")))),
+        )
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= n)
+    )
+
+
 def pack_greedy(docs: DataFrame, token_col: str, budget: int,
                 order_col: str = "doc_id") -> DataFrame:
     """Assign a ``bin`` id by cumulative token count in ``order_col``

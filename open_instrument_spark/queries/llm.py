@@ -2571,6 +2571,47 @@ def corpus_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_weighted_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+k AS (
+  SELECT doc_id, source, n_tokens,
+         round(ln((CAST(('0x' || substr(md5('ws1:' || CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) + 1.0) / 4294967296.0)
+               / n_tokens, 9) AS priority
+  FROM d
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY priority DESC, doc_id ASC) AS sample_rank
+  FROM k
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, priority,
+       CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 20
+""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): 20 docs per source with inclusion probability ∝ token
+    count — the "sample proportional to quality/size" corpus recipe,
+    growth-stable like the hash split (adding docs never changes
+    existing keys). The md5-seeded uniform and the monotone ln(u)/w
+    key replay exactly in SQL; the rank order itself is pinned by the
+    9-dp round + id tiebreak (operators/corpus.py::weighted_sample)."""
+    from open_instrument_spark.operators.corpus import weighted_sample
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return weighted_sample(docs, "n_tokens", 20, group_col="source")
+
+
+@query(
     "corpus_chunk",
     oracle="""
 WITH b AS (

@@ -147,6 +147,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_cms_label_counts",
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
+    "corpus_weighted_sample",
     "alert_rule_states",
     "alert_rule_transitions",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json

@@ -257,3 +257,74 @@ def test_chunk_documents_tiles_every_token(spark):
         assert last["chunk_start"] + last["chunk_tokens"] - 1 == n
         for r in rows:
             assert r["chunk_tokens"] == min(64, n - r["chunk_start"] + 1)
+
+
+def _ws_docs(spark):
+    return load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens"))
+
+
+def test_weighted_sample_exact_size_and_growth_stable(spark):
+    """min(n, |group|) rows per group; adding documents never changes
+    an existing doc's priority key (A-Res keys depend only on the
+    doc's own id + weight)."""
+    from open_instrument_spark.operators.corpus import weighted_sample
+
+    docs = _ws_docs(spark)
+    sizes = {r["source"]: r["c"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    out = weighted_sample(docs, "n_tokens", 7, group_col="source").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r)
+    assert per.keys() == sizes.keys()
+    for src, rows in per.items():
+        assert len(rows) == min(7, sizes[src])
+        assert sorted(r["sample_rank"] for r in rows) == list(
+            range(1, len(rows) + 1))
+
+    half = weighted_sample(docs.filter(F.col("doc_id") % 2 == 0),
+                           "n_tokens", 7, group_col="source")
+    full_pri = {r["doc_id"]: r["priority"] for r in
+                weighted_sample(docs, "n_tokens", 10_000,
+                                group_col="source").collect()}
+    for r in half.collect():
+        assert full_pri[r["doc_id"]] == r["priority"]
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """The A-Res key u^(1/w) is increasing in w: boosting a selected
+    doc's weight keeps it selected; an enormous boost pulls a
+    non-selected doc in."""
+    from open_instrument_spark.operators.corpus import weighted_sample
+
+    docs = _ws_docs(spark).filter(F.col("source") == "src0")
+    base = weighted_sample(docs, "n_tokens", 5, group_col="source").collect()
+    chosen = {r["doc_id"] for r in base}
+    loser = docs.filter(~F.col("doc_id").isin(chosen)).first()["doc_id"]
+
+    def boost(doc_id, factor):
+        boosted = docs.withColumn(
+            "n_tokens",
+            F.when(F.col("doc_id") == doc_id,
+                   F.col("n_tokens").cast("double") * float(factor))
+            .otherwise(F.col("n_tokens").cast("double")))
+        return {r["doc_id"] for r in weighted_sample(
+            boosted, "n_tokens", 5, group_col="source").collect()}
+
+    winner = base[0]["doc_id"]
+    assert winner in boost(winner, 10)
+    assert loser in boost(loser, 10 ** 9)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """Inclusion probability ∝ weight: with weight = token count, the
+    sampled docs' mean token count must exceed the corpus mean (a
+    deterministic check under the fixed seed)."""
+    from open_instrument_spark.operators.corpus import weighted_sample
+
+    docs = _ws_docs(spark)
+    sampled = weighted_sample(docs, "n_tokens", 20, group_col="source")
+    mean_all = docs.agg(F.avg("n_tokens")).first()[0]
+    mean_sampled = sampled.agg(F.avg("n_tokens")).first()[0]
+    assert mean_sampled > mean_all
