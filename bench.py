@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
     "corpus_weighted_sample",
+    "list_stale_series",
 ]
 
 

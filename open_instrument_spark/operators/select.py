@@ -111,3 +111,36 @@ def list_series(points: DataFrame, pattern: str | None = None,
     elif ordered:
         grouped = grouped.orderBy(SERIES_KEY_COL)  # O2 on request
     return grouped.select("name", "labels", SERIES_KEY_COL, "last_ts")
+
+
+def stale_series(points: DataFrame, now, max_age_ms: int = 259_200_000,
+                 pattern: str | None = None) -> DataFrame:
+    """The inverse of List's freshness filter: EVERY matched series
+    with its age, flagged stale when the last sample is older than
+    ``max_age_ms`` — the "which series went silent" monitoring query
+    (PromQL ``absent``/staleness shape; the reference only ever drops
+    stale series from List, server/store.cc:342-379 — surfacing them
+    is the north-star extension an on-call actually needs).
+
+    Age is a pure integer MICROSECOND subtraction via unix_micros
+    (epoch seconds as double would lose sub-second precision past
+    2^53, and any division would make the rounding direction matter
+    for series sampled AFTER ``now`` — negative ages are legitimate
+    here, unlike List). Same single groupBy exchange as list_series.
+    Output: (name, series_key, last_ts, age_us, stale).
+    """
+    pts = points
+    if pattern:
+        pts = match_variables(pts, pattern)
+    now_expr = F.lit(now).cast("timestamp")
+    grouped = (
+        pts.withColumn(SERIES_KEY_COL, series_key())
+        .groupBy("name", SERIES_KEY_COL)
+        .agg(F.max("ts").alias("last_ts"))
+    )
+    age_us = F.unix_micros(now_expr) - F.unix_micros(F.col("last_ts"))
+    return grouped.select(
+        "name", SERIES_KEY_COL, "last_ts",
+        age_us.alias("age_us"),
+        (age_us > F.lit(int(max_age_ms) * 1000).cast("long")).alias("stale"),
+    )

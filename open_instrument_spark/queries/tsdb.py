@@ -1441,6 +1441,34 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_by_name(_pts(spark, sf_dir), 5.0, 3_600_000)
 
 
+@query(
+    "list_stale_series",
+    oracle=f"""
+WITH {P_CTE},
+g AS (
+  SELECT name, series_key, max(ts) AS last_ts
+  FROM p GROUP BY 1, 2
+)
+SELECT name, series_key, last_ts,
+       epoch_us(TIMESTAMP '{NOW}') - epoch_us(last_ts) AS age_us,
+       (epoch_us(TIMESTAMP '{NOW}') - epoch_us(last_ts))
+         > 259200000000 AS stale
+FROM g
+""",
+)
+def list_stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-series detection — the inverse of List's max_age filter:
+    every series with its age at the pinned NOW, flagged stale past
+    3 days (the "which series went silent" on-call query; PromQL
+    absent/staleness shape — the reference only DROPS stale series,
+    server/store.cc:342-379). Integer-microsecond ages so the compare
+    is exact; both verdicts exercised at sf0.01 (188/750 stale).
+    North-star S11 extension (operators/select.py::stale_series)."""
+    from open_instrument_spark.operators.select import stale_series
+
+    return stale_series(_pts(spark, sf_dir), NOW, max_age_ms=259_200_000)
+
+
 _LES_SQL = "[5.0, 10.0, 25.0, 50.0, 100.0, 250.0]"
 
 

@@ -148,6 +148,7 @@ _PAST_WINDOW_ORACLED = [
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
     "corpus_weighted_sample",
+    "list_stale_series",
     "alert_rule_states",
     "alert_rule_transitions",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json

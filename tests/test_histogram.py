@@ -141,3 +141,23 @@ def test_raw_points_are_never_exploded(spark):
     assert gen != -1 and gen < first_agg  # plan prints top-down:
     # Generate appearing BEFORE the first (deepest-printed-last)
     # aggregate means it consumes aggregated rows, not the raw scan.
+
+
+def test_stale_series_negative_age_and_flag(spark):
+    """stale_series (operators/select.py): integer-microsecond ages,
+    legitimate NEGATIVE age for series sampled after `now`, stale only
+    past the threshold."""
+    from open_instrument_spark.operators.select import stale_series
+
+    rows = [
+        ("/a", {"h": "x"}, datetime(2024, 1, 27, 23, 59, 59), 1.0),  # stale
+        ("/b", {"h": "x"}, datetime(2024, 1, 30, 0, 0, 0), 1.0),     # fresh
+        ("/c", {"h": "x"}, datetime(2024, 2, 1, 0, 0, 0), 1.0),      # future
+    ]
+    pts = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, dval double")
+    got = {r["name"]: r for r in stale_series(
+        pts, "2024-01-31 00:00:00", max_age_ms=259_200_000).collect()}
+    assert got["/a"]["stale"] and not got["/b"]["stale"]
+    assert got["/c"]["age_us"] == -86_400_000_000 and not got["/c"]["stale"]
+    assert got["/a"]["age_us"] == 3 * 86_400_000_000 + 1_000_000
