@@ -160,6 +160,7 @@ HEADLINE = [
     "agg_histogram_quantile",
     "corpus_weighted_sample",
     "list_stale_series",
+    "text_pii_scrub",
 ]
 
 

@@ -357,3 +357,65 @@ def scrub(docs: DataFrame, text_col: str = "text",
         .withColumn("n_emails", n_emails)
         .withColumn("clean_text", clean)
     )
+
+
+# ---- PII detection / redaction ----------------------------------------------
+
+PHONE_RE = r"\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{2,4}"
+IPV4_RE = (r"\b((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}"
+           r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\b")
+CARD_RE = r"\b\d{13,19}\b"
+
+
+def luhn_valid(s: Column) -> Column:
+    """Luhn checksum over a digit string — pure JVM HOFs (reverse +
+    indexed transform + aggregate), no UDF. The mod-10 test every
+    payment-card number passes; its false-positive rate on random
+    digit runs is 10%, which is why card DETECTION counts candidates
+    and valid numbers separately."""
+    rev = F.reverse(F.filter(F.split(s, ""), lambda c: c != F.lit("")))
+    terms = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+            .otherwise(d.cast("int") * 2),
+        ).otherwise(d.cast("int")),
+    )
+    return F.aggregate(terms, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the corpus-prep pass after
+    :func:`scrub`: emails, IPv4 addresses, payment-card-shaped digit
+    runs (Luhn-verified for the VALID count; ALL candidates redacted —
+    redaction is deliberately conservative), international-ish phone
+    numbers. Stage order is part of the contract, narrowest shape
+    first so one span is counted once: email → ipv4 → card → phone
+    (a 16-digit card run would otherwise satisfy the phone pattern;
+    replacement tokens contain no digits so later stages can never
+    re-match an earlier redaction).
+
+    Pure scan-project: four regexp count+replace passes plus the Luhn
+    HOF — zero Python, zero shuffle, runs at scan speed at 100 TB.
+    Output adds (n_emails, n_ipv4, n_card_candidates, n_cards_valid,
+    n_phones, pii_text) with every count int.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0))
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP4>")
+    cards = F.regexp_extract_all(t2, F.lit(CARD_RE), 0)
+    n_cards_valid = F.size(F.filter(cards, luhn_valid))
+    t3 = F.regexp_replace(t2, CARD_RE, "<CARD>")
+    n_phones = F.size(F.regexp_extract_all(t3, F.lit(PHONE_RE), 0))
+    t4 = F.regexp_replace(t3, PHONE_RE, "<PHONE>")
+    return (
+        docs.withColumn("n_emails", n_emails)
+        .withColumn("n_ipv4", n_ipv4)
+        .withColumn("n_card_candidates", F.size(cards))
+        .withColumn("n_cards_valid", n_cards_valid)
+        .withColumn("n_phones", n_phones)
+        .withColumn("pii_text", t4)
+    )

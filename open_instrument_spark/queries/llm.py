@@ -2570,6 +2570,106 @@ def corpus_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    """DuckDB twin of text.pii_scrub over the SEEDED corpus (the base
+    text has zero digits, so the query plants deterministic PII:
+    per-doc emails/phones/IPs and one KNOWN-valid + one KNOWN-invalid
+    card literal). The card-validity oracle column is ground truth —
+    candidates equal to the Luhn-valid literal — so the gate verifies
+    our Luhn HOF against known truth instead of replaying it."""
+    from open_instrument_spark.operators.text import (
+        CARD_RE, EMAIL_RE, IPV4_RE, PHONE_RE,
+    )
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+           CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN ' call +1 (415) 555-' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+         CASE WHEN doc_id % 17 = 0 THEN ' card ' ||
+           (CASE WHEN doc_id % 2 = 0 THEN '4532015112830366'
+                 ELSE '4532015112830367' END) ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM seeded
+),
+s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ipv4,
+         regexp_replace(t1, '{IPV4_RE}', '<IP4>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, regexp_extract_all(t2, '{CARD_RE}') AS cards,
+         regexp_replace(t2, '{CARD_RE}', '<CARD>', 'g') AS t3
+  FROM s2
+),
+s4 AS (
+  SELECT *, len(regexp_extract_all(t3, '{PHONE_RE}')) AS n_phones,
+         regexp_replace(t3, '{PHONE_RE}', '<PHONE>', 'g') AS t4
+  FROM s3
+)
+SELECT doc_id,
+       CAST(n_emails AS INT) AS n_emails,
+       CAST(n_ipv4 AS INT) AS n_ipv4,
+       CAST(len(cards) AS INT) AS n_card_candidates,
+       CAST(len(list_filter(cards, c -> c = '4532015112830366')) AS INT)
+         AS n_cards_valid,
+       CAST(n_phones AS INT) AS n_phones,
+       md5(t4) AS pii_md5
+FROM s4
+"""
+
+
+@query("text_pii_scrub", oracle=_pii_oracle())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 PII detection + redaction (text.pii_scrub): emails, IPv4,
+    Luhn-verified payment-card runs, phone numbers — staged
+    narrowest-shape-first so each span is counted once, ALL card
+    candidates redacted (conservative), the exact redacted bytes
+    pinned via md5. The base corpus has no digits, so deterministic
+    PII is seeded per doc_id on both engines (near-dup seeding
+    precedent); the card-validity gate checks our Luhn HOF against
+    ground-truth literals. Scan-project — zero shuffle."""
+    from open_instrument_spark.operators.text import pii_scrub
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"))).otherwise(""),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" call +1 (415) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+            F.when(did % 13 == 0, F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit("."), (did % 250).cast("string"))).otherwise(""),
+            F.when(did % 17 == 0, F.concat(
+                F.lit(" card "),
+                F.when(did % 2 == 0, F.lit("4532015112830366"))
+                .otherwise(F.lit("4532015112830367")))).otherwise(""),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded).select(
+        "doc_id", "n_emails", "n_ipv4", "n_card_candidates",
+        "n_cards_valid", "n_phones", F.md5("pii_text").alias("pii_md5"),
+    )
+
+
 @query(
     "corpus_weighted_sample",
     oracle="""

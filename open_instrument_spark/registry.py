@@ -149,6 +149,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_histogram_quantile",
     "corpus_weighted_sample",
     "list_stale_series",
+    "text_pii_scrub",
     "alert_rule_states",
     "alert_rule_transitions",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json

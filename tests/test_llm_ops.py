@@ -1161,3 +1161,39 @@ def test_semantic_dedup_arrow_assign_matches_fold(spark):
         a = arrow[k]
         assert (f["cell"], f["is_dup"]) == (a["cell"], a["is_dup"]), k
         assert abs(f["centroid_sim"] - a["centroid_sim"]) < 1e-9, k
+
+
+def test_pii_scrub_verbatim_fixture(spark):
+    """Hand-written PII document through the real staged passes: every
+    category detected once, the invalid card counted as a candidate
+    but not valid, non-PII digit shapes (out-of-range IP) untouched,
+    and redaction exact."""
+    from open_instrument_spark.operators.text import luhn_valid, pii_scrub
+
+    rows = [
+        (1, "contact user42@example.com or call +1 (415) 555-0142 "
+            "from 192.168.3.44 card 4532015112830366 ok"),
+        (2, "bad card 4532015112830367 and ip 999.999.1.1 nothing else"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_card_candidates"],
+            got[1]["n_cards_valid"], got[1]["n_phones"]) == (1, 1, 1, 1, 1)
+    assert got[1]["pii_text"] == ("contact <EMAIL> or call <PHONE> "
+                                  "from <IP4> card <CARD> ok")
+    # invalid Luhn: candidate yes, valid no; 999.* is not an IPv4
+    assert (got[2]["n_card_candidates"], got[2]["n_cards_valid"],
+            got[2]["n_ipv4"]) == (1, 0, 0)
+    assert "999.999.1.1" in got[2]["pii_text"]
+    assert all(got[3][c] == 0 for c in
+               ("n_emails", "n_ipv4", "n_card_candidates",
+                "n_cards_valid", "n_phones"))
+    assert got[3]["pii_text"] == rows[2][1]
+
+    # Luhn ground truth incl. check-digit flip sensitivity
+    t = spark.createDataFrame(
+        [("4532015112830366",), ("4532015112830367",), ("79927398713",),
+         ("79927398710",)], "s string")
+    oks = [r["ok"] for r in t.select(luhn_valid(F.col("s")).alias("ok")).collect()]
+    assert oks == [True, False, True, False]
