@@ -161,6 +161,8 @@ HEADLINE = [
     "corpus_weighted_sample",
     "list_stale_series",
     "text_pii_scrub",
+    "agg_topk_series",
+    "mutate_offset_compare",
 ]
 
 

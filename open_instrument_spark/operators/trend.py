@@ -96,3 +96,68 @@ def counter_stats(points: DataFrame) -> DataFrame:
         F.sum("is_reset").cast("long").alias("resets"),
         F.sum("is_change").cast("long").alias("changes"),
     )
+
+
+def topk_series(points: DataFrame, k: int = 3,
+                interval_ms: int = 86_400_000) -> DataFrame:
+    """PromQL ``topk(k, sum_over_time(...))`` shape: the k
+    highest-volume series per (name, window) — the "which label values
+    dominate this metric" dashboard panel. Rank compares the ROUNDED
+    (6 dp) window sum with series_key as tiebreak, so the order — not
+    just the values — is pinned cross-engine (the weighted_sample
+    precedent: re-associated float sums differ in the last bits
+    between engines; an unrounded rank could flip near-ties).
+
+    One aggregation exchange on (name, series_key, window) + one rank
+    exchange on (name, window) — both post-aggregation sizes. Output:
+    (name, ts, series_key, value, rank).
+    """
+    pts = _with_key(points).where(F.col("dval").isNotNull())
+    win = F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts")
+    summed = (
+        pts.groupBy("name", "series_key", win)
+        .agg(F.round(F.sum("dval"), 6).alias("value"))
+    )
+    w = Window.partitionBy("name", "ts").orderBy(
+        F.col("value").desc(), F.col("series_key").asc())
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def offset_compare(points: DataFrame, offset_ms: int = 604_800_000,
+                   interval_ms: int = 3_600_000) -> DataFrame:
+    """PromQL ``offset`` comparison: each (name, window) aggregate next
+    to the SAME aggregate one offset earlier (default week-over-week
+    on hourly sums) — the seasonal-regression panel. One aggregation,
+    reused for both sides of a self-equi-join on the shifted window
+    start (the offset must be a multiple of the window so shifted
+    starts align exactly); windows with no counterpart keep NULLs
+    (the "no data last week" case is the signal, not an error).
+    Output: (name, ts, value, value_prev, wow_ratio).
+    """
+    if offset_ms % interval_ms != 0:
+        raise ValueError(
+            f"offset ({offset_ms} ms) must be a multiple of the window "
+            f"({interval_ms} ms) or shifted starts cannot align")
+    pts = points.where(F.col("dval").isNotNull())
+    win = F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts")
+    cur = (
+        pts.groupBy("name", win)
+        .agg(F.round(F.sum("dval"), 6).alias("value"))
+    )
+    prev = cur.select(
+        "name",
+        (F.col("ts") + F.expr(f"INTERVAL {offset_ms // 1000} SECOND"))
+        .alias("ts"),
+        F.col("value").alias("value_prev"),
+    )
+    return (
+        cur.join(prev, ["name", "ts"], "left")
+        .select(
+            "name", "ts", "value", "value_prev",
+            F.round(F.col("value") / F.col("value_prev"), 6)
+            .alias("wow_ratio"),
+        )
+    )

@@ -1442,6 +1442,61 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_topk_series",
+    oracle=f"""
+WITH {P_CTE},
+s AS (
+  SELECT name, series_key, {_bucket_sql(86_400_000)} AS ts,
+         round(sum(dval), 6) AS value
+  FROM p GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY name, ts ORDER BY value DESC, series_key ASC) AS rank
+  FROM s
+)
+SELECT name, ts, series_key, value, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""",
+)
+def agg_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(3, ...)`` per (name, day): which series dominate
+    each metric — rank pinned cross-engine by comparing the ROUNDED
+    window sum with the series_key tiebreak
+    (operators/trend.py::topk_series). North-star O-family
+    extension."""
+    from open_instrument_spark.operators.trend import topk_series
+
+    return topk_series(_pts(spark, sf_dir), k=3, interval_ms=86_400_000)
+
+
+@query(
+    "mutate_offset_compare",
+    oracle=f"""
+WITH {P_CTE},
+c AS (
+  SELECT name, {_bucket_sql(3_600_000)} AS ts, round(sum(dval), 6) AS value
+  FROM p GROUP BY 1, 2
+)
+SELECT c.name, c.ts, c.value, p2.value AS value_prev,
+       round(c.value / p2.value, 6) AS wow_ratio
+FROM c LEFT JOIN c p2
+  ON p2.name = c.name AND p2.ts + INTERVAL 7 DAY = c.ts
+""",
+)
+def mutate_offset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``offset 7d`` comparison: hourly sums per name joined
+    against themselves one week earlier (week-over-week seasonal
+    panel); windows with no counterpart keep NULLs — absent history is
+    the signal (operators/trend.py::offset_compare). North-star
+    M-family extension."""
+    from open_instrument_spark.operators.trend import offset_compare
+
+    return offset_compare(_pts(spark, sf_dir),
+                          offset_ms=604_800_000, interval_ms=3_600_000)
+
+
+@query(
     "list_stale_series",
     oracle=f"""
 WITH {P_CTE},

@@ -150,6 +150,8 @@ _PAST_WINDOW_ORACLED = [
     "corpus_weighted_sample",
     "list_stale_series",
     "text_pii_scrub",
+    "agg_topk_series",
+    "mutate_offset_compare",
     "alert_rule_states",
     "alert_rule_transitions",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json

@@ -161,3 +161,47 @@ def test_stale_series_negative_age_and_flag(spark):
     assert got["/a"]["stale"] and not got["/b"]["stale"]
     assert got["/c"]["age_us"] == -86_400_000_000 and not got["/c"]["stale"]
     assert got["/a"]["age_us"] == 3 * 86_400_000_000 + 1_000_000
+
+
+def test_topk_series_rank_and_bound(spark):
+    """topk_series (operators/trend.py): at most k rows per (name,
+    window), ranks 1..k contiguous, values non-increasing in rank."""
+    from open_instrument_spark.operators.trend import topk_series
+
+    rows = []
+    for s in range(6):
+        for i in range(4):
+            rows.append(("/m", {"u": str(s)},
+                         datetime(2024, 1, 1, i), float(10 * s + i)))
+    pts = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, dval double")
+    got = topk_series(pts, k=3).collect()
+    assert len(got) == 3
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == [1, 2, 3]
+    vals = [r["value"] for r in by_rank]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] == 50 + 51 + 52 + 53  # the s=5 series dominates
+
+
+def test_offset_compare_alignment_and_nulls(spark):
+    """offset_compare: the prev side is the SAME aggregate shifted by
+    the offset; the first windows (no history) keep NULLs; misaligned
+    offsets raise."""
+    import pytest as _pt
+
+    from open_instrument_spark.operators.trend import offset_compare
+
+    rows = [("/m", datetime(2024, 1, 1, h), 1.0 * (h + 1)) for h in range(3)] \
+         + [("/m", datetime(2024, 1, 2, h), 10.0 * (h + 1)) for h in range(3)]
+    pts = spark.createDataFrame(rows, "name string, ts timestamp, dval double")
+    got = {r["ts"]: r for r in offset_compare(
+        pts, offset_ms=86_400_000, interval_ms=3_600_000).collect()}
+    assert len(got) == 6
+    d2 = got[datetime(2024, 1, 2, 1)]
+    assert (d2["value"], d2["value_prev"], d2["wow_ratio"]) == (20.0, 2.0, 10.0)
+    d1 = got[datetime(2024, 1, 1, 1)]
+    assert d1["value_prev"] is None and d1["wow_ratio"] is None
+
+    with _pt.raises(ValueError):
+        offset_compare(pts, offset_ms=5_400_000, interval_ms=3_600_000)
