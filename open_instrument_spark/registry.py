@@ -131,9 +131,9 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
-    # r9-new oracled queries — never in the window yet (it is full with
-    # the 11 r8-new + 2 r9-new entries); under the pytest-hosted DuckDB
-    # gate now, rotated into the window next round.
+    # r9-new oracled queries (20) — never in the window yet (it is full
+    # with the 11 r8-new + 2 r9-new entries); under the pytest-hosted
+    # DuckDB gate now, rotated into the window next round.
     "mutate_holt_winters",
     "mutate_cusum",
     "mutate_predict_linear",
