@@ -118,25 +118,30 @@ def cms_estimate(table: DataFrame, key_col: str, probe_values: list,
 # (1 - e^(-kn/m))^k is a knob. Probing is map-only: the filter ships
 # to executors as a literal/broadcast and the corpus NEVER shuffles.
 #
-# Hashing reuses the CMS md5 idiom — bit_j(v) = first 8 md5 nibbles of
-# 'bloom{j}:{v}' mod m — so build + probe replay exactly in DuckDB and
-# the whole pipeline sits under the driver's value-hash gate
+# Hashing reuses the CMS md5 idiom, but all k bits come from ONE md5:
+# bit_j(v) = nibbles [8j+1, 8j+8) of md5('bloom:{v}') mod m (k <= 4 —
+# disjoint 32-bit windows of one digest; the standard cheap-hash-family
+# Bloom construction, strictly stronger than Kirsch-Mitzenmakher double
+# hashing). One digest per value keeps the probe pass in whole-stage
+# codegen at ~1 md5/shingle — the first cut hashed k times inside an
+# interpreted higher-order filter and was 10x slower at every probe
+# tier despite being shuffle-free. Build + probe replay exactly in
+# DuckDB so the whole pipeline sits under the driver's value-hash gate
 # (dedup_bloom_contaminated), false positives included: they are
 # deterministic, identical in both engines.
 
 
-def _bloom_bit(j_col: Column, value_col: Column, m: int) -> Column:
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("bloom"), j_col.cast("string"),
-                               F.lit(":"), value_col)),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(m),
-    )
+def _bloom_bit_exprs(value_col: Column, k: int, m: int) -> list[Column]:
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (disjoint md5 windows), got {k}")
+    h = F.md5(F.concat(F.lit("bloom:"), value_col))
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+            F.lit(m),
+        )
+        for j in range(k)
+    ]
 
 
 def bloom_bits(df: DataFrame, value_col: str, k: int = 4,
@@ -151,10 +156,9 @@ def bloom_bits(df: DataFrame, value_col: str, k: int = 4,
     )
     return (
         vals.select(
-            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
-            F.col("_v"),
+            F.explode(F.array(*_bloom_bit_exprs(F.col("_v"), k, m)))
+            .alias("bit")
         )
-        .select(_bloom_bit(F.col("j"), F.col("_v"), m).alias("bit"))
         .distinct()
     )
 
@@ -172,14 +176,14 @@ def bloom_bitmap(bits: DataFrame, m: int) -> str:
 def bloom_hit_expr(value_col: Column, bitmap: str, k: int = 4,
                    m: int | None = None) -> Column:
     """Pure-JVM membership test: true iff all k bits for the value are
-    set in the literal bitmap. Usable inside higher-order functions
-    (zero joins, zero shuffles — the probe side is scan-project)."""
+    set in the literal bitmap — one md5 per value. Codegen-friendly as
+    a plain column over exploded rows (the fast path); also usable
+    inside higher-order functions when avoiding the explode matters
+    more than the interpreted-lambda constant."""
     m = len(bitmap) if m is None else m
     checks = [
-        F.lit(bitmap).substr(
-            (_bloom_bit(F.lit(j), value_col, m) + 1).cast("int"), F.lit(1)
-        ) == "1"
-        for j in range(k)
+        F.lit(bitmap).substr((b + 1).cast("int"), F.lit(1)) == "1"
+        for b in _bloom_bit_exprs(value_col, k, m)
     ]
     out = checks[0]
     for c in checks[1:]:
@@ -197,10 +201,8 @@ def bloom_probe_join(bits: DataFrame, probes: DataFrame, value_col: str,
     cols = probes.columns
     expl = probes.select(
         *cols,
-        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
-    ).select(
-        *cols, "j",
-        _bloom_bit(F.col("j"), F.col(value_col), m).alias("bit"),
+        F.explode(F.array(*_bloom_bit_exprs(F.col(value_col), k, m)))
+        .alias("bit"),
     )
     # left join (bits is distinct — no fan-out), not left_semi: a value
     # with NO set bits must still emit maybe_present=false.
@@ -221,12 +223,16 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
     :func:`dedup.contamination` hits — property-tested).
 
     100 TB shape: the benchmark side collapses to an m-bit filter
-    (bounded driver materialization); the corpus side is ONE
-    scan-project — the membership test runs inside a higher-order
-    ``filter`` over the shingle array, so the corpus is never exploded,
-    joined, or shuffled. Output: (doc_id, n_shingles, n_maybe_hits,
-    flagged) with flagged = n_maybe_hits ≥ 2 (mirrors contamination's
-    min_overlap=2).
+    (bounded driver materialization) shipped as a literal — the corpus
+    side never joins ANYTHING. The probe is explode-shingles → one md5
+    per shingle → k codegen substr checks against the literal bitmap →
+    count, with map-side partial aggregation collapsing to one row per
+    doc before the single (doc_id) exchange. (A shuffle-free
+    higher-order-filter form exists via :func:`bloom_hit_expr`, but
+    interpreted lambdas cost ~10× the codegen explode at every
+    measured tier — the explode IS the fast path.) Output: (doc_id,
+    n_shingles, n_maybe_hits, flagged) with flagged = n_maybe_hits ≥ 2
+    (mirrors contamination's min_overlap=2).
     """
     from open_instrument_spark.operators.dedup import shingles
 
@@ -234,16 +240,25 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
         F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
     )
     bitmap = bloom_bitmap(bloom_bits(b_sh, "sh", k=k, m=m), m)
-    return docs.select(
+    exploded = docs.select(
         "doc_id",
         shingles(F.col(text_col), shingle_k).alias("_shs"),
     ).select(
         "doc_id",
         F.size("_shs").alias("n_shingles"),
-        F.size(
-            F.filter("_shs", lambda s: bloom_hit_expr(s, bitmap, k=k, m=m))
-        ).alias("n_maybe_hits"),
-    ).select(
-        "doc_id", "n_shingles", "n_maybe_hits",
-        (F.col("n_maybe_hits") >= 2).alias("flagged"),
+        F.explode("_shs").alias("sh"),
+    )
+    hit = bloom_hit_expr(F.col("sh"), bitmap, k=k, m=m)
+    return (
+        exploded
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("int")
+            .alias("n_maybe_hits"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_maybe_hits",
+            (F.col("n_maybe_hits") >= 2).alias("flagged"),
+        )
     )

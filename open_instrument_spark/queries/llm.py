@@ -1212,7 +1212,7 @@ WITH bench0 AS (
 bs AS ({_shingle_cte("bench0", "bench_id")}),
 bsh AS (SELECT DISTINCT unnest(s) AS sh FROM bs),
 bbits AS (
-  SELECT DISTINCT CAST(('0x' || substr(md5('bloom' || j || ':' || sh), 1, 8))
+  SELECT DISTINCT CAST(('0x' || substr(md5('bloom:' || sh), 1 + 8*j, 8))
                        AS BIGINT) % 8192 AS bit
   FROM bsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
 ),
@@ -1221,7 +1221,7 @@ dds AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM dsh),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM dds GROUP BY 1),
 probe AS (
   SELECT doc_id, sh,
-         CAST(('0x' || substr(md5('bloom' || j || ':' || sh), 1, 8))
+         CAST(('0x' || substr(md5('bloom:' || sh), 1 + 8*j, 8))
               AS BIGINT) % 8192 AS bit
   FROM dds CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
 ),
@@ -1246,10 +1246,10 @@ def dedup_bloom_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     120-char prefix) so the superset property is testable: Bloom never
     misses a true hit, and its false positives are deterministic
     md5-seeded collisions that replay identically in DuckDB — the
-    WHOLE sketch sits under the value-hash gate. Corpus side is one
-    scan-project (membership runs inside a higher-order filter over
-    the shingle array — no explode, no join, no shuffle;
-    plan-asserted)."""
+    WHOLE sketch sits under the value-hash gate. The corpus never
+    joins anything: explode → one md5/shingle → codegen substr checks
+    against the literal bitmap → map-side-combined count, a single
+    (doc_id) exchange (plan-asserted)."""
     from open_instrument_spark.operators.sketch import bloom_decontaminate
 
     prepare(spark)

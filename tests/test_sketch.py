@@ -208,10 +208,12 @@ def test_bloom_bits_bounded_and_mergeable(spark, corpus):
             == {r["bit"] for r in merged.collect()})
 
 
-def test_bloom_decontaminate_probe_is_shuffle_free(spark, corpus):
+def test_bloom_decontaminate_probe_plan(spark, corpus):
     """The 100 TB property the operator exists for: once the filter is
-    built (bounded driver artifact), the corpus pass is scan-project —
-    no Exchange anywhere in the plan."""
+    built (bounded driver artifact, shipped as a literal), the corpus
+    pass joins NOTHING and shuffles exactly once — the map-side-combined
+    per-doc count on (doc_id). No Python anywhere."""
     docs, bench = corpus
     plan = bloom_decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan and "Python" not in plan, plan
