@@ -121,14 +121,18 @@ def cms_estimate(table: DataFrame, key_col: str, probe_values: list,
 # Hashing reuses the CMS md5 idiom, but all k bits come from ONE md5:
 # bit_j(v) = nibbles [8j+1, 8j+8) of md5('bloom:{v}') mod m (k <= 4 —
 # disjoint 32-bit windows of one digest; the standard cheap-hash-family
-# Bloom construction, strictly stronger than Kirsch-Mitzenmakher double
-# hashing). One digest per value keeps the probe pass in whole-stage
-# codegen at ~1 md5/shingle — the first cut hashed k times inside an
-# interpreted higher-order filter and was 10x slower at every probe
-# tier despite being shuffle-free. Build + probe replay exactly in
-# DuckDB so the whole pipeline sits under the driver's value-hash gate
-# (dedup_bloom_contaminated), false positives included: they are
-# deterministic, identical in both engines.
+# Bloom construction, strictly stronger than Kirsch-Mitzenmacher double
+# hashing). One digest per value is k× less hashing than the first
+# cut's per-j salted digests, and the explode form (vs an interpreted
+# higher-order filter) keeps the probe in whole-stage codegen with
+# map-side partial aggregation. NB the dominant LOCAL cost factor is
+# input parallelism, not the expression: the testdata corpus is one
+# parquet row group, so callers repartition before this heavy map
+# (query-layer shim; many-file production scans parallelize for free).
+# Build + probe replay exactly in DuckDB so the whole pipeline sits
+# under the driver's value-hash gate (dedup_bloom_contaminated), false
+# positives included: they are deterministic, identical in both
+# engines.
 
 
 def _bloom_bit_exprs(value_col: Column, k: int, m: int) -> list[Column]:

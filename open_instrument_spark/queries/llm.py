@@ -1249,11 +1249,18 @@ def dedup_bloom_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHOLE sketch sits under the value-hash gate. The corpus never
     joins anything: explode → one md5/shingle → codegen substr checks
     against the literal bitmap → map-side-combined count, a single
-    (doc_id) exchange (plan-asserted)."""
+    (doc_id) exchange on the operator (plan-asserted)."""
     from open_instrument_spark.operators.sketch import bloom_decontaminate
 
     prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    # Row-count-cheap repartition: the local testdata is one parquet
+    # row group, so the per-shingle digest pass would otherwise run on
+    # a single core (the bpe/video-frames precedent above — real
+    # many-file corpora get this parallelism for free from the scan).
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
     bench = docs.filter(F.col("doc_id") % 29 == 0).select(
         "doc_id", F.substring("text", 1, 120).alias("text")
     )
@@ -2639,11 +2646,18 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned via md5. The base corpus has no digits, so deterministic
     PII is seeded per doc_id on both engines (near-dup seeding
     precedent); the card-validity gate checks our Luhn HOF against
-    ground-truth literals. Scan-project — zero shuffle."""
+    ground-truth literals. Scan-project on the operator — zero
+    shuffle; the query adds one row-count-cheap repartition so the
+    four full-text regex passes parallelize over the single-row-group
+    local testdata (bpe/video precedent — real many-file corpora get
+    this for free from the scan)."""
     from open_instrument_spark.operators.text import pii_scrub
 
     prepare(spark)
-    docs = load_tables(spark, sf_dir).table("documents").select("doc_id", "text")
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
     did = F.col("doc_id")
     seeded = docs.select(
         "doc_id",

@@ -377,8 +377,11 @@ def main() -> None:
         report.setdefault("quality_classifier", {})[f"x{k}"] = round(
             run(hash_classifier_score(big, _w, 0.05)), 2
         )
+        # repartition like the lm/bpe doc probes: the multiplied frame
+        # inherits the local single-row-group partitioning, which would
+        # serialize the per-shingle digest pass on one core
         report.setdefault("bloom_decontaminate", {})[f"x{k}"] = round(
-            run(bloom_decontaminate(big, _bench)), 2
+            run(bloom_decontaminate(big.repartition(64, "doc_id"), _bench)), 2
         )
     peaks["docs_spans_x100"] = peak_rss_mb()
 
