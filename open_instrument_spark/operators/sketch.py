@@ -115,8 +115,9 @@ def cms_estimate(table: DataFrame, key_col: str, probe_values: list,
 # bits, chosen up front), mergeable by bitwise OR (the bit TABLE below
 # merges by plain union-distinct — Spark's partial aggregation does
 # it map-side), never false-negative, and its false-positive rate
-# (1 - e^(-kn/m))^k is a knob. Probing is map-only: the filter ships
-# to executors as a literal/broadcast and the corpus NEVER shuffles.
+# (1 - e^(-kn/m))^k is a knob. The filter ships to executors as a
+# literal/broadcast, so the corpus side joins nothing; its only
+# exchange is the per-doc rollup of map-side pre-combined rows.
 #
 # Hashing reuses the CMS md5 idiom, but all k bits come from ONE md5:
 # bit_j(v) = nibbles [8j+1, 8j+8) of md5('bloom:{v}') mod m (k <= 4 —
@@ -232,9 +233,9 @@ def bloom_decontaminate(docs: DataFrame, benchmark: DataFrame,
     per shingle → k codegen substr checks against the literal bitmap →
     count, with map-side partial aggregation collapsing to one row per
     doc before the single (doc_id) exchange. (A shuffle-free
-    higher-order-filter form exists via :func:`bloom_hit_expr`, but
-    interpreted lambdas cost ~10× the codegen explode at every
-    measured tier — the explode IS the fast path.) Output: (doc_id,
+    higher-order-filter form exists via :func:`bloom_hit_expr` inside
+    ``F.filter``; the explode form is preferred — codegen, partial
+    aggregation, and one digest per shingle.) Output: (doc_id,
     n_shingles, n_maybe_hits, flagged) with flagged = n_maybe_hits ≥ 2
     (mirrors contamination's min_overlap=2).
     """
