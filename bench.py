@@ -161,6 +161,7 @@ HEADLINE = [
     "corpus_weighted_sample",
     "list_stale_series",
     "text_pii_scrub",
+    "corpus_safety_pipeline",
     "agg_topk_series",
     "mutate_offset_compare",
 ]

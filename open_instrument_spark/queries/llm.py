@@ -2577,19 +2577,12 @@ def corpus_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pii_oracle() -> str:
-    """DuckDB twin of text.pii_scrub over the SEEDED corpus (the base
-    text has zero digits, so the query plants deterministic PII:
-    per-doc emails/phones/IPs and one KNOWN-valid + one KNOWN-invalid
-    card literal). The card-validity oracle column is ground truth —
-    candidates equal to the Luhn-valid literal — so the gate verifies
-    our Luhn HOF against known truth instead of replaying it."""
-    from open_instrument_spark.operators.text import (
-        CARD_RE, EMAIL_RE, IPV4_RE, PHONE_RE,
-    )
-
-    return f"""
-WITH seeded AS (
+# Deterministic PII seeding, shared by text_pii_scrub and the composed
+# safety pipeline: the synthetic corpus has zero digits, so both
+# engines append the same per-doc_id emails/phones/IPs plus one
+# KNOWN-valid and one KNOWN-invalid card literal.
+_PII_SEED_SQL = """
+seeded AS (
   SELECT doc_id,
          text ||
          CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
@@ -2603,7 +2596,44 @@ WITH seeded AS (
            (CASE WHEN doc_id % 2 = 0 THEN '4532015112830366'
                  ELSE '4532015112830367' END) ELSE '' END AS text
   FROM documents
-),
+)"""
+
+
+def _seed_pii(docs: DataFrame) -> DataFrame:
+    """Spark twin of _PII_SEED_SQL over a (doc_id, text) frame."""
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"))).otherwise(""),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" call +1 (415) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+            F.when(did % 13 == 0, F.concat(
+                F.lit(" from 10.0."), (did % 256).cast("string"),
+                F.lit("."), (did % 250).cast("string"))).otherwise(""),
+            F.when(did % 17 == 0, F.concat(
+                F.lit(" card "),
+                F.when(did % 2 == 0, F.lit("4532015112830366"))
+                .otherwise(F.lit("4532015112830367")))).otherwise(""),
+        ).alias("text"),
+    )
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of text.pii_scrub over the SEEDED corpus (see
+    _PII_SEED_SQL). The card-validity oracle column is ground truth —
+    candidates equal to the Luhn-valid literal — so the gate verifies
+    our Luhn HOF against known truth instead of replaying it."""
+    from open_instrument_spark.operators.text import (
+        CARD_RE, EMAIL_RE, IPV4_RE, PHONE_RE,
+    )
+
+    return f"""
+WITH {_PII_SEED_SQL},
 s1 AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
@@ -2658,29 +2688,121 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir).table("documents")
         .select("doc_id", "text").repartition(64, "doc_id")
     )
-    did = F.col("doc_id")
-    seeded = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(did % 7 == 0, F.concat(
-                F.lit(" contact user"), did.cast("string"),
-                F.lit("@example.com now"))).otherwise(""),
-            F.when(did % 11 == 0, F.concat(
-                F.lit(" call +1 (415) 555-"),
-                F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
-            F.when(did % 13 == 0, F.concat(
-                F.lit(" from 10.0."), (did % 256).cast("string"),
-                F.lit("."), (did % 250).cast("string"))).otherwise(""),
-            F.when(did % 17 == 0, F.concat(
-                F.lit(" card "),
-                F.when(did % 2 == 0, F.lit("4532015112830366"))
-                .otherwise(F.lit("4532015112830367")))).otherwise(""),
-        ).alias("text"),
-    )
+    seeded = _seed_pii(docs)
     return pii_scrub(seeded).select(
         "doc_id", "n_emails", "n_ipv4", "n_card_candidates",
         "n_cards_valid", "n_phones", F.md5("pii_text").alias("pii_md5"),
+    )
+
+
+def _safety_oracle() -> str:
+    """DuckDB twin of the composed safety pipeline: PII seeding →
+    Bloom decontamination (filter built from the seeded benchmark
+    subset) → staged PII redaction → deterministic split, assembled
+    from the same fragments as the standalone gates."""
+    from open_instrument_spark.operators.text import (
+        CARD_RE, EMAIL_RE, IPV4_RE, PHONE_RE,
+    )
+
+    return f"""
+WITH {_PII_SEED_SQL},
+bench0 AS (
+  SELECT doc_id AS bench_id, left(text, 120) AS text
+  FROM seeded WHERE doc_id % 29 = 0
+),
+bs AS ({_shingle_cte("bench0", "bench_id")}),
+bsh AS (SELECT DISTINCT unnest(s) AS sh FROM bs),
+bbits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('bloom:' || sh), 1 + 8*j, 8))
+                       AS BIGINT) % 8192 AS bit
+  FROM bsh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+dsh AS ({_shingle_cte("seeded")}),
+dds AS (SELECT DISTINCT doc_id, unnest(s) AS sh FROM dsh),
+probe AS (
+  SELECT doc_id, sh,
+         CAST(('0x' || substr(md5('bloom:' || sh), 1 + 8*j, 8))
+              AS BIGINT) % 8192 AS bit
+  FROM dds CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+),
+hit AS (
+  SELECT doc_id, sh FROM probe JOIN bbits USING (bit)
+  GROUP BY 1, 2 HAVING count(*) = 4
+),
+nh AS (SELECT doc_id, count(*) AS n_maybe_hits FROM hit GROUP BY 1),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM seeded
+),
+s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ipv4,
+         regexp_replace(t1, '{IPV4_RE}', '<IP4>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, regexp_extract_all(t2, '{CARD_RE}') AS cards,
+         regexp_replace(t2, '{CARD_RE}', '<CARD>', 'g') AS t3
+  FROM s2
+),
+s4 AS (
+  SELECT *, len(regexp_extract_all(t3, '{PHONE_RE}')) AS n_phones,
+         regexp_replace(t3, '{PHONE_RE}', '<PHONE>', 'g') AS t4
+  FROM s3
+)
+SELECT s4.doc_id,
+       coalesce(nh.n_maybe_hits, 0) >= 2 AS contaminated,
+       CAST(s4.n_emails + s4.n_ipv4 + len(s4.cards) + s4.n_phones AS INT)
+         AS n_pii,
+       md5(s4.t4) AS pii_md5,
+       NOT (coalesce(nh.n_maybe_hits, 0) >= 2) AS keep,
+       CASE WHEN md5(CAST(s4.doc_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(s4.doc_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM s4 LEFT JOIN nh ON nh.doc_id = s4.doc_id
+"""
+
+
+@query("corpus_safety_pipeline", oracle=_safety_oracle())
+def corpus_safety_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed safety pipeline — the final-r9 operators working in
+    ONE plan: deterministic PII seeding → Bloom-filter benchmark
+    decontamination (the membership sketch built from the seeded
+    benchmark subset) → staged PII redaction (exact redacted bytes
+    pinned via md5) → deterministic hash split. keep = NOT
+    contaminated; PII is redacted, never dropped. Two per-doc frames
+    (bloom flags, PII columns) join co-partitioned on doc_id; the
+    filter and the split thresholds are bounded driver artifacts, so
+    at 100 TB the plan is two corpus passes + one slim join."""
+    from open_instrument_spark.operators.corpus import split_column
+    from open_instrument_spark.operators.sketch import bloom_decontaminate
+    from open_instrument_spark.operators.text import pii_scrub
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
+    seeded = _seed_pii(docs)
+    bench = seeded.filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    bl = bloom_decontaminate(seeded, bench).select(
+        "doc_id", F.col("flagged").alias("contaminated"))
+    pii = pii_scrub(seeded).select(
+        "doc_id",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_card_candidates")
+         + F.col("n_phones")).alias("n_pii"),
+        F.md5("pii_text").alias("pii_md5"),
+    )
+    return (
+        bl.join(pii, "doc_id")
+        .select(
+            "doc_id", "contaminated", "n_pii", "pii_md5",
+            (~F.col("contaminated")).alias("keep"),
+            split_column(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split"),
+        )
     )
 
 

@@ -150,6 +150,7 @@ _PAST_WINDOW_ORACLED = [
     "corpus_weighted_sample",
     "list_stale_series",
     "text_pii_scrub",
+    "corpus_safety_pipeline",
     "agg_topk_series",
     "mutate_offset_compare",
     "alert_rule_states",

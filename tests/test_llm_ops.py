@@ -1197,3 +1197,27 @@ def test_pii_scrub_verbatim_fixture(spark):
          ("79927398710",)], "s string")
     oks = [r["ok"] for r in t.select(luhn_valid(F.col("s")).alias("ok")).collect()]
     assert oks == [True, False, True, False]
+
+
+def test_safety_pipeline_consistent_with_standalone_gates(spark):
+    """corpus_safety_pipeline must agree with its standalone pieces on
+    the same seeded corpus: identical redacted bytes per doc as
+    text_pii_scrub, keep == NOT contaminated, n_pii > 0 exactly for
+    docs with a seeded PII category, and the 90/5/5 split populated."""
+    from open_instrument_spark import registry
+
+    sf = SF_SMOKE
+    pipe = {r["doc_id"]: r for r in
+            registry.QUERIES["corpus_safety_pipeline"](spark, sf).collect()}
+    pii = {r["doc_id"]: r for r in
+           registry.QUERIES["text_pii_scrub"](spark, sf).collect()}
+    assert pipe.keys() == pii.keys()
+    for doc_id, row in pipe.items():
+        assert row["pii_md5"] == pii[doc_id]["pii_md5"], doc_id
+        assert row["keep"] == (not row["contaminated"]), doc_id
+        seeded = any(doc_id % p == 0 for p in (7, 11, 13, 17))
+        assert (row["n_pii"] > 0) == seeded, doc_id
+    splits = {r["split"] for r in pipe.values()}
+    assert splits == {"train", "val", "test"}
+    assert any(r["contaminated"] for r in pipe.values())
+    assert any(not r["contaminated"] for r in pipe.values())
