@@ -43,13 +43,19 @@ def cumulative_thresholds(weights: dict[str, float]) -> dict[str, str]:
     SQL must both take thresholds from here — cumulative float sums are
     not associative (0.90+0.05 != 0.95 exactly), so independently
     re-deriving a boundary can disagree in the last bit.
+
+    A cumulative prefix that reaches 1.0 (e.g. {'train': 1.0, 'val': 0})
+    is clamped to "g": _hex_threshold(1.0) would be a 33-char string that
+    sorts BELOW most 32-char md5 hashes lexicographically (same guard as
+    stratified_sample_frac._keep), while "g" sorts above every lowercase
+    hex string in both Spark and DuckDB, making the condition always-true.
     """
     out = {}
     cum = 0.0
     names = list(weights)
     for name in names[:-1]:
         cum += weights[name]
-        out[name] = _hex_threshold(cum)
+        out[name] = "g" if cum >= 1.0 else _hex_threshold(cum)
     return out
 
 

@@ -80,8 +80,14 @@ def counter_stats(points: DataFrame) -> DataFrame:
     """
     pts = (
         _with_key(points)
-        .where(F.col("dval").isNotNull())  # same numeric-only contract
-        .select("series_key", "ts", "dval")  # as the streaming twin
+        # Same numeric-only contract as the streaming twin. NaN is
+        # filtered alongside NULL: Spark SQL treats NaN as ordered-
+        # greater-than-everything and NaN = NaN, while the streaming
+        # twin's Python floats say NaN != NaN — dropping NaN on BOTH
+        # sides keeps the bit-equality contract instead of leaving the
+        # divergence latent.
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select("series_key", "ts", "dval")
     )
     w = Window.partitionBy("series_key").orderBy("ts", "dval")
     pv = F.lag("dval").over(w)

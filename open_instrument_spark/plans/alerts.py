@@ -84,11 +84,21 @@ def classify_states(samples: DataFrame, condition: str, threshold: float,
     return df.withColumn("state", state).drop("_breach", "_run")
 
 
-def transitions(states: DataFrame, key_col: str = "series_key") -> DataFrame:
+def transitions(states: DataFrame, key_col: str = "series_key",
+                value_col: str = "dval") -> DataFrame:
     """State-change events: the first sample of each series plus every
     sample whose state differs from its predecessor — what a notifier
-    consumes (pending→firing = page, firing→inactive = resolve)."""
-    w = Window.partitionBy(key_col).orderBy("ts", "dval")
+    consumes (pending→firing = page, firing→inactive = resolve).
+
+    ``value_col`` is the tie-break column and must name the sample value
+    column of the input — pass ``value_col="value"`` when composing with
+    ``evaluate_alert`` (whose output names the sample column ``value``)."""
+    if value_col not in states.columns:
+        raise ValueError(
+            f"transitions: value_col {value_col!r} not in input columns "
+            f"{states.columns} (evaluate_alert outputs name it 'value')"
+        )
+    w = Window.partitionBy(key_col).orderBy("ts", value_col)
     prev = F.lag("state").over(w)
     return (
         states.withColumn("_prev", prev)

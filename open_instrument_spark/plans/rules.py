@@ -156,10 +156,20 @@ def backfill_rule(points: DataFrame, rules_store: str,
     corpus (or a window's raw data arrived late). Just the tick in a
     loop: same per-window overwrite, so backfilling over already-
     recorded windows is a no-op rewrite, and a crashed backfill can
-    simply be restarted. Returns the partition paths written."""
-    iv = dt.timedelta(milliseconds=parse_duration_ms(rule.interval))
+    simply be restarted. A window straddling ``start`` (when ``start``
+    is not interval-aligned) is NOT recorded — the first window begins
+    at ``start`` ceiled to the interval boundary, so no materialized
+    data predates the requested range. Returns the partition paths
+    written."""
+    iv_ms = parse_duration_ms(rule.interval)
+    iv = dt.timedelta(milliseconds=iv_ms)
     paths = []
-    now = window_for(rule, start + iv)[1]  # first tick whose window ⊇ start
+    # First complete window inside [start, end): ceil start to the
+    # interval boundary; the tick evaluating [ceil(start), ceil+iv)
+    # runs at now = ceil(start) + iv (window_for floors).
+    start_ms = int((start - _EPOCH).total_seconds() * 1000)
+    first_ms = -(-start_ms // iv_ms) * iv_ms
+    now = _EPOCH + dt.timedelta(milliseconds=first_ms + iv_ms)
     while window_for(rule, now)[1] <= end:
         paths.append(record_rule(points, rules_store, rule, now))
         now = now + iv

@@ -55,7 +55,11 @@ def counter_stats_stream(points_stream: DataFrame) -> DataFrame:
     ``series_key`` (``model.with_series_key``)."""
     return (
         points_stream.select("series_key", "ts", "dval")
-        .where("dval IS NOT NULL")
+        # NaN filtered like NULL (mirrors batch counter_stats): Python
+        # float NaN comparisons (x != last → True, x < last → False)
+        # disagree with Spark SQL NaN ordering, so NaN samples are
+        # out-of-contract for both twins rather than silently divergent.
+        .where("dval IS NOT NULL AND NOT isnan(dval)")
         .groupBy("series_key")
         .applyInPandasWithState(
             _emit,

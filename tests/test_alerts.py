@@ -79,6 +79,32 @@ def test_bad_condition_rejected(spark):
         classify_states(_samples(spark, [(0, 1.0)]), "!=", 5.0, "0s")
 
 
+def test_transitions_composes_with_evaluate_alert(spark):
+    """The natural composition transitions(evaluate_alert(...)) works
+    via value_col='value' (evaluate_alert names the sample column
+    'value', not 'dval'); a missing tie-break column is rejected
+    eagerly with a clear message rather than failing at resolution."""
+    pts = spark.createDataFrame(
+        [("/m", {"h": "a"}, BASE + dt.timedelta(minutes=m), v, None)
+         for m, v in [(0, 1.0), (1, 9.0), (2, 9.0), (3, 1.0)]],
+        "name string, labels map<string,string>, ts timestamp, "
+        "dval double, sval string",
+    )
+    rule = AlertRule(
+        name="hot", request=GetRequest(
+            variable="/m", aggregation="max", sample_interval="30s"),
+        condition=">=", threshold=5.0, for_duration="0s",
+    )
+    out = evaluate_alert(pts, rule)
+    tr = sorted(transitions(out, value_col="value").collect(),
+                key=lambda r: r["ts"])
+    assert [(r["from_state"], r["state"]) for r in tr] == [
+        (None, "inactive"), ("inactive", "firing"),
+        ("firing", "inactive")]
+    with pytest.raises(ValueError, match="value_col"):
+        transitions(out)  # default 'dval' is absent here
+
+
 def test_alerts_series_roundtrips_through_get(spark):
     """ALERTS-style synthetic series: active states become /alerts
     points whose presence is the signal, and they answer a normal Get

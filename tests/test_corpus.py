@@ -24,6 +24,25 @@ def test_hash_split_stable_under_growth(spark):
     assert 0.8 * n <= train <= 0.97 * n
 
 
+def test_hash_split_full_weight_prefix(spark):
+    """A cumulative prefix reaching 1.0 must assign EVERY row to that
+    split: _hex_threshold(1.0) is a 33-char string that sorts below
+    most 32-char md5 hashes, so without the clamp-to-'g' guard rows
+    silently leak into later splits."""
+    docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id")
+    n = docs.count()
+    got = hash_split(docs, weights={"train": 1.0, "val": 0.0}) \
+        .groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in got} == {"train": n}
+    # and an interior prefix hitting 1.0 exactly: everything lands in
+    # the first two splits, nothing in the unreachable tail
+    got2 = hash_split(
+        docs, weights={"a": 0.5, "b": 0.5, "c": 0.0}
+    ).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in got2}
+    assert counts.get("c", 0) == 0 and sum(counts.values()) == n
+
+
 def test_pack_greedy_bounds(spark):
     docs = load_tables(spark, SF_SMOKE).table("documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.length("text").alias("n_tokens"))

@@ -2063,7 +2063,10 @@ def test_streaming_counter_stats_matches_batch(spark, tmp_path):
         )
 
     b1 = [("a", 0, 4.0), ("a", 1, 8.0), ("b", 0, 1.0)]
-    b2 = [("a", 2, 0.0), ("b", 3, 5.0), ("b", 5, 5.0)]
+    # NaN is out-of-contract and filtered like NULL on BOTH paths
+    # (Python float NaN comparisons disagree with Spark SQL NaN
+    # ordering, so keeping it would silently diverge the twins).
+    b2 = [("a", 2, 0.0), ("a", 4, float("nan")), ("b", 3, 5.0), ("b", 5, 5.0)]
     b3 = [("a", 9, 16.0), ("b", 9, 2.0)]  # in-order arrivals (family contract)
 
     src = str(tmp_path / "cs_src")
@@ -2117,3 +2120,6 @@ def test_streaming_counter_stats_matches_batch(spark, tmp_path):
     # arrival contract (per-series ts order across micro-batches —
     # what a scrape loop provides).
     assert ("b", 4, 1, 2) in got
+    # hand-check series a (4, 8, 0, [NaN], 16): the NaN was DROPPED by
+    # both twins — n_samples 4 not 5; resets 1 (8→0), changes 3.
+    assert ("a", 4, 1, 3) in got

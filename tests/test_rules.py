@@ -138,6 +138,27 @@ def test_backfill_covers_history_and_equals_ticks(spark, points, tmp_path):
     assert snap(s1) == snap(s2) and len(snap(s1)) > 0
 
 
+def test_backfill_misaligned_start_skips_straddling_window(spark, points,
+                                                           tmp_path):
+    """A start inside a window must NOT materialize that window — the
+    docstring promises 'every complete window inside [start, end)', so
+    the first recorded window begins at start ceiled to the interval
+    boundary (here 0:30 → 1:00), never before the requested range."""
+    from open_instrument_spark.plans.rules import backfill_rule
+
+    store = str(tmp_path / "bf_mis")
+    paths = backfill_rule(points, store, AGG_RULE,
+                          BASE + dt.timedelta(minutes=30),
+                          BASE + dt.timedelta(hours=3))
+    assert len(paths) == 2  # [1h,2h) and [2h,3h) only
+    out = read_rules(spark, store).collect()
+    assert out and min(r["ts"] for r in out) >= BASE + dt.timedelta(hours=1)
+    # aligned start still records its own window (regression guard)
+    store2 = str(tmp_path / "bf_al")
+    assert len(backfill_rule(points, store2, AGG_RULE, BASE,
+                             BASE + dt.timedelta(hours=3))) == 3
+
+
 def test_ops_loop_composition(spark, tmp_path):
     """The full operations loop a production deployment runs on one
     cadence: raw store → recording rule materializes a derived series
