@@ -425,8 +425,9 @@ def agg_anchored_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ValueStreamCalculation walk (lib/protobuf.cc:49-85) as a grouped-map
     kernel, quirks included — first-seen-ts ±interval anchoring in
     stream-scan order, trailing bucket dropped. Rows-only in the driver
-    over the FULL corpus (the recursive-CTE replay below costs ~77 s at
-    this width, so the hash gate runs on the subset twin
+    over the FULL corpus (the recursive-CTE replay below costs a
+    measured 75.5 s in DuckDB at sf0.01 — r10 re-measurement, see
+    COVERAGE.md A1 — so the hash gate runs on the subset twin
     ``agg_anchored_median_user0``); the exact semantics are pinned by
     hand-traced goldens plus a pure-Python replay equality in
     tests/test_aggregate_anchored.py, and the full-corpus SUM walk was
