@@ -169,6 +169,11 @@ HEADLINE = [
     "corpus_safety_pipeline",
     "agg_topk_series",
     "mutate_offset_compare",
+    # r10 additions: the PromQL counter trio (reset-corrected increase,
+    # last-pair irate, per-series interpolated quantile_over_time).
+    "mutate_increase",
+    "mutate_irate",
+    "agg_quantile_over_time",
 ]
 
 

@@ -104,6 +104,111 @@ def counter_stats(points: DataFrame) -> DataFrame:
     )
 
 
+def increase(points: DataFrame, interval_ms: int = 86_400_000) -> DataFrame:
+    """PromQL ``increase``-shaped counter growth per (series, tumbling
+    window), reset-corrected: each step contributes ``v - prev`` when
+    the counter grew and ``v`` when it reset (the counter restarted
+    from ~0, so everything it shows IS new growth) — i.e. the exact
+    total a monotone counter accumulated, without PromQL's
+    range-boundary extrapolation (declared divergence: extrapolation
+    estimates unseen growth, a query-time presentation choice; the
+    batch engine reports what the samples prove — DIVERGENCES.md).
+    The first sample of each (series, window) contributes nothing (its
+    growth belongs to the unseen gap before the window).
+
+    One exchange: the lag window and the (series, window) groupBy share
+    the series_key clustering. Output: (series_key, ts, n_samples,
+    increase).
+    """
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select(
+            "series_key",
+            F.window("ts", f"{interval_ms // 1000} seconds").start.alias("win"),
+            "ts", "dval",
+        )
+    )
+    w = Window.partitionBy("series_key", "win").orderBy("ts", "dval")
+    pv = F.lag("dval").over(w)
+    step = (
+        F.when(pv.isNull(), 0.0)
+        .when(F.col("dval") >= pv, F.col("dval") - pv)
+        .otherwise(F.col("dval"))
+    )
+    return (
+        pts.select("series_key", "win", step.alias("step"))
+        .groupBy("series_key", F.col("win").alias("ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(F.sum("step"), 6).alias("increase"),
+        )
+    )
+
+
+def irate(points: DataFrame) -> DataFrame:
+    """PromQL ``irate``: the instantaneous per-second rate from the
+    LAST TWO samples of each series in the selected range,
+    reset-aware — on a counter reset the new value is the growth
+    (irate = v / dt), the same correction as :func:`increase`. One row
+    per series with ≥2 samples; ties in ts break on dval (the pinned
+    walk order), and a zero time-gap pair is dropped (undefined rate),
+    matching rate()'s guard. Single window exchange on series_key.
+    Output: (series_key, ts, irate_per_sec)."""
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select("series_key", "ts", "dval")
+    )
+    # walk backwards: rn 1 = newest sample, lead = the one before it
+    w = Window.partitionBy("series_key").orderBy(
+        F.col("ts").desc(), F.col("dval").desc())
+    ranked = pts.select(
+        "series_key", "ts", "dval",
+        F.row_number().over(w).alias("rn"),
+        F.lead("dval").over(w).alias("pv"),
+        F.lead("ts").over(w).alias("pt"),
+    )
+    dt_s = F.col("ts").cast("double") - F.col("pt").cast("double")
+    growth = F.when(F.col("dval") >= F.col("pv"),
+                    F.col("dval") - F.col("pv")).otherwise(F.col("dval"))
+    return (
+        ranked.where((F.col("rn") == 1) & F.col("pv").isNotNull()
+                     & (dt_s > 0))
+        .select(
+            "series_key", "ts",
+            F.round(growth / dt_s, 6).alias("irate_per_sec"),
+        )
+    )
+
+
+def quantile_over_time(points: DataFrame, q: float = 0.95,
+                       interval_ms: int = 86_400_000) -> DataFrame:
+    """PromQL ``quantile_over_time``: the linearly-interpolated
+    q-quantile of each series' samples per tumbling window — the
+    per-series latency-percentile panel (distinct from
+    ``agg_p95_by_name``'s cross-series percentile). Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    sorted[(n-1)q] linear-interpolation definition, so the estimator
+    replays under the hash gate (rounded 6 dp — interpolation
+    arithmetic re-associates). One aggregation exchange. Output:
+    (series_key, ts, n_samples, q<percent>)."""
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select(
+            "series_key",
+            F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts"),
+            "dval",
+        )
+    )
+    out_col = f"q{int(round(q * 100)):02d}"
+    return pts.groupBy("series_key", "ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.percentile("dval", F.lit(float(q))), 6).alias(out_col),
+    )
+
+
 def topk_series(points: DataFrame, k: int = 3,
                 interval_ms: int = 86_400_000) -> DataFrame:
     """PromQL ``topk(k, sum_over_time(...))`` shape: the k

@@ -1973,3 +1973,92 @@ def mutate_counter_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators.trend import counter_stats
 
     return counter_stats(_pts(spark, sf_dir))
+
+
+_DAY_WIN = ("make_timestamp(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)"
+            " * 86400000 * 1000)")
+
+
+@query(
+    "mutate_increase",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, {_DAY_WIN} AS win, ts, dval FROM p
+),
+s AS (
+  SELECT series_key, win,
+         CASE WHEN pv IS NULL THEN 0
+              WHEN dval >= pv THEN dval - pv
+              ELSE dval END AS step
+  FROM (
+    SELECT *, lag(dval) OVER (
+      PARTITION BY series_key, win ORDER BY ts, dval) AS pv
+    FROM b)
+)
+SELECT series_key, win AS ts, count(*) AS n_samples,
+       round(sum(step), 6) AS increase
+FROM s GROUP BY 1, 2
+""",
+)
+def mutate_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``increase``-shaped reset-corrected counter growth per
+    (series, day): growth steps sum, a reset contributes the restarted
+    value (operators/trend.py::increase; non-extrapolated — declared
+    divergence, DIVERGENCES.md D17). One exchange (lag window +
+    groupBy share the clustering). North-star TSDB extension."""
+    from open_instrument_spark.operators.trend import increase
+
+    return increase(_pts(spark, sf_dir), interval_ms=86_400_000)
+
+
+@query(
+    "mutate_irate",
+    oracle=f"""
+WITH {P_CTE},
+r AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER w AS rn,
+         lead(dval) OVER w AS pv,
+         lead(ts) OVER w AS pt
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts DESC, dval DESC)
+)
+SELECT series_key, ts,
+       round((CASE WHEN dval >= pv THEN dval - pv ELSE dval END)
+             / (epoch(ts) - epoch(pt)), 6) AS irate_per_sec
+FROM r WHERE rn = 1 AND pv IS NOT NULL AND epoch(ts) > epoch(pt)
+""",
+)
+def mutate_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``irate``: instantaneous per-second rate from each
+    series' last two samples, reset-aware (operators/trend.py::irate).
+    Complements RATE (M1): irate answers "what is it doing RIGHT NOW"
+    where rate smooths the whole range. Single window exchange."""
+    from open_instrument_spark.operators.trend import irate
+
+    return irate(_pts(spark, sf_dir))
+
+
+@query(
+    "agg_quantile_over_time",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, {_DAY_WIN} AS ts, dval FROM p
+)
+SELECT series_key, ts, count(*) AS n_samples,
+       round(quantile_cont(dval, 0.95), 6) AS q95
+FROM b GROUP BY 1, 2
+""",
+)
+def agg_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile_over_time(0.95, ...[1d])``: per-SERIES exact
+    interpolated daily p95 (operators/trend.py::quantile_over_time) —
+    the per-series latency panel, vs agg_p95_by_name's cross-series
+    percentile. Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    (sorted[(n-1)q] linear interpolation), rounded 6 dp. One
+    aggregation exchange."""
+    from open_instrument_spark.operators.trend import quantile_over_time
+
+    return quantile_over_time(_pts(spark, sf_dir), q=0.95,
+                              interval_ms=86_400_000)

@@ -93,9 +93,12 @@ DRIVER_WINDOW = [
     "dedup_simhash_md5",
     "ann_lsh_topk",
     "multimodal_video_stats",
-    "retention_report",
-    "mutate_ewma",
-    "corpus_pack_bpe",
+    # r10-new (PromQL counter trio — new this round, so they take their
+    # driver rows immediately, displacing retention_report, mutate_ewma
+    # and corpus_pack_bpe, each green r8+r9 and most rounds before):
+    "mutate_increase",
+    "mutate_irate",
+    "agg_quantile_over_time",
     # -- single-driver-row entries (r9 was their first row) --
     "collector_mysql_status",
     "collector_apache_scoreboard",
@@ -158,6 +161,9 @@ _PAST_WINDOW_ORACLED = [
     "mutate_zscore",
     "agg_sliding_sum",
     "agg_histogram",
+    "retention_report",
+    "mutate_ewma",
+    "corpus_pack_bpe",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.

@@ -205,3 +205,69 @@ def test_offset_compare_alignment_and_nulls(spark):
 
     with _pt.raises(ValueError):
         offset_compare(pts, offset_ms=5_400_000, interval_ms=3_600_000)
+
+
+def test_increase_hand_traced_with_reset(spark):
+    """increase (operators/trend.py): growth steps sum per (series,
+    window); a reset contributes the restarted value; the window's
+    first sample contributes nothing; windows are independent."""
+    from open_instrument_spark.operators.trend import increase
+
+    rows = [
+        # day 1: 10 -> 25 -> 3 (reset) -> 9  => 15 + 3 + 6 = 24
+        ("/c", {}, datetime(2024, 1, 1, 0), 10.0),
+        ("/c", {}, datetime(2024, 1, 1, 6), 25.0),
+        ("/c", {}, datetime(2024, 1, 1, 12), 3.0),
+        ("/c", {}, datetime(2024, 1, 1, 18), 9.0),
+        # day 2: 100 (first sample: no contribution) -> 101 => 1
+        ("/c", {}, datetime(2024, 1, 2, 0), 100.0),
+        ("/c", {}, datetime(2024, 1, 2, 6), 101.0),
+    ]
+    pts = spark.createDataFrame(
+        rows,
+        "name string, labels map<string,string>, ts timestamp, dval double")
+    got = {r["ts"]: (r["n_samples"], r["increase"])
+           for r in increase(pts).collect()}
+    assert got == {datetime(2024, 1, 1): (4, 24.0),
+                   datetime(2024, 1, 2): (2, 1.0)}
+
+
+def test_irate_last_pair_and_reset(spark):
+    """irate: last two samples only; counter reset uses the restarted
+    value as growth; single-sample series dropped; zero-dt dropped."""
+    from open_instrument_spark.operators.trend import irate
+
+    rows = [
+        # /a: ... 100@0:00, 160@0:30 => (160-100)/1800 s
+        ("/a", {}, datetime(2024, 1, 1, 0, 0), 100.0),
+        ("/a", {}, datetime(2024, 1, 1, 0, 30), 160.0),
+        ("/a", {}, datetime(2023, 12, 1), 5.0),      # old history: ignored
+        # /b: reset at the end: 50 -> 4 => 4/60 s
+        ("/b", {}, datetime(2024, 1, 1, 0, 0), 50.0),
+        ("/b", {}, datetime(2024, 1, 1, 0, 1), 4.0),
+        # /c: single sample => dropped
+        ("/c", {}, datetime(2024, 1, 1), 1.0),
+    ]
+    pts = spark.createDataFrame(
+        rows,
+        "name string, labels map<string,string>, ts timestamp, dval double")
+    got = {r["series_key"].split("{")[0]: r["irate_per_sec"]
+           for r in irate(pts).collect()}
+    assert got == {"/a": round(60 / 1800, 6), "/b": round(4 / 60, 6)}
+
+
+def test_quantile_over_time_interpolation(spark):
+    """quantile_over_time: sorted[(n-1)q] linear interpolation per
+    (series, window) — hand-checked on [1, 2, 3, 10]: p95 at position
+    2.85 = 3 + 0.85*7 = 8.95; p50 = 2.5."""
+    from open_instrument_spark.operators.trend import quantile_over_time
+
+    rows = [("/m", {}, datetime(2024, 1, 1, i), float(v))
+            for i, v in enumerate([10, 1, 3, 2])]
+    pts = spark.createDataFrame(
+        rows,
+        "name string, labels map<string,string>, ts timestamp, dval double")
+    q95 = quantile_over_time(pts, q=0.95).collect()
+    assert [(r["n_samples"], r["q95"]) for r in q95] == [(4, 8.95)]
+    q50 = quantile_over_time(pts, q=0.50).collect()
+    assert [r["q50"] for r in q50] == [2.5]

@@ -496,6 +496,25 @@ def test_counter_stats_reuses_window_exchange(spark, tables):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_counter_trio_single_exchange_no_python(spark, tables):
+    """r10 PromQL trio: increase (lag window + groupBy on the same
+    (series, window) clustering), irate (one series window), and
+    quantile_over_time (one keyed aggregation) each plan exactly one
+    hash exchange with no Python on the data path."""
+    from open_instrument_spark.operators.trend import (
+        increase,
+        irate,
+        quantile_over_time,
+    )
+    from open_instrument_spark.sources.tables import points_from_dir
+
+    pts = points_from_dir(spark, SF_SMOKE)
+    for df in (increase(pts), irate(pts), quantile_over_time(pts)):
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_histogram_build_in_wholestage_codegen(spark, tables):
     """The le-bucket build scan — the one stage touching every raw row
     at 100 TB — stays inside whole-stage codegen: bucket assignment is
