@@ -174,6 +174,8 @@ HEADLINE = [
     "mutate_increase",
     "mutate_irate",
     "agg_quantile_over_time",
+    # DSIR importance resampling (fit + score + Gumbel top-k, one plan)
+    "corpus_dsir_sample",
 ]
 
 

@@ -34,7 +34,7 @@ extension (SURVEY §2.9).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_instrument_spark.operators.text import words
@@ -227,3 +227,114 @@ def hash_classifier_score(docs: DataFrame, weights: list[float],
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
         (z > 0).alias("quality_pass"),
     )
+
+
+def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
+                   n_buckets: int) -> DataFrame:
+    """(doc_id, b) — one row per hashed n-gram occurrence. Features are
+    the normalized word unigrams PLUS consecutive bigrams (the DSIR
+    paper's hashed n-gram featurization), bucketed by the first two md5
+    nibbles (integer-exact cross-engine, B ≤ 256 — the
+    hash_classifier_score idiom)."""
+    if n_buckets > 256:
+        raise ValueError("dsir supports at most 256 buckets")
+    toks = words(F.col(text_col))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)),
+    )
+    feat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bigrams)).alias("t"),
+    )
+    b = F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("int") % n_buckets
+    return feat.select("doc_id", b.alias("b"))
+
+
+def dsir_resample(docs: DataFrame, target_pred, n: int,
+                  n_buckets: int = 256, text_col: str = "text",
+                  id_col: str = "doc_id", salt: str = "dsir1") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): choose raw-corpus examples that look like the
+    TARGET distribution. Hashed n-gram bag models are fit on both
+    sides; each raw doc gets log importance weight
+    ``Σ_b c_b · (ln p̂_b − ln q̂_b)`` (add-1 smoothed over the bucket
+    grid), and the paper's Gumbel top-k draws the sample without
+    replacement: priority = logw + Gumbel(u), u the doc's md5 uniform
+    (the weighted_sample determinism trick; priority rounded 6 dp so
+    the RANK — not just the value — is pinned cross-engine).
+
+    Unlike most trained selectors the whole pipeline — model fitting
+    included — is aggregation + bounded joins, so it replays in ANSI
+    SQL under the driver hash gate (the text_lm_score precedent): the
+    λ table is 2·B aggregate rows living INSIDE the plan (broadcast
+    join), never a driver artifact.
+
+    100 TB shape: two feature passes (λ build is a map-side partial
+    agg to B rows; scoring groups (doc, bucket) then joins the
+    broadcast λ); no all-pairs, no collect. ``target_pred`` is a
+    boolean Column marking target-distribution rows (e.g.
+    ``F.col("source") == "src16"``); only raw (non-target) docs are
+    scored and sampled.
+
+    Output: top-``n`` raw docs as (doc_id, n_feats, logw, priority,
+    sample_rank).
+    """
+    B = n_buckets
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("__text"),
+                       target_pred.alias("is_target"))
+    feats = _dsir_features(base, "__text", "doc_id", B).join(
+        base.select("doc_id", "is_target"), "doc_id"
+    )
+    # λ_b = ln p̂_b − ln q̂_b over the full bucket grid (absent buckets
+    # smooth to 1/(tot+B)); totals via a window over the 2·B-row
+    # aggregate, then pivot target/raw sides by conditional sum.
+    side_counts = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cq"),
+    )
+    grid = docs.sparkSession.range(B).select(F.col("id").cast("int").alias("b"))
+    lam = (
+        grid.join(side_counts, "b", "left")
+        .select("b", F.coalesce("cp", F.lit(0)).alias("cp"),
+                F.coalesce("cq", F.lit(0)).alias("cq"))
+        .select(
+            "b",
+            (F.log((F.col("cp") + 1.0)
+                   / (F.sum(F.col("cp") + 1.0).over(Window.partitionBy())))
+             - F.log((F.col("cq") + 1.0)
+                     / (F.sum(F.col("cq") + 1.0).over(Window.partitionBy()))))
+            .alias("lam"),
+        )
+    )
+    per_doc = (
+        feats.where(~F.col("is_target"))
+        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_feats"),
+             F.sum(F.col("c") * F.col("lam")).alias("logw_raw"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") + 1.0
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    pri = F.round(F.col("logw_raw") + gumbel, 6)
+    scored = per_doc.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("logw_raw", 6).alias("logw"),
+        pri.alias("priority"),
+    )
+    # top-n via distributed TakeOrderedAndProject (never a global
+    # single-partition rank over all raw docs); the row_number window
+    # then runs over just the n winners.
+    top = scored.orderBy(F.col("priority").desc(), F.col("doc_id").asc()) \
+                .limit(n)
+    w = Window.partitionBy().orderBy(F.col("priority").desc(),
+                                     F.col("doc_id").asc())
+    return top.withColumn("sample_rank", F.row_number().over(w))

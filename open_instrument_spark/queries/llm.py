@@ -2870,6 +2870,80 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_dsir_sample",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source IN ('src16', 'src17') AS is_target,
+         list_filter(string_split_regex(
+           trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), '\\s+'),
+           t -> t != '') AS ts
+  FROM documents),
+feat AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(ts,
+           list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                          i -> ts[i] || ' ' || ts[i + 1]))) AS t
+  FROM tok),
+fb AS (
+  SELECT doc_id, is_target,
+         ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 256 AS b
+  FROM feat),
+sc AS (
+  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cq
+  FROM fb GROUP BY b),
+grid AS (SELECT unnest(generate_series(0, 255)) AS b),
+lam AS (
+  SELECT g.b,
+         ln((coalesce(cp, 0) + 1.0)
+            / (sum(coalesce(cp, 0) + 1.0) OVER ()))
+       - ln((coalesce(cq, 0) + 1.0)
+            / (sum(coalesce(cq, 0) + 1.0) OVER ())) AS lam
+  FROM grid g LEFT JOIN sc ON sc.b = g.b),
+pd AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM fb WHERE NOT is_target GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         sum(c * lam) AS logw_raw
+  FROM pd JOIN lam USING (b) GROUP BY doc_id),
+k AS (
+  SELECT doc_id, n_feats, round(logw_raw, 6) AS logw,
+         round(logw_raw + -ln(-ln(
+           (CAST(('0x' || substr(md5('dsir1:' || CAST(doc_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) + 1.0) / 4294967296.0)), 6) AS priority
+  FROM agg),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+    AS sample_rank
+  FROM k)
+SELECT doc_id, n_feats, logw, priority, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 150
+""",
+)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): pick the 150 raw docs most like the
+    src16/src17 target under hashed unigram+bigram bag models —
+    importance weight Σ c_b·(ln p̂_b − ln q̂_b) over the 256-bucket
+    grid, Gumbel top-k draw via the md5-uniform. The WHOLE pipeline —
+    model fitting included — replays in SQL (the λ table is 2·256
+    in-plan aggregate rows, never a driver artifact); rank pinned by
+    the 6-dp priority round + doc_id tiebreak
+    (operators/lm.py::dsir_resample)."""
+    from open_instrument_spark.operators.lm import dsir_resample
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select(
+        "doc_id", "text", "source"
+    )
+    return dsir_resample(
+        docs, F.col("source").isin("src16", "src17"), n=150
+    )
+
+
+@query(
     "corpus_chunk",
     oracle="""
 WITH b AS (

@@ -84,7 +84,6 @@ DRIVER_WINDOW = [
     "agg_sum_by_name",              # keeper: aggregate family canary
     "text_lm_score_topk",           # r8-new (driver row: r8, r9)
     # -- family-diversity canaries retained from the r8 rotation --
-    "text_scrub",
     "ingest_validate_strict",
     "mutate_rate_chunked",
     "rle_encode_chunked",
@@ -99,6 +98,7 @@ DRIVER_WINDOW = [
     "mutate_increase",
     "mutate_irate",
     "agg_quantile_over_time",
+    "corpus_dsir_sample",
     # -- single-driver-row entries (r9 was their first row) --
     "collector_mysql_status",
     "collector_apache_scoreboard",
@@ -164,6 +164,11 @@ _PAST_WINDOW_ORACLED = [
     "retention_report",
     "mutate_ewma",
     "corpus_pack_bpe",
+    # r10 late demotion: corpus_dsir_sample (new, takes its row now)
+    # displaced text_scrub (green r1-r9; the text family stays canaried
+    # in-window by text_lm_score_topk / text_quality_classifier /
+    # text_pii_scrub).
+    "text_scrub",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.

@@ -1322,3 +1322,52 @@ def test_safety_pipeline_consistent_with_standalone_gates(spark):
     assert splits == {"train", "val", "test"}
     assert any(r["contaminated"] for r in pipe.values())
     assert any(not r["contaminated"] for r in pipe.values())
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (lm.dsir_resample)
+# ---------------------------------------------------------------------------
+
+def test_dsir_prefers_target_like_raw_docs(spark):
+    """Raw docs written in the target's vocabulary must outscore raw
+    docs written in the raw-side vocabulary (the selector's whole
+    point), and every logw difference flows from the same λ table both
+    groups share."""
+    from open_instrument_spark.operators.lm import dsir_resample
+
+    tgt_vocab = "alpha beta gamma delta epsilon"
+    raw_vocab = "zork grue plugh xyzzy foobar"
+    rows = (
+        [(i, tgt_vocab, "target") for i in range(20)]
+        + [(100 + i, tgt_vocab, "raw") for i in range(5)]    # target-like
+        + [(200 + i, raw_vocab, "raw") for i in range(20)]   # raw-like
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = dsir_resample(docs, F.col("source") == "target", n=25).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert len(got) == 25 and set(by_id) == set(
+        [100 + i for i in range(5)] + [200 + i for i in range(20)])
+    tgt_like = [by_id[100 + i]["logw"] for i in range(5)]
+    raw_like = [by_id[200 + i]["logw"] for i in range(20)]
+    assert min(tgt_like) > max(raw_like)
+    # ranks contiguous from 1, ordered by (priority desc, doc_id)
+    ranked = sorted(got, key=lambda r: r["sample_rank"])
+    assert [r["sample_rank"] for r in ranked] == list(range(1, 26))
+    pris = [(r["priority"], -r["doc_id"]) for r in ranked]
+    assert pris == sorted(pris, reverse=True)
+
+
+def test_dsir_top_n_bound_and_no_target_rows(spark):
+    """n caps the sample; target docs are never sampled (they define
+    the distribution, they are not candidates)."""
+    from open_instrument_spark.operators.lm import dsir_resample
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text", "source")
+    got = dsir_resample(
+        docs, F.col("source").isin("src16", "src17"), n=10).collect()
+    assert len(got) == 10
+    tgt_ids = {r["doc_id"] for r in docs.filter(
+        F.col("source").isin("src16", "src17")).collect()}
+    assert not ({r["doc_id"] for r in got} & tgt_ids)

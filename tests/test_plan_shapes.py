@@ -550,6 +550,21 @@ def test_histogram_build_in_wholestage_codegen(spark, tables):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
+def test_dsir_broadcast_lambda_and_take_ordered(spark, tables):
+    """DSIR (r10): the λ table (2·256 in-plan aggregate rows) joins
+    the per-doc bucket counts via broadcast — never a shuffled or
+    nested-loop join of the corpus — and the global top-n is a
+    distributed TakeOrderedAndProject, not a single-partition rank
+    over all raw docs."""
+    from open_instrument_spark.operators.lm import dsir_resample
+
+    docs = tables.table("documents").select("doc_id", "text", "source")
+    plan = plan_of(dsir_resample(docs, F.col("source") == "src16", n=50))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_semantic_dedup_all_jvm_and_cell_join(spark, tables):
     """SemDeDup's assignment is a literal-array fold (whole-stage
     codegen, no Python anywhere) and the pair stage is an equi-join on
