@@ -176,6 +176,10 @@ HEADLINE = [
     "agg_quantile_over_time",
     # DSIR importance resampling (fit + score + Gumbel top-k, one plan)
     "corpus_dsir_sample",
+    # PromQL label manipulation through the canonical serializer, and
+    # the SRE multiwindow SLO burn-rate page.
+    "select_label_replace",
+    "alert_slo_burn",
 ]
 
 

@@ -164,3 +164,71 @@ def alerts_series(states: DataFrame) -> DataFrame:
         F.lit(1.0).alias("dval"),
         F.lit(None).cast("string").alias("sval"),
     )
+
+
+def slo_burn_rate(points: DataFrame, bad, slo: float = 0.95,
+                  short_ms: int = 86_400_000,
+                  long_ms: int = 604_800_000,
+                  factor: float = 1.0) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the Google SRE workbook
+    pattern, ch. 5 "Alerting on SLOs"; public): burn rate = (bad
+    fraction of traffic) / (1 − slo) — how many times faster than
+    budget the error budget is burning. A page requires BOTH the short
+    window (fast detection) and the long window (sustained, not a
+    blip) above ``factor``; the long window also gates flapping: when
+    the long burn recovers, pages stop even if the short window still
+    spikes.
+
+    ``bad`` is a boolean Column marking error traffic (e.g.
+    ``F.col("name") == "/events/error"``). Traffic is weighted by
+    ``dval``. Long windows must tile short ones (long % short == 0) so
+    each short window joins exactly one long window.
+
+    Spark shape: two windowed aggregations over one scan branch + an
+    equi-join of |short windows| rows against |long windows| rows —
+    post-aggregation sizes, broadcastable. All ratios rounded 6 dp
+    (re-associated float division); the page decision compares the
+    UNROUNDED burns (the quality_pass z>0 precedent). Output:
+    (ts, traffic, burn_short, burn_long, page) per short window.
+    """
+    if long_ms % short_ms != 0:
+        raise ValueError(
+            f"long window ({long_ms} ms) must tile short ({short_ms} ms)")
+    budget = 1.0 - slo
+    if budget <= 0:
+        raise ValueError("slo must be < 1")
+    pts = points.where(F.col("dval").isNotNull()).select(
+        "ts", "dval", bad.alias("_bad")
+    )
+
+    def ratio(interval_ms: int):
+        win = F.window("ts", f"{interval_ms // 1000} seconds").start
+        return (
+            pts.groupBy(win.alias("ts"))
+            .agg(
+                F.sum("dval").alias("traffic"),
+                (F.sum(F.when(F.col("_bad"), F.col("dval")).otherwise(0.0))
+                 / F.sum("dval") / F.lit(budget)).alias("burn"),
+            )
+        )
+
+    s = ratio(short_ms)
+    lg = ratio(long_ms).select(
+        F.col("ts").alias("lts"), F.col("burn").alias("burn_long_raw"))
+    # each short window's owning long window: floor its start
+    lts_of_short = F.timestamp_micros(
+        (F.unix_micros("ts") / (long_ms * 1000)).cast("long")
+        * (long_ms * 1000)
+    )
+    return (
+        s.withColumn("lts", lts_of_short)
+        .join(lg, "lts")
+        .select(
+            "ts",
+            F.round("traffic", 6).alias("traffic"),
+            F.round("burn", 6).alias("burn_short"),
+            F.round("burn_long_raw", 6).alias("burn_long"),
+            ((F.col("burn") > factor)
+             & (F.col("burn_long_raw") > factor)).alias("page"),
+        )
+    )

@@ -2062,3 +2062,117 @@ def agg_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return quantile_over_time(_pts(spark, sf_dir), q=0.95,
                               interval_ms=86_400_000)
+
+
+@query(
+    "select_label_replace",
+    oracle=f"""
+WITH {P_CTE},
+m AS (
+  SELECT name || '{{cohort=c' || substr(user_id, 1, 1) || ',' ||
+         CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
+         'user_id=' || user_id || '}}' AS series_key,
+         dval
+  FROM p
+)
+SELECT series_key, count(*) AS n, round(sum(dval), 6) AS total
+FROM m GROUP BY 1
+""",
+)
+def select_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``label_replace`` (operators/labels.py): derive a
+    ``cohort`` label from the first digit of user_id via an ANCHORED
+    capture-group regex, then group on the CANONICAL serialization of
+    the rewritten labels — the oracle rebuilds the expected key string
+    (sorted keys: cohort < k < user_id) so the map rewrite AND the
+    canonical grammar both sit under the hash gate. Map-expression
+    rewrite: no Python, no extra shuffle."""
+    from open_instrument_spark.model import series_key
+    from open_instrument_spark.operators.labels import label_replace
+
+    pts = label_replace(_pts(spark, sf_dir).drop("series_key"),
+                        "cohort", "c$1", "user_id", r"(\d)\d*")
+    return (
+        pts.select(series_key().alias("series_key"), "dval")
+        .groupBy("series_key")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("dval"), 6).alias("total"))
+    )
+
+
+@query(
+    "select_label_join",
+    oracle=f"""
+WITH {P_CTE},
+m AS (
+  SELECT name || '{{' ||
+         CASE WHEN k IS NOT NULL THEN 'k=' || k || ',' ELSE '' END ||
+         'uk=' || user_id || '-' || coalesce(k, '') || ',' ||
+         'user_id=' || user_id || '}}' AS series_key,
+         dval
+  FROM p
+)
+SELECT series_key, count(*) AS n, round(sum(dval), 6) AS total
+FROM m GROUP BY 1
+""",
+)
+def select_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``label_join`` (operators/labels.py): ``uk`` =
+    user_id-k with the absent sparse ``k`` joining as '' (Go
+    strings.Join semantics — trailing separator kept), grouped on the
+    canonical serialization (sorted keys: k < uk < user_id)."""
+    from open_instrument_spark.model import series_key
+    from open_instrument_spark.operators.labels import label_join
+
+    pts = label_join(_pts(spark, sf_dir).drop("series_key"),
+                     "uk", "-", "user_id", "k")
+    return (
+        pts.select(series_key().alias("series_key"), "dval")
+        .groupBy("series_key")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("dval"), 6).alias("total"))
+    )
+
+
+_SLO_BUDGET = 1.0 - 0.95   # one shared double, repr'd into the oracle
+
+
+@query(
+    "alert_slo_burn",
+    oracle=f"""
+WITH {P_CTE},
+s AS (
+  SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT)
+                        * 86400000 * 1000) AS ts,
+         sum(dval) AS traffic,
+         sum(CASE WHEN name = '/events/purchase' THEN dval ELSE 0 END)
+           / sum(dval) / {_SLO_BUDGET!r} AS burn
+  FROM p GROUP BY 1),
+l AS (
+  SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 604800000) AS BIGINT)
+                        * 604800000 * 1000) AS lts,
+         sum(CASE WHEN name = '/events/purchase' THEN dval ELSE 0 END)
+           / sum(dval) / {_SLO_BUDGET!r} AS burn_long_raw
+  FROM p GROUP BY 1)
+SELECT s.ts, round(s.traffic, 6) AS traffic,
+       round(s.burn, 6) AS burn_short,
+       round(l.burn_long_raw, 6) AS burn_long,
+       (s.burn > 1.0 AND l.burn_long_raw > 1.0) AS page
+FROM s JOIN l
+  ON l.lts = make_timestamp(CAST(floor(epoch_ms(s.ts) / 604800000)
+                                 AS BIGINT) * 604800000 * 1000)
+""",
+)
+def alert_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate page (SRE workbook ch. 5;
+    plans/alerts.py::slo_burn_rate): purchase-share of daily traffic
+    as the "bad" fraction against a 95% SLO, paged only when BOTH the
+    1-day and the tiling 7-day burn exceed 1× budget. The smoothing
+    budget double is shared verbatim between engines (repr'd literal);
+    page compares unrounded burns (quality_pass precedent)."""
+    from open_instrument_spark.plans.alerts import slo_burn_rate
+
+    return slo_burn_rate(
+        _pts(spark, sf_dir), F.col("name") == "/events/purchase",
+        slo=0.95, short_ms=86_400_000, long_ms=604_800_000, factor=1.0,
+    )

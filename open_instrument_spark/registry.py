@@ -85,10 +85,7 @@ DRIVER_WINDOW = [
     "text_lm_score_topk",           # r8-new (driver row: r8, r9)
     # -- family-diversity canaries retained from the r8 rotation --
     "ingest_validate_strict",
-    "mutate_rate_chunked",
-    "rle_encode_chunked",
     "resample_interpolate_go",
-    "export_render",
     "dedup_simhash_md5",
     "ann_lsh_topk",
     "multimodal_video_stats",
@@ -99,6 +96,9 @@ DRIVER_WINDOW = [
     "mutate_irate",
     "agg_quantile_over_time",
     "corpus_dsir_sample",
+    "select_label_replace",
+    "select_label_join",
+    "alert_slo_burn",
     # -- single-driver-row entries (r9 was their first row) --
     "collector_mysql_status",
     "collector_apache_scoreboard",
@@ -164,11 +164,15 @@ _PAST_WINDOW_ORACLED = [
     "retention_report",
     "mutate_ewma",
     "corpus_pack_bpe",
-    # r10 late demotion: corpus_dsir_sample (new, takes its row now)
-    # displaced text_scrub (green r1-r9; the text family stays canaried
-    # in-window by text_lm_score_topk / text_quality_classifier /
-    # text_pii_scrub).
+    # r10 late demotions: the four r10-new LLM/label/SLO queries take
+    # their rows now, displacing four more multiply-green canaries
+    # (text_scrub r1-r9; rate/rle chunked twins and export_render each
+    # green r8+r9 and most earlier rounds; every family keeps at least
+    # one in-window representative).
     "text_scrub",
+    "mutate_rate_chunked",
+    "rle_encode_chunked",
+    "export_render",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.

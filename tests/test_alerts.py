@@ -123,3 +123,39 @@ def test_alerts_series_roundtrips_through_get(spark):
     assert len(rows) == 3                       # inactive emits nothing
     got = get(out, GetRequest(variable="/alerts{alertstate=firing}"))
     assert got.count() == 1
+
+
+def test_slo_burn_rate_hand_traced(spark):
+    """Multiwindow burn rate: short window over budget + long window
+    over budget => page; a short spike inside a healthy long window
+    does NOT page; ratios are traffic-weighted."""
+    from open_instrument_spark.plans.alerts import slo_burn_rate
+
+    rows = []
+    # hours 0-5: 10% bad (burn 2.0 at slo=0.95) — sustained breach
+    for h in range(6):
+        rows.append(("/events/ok", BASE + dt.timedelta(hours=h), 90.0))
+        rows.append(("/events/error", BASE + dt.timedelta(hours=h), 10.0))
+    # day 2, hour 0: a lone 50% spike, rest of the day clean
+    rows.append(("/events/ok", BASE + dt.timedelta(days=1), 50.0))
+    rows.append(("/events/error", BASE + dt.timedelta(days=1), 50.0))
+    for h in range(1, 24):
+        rows.append(("/events/ok", BASE + dt.timedelta(days=1, hours=h),
+                     1000.0))
+    pts = spark.createDataFrame(rows, "name string, ts timestamp, dval double")
+    got = {r["ts"]: r for r in slo_burn_rate(
+        pts, F.col("name") == "/events/error", slo=0.95,
+        short_ms=3_600_000, long_ms=86_400_000, factor=1.0).collect()}
+    h0 = got[BASE]
+    assert (h0["burn_short"], h0["page"]) == (2.0, True)
+    assert h0["burn_long"] == 2.0          # day 1 is uniformly 10% bad
+    spike = got[BASE + dt.timedelta(days=1)]
+    assert spike["burn_short"] == 10.0     # 50% bad / 5% budget
+    assert spike["burn_long"] < 1.0 and not spike["page"]  # day absorbed it
+    clean = got[BASE + dt.timedelta(days=1, hours=5)]
+    assert clean["burn_short"] == 0.0 and not clean["page"]
+
+    with pytest.raises(ValueError):
+        slo_burn_rate(pts, F.lit(True), short_ms=7_000_000)  # doesn't tile
+    with pytest.raises(ValueError):
+        slo_burn_rate(pts, F.lit(True), slo=1.0)

@@ -49,3 +49,67 @@ def test_quoted_value_parsing():
     m = VariableMatcher.from_string('/test/variable/2{label1=value1,label2="valu\\"e 2"}')
     assert m.labels["label1"].value == "value1"
     assert m.labels["label2"].value == 'valu"e 2'
+
+
+# ---------------------------------------------------------------------------
+# PromQL label manipulation (operators/labels.py)
+# ---------------------------------------------------------------------------
+
+def _lbl_pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "name string, labels map<string,string>, ts timestamp, "
+              "dval double")
+
+
+def test_label_replace_promql_contract(spark):
+    """Full-value anchoring, capture-group expansion, non-match leaves
+    labels untouched, absent src matches as '', empty replacement
+    removes dst."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.labels import label_replace
+
+    t = dt.datetime(2024, 1, 1)
+    pts = _lbl_pts(spark, [
+        ("/m", {"host": "web-7", "az": "a"}, t, 1.0),
+        ("/m", {"host": "db9"}, t, 1.0),          # regex does not match
+        ("/m", {"az": "b"}, t, 1.0),              # host absent -> src ''
+    ])
+    out = label_replace(pts, "rack", "r$1", "host", r"web-(\d+)")
+    got = [r["labels"] for r in out.collect()]
+    assert got[0] == {"host": "web-7", "az": "a", "rack": "r7"}
+    assert got[1] == {"host": "db9"}              # untouched
+    assert got[2] == {"az": "b"}                  # '' !~ web-(\d+)
+    # partial match must NOT fire (anchored): 'xxweb-7yy'
+    out2 = label_replace(
+        _lbl_pts(spark, [("/m", {"host": "xxweb-7yy"}, t, 1.0)]),
+        "rack", "r$1", "host", r"web-(\d+)")
+    assert out2.first()["labels"] == {"host": "xxweb-7yy"}
+    # empty replacement removes dst; matching '' via .* sets from absent
+    out3 = label_replace(
+        _lbl_pts(spark, [("/m", {"host": "web-1", "rack": "old"}, t, 1.0)]),
+        "rack", "", "host", r"web-.*")
+    assert out3.first()["labels"] == {"host": "web-1"}
+
+
+def test_label_join_promql_contract(spark):
+    """Join with absent srcs as '', always applied, empty result
+    removes dst, two-empty-plus-sep stays (strings.Join semantics)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.labels import label_join
+
+    t = dt.datetime(2024, 1, 1)
+    pts = _lbl_pts(spark, [
+        ("/m", {"a": "x", "b": "y"}, t, 1.0),
+        ("/m", {"a": "x"}, t, 1.0),
+        ("/m", {"c": "z"}, t, 1.0),
+    ])
+    got = [r["labels"] for r in
+           label_join(pts, "ab", "-", "a", "b").collect()]
+    assert got[0] == {"a": "x", "b": "y", "ab": "x-y"}
+    assert got[1] == {"a": "x", "ab": "x-"}
+    assert got[2] == {"c": "z", "ab": "-"}        # strings.Join('','')='-'
+    # single absent src with no sep context: empty result removes dst
+    got2 = label_join(pts, "ab", "", "a").collect()[2]["labels"]
+    assert got2 == {"c": "z"}
