@@ -2123,3 +2123,86 @@ def test_streaming_counter_stats_matches_batch(spark, tmp_path):
     # hand-check series a (4, 8, 0, [NaN], 16): the NaN was DROPPED by
     # both twins — n_samples 4 not 5; resets 1 (8→0), changes 3.
     assert ("a", 4, 1, 3) in got
+
+
+def test_streaming_increase_matches_batch(spark, tmp_path):
+    """Streaming increase (fourteenth state twin, second AGGREGATE
+    twin): running per-(series, window) reset-corrected growth carried
+    across micro-batches; the last emitted row per (series, window) on
+    the closed stream equals trend.increase on the union. Batches
+    cross a window boundary mid-stream; includes a reset and a NaN
+    (dropped by both paths)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.trend import increase
+    from open_instrument_spark.streaming.increase_state import increase_stream
+
+    schema = "series_key string, ts timestamp, dval double"
+    IV = 60_000  # 1-minute windows
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1, 0, m, s), float(v))
+             for k, m, s, v in rows],
+            schema,
+        )
+
+    b1 = [("a", 0, 0, 10.0), ("a", 0, 20, 25.0), ("b", 0, 5, 1.0)]
+    b2 = [("a", 0, 40, 3.0), ("a", 1, 10, 9.0),   # reset, then new window
+          ("b", 0, 50, float("nan")), ("b", 1, 0, 7.0)]
+    b3 = [("a", 1, 30, 15.0), ("b", 1, 30, 2.0)]  # in-order arrivals
+
+    src = str(tmp_path / "inc_src")
+    dest = str(tmp_path / "inc_out")
+    os.makedirs(src, exist_ok=True)
+    seq = [0]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            seq[0] += 1
+            batch.withColumn("run", F.lit(seq[0])).write.mode(
+                "append").parquet(dest)
+
+        q = (
+            increase_stream(stream, interval_ms=IV)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "inc_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    rows = spark.read.parquet(dest).collect()
+    last = {}
+    for r in rows:
+        key = (r["series_key"], r["ts"])
+        if key not in last or r["run"] > last[key]["run"]:
+            last[key] = r
+    got = {(k[0], k[1], r["n_samples"], r["increase"])
+           for k, r in last.items()}
+
+    batch_in = pts(b1 + b2 + b3).select(
+        F.lit("/s").alias("name"),
+        F.create_map(F.lit("k"), F.col("series_key")).alias("labels"),
+        "ts", "dval",
+    )
+    want = {
+        (r["series_key"].split("=")[1].rstrip("}"), r["ts"],
+         r["n_samples"], r["increase"])
+        for r in increase(batch_in, interval_ms=IV).collect()
+    }
+    assert got == want and len(got) == 4
+    # hand-check a window 0 (10 -> 25 -> 3): growth 15 + reset 3 = 18,
+    # spanning the b1/b2 boundary — state genuinely carried
+    assert ("a", dt.datetime(2024, 1, 1), 3, 18.0) in got
+    # and a window 1 (9 -> 15): the boundary sample contributed nothing
+    assert ("a", dt.datetime(2024, 1, 1, 0, 1), 2, 6.0) in got
+    # b: NaN dropped => window 0 is a single sample, increase 0
+    assert ("b", dt.datetime(2024, 1, 1), 1, 0.0) in got
