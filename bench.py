@@ -180,6 +180,8 @@ HEADLINE = [
     # the SRE multiwindow SLO burn-rate page.
     "select_label_replace",
     "alert_slo_burn",
+    # temperature (alpha) mixture: budgets derived in-plan
+    "corpus_mixture_temperature",
 ]
 
 

@@ -344,6 +344,59 @@ def mixture_by_tokens(docs: DataFrame, group_col: str,
     )
 
 
+def mixture_by_temperature(docs: DataFrame, group_col: str, alpha: float,
+                           total_tokens: int, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-LM
+    α-sampling recipe — mC4/XLM-R: sample share ∝ n_s^α, α<1 upweights
+    small sources): per-group token budgets are DERIVED from the
+    corpus, b_s = total · n_s^α / Σ_t n_t^α, then the same
+    deterministic budget walk as :func:`mixture_by_tokens` keeps each
+    group's md5-ordered prefix through the budget-crossing document.
+
+    The budget table stays IN-PLAN (|groups| aggregate rows +
+    all-groups normalizer window, broadcast-joined back — the DSIR λ
+    pattern), so the whole pipeline — budget derivation included —
+    replays in SQL under the hash gate. The keep decision compares the
+    integer ``tokens_before`` against the UNROUNDED double budget
+    (fractional powers differ across engines only in the last ulp,
+    which flips a comparison against an integer essentially never —
+    the slo page / quality_pass precedent); the reported ``budget``
+    column is rounded 6 dp.
+
+    Output: docs columns + (n_tokens, tokens_before, budget).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    sized = docs.withColumn("n_tokens", n_tok)
+    share = F.pow(F.col("gtok").cast("double"), float(alpha))
+    wall = Window.partitionBy()
+    budgets = (
+        sized.groupBy(group_col)
+        .agg(F.sum("n_tokens").alias("gtok"))
+        .select(
+            group_col,
+            (F.lit(float(total_tokens)) * share
+             / F.sum(share).over(wall)).alias("_budget"),
+        )
+    )
+    h = _sample_hash(F.col(group_col), F.col(id_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.join(F.broadcast(budgets), group_col)
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("tokens_before") < F.col("_budget"))
+        .withColumn("budget", F.round("_budget", 6))
+        .drop("_budget")
+    )
+
+
 def chunk_documents(docs: DataFrame, width: int = 64, stride: int = 48,
                     text_col: str = "text", id_col: str = "doc_id",
                     ) -> DataFrame:

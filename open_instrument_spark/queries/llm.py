@@ -2944,6 +2944,52 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_mixture_temperature",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+bg AS (
+  SELECT source,
+         10000.0 * power(CAST(sum(n_tokens) AS DOUBLE), 0.5)
+           / sum(power(CAST(sum(n_tokens) AS DOUBLE), 0.5)) OVER ()
+           AS budget
+  FROM d GROUP BY source),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM d)
+SELECT c.doc_id, c.source, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+       CAST(c.tokens_before AS BIGINT) AS tokens_before,
+       round(bg.budget, 6) AS budget
+FROM c JOIN bg USING (source)
+WHERE c.tokens_before < bg.budget
+""",
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 temperature mixture (α-sampling, mC4/XLM-R): per-source
+    budgets DERIVED from the corpus — b_s ∝ n_s^0.5 of a 10k-token
+    total (α=0.5 upweights small sources) — then the deterministic
+    budget walk of corpus_mixture_tokens. Budget derivation stays
+    in-plan (|sources| aggregate rows + normalizer window, broadcast
+    join — the DSIR λ pattern), so the WHOLE pipeline replays under
+    the hash gate (operators/corpus.py::mixture_by_temperature)."""
+    from open_instrument_spark.operators.corpus import mixture_by_temperature
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select(
+        "doc_id", "source", "text"
+    )
+    return mixture_by_temperature(
+        docs, "source", alpha=0.5, total_tokens=10_000
+    ).select("doc_id", "source", "n_tokens", "tokens_before", "budget")
+
+
+@query(
     "corpus_chunk",
     oracle="""
 WITH b AS (

@@ -86,7 +86,6 @@ DRIVER_WINDOW = [
     # -- family-diversity canaries retained from the r8 rotation --
     "ingest_validate_strict",
     "resample_interpolate_go",
-    "dedup_simhash_md5",
     "ann_lsh_topk",
     "multimodal_video_stats",
     # r10-new (PromQL counter trio — new this round, so they take their
@@ -99,6 +98,7 @@ DRIVER_WINDOW = [
     "select_label_replace",
     "select_label_join",
     "alert_slo_burn",
+    "corpus_mixture_temperature",
     # -- single-driver-row entries (r9 was their first row) --
     "collector_mysql_status",
     "collector_apache_scoreboard",
@@ -173,6 +173,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_rate_chunked",
     "rle_encode_chunked",
     "export_render",
+    "dedup_simhash_md5",
     # r8 demotions — every entry is driver-green in CORRECTNESS_r07.json
     # (or r1-r6 for the pre-r7 window) and stays under the pytest-hosted
     # DuckDB gate.

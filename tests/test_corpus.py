@@ -347,3 +347,41 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     mean_all = docs.agg(F.avg("n_tokens")).first()[0]
     mean_sampled = sampled.agg(F.avg("n_tokens")).first()[0]
     assert mean_sampled > mean_all
+
+
+def test_mixture_temperature_budgets_and_walk(spark):
+    """α-sampling: α=1 gives proportional budgets, α=0 equal budgets,
+    α=0.5 sits between (small sources upweighted vs proportional);
+    the kept set is each group's md5-ordered prefix through the
+    budget-crossing doc (the mixture_by_tokens walk)."""
+    from open_instrument_spark.operators.corpus import mixture_by_temperature
+
+    rows = ([(i, "big", "w " * 99) for i in range(60)]          # 100 tok/doc
+            + [(1000 + i, "small", "w " * 9) for i in range(40)])  # 10
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # corpus: big = 6000 tok, small = 400 tok
+    TOTAL = 1000.0
+
+    def budgets(alpha):
+        out = mixture_by_temperature(docs, "source", alpha, 1000).collect()
+        return ({r["source"]: r["budget"] for r in out},
+                {r["source"]: [x for x in out if x["source"] == r["source"]]
+                 for r in out})
+
+    b1, _ = budgets(1.0)
+    assert abs(b1["big"] - TOTAL * 6000 / 6400) < 1e-6
+    assert abs(b1["small"] - TOTAL * 400 / 6400) < 1e-6
+    b0, _ = budgets(0.0)
+    assert abs(b0["big"] - 500.0) < 1e-6 and abs(b0["small"] - 500.0) < 1e-6
+    bh, kept = budgets(0.5)
+    assert b1["small"] < bh["small"] < b0["small"]   # upweighted, not equal
+    # walk contract: per group, kept = contiguous hash-ordered prefix
+    # and the last kept doc crosses the budget
+    for src, ks in kept.items():
+        ks = sorted(ks, key=lambda r: r["tokens_before"])
+        assert ks[0]["tokens_before"] == 0
+        for a, b in zip(ks, ks[1:]):
+            assert b["tokens_before"] == a["tokens_before"] + a["n_tokens"]
+        assert ks[-1]["tokens_before"] < bh[src]
+        assert ks[-1]["tokens_before"] + ks[-1]["n_tokens"] >= bh[src] or \
+            len(ks) == {"big": 60, "small": 40}[src]  # or group exhausted
