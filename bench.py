@@ -182,6 +182,11 @@ HEADLINE = [
     "alert_slo_burn",
     # temperature (alpha) mixture: budgets derived in-plan
     "corpus_mixture_temperature",
+    # BM25 lexical retrieval + hybrid reciprocal-rank fusion
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
+    # one in-plan k-means Lloyd iteration (k=8, d=64)
+    "embed_kmeans_step",
 ]
 
 

@@ -933,3 +933,70 @@ def semantic_dedup_trained(embeddings: DataFrame, threshold: float = 0.35,
     C = _kmeans(train, n_cells, seed=seed)
     return semantic_dedup(embeddings, C, threshold=threshold,
                           id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means: one Lloyd iteration entirely in-plan
+# ---------------------------------------------------------------------------
+
+def kmeans_lloyd_step(embeddings: DataFrame, seed_ids: list[int],
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd iteration of k-means with the initial centroids taken
+    FROM the corpus (the rows named by ``seed_ids``, k-means++-style
+    data seeding): assign every vector to its euclidean-nearest seed,
+    then emit the per-cluster per-dimension mean — the updated
+    centroids — plus membership counts.
+
+    Everything, including the "model", lives INSIDE the plan (the
+    DSIR/in-plan-fitting precedent): the k seed rows are a broadcast
+    side, assignment is a broadcast nested-loop over k (linear in N,
+    never vector×vector), and the update is a posexplode →
+    (cell, dim) aggregation whose map-side partials reduce each
+    partition to k·d rows before the only shuffle. Iterating = calling
+    this again with the emitted means as the next seeds (the bounded
+    driver loop every distributed k-means uses, e.g. MLlib's); at
+    corpus scale each iteration stays one pass + one k·d-row exchange.
+
+    Float parity: distances fold (x−y)² left-to-right over identical
+    double bits on both engines (the ``dot`` / list_sum precedent), so
+    the argmin — pinned first-min, i.e. lowest cell on a tie — is
+    reproducible; the re-associating per-dim AVG is rounded to 6.
+
+    Output: (cell, i, n_members, mu) — k·d rows; clusters with no
+    members emit nothing (callers keep the old centroid, the Lloyd
+    convention)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    w_seed = Window.partitionBy().orderBy("vec_id")
+    cents = (
+        base.filter(F.col("vec_id").isin(seed_ids))
+        .select((F.row_number().over(w_seed) - 1).alias("cell"),
+                F.col("v").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # argmin as a map-side-combinable MIN over (d2, cell) structs —
+    # lexicographic struct order IS the (distance, lowest-cell) tie
+    # rule, and partial aggregation collapses the k-way expansion
+    # before the one narrow exchange (a rank window would instead
+    # sort-shuffle all k·N rows).
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_d2", d2)
+        .groupBy("vec_id", "v")
+        .agg(F.min(F.struct(F.col("_d2").alias("d2"),
+                            F.col("cell").alias("cell"))).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), "v")
+    )
+    return (
+        assigned.select("cell", F.posexplode("v").alias("i", "x"))
+        .groupBy("cell", "i")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.round(F.avg("x"), 6).alias("mu"))
+        .select("cell", "i", "n_members", "mu")
+    )

@@ -3063,3 +3063,188 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = load_tables(spark, sf_dir).table("documents")
     return hash_classifier_score(docs, _classifier_weights(), bias=0.05)
+
+
+# ===========================================================================
+# §2.9 retrieval: BM25 lexical search + hybrid reciprocal-rank fusion
+# ===========================================================================
+
+_BM25_TERMS = ["dup", "vector", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_ctes(terms: list[str], k1: float, b: float) -> str:
+    """DuckDB CTE chain computing bm25_scores' agg frame (doc_id, dl,
+    n_hit_terms, score) — constants embedded via repr() so both engines
+    divide/multiply identical double bits (operators/retrieval.py)."""
+    tfs = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    unpiv = "\n  UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf{i} AS tf FROM per_doc WHERE tf{i} > 0"
+        for i, t in enumerate(terms)
+    )
+    k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    return f"""
+per_doc AS (
+  SELECT doc_id, len(w) AS dl,
+         {tfs}
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM per_doc
+),
+unpiv AS (
+  {unpiv}
+),
+dfreq AS (SELECT term, count(*) AS df FROM unpiv GROUP BY 1),
+bm AS (
+  SELECT u.doc_id, CAST(u.dl AS BIGINT) AS dl,
+         CAST(count(*) AS INTEGER) AS n_hit_terms,
+         round(sum(
+           (ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) * (u.tf * {k1p1}))
+           / (u.tf + {k1!r} * ({omb} + {b!r} * (u.dl / s.avgdl)))
+         ), 6) AS score
+  FROM unpiv u JOIN dfreq f USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+)"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+WITH {_bm25_ctes(_BM25_TERMS, _BM25_K1, _BM25_B)},
+ranked AS (
+  SELECT doc_id, dl, n_hit_terms, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm
+)
+SELECT doc_id, dl, n_hit_terms, CAST(rank AS INTEGER) AS rank, score
+FROM ranked WHERE rank <= 20
+""",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 Okapi BM25 top-20 for a 4-term query (one rare
+    discriminative term, df=25/500, + three common ones) — the lexical
+    retrieval pass of a RAG / data-curation pipeline. The entire
+    pipeline including the "model" (df table, avgdl) replays in SQL
+    under the hash gate; rank pinned on the rounded score
+    (operators/retrieval.py bm25_topk)."""
+    from open_instrument_spark.operators.retrieval import bm25_topk
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
+    return bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+WITH {_bm25_ctes(_BM25_TERMS[:3], _BM25_K1, _BM25_B)},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm QUALIFY rank <= 50
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cos AS (
+  SELECT n_id AS doc_id,
+         row_number() OVER (ORDER BY c DESC, n_id ASC) AS rank
+  FROM (
+    SELECT b.vec_id AS n_id, {_COS_SQL.replace('a.v', 'q.v').replace('b.v', 'b.v')} AS c
+    FROM e b JOIN e q ON q.vec_id = 7 AND b.vec_id != q.vec_id
+  ) QUALIFY rank <= 50
+),
+fused AS (
+  SELECT coalesce(l.doc_id, c.doc_id) AS doc_id,
+         CAST((CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN c.rank IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+           AS in_lists,
+         round(coalesce(1.0 / (60.0 + l.rank), 0.0)
+             + coalesce(1.0 / (60.0 + c.rank), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN cos c ON l.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, in_lists, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT doc_id, in_lists, CAST(rank AS INTEGER) AS rank, rrf
+FROM ranked WHERE rank <= 10
+""",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 hybrid search: BM25 top-50 (3-term lexical query) fused
+    with cosine top-50 of document 7's embedding (doc_id ≡ vec_id in
+    the corpus) by reciprocal-rank fusion, k=60 — the standard hybrid
+    retriever a RAG pipeline runs where neither lexical nor dense
+    alone suffices. Both rankings AND the fusion replay in SQL; the
+    fusion cost is corpus-size-independent (two bounded top-50 lists,
+    full-outer join). Contributions summed in fixed list order →
+    bit-stable pre-round (operators/retrieval.py rrf_fuse)."""
+    from open_instrument_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from open_instrument_spark.operators.similarity import cosine_topk
+
+    prepare(spark)
+    t = load_tables(spark, sf_dir)
+    docs = t.table("documents").select("doc_id", "text").repartition(64, "doc_id")
+    lex = bm25_topk(docs, _BM25_TERMS[:3], k=50, k1=_BM25_K1, b=_BM25_B)
+    dense = cosine_topk(t.table("embeddings"), [7], k=50).select(
+        F.col("n_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), dense], k_rrf=60, topk=10)
+
+
+_KMEANS_SEED_IDS = [3, 11, 19, 27, 35, 43, 51, 59]
+
+
+@query(
+    "embed_kmeans_step",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM e WHERE vec_id IN ({", ".join(str(i) for i in _KMEANS_SEED_IDS)})
+),
+d AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_sum(list_transform(list_zip(e.v, c.c),
+                                 x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC)
+           AS rn
+  FROM d
+),
+m AS (
+  SELECT cell, t.i AS i,
+         CAST(count(*) AS BIGINT) AS n_members,
+         round(avg(v[t.i + 1]), 6) AS mu
+  FROM a, (SELECT unnest(range(64)) AS i) t
+  WHERE rn = 1
+  GROUP BY 1, 2
+)
+SELECT CAST(cell AS INTEGER) AS cell, CAST(i AS INTEGER) AS i, n_members, mu FROM m
+""",
+)
+def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 one distributed k-means Lloyd iteration (k=8, d=64),
+    centroids seeded FROM corpus rows and everything — seeds,
+    euclidean argmin assignment, per-dimension mean update — living
+    inside one plan, so the whole iteration replays in SQL under the
+    hash gate (the in-plan-fitting precedent of corpus_dsir_sample).
+    The building block under semantic_dedup_trained / build_ivf_index,
+    here exposed and verified as a first-class operator
+    (operators/similarity.py kmeans_lloyd_step)."""
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return kmeans_lloyd_step(emb, _KMEANS_SEED_IDS)

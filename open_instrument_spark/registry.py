@@ -82,11 +82,20 @@ DRIVER_WINDOW = [
     "flagship_rate_sum",            # keeper: the smoke-check flagship
     "select_exact_name_label_range",  # keeper: select family canary
     "agg_sum_by_name",              # keeper: aggregate family canary
-    "text_lm_score_topk",           # r8-new (driver row: r8, r9)
+    # r10-new retrieval pair (BM25 + hybrid RRF — new this round, so
+    # they take their driver rows immediately, displacing
+    # text_lm_score_topk (green r8+r9) and ann_lsh_topk (green r8+r9;
+    # the ANN family keeps ann_pq_seeded_topk + ann_ivfpq_seeded_topk
+    # in-window), both staying under the pytest-hosted DuckDB gate):
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
+    # r10-new in-plan k-means Lloyd iteration — displaces
+    # resample_interpolate_go, the registry's most-verified query
+    # (driver-green r1-r9; its chunked/max_gap siblings and the Go
+    # goldens keep the family pinned under pytest).
+    "embed_kmeans_step",
     # -- family-diversity canaries retained from the r8 rotation --
     "ingest_validate_strict",
-    "resample_interpolate_go",
-    "ann_lsh_topk",
     "multimodal_video_stats",
     # r10-new (PromQL counter trio — new this round, so they take their
     # driver rows immediately, displacing retention_report, mutate_ewma
@@ -138,6 +147,11 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
+    # r10 late demotions (displaced by the retrieval pair) — driver-green
+    # r8 AND r9, replayed by test_oracle_parity.py like the rest.
+    "text_lm_score_topk",
+    "ann_lsh_topk",
+    "resample_interpolate_go",
     # r10 demotions — each was driver-green in r8 AND r9 (most also
     # r1-r7) and stays under the pytest-hosted DuckDB gate.
     "corpus_pack_partitioned",

@@ -1,0 +1,72 @@
+"""kmeans_lloyd_step unit tests: hand-checked assignment/update on a
+tiny corpus, empty-cluster drop, and the fixpoint property (running a
+step on already-converged centroids reproduces them)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),     # seed A
+        (2, [2.0, 0.0]),
+        (3, [10.0, 0.0]),    # seed B
+        (4, [11.0, 0.0]),
+        (5, [100.0, 100.0]),  # seed C — nearest only to itself
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lloyd_step_hand_checked(vecs):
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    out = kmeans_lloyd_step(vecs.filter("vec_id != 5"), [1, 3])
+    got = {(r["cell"], r["i"]): r for r in out.collect()}
+    # cell 0 (seed vec 1) takes vecs 0,1,2 → mean (1.0, 0.0)
+    assert got[(0, 0)]["n_members"] == 3 and got[(0, 0)]["mu"] == 1.0
+    assert got[(0, 1)]["mu"] == 0.0
+    # cell 1 (seed vec 3) takes vecs 3,4 → mean (10.5, 0.0)
+    assert got[(1, 0)]["n_members"] == 2 and got[(1, 0)]["mu"] == 10.5
+
+
+def test_lloyd_step_equidistant_tie_breaks_to_lower_cell(spark):
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    vecs = spark.createDataFrame(
+        [(0, [0.0]), (1, [2.0]), (2, [1.0])], ["vec_id", "embedding"]
+    )
+    out = kmeans_lloyd_step(vecs, [0, 1])
+    got = {r["cell"]: r["n_members"] for r in out.collect()}
+    # vec 2 is equidistant from both seeds → lowest cell wins
+    assert got[0] == 2 and got[1] == 1
+
+
+def test_lloyd_step_empty_cluster_emits_nothing(vecs):
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    # seed 5 is so remote no other vector assigns to it; restricting the
+    # corpus to vecs 0-4 + seed 5 keeps cell 2 at exactly one member,
+    # while dropping vec 5 from the corpus would empty it entirely
+    out = kmeans_lloyd_step(vecs, [1, 3, 5])
+    cells = {r["cell"] for r in out.collect()}
+    assert cells == {0, 1, 2}
+    out2 = kmeans_lloyd_step(vecs.filter("vec_id != 5"), [1, 3])
+    assert {r["cell"] for r in out2.collect()} == {0, 1}
+
+
+def test_lloyd_step_fixpoint_on_converged_centroids(spark):
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    # two tight, well-separated pairs whose means ARE corpus points
+    vecs = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.0, -1.0]), (2, [0.0, 0.0]),
+         (3, [50.0, 1.0]), (4, [50.0, -1.0]), (5, [50.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {(r["cell"], r["i"]): r["mu"]
+           for r in kmeans_lloyd_step(vecs, [2, 5]).collect()}
+    assert out[(0, 0)] == 0.0 and out[(0, 1)] == 0.0
+    assert out[(1, 0)] == 50.0 and out[(1, 1)] == 0.0
