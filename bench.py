@@ -187,6 +187,8 @@ HEADLINE = [
     "retrieval_hybrid_rrf",
     # one in-plan k-means Lloyd iteration (k=8, d=64)
     "embed_kmeans_step",
+    # MAD robust-outlier sweep (nested percentile windows, one exchange)
+    "agg_mad_outliers",
 ]
 
 

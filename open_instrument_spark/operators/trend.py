@@ -272,3 +272,62 @@ def offset_compare(points: DataFrame, offset_ms: int = 604_800_000,
             .alias("wow_ratio"),
         )
     )
+
+
+def mad_outliers(points: DataFrame, interval_ms: int = 86_400_000,
+                 threshold: float = 3.5, c: float = 0.6745,
+                 by: tuple[str, ...] = ("series_key",)) -> DataFrame:
+    """Robust outlier detection via the modified z-score (Iglewicz &
+    Hoaglin 1993): per group (default: series) and tumbling window, med = median(x),
+    MAD = median(|x − med|), and a sample is an outlier when
+    c·|x − med| / MAD > threshold (c = 0.6745 scales MAD to σ under
+    normality). The robust companion to the mean/stddev ``zscore`` —
+    immune to the very outliers it hunts, the standard anomaly pass
+    where spikes would drag a plain z-score's own baseline.
+
+    Plan: the two nested medians run as percentile WINDOW functions
+    over the same unordered (series_key, window) partitioning — ONE
+    exchange + sort serves both (the second window spec reuses the
+    first's distribution), and the closing aggregation groups on the
+    same keys, so no further shuffle at scale. No Python anywhere.
+
+    Parity: Spark exact ``percentile`` ≡ DuckDB ``quantile_cont``
+    (the quantile_over_time precedent); med/mad re-associate in the
+    interpolation and are rounded 6 dp for output, while the outlier
+    COUNT compares the unrounded ratio — the registry query documents
+    the measured margin to the threshold so the boundary cannot flip
+    cross-engine.
+
+    ``by`` picks the grouping — ("series_key",) for the PromQL
+    per-series panel, ("name",) for the fleet-wide cross-series sweep
+    (the agg_p95_by_name flavor) where individual series are sparse.
+
+    Output: (*by, ts, n_samples, med, mad, n_outliers);
+    MAD = 0 (over half the window identical) ⇒ n_outliers = 0 (the
+    Iglewicz-Hoaglin convention rather than dividing by zero)."""
+    keys = list(by)
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select(
+            *keys,
+            F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts"),
+            "dval",
+        )
+    )
+    w = Window.partitionBy(*keys, "ts")
+    step = (
+        pts.withColumn("_med", F.percentile("dval", F.lit(0.5)).over(w))
+        .withColumn("_ad", F.abs(F.col("dval") - F.col("_med")))
+    )
+    step = step.withColumn("_mad", F.percentile("_ad", F.lit(0.5)).over(w))
+    is_out = (
+        (F.col("_mad") > 0)
+        & (F.lit(float(c)) * F.col("_ad") / F.col("_mad") > F.lit(float(threshold)))
+    )
+    return step.groupBy(*keys, "ts").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.max("_med"), 6).alias("med"),
+        F.round(F.max("_mad"), 6).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )

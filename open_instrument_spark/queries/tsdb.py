@@ -2176,3 +2176,48 @@ def alert_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pts(spark, sf_dir), F.col("name") == "/events/purchase",
         slo=0.95, short_ms=86_400_000, long_ms=604_800_000, factor=1.0,
     )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT name, {_DAY_WIN} AS ts, dval FROM p
+  WHERE dval IS NOT NULL AND NOT isnan(dval)
+),
+w1 AS (
+  SELECT name, ts, dval,
+         quantile_cont(dval, 0.5) OVER (PARTITION BY name, ts) AS med
+  FROM b
+),
+w2 AS (
+  SELECT name, ts, dval, med, abs(dval - med) AS ad,
+         quantile_cont(abs(dval - med), 0.5)
+           OVER (PARTITION BY name, ts) AS mad
+  FROM w1
+)
+SELECT name, ts, CAST(count(*) AS BIGINT) AS n_samples,
+       round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+       CAST(sum(CASE WHEN mad > 0 AND 0.6745 * ad / mad > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM w2 GROUP BY 1, 2
+""",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier sweep via the modified z-score (Iglewicz &
+    Hoaglin 1993): per (metric name, day), med/MAD across all series
+    and the count of samples with 0.6745·|x−med|/MAD > 3.5 — the
+    anomaly pass whose baseline the outliers themselves cannot drag
+    (vs mutate_zscore's mean/σ). Cross-series grouping because the
+    synthetic series are sparse (≤3 samples/series/day); the operator
+    defaults to per-series (operators/trend.py::mad_outliers).
+    Parity: Spark percentile ≡ DuckDB quantile_cont for BOTH nested
+    medians; the unrounded decision ratio's nearest approach to the
+    3.5 boundary at sf0.01 is 1.39e-3 — twelve orders above any
+    re-association drift — so the count cannot flip cross-engine.
+    One exchange serves both percentile windows AND the closing
+    same-key aggregation."""
+    from open_instrument_spark.operators.trend import mad_outliers
+
+    return mad_outliers(_pts(spark, sf_dir), by=("name",))

@@ -94,9 +94,12 @@ DRIVER_WINDOW = [
     # (driver-green r1-r9; its chunked/max_gap siblings and the Go
     # goldens keep the family pinned under pytest).
     "embed_kmeans_step",
+    # r10-new MAD robust-outlier sweep — displaces
+    # multimodal_video_stats (driver-green r8+r9; the multimodal
+    # family keeps its four oracle-parity twins under pytest).
+    "agg_mad_outliers",
     # -- family-diversity canaries retained from the r8 rotation --
     "ingest_validate_strict",
-    "multimodal_video_stats",
     # r10-new (PromQL counter trio — new this round, so they take their
     # driver rows immediately, displacing retention_report, mutate_ewma
     # and corpus_pack_bpe, each green r8+r9 and most rounds before):
@@ -152,6 +155,7 @@ _PAST_WINDOW_ORACLED = [
     "text_lm_score_topk",
     "ann_lsh_topk",
     "resample_interpolate_go",
+    "multimodal_video_stats",
     # r10 demotions — each was driver-green in r8 AND r9 (most also
     # r1-r7) and stays under the pytest-hosted DuckDB gate.
     "corpus_pack_partitioned",
