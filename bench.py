@@ -189,6 +189,8 @@ HEADLINE = [
     "embed_kmeans_step",
     # MAD robust-outlier sweep (nested percentile windows, one exchange)
     "agg_mad_outliers",
+    # two-stage retrieval funnel (16-dim prefilter → exact re-rank)
+    "embed_coarse_rerank",
 ]
 
 

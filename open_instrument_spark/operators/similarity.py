@@ -1000,3 +1000,48 @@ def kmeans_lloyd_step(embeddings: DataFrame, seed_ids: list[int],
              F.round(F.avg("x"), 6).alias("mu"))
         .select("cell", "i", "n_members", "mu")
     )
+
+
+def cosine_topk_coarse_rerank(embeddings: DataFrame, query_ids: list[int],
+                              coarse_dims: int = 16, shortlist: int = 50,
+                              k: int = 10, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval funnel: rank the corpus by a TRUNCATED-
+    dimension dot product (the Matryoshka / PCA-prefix trick — the
+    first ``coarse_dims`` components carry most of the signal), keep a
+    per-query shortlist, then exact full-dimension cosine re-ranks only
+    those. The standard cost shape at corpus scale: the pass that
+    touches every vector does coarse_dims/d of the arithmetic and
+    carries no full vectors past the shortlist cut; the exact stage is
+    bounded by shortlist × |queries|.
+
+    Approximate by design — the shortlist can miss true neighbors;
+    recall vs brute force is pinned by pytest, while the funnel itself
+    (both rankings, both cuts) is deterministic and replays in SQL
+    under the hash gate (ranks pinned on raw scores + id tiebreak, the
+    embed_topk precedent).
+
+    Output: (q_id, n_id, coarse_rank, rank, cos)."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    queries = base.filter(F.col("n_id").isin(query_ids)).select(
+        F.col("n_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    coarse = dot(F.slice(F.col("v"), 1, coarse_dims),
+                 F.slice(F.col("qv"), 1, coarse_dims))
+    w_c = Window.partitionBy("q_id").orderBy(F.col("_cs").desc(), F.col("n_id"))
+    short = (
+        base.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .withColumn("_cs", coarse)
+        .withColumn("coarse_rank", F.row_number().over(w_c))
+        .filter(F.col("coarse_rank") <= shortlist)
+    )
+    w_r = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("n_id"))
+    return (
+        short.withColumn("_cos", cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w_r))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "coarse_rank", "rank",
+                F.round("_cos", 6).alias("cos"))
+    )

@@ -3248,3 +3248,56 @@ def embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
     return kmeans_lloyd_step(emb, _KMEANS_SEED_IDS)
+
+
+@query(
+    "embed_coarse_rerank",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+s AS (
+  SELECT q.q_id, b.vec_id AS n_id, b.v, q.qv,
+         list_sum(list_transform(list_zip(b.v[1:16], q.qv[1:16]),
+                                 x -> x[1] * x[2])) AS cs
+  FROM e b JOIN q ON b.vec_id != q.q_id
+),
+short AS (
+  SELECT q_id, n_id, v, qv,
+         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id)
+           AS coarse_rank
+  FROM s QUALIFY coarse_rank <= 50
+),
+r AS (
+  SELECT q_id, n_id, coarse_rank,
+         list_sum(list_transform(list_zip(qv, v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+  FROM short
+),
+rr AS (
+  SELECT q_id, n_id, coarse_rank, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+  FROM r
+)
+SELECT q_id, n_id, CAST(coarse_rank AS INTEGER) AS coarse_rank,
+       CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM rr WHERE rank <= 10
+""",
+)
+def embed_coarse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 two-stage retrieval funnel for query vectors 0-4: 16-dim
+    truncated dot prefilter (Matryoshka/PCA-prefix shape) → top-50
+    shortlist → exact full-dim cosine re-rank → top-10. The corpus
+    pass does 1/4 of the arithmetic and carries nothing past the
+    shortlist cut; the exact stage is bounded by 50·|queries|. The
+    WHOLE funnel — both rankings, both cuts — replays in SQL under the
+    hash gate; recall vs brute force is pinned separately by pytest
+    (operators/similarity.py cosine_topk_coarse_rerank)."""
+    from open_instrument_spark.operators.similarity import (
+        cosine_topk_coarse_rerank,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return cosine_topk_coarse_rerank(emb, [0, 1, 2, 3, 4],
+                                     coarse_dims=16, shortlist=50, k=10)

@@ -170,6 +170,7 @@ def late_operators(ev):
     # same decades.
     from open_instrument_spark.model import with_series_key
     from open_instrument_spark.operators.histogram import histogram_bucket_counts
+    from open_instrument_spark.operators.trend import mad_outliers
     from open_instrument_spark.plans.alerts import classify_states
 
     samples = with_series_key(pts).select("series_key", "ts", "dval")
@@ -181,6 +182,11 @@ def late_operators(ev):
         "alert_states_monster": classify_states(
             samples, ">", 50.0, "12h"),
         "histogram_build": histogram_bucket_counts(pts),
+        # r10: nested percentile windows on the MONSTER-group shape —
+        # the id-shift holds the (name, day) group count constant while
+        # each group grows ×k, so this measures the per-group window
+        # sort directly (n log n within constant group count).
+        "mad_outliers_monster": mad_outliers(pts, by=("name",)),
     }
 
 
@@ -303,6 +309,7 @@ def main() -> None:
     def doc_operators(d):
         from open_instrument_spark.operators.bpe import bpe_token_counts
         from open_instrument_spark.operators.lm import lm_score, tfidf_top_terms
+        from open_instrument_spark.operators.retrieval import bm25_topk
         from open_instrument_spark.queries.llm import _BPE_FIXED
 
         dd = d.repartition(64, "doc_id")
@@ -310,6 +317,12 @@ def main() -> None:
             "lm_score": lm_score(dd),
             "tfidf_top": tfidf_top_terms(dd, k=5),
             "bpe_tokens": bpe_token_counts(dd, _BPE_FIXED),
+            # r10: the lexical retrieval pass — one tokenize scan folded
+            # map-side to per-doc stats; the shifttoken growth keeps the
+            # query-term dfs realistic (constant terms, growing corpus)
+            "bm25_topk": bm25_topk(
+                dd, ["dup", "vector", "window", "merge"], k=20
+            ),
         }
 
     for df in doc_operators(docs).values():
@@ -452,6 +465,20 @@ def main() -> None:
             run(semantic_dedup(big_emb, C, 0.35, assign="arrow")), 2
         )
     peaks["emb_semdedup"] = peak_rss_mb()
+
+    # r10: one k-means Lloyd iteration at the same tiers — broadcast
+    # k-row seed side × corpus (linear), argmin folded map-side, k·d-row
+    # update exchange. Fixed k: the iteration cost is what's probed
+    # (growing k ∝ N is the semantic_dedup row above).
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    _SEEDS = [3, 11, 19, 27, 35, 43, 51, 59]
+    run(kmeans_lloyd_step(emb, _SEEDS))  # warm
+    for k in emb_mults:
+        report.setdefault("kmeans_step", {})[f"x{k}"] = round(
+            run(kmeans_lloyd_step(multiplied_emb(emb, k), _SEEDS)), 2
+        )
+    peaks["emb_kmeans"] = peak_rss_mb()
 
     run(near_dup_pairs_lsh(emb, threshold=0.4))  # warm
     for k in emb_mults:
