@@ -191,6 +191,8 @@ HEADLINE = [
     "agg_mad_outliers",
     # two-stage retrieval funnel (16-dim prefilter → exact re-rank)
     "embed_coarse_rerank",
+    # PromQL count_values (floor-bucketed value histogram)
+    "agg_count_values",
 ]
 
 

@@ -210,7 +210,8 @@ def quantile_over_time(points: DataFrame, q: float = 0.95,
 
 
 def topk_series(points: DataFrame, k: int = 3,
-                interval_ms: int = 86_400_000) -> DataFrame:
+                interval_ms: int = 86_400_000,
+                ascending: bool = False) -> DataFrame:
     """PromQL ``topk(k, sum_over_time(...))`` shape: the k
     highest-volume series per (name, window) — the "which label values
     dominate this metric" dashboard panel. Rank compares the ROUNDED
@@ -218,6 +219,9 @@ def topk_series(points: DataFrame, k: int = 3,
     just the values — is pinned cross-engine (the weighted_sample
     precedent: re-associated float sums differ in the last bits
     between engines; an unrounded rank could flip near-ties).
+
+    ``ascending=True`` is PromQL ``bottomk`` — identical plan, the
+    rank window flipped (value asc, series_key tiebreak unchanged).
 
     One aggregation exchange on (name, series_key, window) + one rank
     exchange on (name, window) — both post-aggregation sizes. Output:
@@ -229,8 +233,9 @@ def topk_series(points: DataFrame, k: int = 3,
         pts.groupBy("name", "series_key", win)
         .agg(F.round(F.sum("dval"), 6).alias("value"))
     )
+    order = F.col("value").asc() if ascending else F.col("value").desc()
     w = Window.partitionBy("name", "ts").orderBy(
-        F.col("value").desc(), F.col("series_key").asc())
+        order, F.col("series_key").asc())
     return (
         summed.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -330,4 +335,25 @@ def mad_outliers(points: DataFrame, interval_ms: int = 86_400_000,
         F.round(F.max("_med"), 6).alias("med"),
         F.round(F.max("_mad"), 6).alias("mad"),
         F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+    )
+
+
+def count_values(points: DataFrame,
+                 interval_ms: int = 86_400_000) -> DataFrame:
+    """PromQL ``count_values``: how many samples carry each value per
+    (name, window) — the cardinality/mode panel ("what values does this
+    integer-ish metric actually take"). Values are floor-bucketed to
+    integers: the synthetic corpus is continuous (exact doubles would
+    make every count 1), and ``floor`` is bit-exact cross-engine where
+    round's half-way rule is not (samples here land EXACTLY on .5 —
+    measured, min |v−⌊v⌋−0.5| = 0 at sf0.01).
+
+    One aggregation exchange, map-side combinable. Output:
+    (name, ts, value, n)."""
+    pts = points.where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+    win = F.window("ts", f"{interval_ms // 1000} seconds").start.alias("ts")
+    return (
+        pts.groupBy("name", win, F.floor("dval").cast("long").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("name", "ts", "value", "n")
     )

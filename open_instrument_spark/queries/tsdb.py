@@ -2221,3 +2221,25 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators.trend import mad_outliers
 
     return mad_outliers(_pts(spark, sf_dir), by=("name",))
+
+
+@query(
+    "agg_count_values",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_DAY_WIN} AS ts,
+       CAST(floor(dval) AS BIGINT) AS value,
+       count(*) AS n
+FROM p WHERE dval IS NOT NULL AND NOT isnan(dval)
+GROUP BY 1, 2, 3
+""",
+)
+def agg_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_values`` per (name, day): sample counts per
+    floor-bucketed integer value (floor, not round — samples land
+    exactly on .5 here and round's half-way rule differs across
+    engines; operators/trend.py::count_values). One map-side-combinable
+    aggregation exchange."""
+    from open_instrument_spark.operators.trend import count_values
+
+    return count_values(_pts(spark, sf_dir))

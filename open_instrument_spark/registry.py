@@ -150,11 +150,12 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
-    # r10-new, awaiting its first driver row at the r11 rotation (the
+    # r10-new, awaiting their first driver rows at the r11 rotation (the
     # window's displacement candidates are down to the three core
     # canaries + ingest_validate_strict; same deferral the r9-new
     # queries took). Oracle-gated by test_oracle_parity.py meanwhile.
     "embed_coarse_rerank",
+    "agg_count_values",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",
