@@ -629,3 +629,42 @@ def test_quality_classifier_two_exchanges_no_python(spark, tables):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bm25_scores_bounded_exchanges_and_broadcasts(spark, tables):
+    """BM25: the corpus is tokenized once and folded map-side; the df
+    table and 1-row stats enter as broadcasts (never shuffled joins).
+    Exchange budget: per-doc agg + completion join + unpivot agg side
+    — bounded, and no SortMergeJoin anywhere."""
+    from open_instrument_spark.operators.retrieval import bm25_scores
+
+    docs = tables.table("documents").select("doc_id", "text")
+    plan = plan_of(bm25_scores(docs, ["dup", "vector", "merge"]))
+    assert count_in(plan, "BroadcastExchange") >= 2  # dfreq + stats
+    assert "SortMergeJoin" not in plan
+    # per-doc agg (reused by the stats/dfreq branches) + final groupBy;
+    # every exchange carries per-doc or smaller rows, never raw tokens
+    assert count_in(plan, "Exchange hashpartitioning") <= 6
+
+
+def test_kmeans_step_argmin_is_partial_aggregate(spark, tables):
+    """The Lloyd argmin must fold map-side (partial_min over the k-way
+    expansion) with the seed side broadcast — never a rank window over
+    k·N rows."""
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    emb = tables.table("embeddings")
+    plan = plan_of(kmeans_lloyd_step(emb, [0, 1, 2, 3]))
+    assert "partial_min" in plan
+    assert count_in(plan, "BroadcastNestedLoopJoin") == 1
+    assert count_in(plan, "+- Window") == 1  # seed numbering only (k rows)
+
+
+def test_mad_outliers_single_exchange_for_windows_and_agg(spark, tables):
+    """Both percentile windows AND the closing aggregation share the
+    (name, window) clustering — exactly one hash exchange in the plan."""
+    from open_instrument_spark.operators.trend import mad_outliers
+
+    plan = plan_of(mad_outliers(tables.points(), by=("name",)))
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert count_in(plan, "+- Window") == 2  # med pass, mad pass
