@@ -1045,3 +1045,59 @@ def cosine_topk_coarse_rerank(embeddings: DataFrame, query_ids: list[int],
         .select("q_id", "n_id", "coarse_rank", "rank",
                 F.round("_cos", 6).alias("cos"))
     )
+
+
+def kmeans_iterate(embeddings: DataFrame, seed_ids: list[int],
+                   n_iter: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> tuple[np.ndarray, list[float]]:
+    """Full distributed k-means: the bounded driver loop over
+    :func:`kmeans_lloyd_step`-shaped iterations that every distributed
+    k-means runs (MLlib's runAlgorithmWithWeight shape) — each round is
+    ONE corpus pass (broadcast centroid literals, map-side argmin
+    partials) and the driver materializes only the k·d centroid matrix
+    plus a scalar inertia, the bounded model artifact.
+
+    After the seeded first round the centroids are driver floats, so
+    later rounds broadcast them as LITERALS (the semantic_dedup fold
+    path) rather than re-joining the seed rows — identical math,
+    simpler plan. Returns (centroids ndarray [k, d], per-round inertia
+    list); inertia (Σ min-distance²) is non-increasing under Lloyd,
+    pinned by pytest. Empty clusters keep their previous centroid (the
+    Lloyd convention kmeans_lloyd_step documents)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        base.filter(F.col("vec_id").isin(seed_ids))
+        .orderBy("vec_id").select("v").toPandas()["v"].tolist()
+    )
+    C = np.array(seeds, dtype=np.float64)
+    inertia: list[float] = []
+    for _ in range(n_iter):
+        d2s = F.array(*[
+            F.aggregate(
+                F.zip_with(F.col("v"), _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for c in C
+        ])
+        cell = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        assigned = base.select(
+            "v", cell.alias("cell"), F.array_min(d2s).alias("_d2")
+        )
+        upd = (
+            assigned.select("cell", F.col("_d2"),
+                            F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("mu"), F.sum("_d2").alias("_ss"),
+                 F.count(F.lit(1)).alias("n"))
+            .toPandas()
+        )
+        # inertia of THIS assignment (pre-update): each row repeats the
+        # cluster's Σd2 per dim — divide by d via taking dim 0 only
+        inertia.append(float(upd[upd["i"] == 0]["_ss"].sum()))
+        nxt = C.copy()
+        for cell_id, grp in upd.groupby("cell"):
+            nxt[int(cell_id)] = grp.sort_values("i")["mu"].to_numpy()
+        C = nxt
+    return C, inertia

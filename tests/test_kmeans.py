@@ -70,3 +70,41 @@ def test_lloyd_step_fixpoint_on_converged_centroids(spark):
            for r in kmeans_lloyd_step(vecs, [2, 5]).collect()}
     assert out[(0, 0)] == 0.0 and out[(0, 1)] == 0.0
     assert out[(1, 0)] == 50.0 and out[(1, 1)] == 0.0
+
+
+def test_kmeans_iterate_inertia_monotone(spark):
+    """Lloyd's algorithm never increases inertia; 4 rounds on the real
+    sf0.001 embeddings must be non-increasing and strictly improve
+    from the seeded start."""
+    from open_instrument_spark.operators.similarity import kmeans_iterate
+    from open_instrument_spark.session import prepare
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    prepare(spark)
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C, inertia = kmeans_iterate(emb, [3, 11, 19, 27], n_iter=4)
+    assert C.shape == (4, 64)
+    assert all(a >= b - 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+    assert inertia[-1] < inertia[0]
+
+
+def test_kmeans_iterate_first_round_matches_lloyd_step(spark):
+    """Round 1 of the loop must agree with the oracled single-step
+    operator: the updated centroids equal kmeans_lloyd_step's mus."""
+    from open_instrument_spark.operators.similarity import (
+        kmeans_iterate,
+        kmeans_lloyd_step,
+    )
+    from open_instrument_spark.session import prepare
+    from open_instrument_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    prepare(spark)
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C, _ = kmeans_iterate(emb, [3, 11], n_iter=1)
+    step = {(r["cell"], r["i"]): r["mu"]
+            for r in kmeans_lloyd_step(emb, [3, 11]).collect()}
+    for cell in (0, 1):
+        for i in (0, 17, 63):
+            assert abs(C[cell][i] - step[(cell, i)]) < 1e-6
