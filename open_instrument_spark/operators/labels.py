@@ -18,6 +18,13 @@ PromQL contract notes (both verified against the spec):
   canonical serialization, variable.cc:52-53).
 - label_join: dst = the src values joined by ``sep`` (absent labels
   join as ""), always applied; an empty result string removes dst.
+
+Regex dialect divergence (D18, DIVERGENCES.md): patterns/replacements
+run on Java regex, not PromQL's RE2 — Java accepts a superset of
+patterns (backreferences, lookaround), and in the replacement bare
+``$name`` is a Java named-group reference (undefined references THROW
+rather than expanding to "" as Go does). Use ``$1`` / ``${name}``
+references to defined groups for cross-dialect-portable calls.
 """
 
 from __future__ import annotations

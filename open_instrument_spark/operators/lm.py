@@ -244,11 +244,17 @@ def _dsir_bucket_counts(docs: DataFrame, text_col: str, id_col: str,
     if n_buckets > 256:
         raise ValueError("dsir supports at most 256 buckets")
     toks = words(F.col(text_col))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
-                           F.element_at(toks, i + 1)),
-    )
+    # Spark's sequence(1, 0) yields descending [1, 0] (DuckDB's
+    # generate_series(1, 0) is empty), so a <2-word doc would evaluate
+    # element_at(toks, 0) and throw — guard like _doc_bigrams above.
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                               F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     feat = docs.select(
         F.col(id_col).alias("doc_id"),
         "is_target",

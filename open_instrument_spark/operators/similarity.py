@@ -953,10 +953,14 @@ def kmeans_lloyd_step(embeddings: DataFrame, seed_ids: list[int],
     side, assignment is a broadcast nested-loop over k (linear in N,
     never vector×vector), and the update is a posexplode →
     (cell, dim) aggregation whose map-side partials reduce each
-    partition to k·d rows before the only shuffle. Iterating = calling
-    this again with the emitted means as the next seeds (the bounded
-    driver loop every distributed k-means uses, e.g. MLlib's); at
+    partition to k·d rows before the only shuffle. This function takes
+    its centroids as CORPUS ROW IDS, so its emitted means (which are
+    not corpus rows) cannot be fed back through this API — to iterate,
+    use :func:`kmeans_iterate`, the bounded driver loop that threads
+    the emitted means into each next round as literal centroids; at
     corpus scale each iteration stays one pass + one k·d-row exchange.
+    Raises ``ValueError`` if any seed id is absent from the corpus
+    (silently shrinking k would change every assignment downstream).
 
     Float parity: distances fold (x−y)² left-to-right over identical
     double bits on both engines (the ``dot`` / list_sum precedent), so
@@ -969,6 +973,13 @@ def kmeans_lloyd_step(embeddings: DataFrame, seed_ids: list[int],
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
+    # validation scan is column-pruned to the id column with the isin
+    # pushed to parquet — negligible next to the assignment pass
+    n_seeds = base.filter(F.col("vec_id").isin(seed_ids)).count()
+    if n_seeds != len(set(seed_ids)):
+        raise ValueError(
+            f"seed_ids name {len(set(seed_ids))} corpus rows but only "
+            f"{n_seeds} exist — a missing seed would silently shrink k")
     w_seed = Window.partitionBy().orderBy("vec_id")
     cents = (
         base.filter(F.col("vec_id").isin(seed_ids))

@@ -111,16 +111,26 @@ def rebalance_ann_index(spark, path: str, skew_threshold: float = 4.0,
     same discipline as compact_dates: the old index moves aside first,
     the sibling moves in, THEN the old bytes go, so a crash at any
     point leaves a complete index at either the live or the ``.old``
-    path. Local-FS moves; on a cluster the same three steps are object
-    store renames. Returns the rebalance_ivf_index dict plus
-    ``swapped``."""
+    path. That invariant is self-healing: the tick starts by promoting
+    a leftover ``.old`` back to a missing live path (the only state a
+    mid-swap crash can leave), so the next tick always finds a
+    readable index. Local-FS moves; on a cluster the same three steps
+    are object store renames. Returns the rebalance_ivf_index dict
+    plus ``swapped`` (and ``recovered`` when crash repair ran)."""
     from open_instrument_spark.operators.similarity import rebalance_ivf_index
 
+    old = path.rstrip("/") + ".old"
+    recovered = False
+    if not os.path.exists(path) and os.path.exists(old):
+        # crash between the two moves of a previous swap: the complete
+        # pre-swap index sits at .old and nothing at live — promote it
+        shutil.move(old, path)
+        recovered = True
     res = rebalance_ivf_index(spark, path, skew_threshold=skew_threshold,
                               train_n=train_n, seed=seed)
+    res["recovered"] = recovered
     res["swapped"] = False
     if res["rebalanced"]:
-        old = path.rstrip("/") + ".old"
         shutil.rmtree(old, ignore_errors=True)
         shutil.move(path, old)
         shutil.move(res["out_path"], path)

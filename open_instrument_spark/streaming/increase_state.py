@@ -48,14 +48,18 @@ def _emit_factory(interval_ms: int):
         else:
             win, last, has_last, n, s = -1, 0.0, False, 0, 0.0
         touched: dict[int, tuple[int, float]] = {}
+        fresh = 0  # rows landed in `win` THIS batch (0 for the
+        # state-carried window, so a batch that immediately opens a new
+        # window does not re-emit the previous window's final row)
         for ts, dval in zip(rows["ts"], rows["dval"]):
             x = float(dval)
             w = (ts.value // 1000) // win_us * win_us  # ns -> µs -> window
             if w != win:
-                if win >= 0:
+                if win >= 0 and fresh:
                     touched[win] = (n, s)
-                win, has_last, n, s = w, False, 0, 0.0
+                win, has_last, n, s, fresh = w, False, 0, 0.0, 0
             n += 1
+            fresh += 1
             if has_last:
                 s += (x - last) if x >= last else x
             last, has_last = x, True

@@ -2206,3 +2206,10 @@ def test_streaming_increase_matches_batch(spark, tmp_path):
     assert ("a", dt.datetime(2024, 1, 1, 0, 1), 2, 6.0) in got
     # b: NaN dropped => window 0 is a single sample, increase 0
     assert ("b", dt.datetime(2024, 1, 1), 1, 0.0) in got
+    # append contract: a window that received no surviving rows in a
+    # batch is NOT re-emitted when the batch opens a new window —
+    # b's window 0 row comes from run 1 only (b2's sole surviving b-row
+    # opens window 1; the NaN never lands in window 0)
+    b_w0 = [r for r in rows if r["series_key"] == "b"
+            and r["ts"] == dt.datetime(2024, 1, 1)]
+    assert len(b_w0) == 1 and b_w0[0]["run"] == 1

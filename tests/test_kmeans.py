@@ -108,3 +108,13 @@ def test_kmeans_iterate_first_round_matches_lloyd_step(spark):
     for cell in (0, 1):
         for i in (0, 17, 63):
             assert abs(C[cell][i] - step[(cell, i)]) < 1e-6
+
+
+def test_lloyd_step_missing_seed_raises(vecs):
+    """Absent seed ids must raise instead of silently shrinking k —
+    a shrunken centroid set changes every downstream assignment
+    (advisor r10)."""
+    from open_instrument_spark.operators.similarity import kmeans_lloyd_step
+
+    with pytest.raises(ValueError, match="silently shrink"):
+        kmeans_lloyd_step(vecs, [1, 3, 999_999])

@@ -1179,6 +1179,38 @@ def test_maintenance_tick_owns_ann_rebalance(spark, tmp_path):
     assert s2["ann"][path]["skew_before"] == res["skew_after"]
 
 
+def test_ann_rebalance_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash-atomicity of the index swap (advisor r10): a failure
+    between the two moves leaves the complete pre-swap index at
+    ``.old`` and NOTHING at the live path. The next tick must promote
+    the leftover back before measuring skew, so the documented
+    'complete index at either path' invariant is self-healing rather
+    than merely true-at-crash-time."""
+    import shutil as sh
+
+    from open_instrument_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cell_stats,
+        seeded_centroids,
+    )
+    from open_instrument_spark.plans.maintenance import rebalance_ann_index
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids=seeded_centroids(dim=64, n_cells=16))
+    skew0 = ivf_cell_stats(spark, path)["skew"]
+
+    # simulate the mid-swap crash: live moved aside, sibling never
+    # promoted (the sibling rebuild dir is gone with the crashed job)
+    sh.move(path, path + ".old")
+    assert not os.path.exists(path)
+
+    res = rebalance_ann_index(spark, path)
+    assert res["recovered"]
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
+    assert ivf_cell_stats(spark, path)["skew"] == skew0
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (similarity.semantic_dedup)
 # ---------------------------------------------------------------------------
@@ -1371,3 +1403,27 @@ def test_dsir_top_n_bound_and_no_target_rows(spark):
     tgt_ids = {r["doc_id"] for r in docs.filter(
         F.col("source").isin("src16", "src17")).collect()}
     assert not ({r["doc_id"] for r in got} & tgt_ids)
+
+
+def test_dsir_short_docs_no_crash(spark):
+    """Docs with <2 words must not crash the bigram featurizer: Spark's
+    sequence(1, 0) is the descending [1, 0] (not empty like DuckDB's
+    generate_series), so an unguarded bigram transform evaluates
+    element_at(toks, 0) and throws. One-word and empty docs contribute
+    unigram features only (empty docs: none at all)."""
+    from open_instrument_spark.operators.lm import dsir_resample
+
+    rows = (
+        [(i, "alpha beta gamma", "target") for i in range(5)]
+        + [(100, "alpha", "raw"), (101, "", "raw"),
+           (102, "zork", "raw"), (103, "alpha beta", "raw")]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = dsir_resample(docs, F.col("source") == "target", n=10).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # empty doc has zero features so it never enters the scored frame;
+    # the other three raw docs all survive
+    assert set(by_id) == {100, 102, 103}
+    # the target-vocab unigram doc outscores the off-vocab one
+    assert by_id[100]["logw"] > by_id[102]["logw"]

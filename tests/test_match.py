@@ -92,6 +92,32 @@ def test_label_replace_promql_contract(spark):
     assert out3.first()["labels"] == {"host": "web-1"}
 
 
+def test_label_replace_dialect_divergence(spark):
+    """D18 pins: the Java-regex dialect. ${name}-braced named groups
+    work like Go's; a ${name} reference to an UNDEFINED group throws
+    (Go would expand ''), and Java-only pattern features (lookahead)
+    are accepted rather than rejected like RE2."""
+    import datetime as dt
+
+    import pytest as _pt
+    from pyspark.errors import PySparkException
+
+    from open_instrument_spark.operators.labels import label_replace
+
+    t = dt.datetime(2024, 1, 1)
+    pts = _lbl_pts(spark, [("/m", {"host": "web-7"}, t, 1.0)])
+    # ${name} braced reference to a DEFINED named group: both dialects
+    out = label_replace(pts, "rack", "r${n}", "host", r"web-(?<n>\d+)")
+    assert out.first()["labels"] == {"host": "web-7", "rack": "r7"}
+    # undefined group reference: Java throws, Go would expand ""
+    with _pt.raises(PySparkException):
+        label_replace(pts, "rack", "r${nope}", "host",
+                      r"web-(?<n>\d+)").collect()
+    # Java-only lookahead accepted (RE2/PromQL would reject the call)
+    out2 = label_replace(pts, "kind", "frontend", "host", r"(?=web).*")
+    assert out2.first()["labels"] == {"host": "web-7", "kind": "frontend"}
+
+
 def test_label_join_promql_contract(spark):
     """Join with absent srcs as '', always applied, empty result
     removes dst, two-empty-plus-sep stays (strings.Join semantics)."""
