@@ -197,6 +197,127 @@ def collector_apache_scoreboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# varnishstat -1
+# ---------------------------------------------------------------------------
+
+@query(
+    "collector_varnish_status",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(user_id AS BIGINT) % 3 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT '/varnish/status/client_conn{{hostname=cache' || h || '}}'
+       AS series_key, {_TS} AS ts, CAST(n AS DOUBLE) AS dval FROM a
+UNION ALL
+SELECT '/varnish/status/cache_hit{{hostname=cache' || h || '}}',
+       {_TS}, CAST(n % 1000 AS DOUBLE) FROM a
+UNION ALL
+SELECT '/varnish/status/main_uptime{{hostname=cache' || h || '}}',
+       {_TS}, CAST(n % 86400 AS DOUBLE) FROM a
+UNION ALL
+SELECT '/varnish/status/director/default/happy{{backend=10.0.0.' || h ||
+       ',backend_port=8080,hostname=cache' || h || '}}',
+       {_TS}, CAST(n % 64 AS DOUBLE) FROM a
+""",
+)
+def collector_varnish_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 varnish collector (the last named reference collector text
+    format): per-host ``varnishstat -1`` payloads — plain counters, a
+    dotted MAIN.uptime key (dots → underscores), an UPPERCASE VBE
+    backend line (lowercasing + director/metric split + backend labels),
+    a non-float value, a short line, and a malformed VBE address (the
+    reference's crash case, skipped per D15) — through
+    parse_varnish_status (varnish_status.py:38-64)."""
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    d = ev.groupBy((F.col("user_id") % 3).alias("h")).agg(
+        F.count("*").alias("n")
+    )
+
+    def cat(*parts):
+        return F.concat(*[
+            p if isinstance(p, Column) else F.lit(p) for p in parts
+        ])
+
+    hs = F.col("h").cast("string")
+    payload = F.concat_ws(
+        "\n",
+        cat("client_conn ", F.col("n").cast("string"),
+            " 1.23 Client connections accepted"),
+        cat("cache_hit ", (F.col("n") % 1000).cast("string"),
+            " 0.00 Cache hits"),
+        cat("MAIN.uptime ", (F.col("n") % 86400).cast("string"),
+            " 0.00 Child process uptime"),
+        cat("VBE.default(10.0.0.", hs, ",,8080).happy ",
+            (F.col("n") % 64).cast("string"), " 0.00 Happy health probes"),
+        F.lit("esi_errors notanumber 0.00 ESI parse errors"),   # skipped
+        F.lit("MEMPOOL.busyobj 5"),                             # <4 fields
+        F.lit("vbe.bad(onepart).fail 5 0.00 desc"),             # D15 skip
+    )
+    pts = C.parse_varnish_status(_scrape(d, "cache", payload))
+    return _out(pts)
+
+
+# ---------------------------------------------------------------------------
+# http_fetch probe results
+# ---------------------------------------------------------------------------
+
+@query(
+    "collector_http_fetch",
+    oracle=f"""
+WITH a AS (
+  SELECT CAST(user_id AS BIGINT) % 2 AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+f AS (
+  SELECT h, 'http://svc' || h || '.example/a' AS url,
+         CAST(n % 5000 AS DOUBLE) / 1000.0 AS time_s,
+         200 AS status FROM a
+  UNION ALL
+  SELECT h, 'http://svc' || h || '.example/b',
+         CAST(n % 900 AS DOUBLE) / 1000.0, 400 + n % 100 FROM a
+)
+SELECT '/http_fetch/time{{datatype=gauge,hostname=probe' || h ||
+       ',units=seconds,url="' || url || '"}}' AS series_key,
+       {_TS} AS ts, time_s AS dval FROM f
+UNION ALL
+SELECT '/http_fetch/status{{datatype=gauge,hostname=probe' || h ||
+       ',units=seconds,url="' || url || '"}}',
+       {_TS}, CAST(status AS DOUBLE) FROM f
+""",
+)
+def collector_http_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 http_fetch probe (client/python/http_fetch_status.py): two
+    deterministic fetch results per host — elapsed seconds and status
+    code both emitted as gauges carrying the url label (and the
+    reference's copy-pasted units=seconds on the status variable) —
+    through parse_http_fetch."""
+    prepare(spark)
+    ev = load_tables(spark, sf_dir).table("events")
+    a = ev.groupBy((F.col("user_id") % 2).alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    hs = F.col("h").cast("string")
+    fa = a.select(
+        F.concat(F.lit("probe"), hs).alias("hostname"),
+        F.lit(NOW).cast("timestamp").alias("ts"),
+        F.concat(F.lit("http://svc"), hs, F.lit(".example/a")).alias("url"),
+        ((F.col("n") % 5000).cast("double") / 1000.0).alias("time_s"),
+        F.lit(200).alias("status"),
+    )
+    fb = a.select(
+        F.concat(F.lit("probe"), hs).alias("hostname"),
+        F.lit(NOW).cast("timestamp").alias("ts"),
+        F.concat(F.lit("http://svc"), hs, F.lit(".example/b")).alias("url"),
+        ((F.col("n") % 900).cast("double") / 1000.0).alias("time_s"),
+        (F.lit(400) + F.col("n") % 100).cast("int").alias("status"),
+    )
+    pts = C.parse_http_fetch(fa.unionByName(fb))
+    return _out(pts)
+
+
+# ---------------------------------------------------------------------------
 # /proc/stat
 # ---------------------------------------------------------------------------
 

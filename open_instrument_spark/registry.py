@@ -78,6 +78,12 @@ from open_instrument_spark.queries.tsdb import run_entry  # noqa: F401
 # the 14 single-driver-row r8/r9-new entries (their evidence is thinnest).
 # After this round every oracled query in the registry has a driver row
 # AND no query has fewer than one.
+# r11 rotation (judge r10 "Next round" #1): the two r10-new pytest-gated
+# queries (agg_count_values, embed_coarse_rerank) plus the r11-new S13
+# tail (collector_varnish_status, collector_http_fetch) take driver
+# rows, displacing four twice-green (r9+r10) keepers — each displaced
+# family keeps at least one in-window representative and every
+# displaced query stays under the pytest-hosted DuckDB gate.
 DRIVER_WINDOW = [
     "flagship_rate_sum",            # keeper: the smoke-check flagship
     "select_exact_name_label_range",  # keeper: select family canary
@@ -112,15 +118,11 @@ DRIVER_WINDOW = [
     "alert_slo_burn",
     "corpus_mixture_temperature",
     # -- single-driver-row entries (r9 was their first row) --
-    "collector_mysql_status",
     "collector_apache_scoreboard",
     "collector_proc_stat",
-    "collector_system_status",
     "agg_anchored_median_user0",
-    "ann_pq_seeded_topk",
     "corpus_source_stats",
     "corpus_source_filter",
-    "mutate_holt_forecast",
     "agg_distinct_series",
     "analytics_cohort_retention",
     "collector_snmp_hoststats",
@@ -147,15 +149,20 @@ DRIVER_WINDOW = [
     "mutate_offset_compare",
     "alert_rule_states",
     "alert_rule_transitions",
+    # -- r11 rotation additions --
+    "agg_count_values",
+    "embed_coarse_rerank",
+    "collector_varnish_status",
+    "collector_http_fetch",
 ]
 
 _PAST_WINDOW_ORACLED = [
-    # r10-new, awaiting their first driver rows at the r11 rotation (the
-    # window's displacement candidates are down to the three core
-    # canaries + ingest_validate_strict; same deferral the r9-new
-    # queries took). Oracle-gated by test_oracle_parity.py meanwhile.
-    "embed_coarse_rerank",
-    "agg_count_values",
+    # r11 demotions — each driver-green in r9 AND r10, each family keeps
+    # an in-window representative; replayed by test_oracle_parity.py.
+    "collector_mysql_status",
+    "collector_system_status",
+    "ann_pq_seeded_topk",
+    "mutate_holt_forecast",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",

@@ -59,6 +59,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "parse_mysql_status",
     "parse_apache_status",
+    "parse_varnish_status",
+    "parse_http_fetch",
     "parse_proc_stat",
     "parse_meminfo",
     "parse_df_blocks",
@@ -298,6 +300,107 @@ def parse_apache_status(scrapes: DataFrame) -> DataFrame:
     )
     slots = _num(counts, F.col("n"), _labels(), F.col("c"))
     return metrics.unionByName(slots)
+
+
+# ---------------------------------------------------------------------------
+# varnish_status.py — `varnishstat -1` dump
+# ---------------------------------------------------------------------------
+
+_VBE_RE = r"^vbe\.([^(]+)\(([^)]+)\).(.+)$"
+
+
+def parse_varnish_status(scrapes: DataFrame) -> DataFrame:
+    """``varnishstat -1`` counter dump → ``/varnish/status/*`` points
+    (varnish_status.py:38-64).
+
+    Each line splits as ``key value rate description`` (``re.split``
+    maxsplit=3 — lines with fewer than four fields raise-and-skip in
+    the reference); the key is lowercased. VBE backend keys
+    ``vbe.<director>(<host>,<x>,<port>).<metric>`` become
+    ``/varnish/status/director/<director>/<metric>`` with ``backend``
+    / ``backend_port`` labels (varnish_status.py:44-51); every other
+    key maps dots → underscores under ``/varnish/status/``
+    (varnish_status.py:52-54, note the director branch keeps its dots).
+    Values that fail ``float()`` are skipped with the pass continuing
+    (varnish_status.py:55-60 — this script sets double_value directly,
+    no AddVar string fallback). Labels: hostname always.
+
+    D15 discipline: a VBE address part without exactly three comma
+    fields would crash the reference's 3-tuple unpack
+    (varnish_status.py:46) and is SKIPPED here instead. A line with
+    LEADING whitespace (impossible in real varnishstat -1 output —
+    names are left-justified) is also skipped, where the reference's
+    ``re.split`` would shift fields and emit an empty-keyed
+    ``/varnish/status/`` variable from the description words."""
+    kv = _lines(scrapes).select(
+        "hostname", "ts",
+        F.lower(F.regexp_extract(
+            "line", r"^(\S+)\s+(\S+)\s+(\S+)\s+(.+)$", 1)).alias("key"),
+        F.regexp_extract(
+            "line", r"^(\S+)\s+(\S+)\s+(\S+)\s+(.+)$", 2).alias("val"),
+    ).where(F.col("key") != "")
+    kv = kv.withColumn("dval", F.col("val").try_cast("double")).where(
+        F.col("dval").isNotNull()
+    )
+    director = F.regexp_extract("key", _VBE_RE, 1)
+    addr = F.split(F.regexp_extract("key", _VBE_RE, 2), ",")
+    metric = F.regexp_extract("key", _VBE_RE, 3)
+    vbe = kv.where(
+        (director != "") & (F.size(addr) == 3)
+    ).withColumn("backend", addr.getItem(0)).withColumn(
+        "backend_port", addr.getItem(2)
+    )
+    vbe_out = _num(
+        vbe,
+        F.concat(F.lit("/varnish/status/director/"), director,
+                 F.lit("/"), metric),
+        _labels(("backend", F.col("backend")),
+                ("backend_port", F.col("backend_port"))),
+        F.col("dval"),
+    )
+    plain = kv.where(director == "")
+    plain_out = _num(
+        plain,
+        F.concat(F.lit("/varnish/status/"),
+                 F.replace(F.col("key"), F.lit("."), F.lit("_"))),
+        _labels(),
+        F.col("dval"),
+    )
+    return vbe_out.unionByName(plain_out)
+
+
+# ---------------------------------------------------------------------------
+# http_fetch_status.py — URL timing probe
+# ---------------------------------------------------------------------------
+
+def parse_http_fetch(fetches: DataFrame) -> DataFrame:
+    """HTTP fetch probe results → ``/http_fetch/{time,status}`` points
+    (http_fetch_status.py:46-58).
+
+    The reference script IS the probe — it urlopens each URL and emits
+    the elapsed seconds and the status code; the network I/O is
+    transport (like every collector's subprocess/socket layer), the
+    emitted variable shapes are query surface. Input here is one row
+    per completed fetch ``(hostname, ts, url, time_s, status)`` where
+    ``ts`` is the fetch START (the reference stamps
+    ``int(start_time * 1000)``, http_fetch_status.py:55,57).
+
+    Both variables carry ``datatype=gauge, units=seconds, url=<url>``
+    — yes, ``units=seconds`` on the status code too, reproducing the
+    reference's copy-pasted label dict (http_fetch_status.py:56-58);
+    the status code goes through AddVar's float path so it lands as a
+    double sample."""
+    lbl = _labels(
+        ("datatype", "gauge"), ("units", "seconds"), ("url", F.col("url"))
+    )
+    time_out = _num(
+        fetches, F.lit("/http_fetch/time"), lbl, F.col("time_s")
+    )
+    status_out = _num(
+        fetches, F.lit("/http_fetch/status"), lbl,
+        F.col("status").cast("double"),
+    )
+    return time_out.unionByName(status_out)
 
 
 # ---------------------------------------------------------------------------

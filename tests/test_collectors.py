@@ -399,3 +399,73 @@ def test_collector_stream_to_windowed_agg_matches_batch(spark, tmp_path):
     assert got and got <= want
     open_windows = want - got
     assert len(open_windows) <= 2 * len({n for n, _, _ in want})
+
+
+VARNISH = """client_conn         1234         1.23 Client connections accepted
+client_req           987         0.50 Client requests received
+cache_hit            800         0.40 Cache hits
+MAIN.uptime        86400         1.00 Child process uptime
+SMA.s0.g_bytes   1048576          .   Bytes outstanding
+VBE.default(10.0.0.5,,8080).happy 18446744073709551615 0.00 Happy health probes
+VBE.default(10.0.0.5,,8080).bereq_hdrbytes 5120 2.00 Request header bytes
+esi_errors   notanumber          0.00 ESI parse errors
+MEMPOOL.busyobj 5
+vbe.bad(onepart).fail 5 0.00 malformed address
+"""
+
+
+def test_varnish_status(spark):
+    """varnishstat -1 verbatim payload: plain counters, dotted keys
+    (→ underscores, lowercased), VBE director lines (keep dots in the
+    director name, backend/backend_port labels), float('1844...') ok,
+    non-float skipped, short line skipped, malformed VBE address
+    skipped (D15; the reference's 3-tuple unpack would crash)."""
+    got = rows(C.parse_varnish_status(scrape(spark, VARNISH)))
+    h = {"hostname": "h1"}
+    vbe = {"hostname": "h1", "backend": "10.0.0.5", "backend_port": "8080"}
+    exp = sorted(
+        [
+            ("/varnish/status/client_conn", h, 1234.0, None),
+            ("/varnish/status/client_req", h, 987.0, None),
+            ("/varnish/status/cache_hit", h, 800.0, None),
+            ("/varnish/status/main_uptime", h, 86400.0, None),
+            ("/varnish/status/sma_s0_g_bytes", h, 1048576.0, None),
+            ("/varnish/status/director/default/happy", vbe,
+             float(18446744073709551615), None),
+            ("/varnish/status/director/default/bereq_hdrbytes", vbe,
+             5120.0, None),
+        ],
+        key=lambda t: (t[0], sorted(t[1].items())),
+    )
+    assert got == exp
+
+
+def test_http_fetch(spark):
+    """http_fetch probe results: time + status per fetch, both gauges,
+    the reference's copy-pasted units=seconds on the status variable,
+    url label, fetch-START timestamp."""
+    fetches = spark.createDataFrame(
+        [
+            ("h1", TS, "http://example.com/x", 0.125, 200),
+            ("h1", TS, "http://example.com/404", 2.5, 404),
+        ],
+        "hostname string, ts timestamp, url string, time_s double, "
+        "status int",
+    )
+    got = rows(C.parse_http_fetch(fetches))
+
+    def lbl(url):
+        return {"hostname": "h1", "datatype": "gauge",
+                "units": "seconds", "url": url}
+
+    exp = sorted(
+        [
+            ("/http_fetch/time", lbl("http://example.com/x"), 0.125, None),
+            ("/http_fetch/status", lbl("http://example.com/x"), 200.0, None),
+            ("/http_fetch/time", lbl("http://example.com/404"), 2.5, None),
+            ("/http_fetch/status", lbl("http://example.com/404"), 404.0, None),
+        ],
+        key=lambda t: (t[0], sorted(t[1].items())),
+    )
+    assert got == exp
+    assert all(r["ts"] == TS for r in C.parse_http_fetch(fetches).collect())
