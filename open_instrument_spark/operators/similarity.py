@@ -980,11 +980,50 @@ def kmeans_lloyd_step(embeddings: DataFrame, seed_ids: list[int],
         raise ValueError(
             f"seed_ids name {len(set(seed_ids))} corpus rows but only "
             f"{n_seeds} exist — a missing seed would silently shrink k")
+    cents = corpus_seed_centroids(embeddings, seed_ids, id_col=id_col,
+                                  vec_col=vec_col)
+    return kmeans_lloyd_step_from(base.withColumnRenamed("vec_id", id_col),
+                                  cents, id_col=id_col, vec_col="v")
+
+
+def corpus_seed_centroids(embeddings: DataFrame, seed_ids: list[int],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """The corpus rows named by ``seed_ids`` as a ``(cell, c)``
+    centroid frame, cell = rank of the seed's id (the
+    kmeans_lloyd_step seeding rule, kept in one place so the chained
+    and single-step forms can't drift)."""
     w_seed = Window.partitionBy().orderBy("vec_id")
-    cents = (
-        base.filter(F.col("vec_id").isin(seed_ids))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          as_double(F.col(vec_col)).alias("v"))
+        .filter(F.col("vec_id").isin(seed_ids))
         .select((F.row_number().over(w_seed) - 1).alias("cell"),
                 F.col("v").alias("c"))
+    )
+
+
+def kmeans_lloyd_step_from(embeddings: DataFrame, centroids: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           emit_inertia: bool = False) -> DataFrame:
+    """One Lloyd iteration against an EXPLICIT centroid frame
+    ``(cell int, c array<double>)`` — the chaining form of
+    :func:`kmeans_lloyd_step`: feed it the previous step's emitted
+    means (rebuilt into arrays with collect_list over (i, mu)) and the
+    whole multi-round recurrence stays inside one Spark plan, which is
+    what lets a 2-round k-means replay under the DuckDB hash gate
+    (round-1 means are a k·d-row aggregate CTE, never a driver
+    artifact). Same cost shape per round: one corpus pass, broadcast
+    k-way expansion collapsed by map-side partial aggregation, one
+    k·d-row exchange.
+
+    ``emit_inertia=True`` appends ``cell_inertia`` — the cluster's
+    Σ min-d² under THIS assignment (pre-update, the kmeans_iterate
+    trace convention), rounded 6 (re-associated sum), constant across
+    the cluster's d rows."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
     d2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
@@ -997,19 +1036,37 @@ def kmeans_lloyd_step(embeddings: DataFrame, seed_ids: list[int],
     # before the one narrow exchange (a rank window would instead
     # sort-shuffle all k·N rows).
     assigned = (
-        base.crossJoin(F.broadcast(cents))
+        base.crossJoin(F.broadcast(centroids))
         .withColumn("_d2", d2)
         .groupBy("vec_id", "v")
         .agg(F.min(F.struct(F.col("_d2").alias("d2"),
                             F.col("cell").alias("cell"))).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"), "v")
+        .select("vec_id", F.col("m.cell").alias("cell"),
+                F.col("m.d2").alias("_d2"), "v")
     )
-    return (
-        assigned.select("cell", F.posexplode("v").alias("i", "x"))
+    per_dim = (
+        assigned.select("cell", "_d2", F.posexplode("v").alias("i", "x"))
         .groupBy("cell", "i")
         .agg(F.count(F.lit(1)).alias("n_members"),
-             F.round(F.avg("x"), 6).alias("mu"))
-        .select("cell", "i", "n_members", "mu")
+             F.round(F.avg("x"), 6).alias("mu"),
+             F.round(F.sum("_d2"), 6).alias("cell_inertia"))
+    )
+    cols = ["cell", "i", "n_members", "mu"]
+    if emit_inertia:
+        cols.append("cell_inertia")
+    return per_dim.select(*cols)
+
+
+def lloyd_means_as_centroids(step: DataFrame) -> DataFrame:
+    """Rebuild a (cell, i, .., mu) Lloyd-step output into the
+    ``(cell, c array<double>)`` centroid frame the next
+    :func:`kmeans_lloyd_step_from` round consumes — collect_list over
+    (i, mu) structs sorted by dimension, still fully in-plan."""
+    return step.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda s: s["mu"],
+        ).alias("c")
     )
 
 

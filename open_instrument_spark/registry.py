@@ -121,7 +121,6 @@ DRIVER_WINDOW = [
     "collector_apache_scoreboard",
     "collector_proc_stat",
     "agg_anchored_median_user0",
-    "corpus_source_stats",
     "corpus_source_filter",
     "agg_distinct_series",
     "analytics_cohort_retention",
@@ -154,6 +153,7 @@ DRIVER_WINDOW = [
     "embed_coarse_rerank",
     "collector_varnish_status",
     "collector_http_fetch",
+    "embed_kmeans_iterate2",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -163,6 +163,7 @@ _PAST_WINDOW_ORACLED = [
     "collector_system_status",
     "ann_pq_seeded_topk",
     "mutate_holt_forecast",
+    "corpus_source_stats",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",

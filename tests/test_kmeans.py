@@ -118,3 +118,22 @@ def test_lloyd_step_missing_seed_raises(vecs):
 
     with pytest.raises(ValueError, match="silently shrink"):
         kmeans_lloyd_step(vecs, [1, 3, 999_999])
+
+
+def test_kmeans_iterate2_query_inertia_monotone(spark):
+    """The chained 2-round gate query: round-2 total inertia must not
+    exceed round-1's (Lloyd monotonicity), and both rounds emit full
+    k x d grids on the smoke corpus."""
+    from open_instrument_spark.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["embed_kmeans_iterate2"](spark, SF_SMOKE).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["lloyd_round"], {}).setdefault(
+            r["cell"], r["cell_inertia"])
+    assert set(by_round) == {1, 2}
+    i1 = sum(by_round[1].values())
+    i2 = sum(by_round[2].values())
+    assert i2 <= i1 + 1e-6
+    assert len([r for r in rows if r["lloyd_round"] == 1]) == 8 * 64
