@@ -6,11 +6,13 @@ Prints ONE JSON line:
 
 Each query is materialized with a noop write (full execution, no driver
 collect) — the same shape a cluster run would have. Times are wall-clock
-per query after a warm-up pass: every headline query once at the smoke
-tier (sf0.001 — codegen caches key on plan shape, so this removes
-first-run whole-stage-compile cost from the measured window at ~1% of a
-measured pass; r8 change, motivated by 3× cold-start min-max spreads on
-the composed pipelines in the r7 artifact).
+per query after TWO warm-up passes: every headline query once at the
+smoke tier (sf0.001 — whole-stage compile keys on plan shape; r8
+change, motivated by 3× cold-start min-max spreads on the composed
+pipelines in the r7 artifact) and once at the MEASURED tier (r11 change
+— the r10 idle artifact still carried 7 first-run spreads >1.5× from
+cold costs that key on the tier itself: file listing, real-size
+broadcast builds, AQE decisions from real stats).
 
 Methodology (r3): each query runs N times (default 3, env
 SPARK_GRAFT_BENCH_N); repetitions are interleaved round-robin across the
@@ -193,6 +195,12 @@ HEADLINE = [
     "embed_coarse_rerank",
     # PromQL count_values (floor-bucketed value histogram)
     "agg_count_values",
+    # r11 additions, first benched r11 (baseline for later rounds): the
+    # S13 tail parsers (varnishstat -1, http_fetch probe results) and
+    # the chained 2-round Lloyd gate (both rounds in one plan).
+    "collector_varnish_status",
+    "collector_http_fetch",
+    "embed_kmeans_iterate2",
 ]
 
 
@@ -327,8 +335,20 @@ def main() -> None:
                 raise RuntimeError(
                     f"every warm-up failed (WARM_DIR={smoke_dir}); first: {first_warm_err}"
                 )
-        materialize(registry.QUERIES["flagship_rate_sum"](spark, sf_dir))
-        materialize(registry.QUERIES["dedup_exact"](spark, sf_dir))
+        # Measured-tier warm pass, EVERY query (r11, judge r10 #2): the
+        # smoke-tier pass compiles the plan shape, but the r10 idle
+        # artifact still had 7 first-run spreads >1.5× (worst
+        # select_label_replace 4.16×) — the remaining cold cost keys on
+        # the measured tier itself (file listing, real-size broadcast
+        # builds, AQE decisions taken from real stats, shuffle-file
+        # reuse). One uncounted full pass retires all of it; it replaces
+        # the two-query file-listing warm that covered only
+        # flagship/dedup_exact.
+        for name in HEADLINE:
+            try:
+                materialize(registry.QUERIES[name](spark, sf_dir))
+            except Exception:
+                pass  # the measured run will surface it with the name
 
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_runs):
