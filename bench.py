@@ -201,6 +201,9 @@ HEADLINE = [
     "collector_varnish_status",
     "collector_http_fetch",
     "embed_kmeans_iterate2",
+    # the composed retrieval serving funnel (probe → partial-ADC
+    # prefilter → full ADC → exact re-rank, one plan)
+    "ann_ivfpq_coarse_rerank",
 ]
 
 

@@ -122,7 +122,6 @@ DRIVER_WINDOW = [
     "collector_proc_stat",
     "agg_anchored_median_user0",
     "corpus_source_filter",
-    "agg_distinct_series",
     "analytics_cohort_retention",
     "collector_snmp_hoststats",
     "ann_ivfpq_seeded_topk",
@@ -154,6 +153,7 @@ DRIVER_WINDOW = [
     "collector_varnish_status",
     "collector_http_fetch",
     "embed_kmeans_iterate2",
+    "ann_ivfpq_coarse_rerank",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -164,6 +164,7 @@ _PAST_WINDOW_ORACLED = [
     "ann_pq_seeded_topk",
     "mutate_holt_forecast",
     "corpus_source_stats",
+    "agg_distinct_series",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",
