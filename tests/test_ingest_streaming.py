@@ -2213,3 +2213,87 @@ def test_streaming_increase_matches_batch(spark, tmp_path):
     b_w0 = [r for r in rows if r["series_key"] == "b"
             and r["ts"] == dt.datetime(2024, 1, 1)]
     assert len(b_w0) == 1 and b_w0[0]["run"] == 1
+
+
+def test_streaming_slo_burn_matches_batch(spark, tmp_path):
+    """Streaming SLO burn rate (fifteenth state twin, first WINDOW-keyed
+    one): running per-(long, short) window burns carried across
+    micro-batches; the last emitted row per short window on the closed
+    stream equals plans.alerts.slo_burn_rate on the union — including
+    re-emission of EARLIER short windows whose burn_long (and page
+    flag) a later batch changed."""
+    import datetime as dt
+
+    from open_instrument_spark.plans.alerts import slo_burn_rate
+    from open_instrument_spark.streaming.slo_burn_state import slo_burn_stream
+
+    BASE = dt.datetime(2024, 1, 1)
+    schema = "name string, ts timestamp, dval double"
+    SHORT, LONG = 3_600_000, 86_400_000  # 1h / 1d
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(n, BASE + dt.timedelta(hours=h, minutes=m), float(v))
+             for n, h, m, v in rows],
+            schema,
+        )
+
+    # b1: hour 0 is 10% bad (burn 2.0); hour 1 starts clean
+    b1 = [("/events/ok", 0, 0, 90.0), ("/events/error", 0, 5, 10.0),
+          ("/events/ok", 1, 0, 100.0)]
+    # b2: hour 1 turns 50% bad mid-window; day 2 hour 0 clean traffic
+    b2 = [("/events/error", 1, 30, 100.0), ("/events/ok", 24, 0, 500.0)]
+    # b3: a flood of clean day-1 traffic ARRIVES LATE — day 1's
+    # burn_long collapses, so hours 0 and 1's page flags must flip off
+    # in the re-emission even though neither short window got rows
+    b3 = [("/events/ok", 23, 0, 10_000.0)]
+
+    src = str(tmp_path / "slo_src")
+    dest = str(tmp_path / "slo_out")
+    os.makedirs(src, exist_ok=True)
+    seq = [0]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def sink(batch, _epoch):
+            seq[0] += 1
+            batch.withColumn("run", F.lit(seq[0])).write.mode(
+                "append").parquet(dest)
+
+        q = (
+            slo_burn_stream(stream, F.col("name") == "/events/error",
+                            slo=0.95, short_ms=SHORT, long_ms=LONG)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "slo_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for b in (b1, b2, b3):
+        pts(b).write.mode("append").parquet(src)
+        run_once()
+
+    rows = spark.read.parquet(dest).collect()
+    last = {}
+    for r in rows:
+        if r["ts"] not in last or r["run"] > last[r["ts"]]["run"]:
+            last[r["ts"]] = r
+    got = {
+        (ts, r["traffic"], r["burn_short"], r["burn_long"], r["page"])
+        for ts, r in last.items()
+    }
+    want = {
+        (r["ts"], r["traffic"], r["burn_short"], r["burn_long"], r["page"])
+        for r in slo_burn_rate(
+            pts(b1 + b2 + b3), F.col("name") == "/events/error",
+            slo=0.95, short_ms=SHORT, long_ms=LONG).collect()
+    }
+    assert got == want and len(got) == 4
+    # the re-emission was non-vacuous: hour 1 PAGED at run 2 (50% bad,
+    # day-1 burn still hot) and was resolved by run 3's late clean flood
+    h1 = BASE + dt.timedelta(hours=1)
+    h1_rows = sorted((r["run"], r["page"]) for r in rows if r["ts"] == h1)
+    assert (2, True) in h1_rows and h1_rows[-1] == (3, False)
