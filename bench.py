@@ -204,6 +204,8 @@ HEADLINE = [
     # the composed retrieval serving funnel (probe → partial-ADC
     # prefilter → full ADC → exact re-rank, one plan)
     "ann_ivfpq_coarse_rerank",
+    # oracle-verified IR evaluation (recall/MRR/nDCG of the funnel)
+    "retrieval_eval_funnel",
 ]
 
 

@@ -177,3 +177,72 @@ def rrf_fuse(rankings: list[DataFrame], k_rrf: int = 60, topk: int = 10,
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "in_lists", "rank", "rrf"
     )
+
+
+def retrieval_eval(results: DataFrame, truth: DataFrame,
+                   k: int = 10) -> DataFrame:
+    """IR quality metrics per query — the evaluation leg every
+    retrieval deployment runs next to its serving path (TREC
+    conventions; public): recall@k, MRR@k, nDCG@k.
+
+    ``results``: (q_id, doc_id, rank) ranked lists from any retriever
+    in this module / the ANN family. ``truth``: (q_id, doc_id, rel)
+    graded relevance, rel > 0 relevant.
+
+      recall@k = |retrieved@k ∩ relevant| / |relevant|
+      MRR@k    = 1 / rank of the first relevant hit (0 if none)
+      DCG@k    = Σ_hits (2^rel − 1) / log2(rank + 1), nDCG = DCG/IDCG,
+                 IDCG from the truth's best-possible ordering (rel
+                 desc, top k)
+
+    Spark shape: both sides are post-retrieval small-per-query lists —
+    one equi-join on (q_id, doc_id) + two groupBys; at corpus scale the
+    cost is |queries|·k rows regardless of corpus size. All float
+    outputs rounded 6 (re-associated sums); 2^rel is integer-exact,
+    log2 parity holds at the rounding (the F.pow/ln precedent).
+
+    Output: (q_id, n_rel, recall_k, mrr_k, ndcg_k), one row per TRUTH
+    query (a query with no results row scores 0 across the board)."""
+    res = results.filter(F.col("rank") <= k).select(
+        "q_id", "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+    rel = truth.filter(F.col("rel") > 0).select(
+        "q_id", "doc_id", F.col("rel").cast("double").alias("rel")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rank") + 1.0)
+    hits = (
+        res.join(rel, ["q_id", "doc_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.min("rank").alias("first_hit"),
+            F.sum(gain).alias("dcg"),
+        )
+    )
+    w_ideal = Window.partitionBy("q_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    ideal = (
+        rel.withColumn("rank", F.row_number().over(w_ideal))
+        .filter(F.col("rank") <= k)
+        .groupBy("q_id")
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    per_q = rel.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    return (
+        per_q.join(ideal, "q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6
+            ).alias("mrr_k"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+            ).alias("ndcg_k"),
+        )
+    )

@@ -3447,3 +3447,89 @@ def embed_coarse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).table("embeddings")
     return cosine_topk_coarse_rerank(emb, [0, 1, 2, 3, 4],
                                      coarse_dims=16, shortlist=50, k=10)
+
+
+@query(
+    "retrieval_eval_funnel",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2, 3, 4)),
+pairs AS (
+  SELECT q.q_id, b.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(b.v[1:16], q.qv[1:16]),
+                                 x -> x[1] * x[2])) AS cs,
+         list_sum(list_transform(list_zip(q.qv, b.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM e b JOIN q ON b.vec_id != q.q_id
+),
+short AS (
+  SELECT q_id, doc_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, doc_id)
+           AS coarse_rank
+  FROM pairs QUALIFY coarse_rank <= 50
+),
+res AS (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id)
+           AS rank
+  FROM short QUALIFY rank <= 10
+),
+tr AS (
+  SELECT q_id, doc_id, CAST(11 - erank AS DOUBLE) AS rel FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id)
+             AS erank
+    FROM pairs) WHERE erank <= 10
+),
+hits AS (
+  SELECT r.q_id, count(*) AS n_hit, min(r.rank) AS first_hit,
+         sum((power(2.0, t.rel) - 1) / log2(r.rank + 1.0)) AS dcg
+  FROM res r JOIN tr t ON t.q_id = r.q_id AND t.doc_id = r.doc_id
+  GROUP BY 1
+),
+ideal AS (
+  SELECT q_id, sum((power(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
+  FROM (SELECT q_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, doc_id) AS irank
+        FROM tr) WHERE irank <= 10
+  GROUP BY 1
+),
+per_q AS (SELECT q_id, count(*) AS n_rel FROM tr GROUP BY 1)
+SELECT p.q_id, p.n_rel,
+       round(COALESCE(h.n_hit, 0) / p.n_rel, 6) AS recall_k,
+       round(COALESCE(1.0 / h.first_hit, 0.0), 6) AS mrr_k,
+       round(COALESCE(h.dcg, 0.0) / i.idcg, 6) AS ndcg_k
+FROM per_q p JOIN ideal i USING (q_id) LEFT JOIN hits h USING (q_id)
+""",
+)
+def retrieval_eval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 retrieval EVALUATION (r11) — the measurement leg every
+    retrieval deployment runs next to serving: score the coarse-to-fine
+    funnel (embed_coarse_rerank's exact config) against graded truth =
+    brute-force cosine top-10 (rel = 11 − exact rank), producing
+    per-query recall@10 / MRR@10 / nDCG@10
+    (operators/retrieval.py::retrieval_eval, TREC conventions). BOTH
+    the retriever under test and the truth replay in SQL, so the
+    metric values themselves sit under the hash gate — an
+    oracle-verified evaluator, not just an oracle-verified retriever.
+    Post-retrieval cost is |queries|·k rows regardless of corpus
+    size."""
+    from open_instrument_spark.operators.retrieval import retrieval_eval
+    from open_instrument_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_coarse_rerank,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    qids = [0, 1, 2, 3, 4]
+    results = cosine_topk_coarse_rerank(
+        emb, qids, coarse_dims=16, shortlist=50, k=10
+    ).select("q_id", F.col("n_id").alias("doc_id"), "rank")
+    truth = cosine_topk(emb, qids, k=10).select(
+        "q_id", F.col("n_id").alias("doc_id"),
+        (11 - F.col("rank")).cast("double").alias("rel"),
+    )
+    return retrieval_eval(results, truth, k=10)

@@ -119,7 +119,6 @@ DRIVER_WINDOW = [
     "corpus_mixture_temperature",
     # -- single-driver-row entries (r9 was their first row) --
     "collector_apache_scoreboard",
-    "collector_proc_stat",
     "agg_anchored_median_user0",
     "corpus_source_filter",
     "analytics_cohort_retention",
@@ -154,6 +153,7 @@ DRIVER_WINDOW = [
     "collector_http_fetch",
     "embed_kmeans_iterate2",
     "ann_ivfpq_coarse_rerank",
+    "retrieval_eval_funnel",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -165,6 +165,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_holt_forecast",
     "corpus_source_stats",
     "agg_distinct_series",
+    "collector_proc_stat",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",

@@ -94,3 +94,59 @@ def test_rrf_fuse_tie_breaks_on_doc_id(spark):
     # symmetric scores → doc_id ascending
     assert [r["doc_id"] for r in rows] == [3, 5]
     assert rows[0]["rrf"] == rows[1]["rrf"]
+
+
+def test_retrieval_eval_hand_checked(spark):
+    """TREC metrics on a hand-built case: perfect retrieval scores
+    (1, 1, 1); a partial list with the first relevant hit at rank 2
+    scores recall 2/3, MRR 0.5, hand-computed nDCG; a query whose
+    results miss every relevant doc scores zeros (LEFT join keeps it);
+    a query absent from results scores zeros too."""
+    import math
+
+    from open_instrument_spark.operators.retrieval import retrieval_eval
+
+    results = spark.createDataFrame(
+        # q1: perfect (rel docs 10, 11, 12 in ideal order)
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+        # q2: irrelevant doc first, two of three rel docs retrieved,
+        # best one (rel 3) at rank 2, rel 1 at rank 3
+        + [(2, 99, 1), (2, 20, 2), (2, 22, 3)]
+        # q3: all misses
+        + [(3, 99, 1), (3, 98, 2)],
+        "q_id long, doc_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 11, 2.0), (1, 12, 1.0),
+         (2, 20, 3.0), (2, 21, 2.0), (2, 22, 1.0),
+         (3, 30, 1.0),
+         (4, 40, 1.0)],   # q4 has no results rows at all
+        "q_id long, doc_id long, rel double",
+    )
+    got = {r["q_id"]: r for r in retrieval_eval(results, truth, k=10).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["recall_k"], got[1]["mrr_k"], got[1]["ndcg_k"]) == (
+        1.0, 1.0, 1.0)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    dcg2 = (2**3 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    r2 = got[2]
+    assert r2["n_rel"] == 3 and r2["recall_k"] == round(2 / 3, 6)
+    assert r2["mrr_k"] == 0.5
+    assert r2["ndcg_k"] == round(dcg2 / idcg, 6)
+    for q in (3, 4):
+        assert (got[q]["recall_k"], got[q]["mrr_k"], got[q]["ndcg_k"]) == (
+            0.0, 0.0, 0.0), q
+
+
+def test_retrieval_eval_rank_cut(spark):
+    """Hits beyond k do not count: a relevant doc at rank k+1
+    contributes to none of the three metrics."""
+    from open_instrument_spark.operators.retrieval import retrieval_eval
+
+    results = spark.createDataFrame(
+        [(1, 99, 1), (1, 10, 2)], "q_id long, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10, 1.0)], "q_id long, doc_id long, rel double")
+    got = retrieval_eval(results, truth, k=1).first()
+    assert (got["recall_k"], got["mrr_k"], got["ndcg_k"]) == (0.0, 0.0, 0.0)
