@@ -672,6 +672,74 @@ def _load_index_sides(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
     return C, B
 
 
+def ivfpq_cell_stats(spark, path: str) -> dict:
+    """Occupancy health of an on-disk IVFPQ index — the
+    ``similarity.ivf_cell_stats`` twin reading the CODES table (cell is
+    its partition column, so the scan reads no code bytes). Returns
+    {"counts": {cell: n}, "skew": float, "n_cells": int}."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"IVFPQ index at {path} has an empty centroids table")
+    n_cells = max(r["cell"] for r in crows) + 1
+    counts = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    mean = total / n_cells if n_cells else 0.0
+    skew = (max(counts.values()) / mean) if (counts and mean > 0) else 0.0
+    return {"counts": counts, "skew": round(skew, 3), "n_cells": n_cells}
+
+
+def rebalance_ivfpq_index(spark, path: str, out_path: str | None = None,
+                          skew_threshold: float = 4.0, train_n: int = 2048,
+                          n_cells: int | None = None, seed: int = 43,
+                          force: bool = False) -> dict:
+    """``similarity.rebalance_ivf_index`` for the IVFPQ layout. The
+    payoff of raw-vector codes (``by_residual=False``) lands here: the
+    code BYTES are centroid-independent, so a rebalance only moves rows
+    between cell partitions — centroids re-train on a deterministic
+    sample of the current corpus, every row re-assigns, the codebooks
+    carry over verbatim, and the re-encode (kept for the one-pass
+    map-only shape — an Arrow matmul beats a corpus-wide join back to
+    the old codes at scale) reproduces identical bytes. A residual-coded
+    index would have to genuinely re-quantize everything.
+
+    Requires the raw-vector sidecar (``include_vectors=True`` at
+    build) — codes alone cannot be re-assigned. Sibling layout at
+    ``out_path`` (default ``{path}.rebalanced``), same
+    readers-never-mid-rewrite discipline as the IVF rebalance; the
+    maintenance tick owns the swap. Returns {"rebalanced",
+    "skew_before", "skew_after", "out_path"}."""
+    import os
+
+    stats = ivfpq_cell_stats(spark, path)
+    out_path = out_path or f"{path}.rebalanced"
+    if stats["skew"] < skew_threshold and not force:
+        return {"rebalanced": False, "skew_before": stats["skew"],
+                "skew_after": stats["skew"], "out_path": None}
+    if not os.path.isdir(f"{path}/vectors"):
+        raise ValueError(
+            f"rebalance of {path} needs the raw-vector sidecar "
+            "(build_ivfpq_index(include_vectors=True)) — codes cannot "
+            "be re-assigned to new centroids without vectors")
+    from open_instrument_spark.operators.similarity import _kmeans
+
+    vecs = spark.read.parquet(f"{path}/vectors").select("n_id", "v")
+    train = np.array(
+        vecs.orderBy("n_id").limit(train_n).toPandas()["v"].tolist()
+    )
+    k = n_cells or stats["n_cells"]
+    C2 = _kmeans(train, min(k, len(train)), seed=seed)
+    _, B = _load_index_sides(spark, path)
+    build_ivfpq_index(vecs, out_path, centroids=C2, books=B,
+                      include_vectors=True, id_col="n_id", vec_col="v")
+    after = ivfpq_cell_stats(spark, out_path)
+    return {"rebalanced": True, "skew_before": stats["skew"],
+            "skew_after": after["skew"], "out_path": out_path}
+
+
 def append_to_ivfpq_index(new_vectors: DataFrame, path: str,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> None:

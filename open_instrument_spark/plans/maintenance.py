@@ -126,8 +126,19 @@ def rebalance_ann_index(spark, path: str, skew_threshold: float = 4.0,
         # pre-swap index sits at .old and nothing at live — promote it
         shutil.move(old, path)
         recovered = True
-    res = rebalance_ivf_index(spark, path, skew_threshold=skew_threshold,
-                              train_n=train_n, seed=seed)
+    # layout dispatch: an IVFPQ index carries a codes table; its
+    # rebalance re-partitions rows under re-trained centroids (code
+    # bytes are centroid-independent) — same skew trigger, same
+    # sibling-then-swap discipline (operators/pq.py).
+    if os.path.isdir(os.path.join(path, "codes")):
+        from open_instrument_spark.operators.pq import rebalance_ivfpq_index
+
+        res = rebalance_ivfpq_index(spark, path,
+                                    skew_threshold=skew_threshold,
+                                    train_n=train_n, seed=seed)
+    else:
+        res = rebalance_ivf_index(spark, path, skew_threshold=skew_threshold,
+                                  train_n=train_n, seed=seed)
     res["recovered"] = recovered
     res["swapped"] = False
     if res["rebalanced"]:
@@ -184,10 +195,16 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
         "ann": {},
     }
     if dry_run:
+        from open_instrument_spark.operators.pq import ivfpq_cell_stats
         from open_instrument_spark.operators.similarity import ivf_cell_stats
 
         for p in ann_indexes or []:
-            stats = ivf_cell_stats(spark, p)
+            stats_of = (
+                ivfpq_cell_stats
+                if os.path.isdir(os.path.join(p, "codes"))
+                else ivf_cell_stats
+            )
+            stats = stats_of(spark, p)
             summary["ann"][p] = {
                 "skew_before": stats["skew"], "rebalanced": False,
                 "skew_after": stats["skew"], "swapped": False,

@@ -499,3 +499,64 @@ def test_coarse_rerank_recall_floor(spark, emb, emb_np):
         rerank=50).collect())
     assert funnel >= 0.4, funnel
     assert funnel >= plain - 0.1, (funnel, plain)
+
+
+def test_maintenance_rebalances_ivfpq_layout(spark, emb, tmp_path):
+    """The maintenance tick owns IVFPQ upkeep too (layout-dispatched):
+    a drifted codes table rebalances under re-trained centroids with
+    the SAME code bytes (raw-vector codes are centroid-independent),
+    the swap lands at the live path, search works after, and a second
+    tick is a no-op."""
+    import os
+
+    from open_instrument_spark.plans.maintenance import rebalance_ann_index
+
+    path = str(tmp_path / "ivfpq_maint")
+    pq.build_ivfpq_index(emb, path, include_vectors=True)
+
+    # drifted appends: 600 near-copies of vector 7's neighborhood pile
+    # into its cell (the similarity-family drift fixture shape)
+    anchor = emb.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("anchor"))
+    drift = (
+        spark.range(600)
+        .select((F.col("id") + 100_000).alias("vec_id"),
+                (F.col("id") % 500).alias("src_id"))
+        .join(emb.select(F.col("vec_id").alias("src_id"), "embedding"),
+              "src_id")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "anchor", "embedding",
+                lambda a, b: (a * 0.6 + b * 0.4).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    pq.append_to_ivfpq_index(drift, path)
+    skew0 = pq.ivfpq_cell_stats(spark, path)["skew"]
+    assert skew0 > 4.0
+
+    before = {(r["n_id"], tuple(r["code"])) for r in
+              spark.read.parquet(f"{path}/codes")
+              .select("n_id", "code").collect()}
+    res = rebalance_ann_index(spark, path)
+    assert res["rebalanced"] and res["swapped"] and res["skew_after"] < 4.0
+    assert not os.path.exists(path + ".old")
+    # code bytes invariant under rebalance — only the partitioning moved
+    after = {(r["n_id"], tuple(r["code"])) for r in
+             spark.read.parquet(f"{path}/codes")
+             .select("n_id", "code").collect()}
+    assert after == before
+
+    # search still serves: an appended vector finds itself at rank 1
+    # through the exact-rerank sidecar (distance 0)
+    qv = [float(x) for x in drift.filter(F.col("vec_id") == 100_000)
+          .first()["embedding"]]
+    top = pq.search_ivfpq_index(spark, path, {100_000: qv}, k=3,
+                                rerank=50).filter(F.col("rank") == 1).first()
+    assert top["n_id"] == 100_000 and top["adist"] == 0.0
+
+    res2 = rebalance_ann_index(spark, path)
+    assert not res2["rebalanced"] and not res2["swapped"]
+    assert res2["skew_before"] == res["skew_after"]
