@@ -206,6 +206,10 @@ HEADLINE = [
     "ann_ivfpq_coarse_rerank",
     # oracle-verified IR evaluation (recall/MRR/nDCG of the funnel)
     "retrieval_eval_funnel",
+    # PromQL idelta (irate's gauge sibling) and CCNet perplexity
+    # bucketing (corpus LM -> percentile thresholds -> head/middle/tail)
+    "mutate_idelta",
+    "corpus_ccnet_buckets",
 ]
 
 

@@ -183,6 +183,55 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
     )
 
 
+def ccnet_buckets(docs: DataFrame, head_frac: float = 1 / 3,
+                  middle_frac: float = 1 / 3, text_col: str = "text",
+                  **lm_kwargs) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359; public): score every document under the corpus
+    LM (:func:`lm_score` — CCNet uses a reference LM; the corpus's own
+    model is the self-supervised variant), then split the corpus into
+    ``head`` / ``middle`` / ``tail`` quality buckets at score
+    percentiles — the standard crawl-filtering stage where ``tail``
+    (worst-scoring) is dropped or down-weighted in the training
+    mixture.
+
+    Convention: HIGHER ``avg_logp`` = more in-distribution = head
+    (CCNet phrases it as LOWER perplexity — same ordering). Docs the
+    model cannot judge (<2 words → NULL score) land in ``tail``.
+
+    Spark shape: the two percentile thresholds are a ONE-ROW aggregate
+    cross-joined back (broadcast) — never a global-sort or
+    single-partition window; the whole pipeline (model fit included)
+    stays aggregation + bounded joins, so it replays in SQL under the
+    hash gate like text_lm_score. Threshold comparisons use the
+    ROUNDED (6 dp) scores on both engines; a doc landing exactly ON an
+    interpolated threshold is measure-zero (the MAD margin
+    convention).
+
+    Output: (doc_id, n_bigrams, avg_logp, bucket, keep) — keep is the
+    CCNet head+middle retention rule."""
+    scored = lm_score(docs, text_col=text_col, **lm_kwargs)
+    q_head = 1.0 - head_frac
+    q_mid = 1.0 - head_frac - middle_frac
+    th = scored.agg(
+        F.percentile(F.col("avg_logp"), F.lit(q_head)).alias("_t_head"),
+        F.percentile(F.col("avg_logp"), F.lit(q_mid)).alias("_t_mid"),
+    )
+    bucket = (
+        F.when(F.col("avg_logp").isNull(), F.lit("tail"))
+        .when(F.col("avg_logp") >= F.col("_t_head"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("_t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id", "n_bigrams", "avg_logp", bucket.alias("bucket"),
+            (bucket != "tail").alias("keep"),
+        )
+    )
+
+
 def hash_classifier_score(docs: DataFrame, weights: list[float],
                           bias: float, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

@@ -182,6 +182,39 @@ def irate(points: DataFrame) -> DataFrame:
     )
 
 
+def idelta(points: DataFrame) -> DataFrame:
+    """PromQL ``idelta``: the SIGNED difference of each series' last
+    two samples — irate's gauge sibling (promql/functions.go
+    funcIdelta; public): no reset correction, no per-second division,
+    because a gauge going down is data, not a counter restart. Same
+    backwards walk, same tie/zero-gap guards as :func:`irate`
+    (zero-gap pairs dropped for symmetry with the rate family — a
+    duplicate-timestamp pair has no defined "last two"). One window
+    exchange. Output: (series_key, ts, idelta)."""
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select("series_key", "ts", "dval")
+    )
+    w = Window.partitionBy("series_key").orderBy(
+        F.col("ts").desc(), F.col("dval").desc())
+    ranked = pts.select(
+        "series_key", "ts", "dval",
+        F.row_number().over(w).alias("rn"),
+        F.lead("dval").over(w).alias("pv"),
+        F.lead("ts").over(w).alias("pt"),
+    )
+    dt_s = F.col("ts").cast("double") - F.col("pt").cast("double")
+    return (
+        ranked.where((F.col("rn") == 1) & F.col("pv").isNotNull()
+                     & (dt_s > 0))
+        .select(
+            "series_key", "ts",
+            F.round(F.col("dval") - F.col("pv"), 6).alias("idelta"),
+        )
+    )
+
+
 def quantile_over_time(points: DataFrame, q: float = 0.95,
                        interval_ms: int = 86_400_000) -> DataFrame:
     """PromQL ``quantile_over_time``: the linearly-interpolated

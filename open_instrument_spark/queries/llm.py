@@ -552,6 +552,77 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs)
 
 
+_CCNET_Q_HEAD = 1.0 - 1 / 3
+_CCNET_Q_MID = 1.0 - 1 / 3 - 1 / 3
+
+
+@query(
+    "corpus_ccnet_buckets",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> struct_pack(w1 := w[i+1], w2 := w[i+2]))) AS g
+  FROM toks WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+c1 AS (SELECT unnest(w) AS w1 FROM toks),
+c1c AS (SELECT w1, count(*) AS c1 FROM c1 GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1c),
+s AS (
+  SELECT bb.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((c12.c12 + 0.5) / (c1c.c1 + 0.5 * v.v))), 6) AS avg_logp
+  FROM bb JOIN c12 USING (w1, w2) JOIN c1c USING (w1) CROSS JOIN v
+  GROUP BY bb.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+         s.avg_logp
+  FROM documents d LEFT JOIN s USING (doc_id)
+),
+th AS (
+  SELECT quantile_cont(avg_logp, {_CCNET_Q_HEAD!r}) AS t_head,
+         quantile_cont(avg_logp, {_CCNET_Q_MID!r}) AS t_mid
+  FROM scored
+)
+SELECT doc_id, n_bigrams, avg_logp,
+       CASE WHEN avg_logp IS NULL THEN 'tail'
+            WHEN avg_logp >= t_head THEN 'head'
+            WHEN avg_logp >= t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       (CASE WHEN avg_logp IS NULL THEN 'tail'
+             WHEN avg_logp >= t_head THEN 'head'
+             WHEN avg_logp >= t_mid THEN 'middle'
+             ELSE 'tail' END) != 'tail' AS keep
+FROM scored CROSS JOIN th
+""",
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 CCNet perplexity bucketing (Wenzek et al. 2020): corpus-LM
+    score → head/middle/tail at in-plan percentile thresholds → the
+    keep rule that drops the tail (operators/lm.py::ccnet_buckets).
+    Model fitting, thresholds, AND the bucket assignment all replay in
+    SQL (Spark percentile ≡ DuckDB quantile_cont; the q literals are
+    embedded via repr() so both engines interpolate from identical
+    bits). The thresholds are a one-row broadcast — no global sort."""
+    from open_instrument_spark.operators.lm import ccnet_buckets
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
+    return ccnet_buckets(docs)
+
+
 @query(
     "text_lm_score_topk",
     oracle="""

@@ -2040,6 +2040,32 @@ def mutate_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mutate_idelta",
+    oracle=f"""
+WITH {P_CTE},
+r AS (
+  SELECT series_key, ts, dval,
+         row_number() OVER w AS rn,
+         lead(dval) OVER w AS pv,
+         lead(ts) OVER w AS pt
+  FROM p WINDOW w AS (PARTITION BY series_key ORDER BY ts DESC, dval DESC)
+)
+SELECT series_key, ts, round(dval - pv, 6) AS idelta
+FROM r WHERE rn = 1 AND pv IS NOT NULL AND epoch(ts) > epoch(pt)
+""",
+)
+def mutate_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``idelta``: signed last-pair difference per series —
+    irate's GAUGE sibling (no reset correction, no per-second
+    normalization; promql/functions.go funcIdelta). Completes the
+    instantaneous trio (irate / idelta / predict_linear's deriv).
+    Single window exchange (operators/trend.py::idelta)."""
+    from open_instrument_spark.operators.trend import idelta
+
+    return idelta(_pts(spark, sf_dir))
+
+
+@query(
     "agg_quantile_over_time",
     oracle=f"""
 WITH {P_CTE},

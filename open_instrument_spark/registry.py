@@ -118,9 +118,6 @@ DRIVER_WINDOW = [
     "alert_slo_burn",
     "corpus_mixture_temperature",
     # -- single-driver-row entries (r9 was their first row) --
-    "collector_apache_scoreboard",
-    "agg_anchored_median_user0",
-    "corpus_source_filter",
     "analytics_cohort_retention",
     "collector_snmp_hoststats",
     "ann_ivfpq_seeded_topk",
@@ -151,9 +148,12 @@ DRIVER_WINDOW = [
     "embed_coarse_rerank",
     "collector_varnish_status",
     "collector_http_fetch",
+    "agg_anchored_median_user0",
     "embed_kmeans_iterate2",
     "ann_ivfpq_coarse_rerank",
     "retrieval_eval_funnel",
+    "mutate_idelta",
+    "corpus_ccnet_buckets",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -166,6 +166,8 @@ _PAST_WINDOW_ORACLED = [
     "corpus_source_stats",
     "agg_distinct_series",
     "collector_proc_stat",
+    "collector_apache_scoreboard",
+    "corpus_source_filter",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",

@@ -1427,3 +1427,49 @@ def test_dsir_short_docs_no_crash(spark):
     assert set(by_id) == {100, 102, 103}
     # the target-vocab unigram doc outscores the off-vocab one
     assert by_id[100]["logw"] > by_id[102]["logw"]
+
+
+def test_ccnet_buckets_thresholds_and_keep(spark):
+    """CCNet bucketing: tercile split by the corpus-LM score — the
+    top third is head, the bottom third plus unjudgeable docs is
+    tail, keep = not-tail; bucket populations track the fractions."""
+    from open_instrument_spark.operators.lm import ccnet_buckets
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text")
+    rows = ccnet_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        assert r["keep"] == (r["bucket"] != "tail")
+    n_scored = sum(1 for r in rows if r["avg_logp"] is not None)
+    # terciles of the SCORED population (NULLs all land in tail)
+    assert abs(len(by_bucket["head"]) - n_scored / 3) <= 2
+    assert abs(len(by_bucket["middle"]) - n_scored / 3) <= 2
+    # ordering: every head score >= every middle score >= every tail
+    hmin = min(r["avg_logp"] for r in by_bucket["head"])
+    mmax = max(r["avg_logp"] for r in by_bucket["middle"])
+    mmin = min(r["avg_logp"] for r in by_bucket["middle"])
+    tmax = max(r["avg_logp"] for r in by_bucket["tail"]
+               if r["avg_logp"] is not None)
+    assert hmin >= mmax >= mmin >= tmax
+
+
+def test_idelta_signed_no_reset_correction(spark):
+    """idelta vs irate on a series whose last pair goes DOWN: idelta
+    reports the signed drop, irate treats it as a reset."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.trend import idelta, irate
+
+    pts = spark.createDataFrame(
+        [("/m", {"h": "a"}, dt.datetime(2024, 1, 1, 0, 0), 10.0),
+         ("/m", {"h": "a"}, dt.datetime(2024, 1, 1, 0, 1), 25.0),
+         ("/m", {"h": "a"}, dt.datetime(2024, 1, 1, 0, 2), 4.0)],
+        "name string, labels map<string,string>, ts timestamp, dval double",
+    )
+    d = idelta(pts).first()
+    r = irate(pts).first()
+    assert d["idelta"] == -21.0            # signed gauge step
+    assert r["irate_per_sec"] == round(4.0 / 60.0, 6)  # reset: v/dt
