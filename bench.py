@@ -210,6 +210,8 @@ HEADLINE = [
     # bucketing (corpus LM -> percentile thresholds -> head/middle/tail)
     "mutate_idelta",
     "corpus_ccnet_buckets",
+    # dedup-at-ingest: NEW x OLD MinHash band collisions + exact verify
+    "dedup_minhash_incremental",
 ]
 
 

@@ -197,27 +197,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", k: int = 5,
     return _sigs_from_shingle_rows(sh, num_perm)
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
-                      num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5,
-                      broadcast_candidates: bool = True,
-                      portable: bool = False) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band signatures into ``bands`` buckets,
-    candidates = pairs sharing any band bucket, then EXACT Jaccard verify
-    (so precision is exact; recall is the LSH S-curve).
-
-    ``portable=True`` swaps xxhash64 for md5 in both the signatures
-    (lexicographic min of hex) and the band keys, making every stage —
-    including which candidates LSH surfaces — reproducible in ANSI SQL
-    (the dedup_minhash_md5 oracle). xxhash64 is the fast default.
-    Output: (a_id, b_id, jaccard)."""
-    rows = num_perm // bands
-    # The per-doc shingle arrays feed three consumers (signatures and both
-    # sides of the verify join): materialize once. On a cluster this would
-    # be a checkpoint/persist of a ~linear-size intermediate. Tracked so
-    # session.release_tracked_caches() (or the next prepare()) frees it —
-    # library callers composing several dedup calls call it explicitly.
-    sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
+def _minhash_sigs(sh: DataFrame, num_perm: int, portable: bool) -> DataFrame:
+    """(doc_id, sig) from a (doc_id, sh: array<string>) frame — md5
+    hex-min signatures when portable (the SQL-replayable grammar of
+    dedup_minhash_md5), xxhash64 otherwise (fast path)."""
     if portable:
         ds = sh.select("doc_id", F.explode("sh").alias("shingle"))
         sig = F.array(
@@ -226,12 +209,19 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
                 for i in range(num_perm)
             ]
         )
-        sigs = ds.groupBy("doc_id").agg(sig.alias("sig"))
+        return ds.groupBy("doc_id").agg(sig.alias("sig"))
+    return _sigs_from_shingle_rows(sh, num_perm)
+
+
+def _band_keys(sigs: DataFrame, num_perm: int, bands: int,
+               portable: bool) -> DataFrame:
+    """(doc_id, band, bh) band keys from a (doc_id, sig) frame."""
+    rows = num_perm // bands
+    if portable:
         band_hash = lambda cols: F.md5(F.concat(*cols))  # noqa: E731
     else:
-        sigs = _sigs_from_shingle_rows(sh, num_perm)
         band_hash = lambda cols: F.xxhash64(*cols)  # noqa: E731
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -247,6 +237,35 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+
+
+def _banded_from_shingles(sh: DataFrame, num_perm: int, bands: int,
+                          portable: bool) -> DataFrame:
+    return _band_keys(_minhash_sigs(sh, num_perm, portable),
+                      num_perm, bands, portable)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
+                      num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5,
+                      broadcast_candidates: bool = True,
+                      portable: bool = False) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures into ``bands`` buckets,
+    candidates = pairs sharing any band bucket, then EXACT Jaccard verify
+    (so precision is exact; recall is the LSH S-curve).
+
+    ``portable=True`` swaps xxhash64 for md5 in both the signatures
+    (lexicographic min of hex) and the band keys, making every stage —
+    including which candidates LSH surfaces — reproducible in ANSI SQL
+    (the dedup_minhash_md5 oracle). xxhash64 is the fast default.
+    Output: (a_id, b_id, jaccard)."""
+    # The per-doc shingle arrays feed three consumers (signatures and both
+    # sides of the verify join): materialize once. On a cluster this would
+    # be a checkpoint/persist of a ~linear-size intermediate. Tracked so
+    # session.release_tracked_caches() (or the next prepare()) frees it —
+    # library callers composing several dedup calls call it explicitly.
+    sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
+    banded = _banded_from_shingles(sh, num_perm, bands, portable)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -368,6 +387,136 @@ def minhash_lsh_pairs_portable(docs: DataFrame, text_col: str = "text",
         broadcast_candidates=broadcast_candidates, portable=True,
     )
 
+
+
+# ---- incremental near-dup (the dedup-at-ingest path) ------------------------
+
+def minhash_probe_pairs(old_docs: DataFrame, new_docs: DataFrame,
+                        text_col: str = "text", k: int = 5,
+                        num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.5, portable: bool = False,
+                        broadcast_candidates: bool = True) -> DataFrame:
+    """Incremental near-dup: which NEW documents near-duplicate the
+    EXISTING corpus — the question an ingest pipeline asks of every
+    arriving batch, where re-running all-pairs LSH over corpus+batch
+    would re-verify the whole corpus against itself for nothing.
+    Candidates are NEW×OLD band collisions ONLY (old×old pairs were
+    adjudicated when those docs arrived; new×new dedup is the batch
+    operator over the batch alone), then the standard exact-Jaccard
+    verify. Doc ids must be disjoint across sides (the ingest
+    contract). Same banding grammar as :func:`minhash_lsh_pairs`
+    (portable=md5 replays in SQL — the ``dedup_minhash_incremental``
+    gate). Output: (new_id, old_id, jaccard).
+
+    100 TB shape: the corpus side contributes only its band keys
+    (signature-sized); the batch side is small, so the collision join
+    shuffles batch-scale data against a pre-computable corpus band
+    table — the on-disk :func:`build_minhash_index` /
+    :func:`probe_minhash_index` pair persists exactly that table so
+    arriving batches never re-hash the corpus at all."""
+    sh_old = track_persist(
+        old_docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
+    sh_new = track_persist(
+        new_docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
+    b_old = _banded_from_shingles(sh_old, num_perm, bands, portable)
+    b_new = _banded_from_shingles(sh_new, num_perm, bands, portable)
+    n, o = b_new.alias("n"), b_old.alias("o")
+    cand = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(F.col("n.doc_id").alias("a_id"),
+                F.col("o.doc_id").alias("b_id"))
+        .distinct()
+    )
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    return _verify_jaccard(
+        sh_old.unionByName(sh_new), cand, threshold
+    ).withColumnRenamed("a_id", "new_id").withColumnRenamed("b_id", "old_id")
+
+
+def build_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
+                        k: int = 5, num_perm: int = 64,
+                        bands: int = 16) -> None:
+    """Persist the corpus's near-dup probe index: ``{path}/bands``
+    (doc_id, band, bh) and ``{path}/sigs`` (doc_id, sig) — both
+    signature-sized (~tens of bytes/doc vs the kilobytes of text they
+    summarize), which is what makes dedup-at-ingest O(batch) instead
+    of O(corpus): arriving batches band-join against this table and
+    never re-read or re-hash existing text. xxhash64 (the fast path —
+    an index is engine-private; the portable grammar exists for the
+    hash gate's in-plan twin)."""
+    sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
+    sigs = _minhash_sigs(sh, num_perm, portable=False)
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    banded = _band_keys(
+        docs.sparkSession.read.parquet(f"{path}/sigs"),
+        num_perm, bands, portable=False,
+    )
+    banded.write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def probe_minhash_index(spark, path: str, new_docs: DataFrame,
+                        text_col: str = "text", k: int = 5,
+                        threshold: float = 0.5,
+                        append: bool = False) -> DataFrame:
+    """Probe an on-disk :func:`build_minhash_index` store with an
+    arriving batch: (new_id, old_id, est_jaccard) for every new doc
+    whose bands collide with a stored doc and whose SIGNATURE-estimated
+    Jaccard (matching minhash coordinates / num_perm — the unbiased
+    estimator, exact verify impossible without stored text) clears
+    ``threshold``. num_perm/bands are inferred from the store. With
+    ``append=True`` the batch's bands+sigs are absorbed into the store
+    afterwards (the ingest step), so later batches dedup against it —
+    in that case the probe result is checkpointed (distributed, not
+    collected) BEFORE the append so the lazy read can't race the
+    store's growth."""
+    sigs_store = spark.read.parquet(f"{path}/sigs")
+    num_perm = len(sigs_store.first()["sig"])
+    bands = (
+        spark.read.parquet(f"{path}/bands")
+        .agg(F.max("band")).first()[0] + 1
+    )
+    sh_new = new_docs.select(
+        "doc_id", shingles(F.col(text_col), k).alias("sh"))
+    sigs_new = _minhash_sigs(sh_new, num_perm, portable=False)
+    sigs_new = sigs_new.localCheckpoint(eager=False)  # consumed 2-3×
+    b_new = _band_keys(sigs_new, num_perm, bands, portable=False)
+    b_old = spark.read.parquet(f"{path}/bands")
+    cand = (
+        b_new.alias("n")
+        .join(b_old.alias("o"),
+              (F.col("n.band") == F.col("o.band"))
+              & (F.col("n.bh") == F.col("o.bh")))
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("nsig"), F.col("osig"),
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(num_perm))
+    )
+    out = (
+        F.broadcast(cand)
+        .join(sigs_new.select(F.col("doc_id").alias("new_id"),
+                              F.col("sig").alias("nsig")), "new_id")
+        .join(sigs_store.select(F.col("doc_id").alias("old_id"),
+                                F.col("sig").alias("osig")), "old_id")
+        .select("new_id", "old_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    if append:
+        out = out.localCheckpoint(eager=True)
+        sigs_new.write.mode("append").parquet(f"{path}/sigs")
+        b_new.write.mode("append").parquet(f"{path}/bands")
+    return out
 
 
 # ---- benchmark decontamination ---------------------------------------------

@@ -1394,6 +1394,72 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_portable(_near_corpus(spark, sf_dir), threshold=0.5)
 
 
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+WITH {_NEAR_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN
+           list_distinct(list_transform(range(len(w) - 4),
+                         i -> array_to_string(w[i+1:i+5], ' ')))
+         ELSE [array_to_string(w, ' ')] END AS s
+  FROM toks
+),
+sig AS (
+  SELECT doc_id,
+         list_transform(range(16),
+           i -> list_min(list_transform(s, x -> md5(x || '#' || i)))) AS sg
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, b,
+         md5(sg[b*4 + 1] || sg[b*4 + 2] || sg[b*4 + 3] || sg[b*4 + 4]) AS bh
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o
+    ON n.b = o.b AND n.bh = o.bh
+   AND n.doc_id >= 200000 AND o.doc_id < 200000
+),
+v AS (
+  SELECT c.new_id, c.old_id,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) AS na, len(sb.s) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.new_id
+  JOIN sh sb ON sb.doc_id = c.old_id
+)
+SELECT new_id, old_id,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+""",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 dedup-at-INGEST (r11): which arriving docs near-duplicate
+    the existing corpus — NEW×OLD band collisions only, never old×old
+    re-verification (operators/dedup.py::minhash_probe_pairs; the
+    on-disk build/probe/append store twin is pytest-pinned). Portable
+    md5 grammar: the side-crossed candidate set AND the exact-Jaccard
+    verify replay under the hash gate, the dedup_minhash_md5
+    discipline applied to the incremental path."""
+    from open_instrument_spark.operators.dedup import minhash_probe_pairs
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents").select(
+        "doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    return minhash_probe_pairs(docs, new, num_perm=16, bands=4,
+                               threshold=0.5, portable=True)
+
+
 @query("dedup_minhash_lsh")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 MinHash-LSH near-dup (64 perms, 16 bands × 4 rows, exact

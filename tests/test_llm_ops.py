@@ -1473,3 +1473,54 @@ def test_idelta_signed_no_reset_correction(spark):
     r = irate(pts).first()
     assert d["idelta"] == -21.0            # signed gauge step
     assert r["irate_per_sec"] == round(4.0 / 60.0, 6)  # reset: v/dt
+
+
+def test_minhash_index_probe_matches_in_plan(spark, tmp_path):
+    """The on-disk near-dup store: probe candidates equal the in-plan
+    cross-side band collisions, seeded near-dups find their sources,
+    old×old pairs never re-surface, the estimator tracks exact
+    Jaccard, and append makes the store grow (a second batch matches
+    docs absorbed from the first)."""
+    from open_instrument_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_probe_pairs,
+        probe_minhash_index,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text")
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs, path)
+
+    batch1 = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv")).alias("text"),
+    )
+    got = probe_minhash_index(spark, path, batch1, threshold=0.5,
+                              append=True).collect()
+    pairs = {(r["new_id"], r["old_id"]) for r in got}
+    # every seeded near-dup finds its source
+    seeded = {r["doc_id"] for r in batch1.select("doc_id").collect()}
+    assert {(i, i - 200000) for i in seeded} <= pairs
+    # probe semantics: no old×old, no new×new
+    assert all(n >= 200000 and o < 200000 for n, o in pairs)
+    # estimator tracks exact Jaccard (xxhash in-plan twin's verify)
+    exact = {(r["new_id"], r["old_id"]): r["jaccard"] for r in
+             minhash_probe_pairs(docs, batch1, threshold=0.0).collect()}
+    for r in got:
+        key = (r["new_id"], r["old_id"])
+        assert key in exact and abs(r["est_jaccard"] - exact[key]) < 0.3, (
+            key, r["est_jaccard"], exact.get(key))
+
+    # incremental growth: a batch2 doc near-dups a batch1 doc — only
+    # findable because append absorbed batch1
+    batch2 = batch1.limit(3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" uu tt")).alias("text"),
+    )
+    got2 = {(r["new_id"], r["old_id"]) for r in
+            probe_minhash_index(spark, path, batch2,
+                                threshold=0.5).collect()}
+    b2 = {r["doc_id"] for r in batch2.select("doc_id").collect()}
+    assert {(i, i - 200000) for i in b2} <= got2       # batch1 parents
+    assert {(i, i - 400000) for i in b2} <= got2       # original docs
