@@ -212,6 +212,8 @@ HEADLINE = [
     "corpus_ccnet_buckets",
     # dedup-at-ingest: NEW x OLD MinHash band collisions + exact verify
     "dedup_minhash_incremental",
+    # span-dedup APPLY: remove duplicated-window tokens, reassemble text
+    "dedup_spans_redact",
 ]
 
 

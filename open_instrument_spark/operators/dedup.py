@@ -676,6 +676,95 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
     )
 
 
+def redact_duplicated_spans(docs: DataFrame, width: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """The APPLY side of :func:`duplicated_spans` (Lee et al. 2022
+    §4.2 — after finding duplicated substrings, the pipeline actually
+    REMOVES them before training): every token covered by any
+    duplicated ``width``-token window is dropped from the document;
+    the survivors re-join in order. Aggressive-removal semantics (all
+    occurrences go, not all-but-one) — deterministic, order-free, and
+    the variant that needs no global canonical-occurrence election
+    across the corpus.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) — every input
+    doc keeps a row; docs shorter than ``width`` tokens pass through
+    untouched.
+
+    100 TB shape, all linear: one posexplode pass (token rows), one
+    span-hash groupBy (the detector, shared grammar with
+    duplicated_spans), covered positions = spans×width explode folded
+    by DISTINCT, the removal is a LEFT ANTI equi-join on
+    (doc_id, pos), and reassembly is a per-doc collect_list bounded by
+    document length — no all-pairs stage, nothing driver-side. Exact
+    string semantics (split-on-space, 1-based windows, md5,
+    single-space re-join) replay in SQL — the ``dedup_spans_redact``
+    hash gate covers the cleaned TEXT itself."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    )
+    spans = (
+        base.where(F.col("n") >= width)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - width + 1)
+            ).alias("g"),
+            "toks",
+        )
+        .select(
+            "doc_id", "g",
+            F.md5(F.array_join(F.slice("toks", F.col("g"), width), " "))
+            .alias("h"),
+        )
+    )
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("g"), F.col("g") + width - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", "n")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.coalesce("n_kept", F.lit(0))).cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def duplicated_spans(docs: DataFrame, width: int = 8,
                      text_col: str = "text", id_col: str = "doc_id",
                      ) -> DataFrame:

@@ -2762,6 +2762,55 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs, width=8)
 
 
+@query(
+    "dedup_spans_redact",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+sp AS (
+  SELECT doc_id, g, md5(array_to_string(toks[g:g+7], ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, n - 7)) AS g
+        FROM b WHERE n >= 8)),
+dh AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(g, g + 7)) AS pos
+    FROM sp JOIN dh USING (h))),
+tokr AS (
+  SELECT doc_id, p AS pos, toks[p] AS tok FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, n)) AS p FROM b)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokr t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(re.clean_text, '') AS clean_text
+FROM b LEFT JOIN re USING (doc_id)
+""",
+)
+def dedup_spans_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 span-dedup APPLY (r11): remove every token covered by a
+    duplicated 8-token window and re-join the survivors — the step Lee
+    et al. actually train on (operators/dedup.py::
+    redact_duplicated_spans). The hash gate compares the cleaned TEXT
+    byte-for-byte, pinning tokenize, window hashing, coverage
+    expansion, anti-join removal, and ordered reassembly
+    cross-engine."""
+    from open_instrument_spark.operators.dedup import redact_duplicated_spans
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    return redact_duplicated_spans(docs, width=8)
+
+
 _MIX_BUDGETS = {f"src{i}": 700 for i in range(16)}
 _MIX_BUDGETS.update({"src16": 1200, "src17": 300})  # src18/src19 dropped
 

@@ -118,7 +118,6 @@ DRIVER_WINDOW = [
     "alert_slo_burn",
     "corpus_mixture_temperature",
     # -- single-driver-row entries (r9 was their first row) --
-    "analytics_cohort_retention",
     "ann_ivfpq_seeded_topk",
     # -- r10 rotation: the 21 r9-new oracled queries --
     "mutate_holt_winters",
@@ -154,6 +153,7 @@ DRIVER_WINDOW = [
     "mutate_idelta",
     "corpus_ccnet_buckets",
     "dedup_minhash_incremental",
+    "dedup_spans_redact",
 ]
 
 _PAST_WINDOW_ORACLED = [
@@ -169,6 +169,7 @@ _PAST_WINDOW_ORACLED = [
     "collector_apache_scoreboard",
     "corpus_source_filter",
     "collector_snmp_hoststats",
+    "analytics_cohort_retention",
     # r10 late demotions (displaced by the retrieval pair) — driver-green
     # r8 AND r9, replayed by test_oracle_parity.py like the rest.
     "text_lm_score_topk",

@@ -1524,3 +1524,29 @@ def test_minhash_index_probe_matches_in_plan(spark, tmp_path):
     b2 = {r["doc_id"] for r in batch2.select("doc_id").collect()}
     assert {(i, i - 200000) for i in b2} <= got2       # batch1 parents
     assert {(i, i - 400000) for i in b2} <= got2       # original docs
+
+
+def test_redact_duplicated_spans_hand_traced(spark):
+    """Hand-traced removal: a 4-token span shared by two docs is cut
+    from BOTH (aggressive removal), overlapping coverage merges, short
+    docs and unique docs pass through untouched."""
+    from open_instrument_spark.operators.dedup import redact_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),       # shares "a b c d" with doc 2
+            (2, "q a b c d e"),          # spans: "q a b c" + "a b c d"
+            (3, "unique words only here"),
+            (4, "tiny"),                 # shorter than width
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           redact_duplicated_spans(docs, width=4).collect()}
+    # doc1: positions 1-4 covered -> "x y z" survives
+    assert got[1]["clean_text"] == "x y z" and got[1]["n_removed"] == 4
+    # doc2: only "a b c d" (pos 2-5) is duplicated -> "q e"
+    assert got[2]["clean_text"] == "q e" and got[2]["n_removed"] == 4
+    assert got[3]["clean_text"] == "unique words only here"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "tiny" and got[4]["n_tokens"] == 1
