@@ -434,14 +434,39 @@ def main() -> None:
             split_column(F.col("doc_id"), _SPLIT_WEIGHTS).alias("split"),
         )
 
+    # r11: the span-dedup APPLY (posexplode + anti-join + reassembly —
+    # heavier than the detector by the token-row pass) and the
+    # incremental MinHash probe (constant batch against a growing
+    # corpus — the realistic ingest shape, so the row should flatten
+    # once corpus-side hashing dominates).
+    from open_instrument_spark.operators.dedup import (
+        minhash_probe_pairs,
+        redact_duplicated_spans,
+    )
+
+    _batch = full_docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 400), F.lit(" probe tail")).alias("text"),
+    )
+
     run(duplicated_spans(full_docs, width=8))  # warm
     run(hash_classifier_score(full_docs, _w, 0.05))  # warm
     run(bloom_decontaminate(full_docs, _bench))  # warm
     run(safety_pipeline(full_docs))  # warm
+    run(redact_duplicated_spans(full_docs, width=8))  # warm
+    run(minhash_probe_pairs(full_docs, _batch, threshold=0.3))  # warm
     for k in (1, 10, 100):
         big = multiplied_full_docs(full_docs, k)
         report.setdefault("dedup_spans", {})[f"x{k}"] = round(
             run(duplicated_spans(big, width=8)), 2
+        )
+        report.setdefault("spans_redact", {})[f"x{k}"] = round(
+            run(redact_duplicated_spans(
+                big.repartition(64, "doc_id"), width=8)), 2
+        )
+        report.setdefault("minhash_probe", {})[f"x{k}"] = round(
+            run(minhash_probe_pairs(
+                big.repartition(64, "doc_id"), _batch, threshold=0.3)), 2
         )
         report.setdefault("quality_classifier", {})[f"x{k}"] = round(
             run(hash_classifier_score(big, _w, 0.05)), 2
