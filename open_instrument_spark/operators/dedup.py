@@ -448,15 +448,22 @@ def build_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
     of O(corpus): arriving batches band-join against this table and
     never re-read or re-hash existing text. xxhash64 (the fast path —
     an index is engine-private; the portable grammar exists for the
-    hash gate's in-plan twin)."""
+    hash gate's in-plan twin).
+
+    Layout: ``{path}/{sigs,bands}/epoch=N`` — every write lands in its
+    own epoch subdirectory (the streaming ingest sink's idempotent
+    -replay scheme, streaming/ingest.py; the base build is epoch -1,
+    batch/stream absorbs count up from 0 — one writer regime per
+    index). Readers see ``epoch`` as one more partition column and
+    ignore it."""
     sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
     sigs = _minhash_sigs(sh, num_perm, portable=False)
-    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs/epoch=-1")
     banded = _band_keys(
-        docs.sparkSession.read.parquet(f"{path}/sigs"),
+        docs.sparkSession.read.parquet(f"{path}/sigs/epoch=-1"),
         num_perm, bands, portable=False,
     )
-    banded.write.mode("overwrite").parquet(f"{path}/bands")
+    banded.write.mode("overwrite").parquet(f"{path}/bands/epoch=-1")
 
 
 def probe_minhash_index(spark, path: str, new_docs: DataFrame,
@@ -470,22 +477,22 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
     estimator, exact verify impossible without stored text) clears
     ``threshold``. num_perm/bands are inferred from the store. With
     ``append=True`` the batch's bands+sigs are absorbed into the store
-    afterwards (the ingest step), so later batches dedup against it —
-    in that case the probe result is checkpointed (distributed, not
-    collected) BEFORE the append so the lazy read can't race the
-    store's growth."""
-    sigs_store = spark.read.parquet(f"{path}/sigs")
+    afterwards (the ingest step: a fresh ``epoch=N`` subdirectory per
+    absorb — see build_minhash_index's layout note), so later batches
+    dedup against it — in that case the probe result is checkpointed
+    (distributed, not collected) BEFORE the append so the lazy read
+    can't race the store's growth."""
+    sigs_store = spark.read.parquet(f"{path}/sigs").select("doc_id", "sig")
     num_perm = len(sigs_store.first()["sig"])
-    bands = (
-        spark.read.parquet(f"{path}/bands")
-        .agg(F.max("band")).first()[0] + 1
-    )
+    band_store = spark.read.parquet(f"{path}/bands")
+    bands = band_store.agg(F.max("band")).first()[0] + 1
+    next_epoch = band_store.agg(F.max("epoch")).first()[0] + 1
     sh_new = new_docs.select(
         "doc_id", shingles(F.col(text_col), k).alias("sh"))
     sigs_new = _minhash_sigs(sh_new, num_perm, portable=False)
     sigs_new = sigs_new.localCheckpoint(eager=False)  # consumed 2-3×
     b_new = _band_keys(sigs_new, num_perm, bands, portable=False)
-    b_old = spark.read.parquet(f"{path}/bands")
+    b_old = band_store.select("doc_id", "band", "bh")
     cand = (
         b_new.alias("n")
         .join(b_old.alias("o"),
@@ -514,9 +521,19 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
     )
     if append:
         out = out.localCheckpoint(eager=True)
-        sigs_new.write.mode("append").parquet(f"{path}/sigs")
-        b_new.write.mode("append").parquet(f"{path}/bands")
+        absorb_into_minhash_index(path, sigs_new, b_new, next_epoch)
     return out
+
+
+def absorb_into_minhash_index(path: str, sigs_new: DataFrame,
+                              bands_new: DataFrame, epoch: int) -> None:
+    """Write a batch's sigs+bands into the store's ``epoch=N``
+    subdirectories with OVERWRITE — replaying the same epoch (a crashed
+    streaming micro-batch, a retried absorb) rewrites the same files
+    instead of double-appending, the streaming/ingest.py idempotence
+    scheme applied to the dedup index."""
+    sigs_new.write.mode("overwrite").parquet(f"{path}/sigs/epoch={epoch}")
+    bands_new.write.mode("overwrite").parquet(f"{path}/bands/epoch={epoch}")
 
 
 # ---- benchmark decontamination ---------------------------------------------

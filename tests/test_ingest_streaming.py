@@ -2297,3 +2297,58 @@ def test_streaming_slo_burn_matches_batch(spark, tmp_path):
     h1 = BASE + dt.timedelta(hours=1)
     h1_rows = sorted((r["run"], r["page"]) for r in rows if r["ts"] == h1)
     assert (2, True) in h1_rows and h1_rows[-1] == (3, False)
+
+
+def test_streaming_near_dup_ingest(spark, tmp_path):
+    """Dedup-at-ingest end-to-end: batch 1's docs land unflagged and
+    are absorbed; batch 2 contains a near-copy of a BASE doc (flags
+    against the build) and a near-copy of a BATCH-1 doc (flags only
+    because absorb grew the index); the deduped view drops exactly the
+    flagged rows; replaying the same epoch is a no-op (idempotent
+    overwrite sinks)."""
+    from open_instrument_spark.operators.dedup import build_minhash_index
+    from open_instrument_spark.sources.tables import load_tables
+    from open_instrument_spark.streaming.minhash_ingest import (
+        read_deduped,
+        start_near_dup_ingest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    base = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 60)
+    index = str(tmp_path / "mh_index")
+    build_minhash_index(base, index)
+
+    texts = {r["doc_id"]: r["text"] for r in base.limit(30).collect()}
+    ids = sorted(texts)
+    schema = "doc_id long, text string"
+    b1 = [(1_000_000, texts[ids[0]] + " aa bb"),     # near-dup of base
+          (1_000_001, "genuinely novel words " + "qq " * 40)]
+    b2 = [(2_000_000, texts[ids[1]] + " cc dd"),     # near-dup of base
+          (2_000_001, "genuinely novel words " + "qq " * 40 + "rr"),
+          (2_000_002, "fresh unseen content " + "zz " * 40)]
+    # 2_000_001 near-dups b1's 1_000_001 — findable only via absorb
+
+    src = str(tmp_path / "nd_src")
+    dest = str(tmp_path / "nd_dest")
+    ck = str(tmp_path / "nd_ck")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = start_near_dup_ingest(stream, dest, index, ck, threshold=0.4,
+                                  available_now=True)
+        q.awaitTermination(120)
+
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).write.mode("append").parquet(src)
+        run_once()
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(dest).collect()}
+    assert rows[1_000_000]["near_dup_of"] == ids[0]
+    assert rows[1_000_001]["near_dup_of"] is None
+    assert rows[2_000_000]["near_dup_of"] == ids[1]
+    assert rows[2_000_001]["near_dup_of"] == 1_000_001   # via absorb
+    assert rows[2_000_002]["near_dup_of"] is None
+    deduped = {r["doc_id"] for r in read_deduped(spark, dest).collect()}
+    assert deduped == {1_000_001, 2_000_002}
