@@ -668,3 +668,46 @@ def test_mad_outliers_single_exchange_for_windows_and_agg(spark, tables):
     plan = plan_of(mad_outliers(tables.points(), by=("name",)))
     assert count_in(plan, "Exchange hashpartitioning") == 1
     assert count_in(plan, "+- Window") == 2  # med pass, mad pass
+
+
+def test_spans_redact_is_linear_no_python(spark, tables):
+    """Span redaction: linear passes + equi-joins only — no cross
+    product, no Python on the data path, exchanges bounded (detector
+    groupBy, coverage distinct, anti-join, reassembly groupBy + the
+    final doc join)."""
+    from open_instrument_spark.operators.dedup import redact_duplicated_spans
+
+    docs = tables.table("documents").select("doc_id", "text")
+    plan = plan_of(redact_duplicated_spans(docs, width=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan.replace("PythonSQLUtils", "")
+    assert count_in(plan, "Exchange") <= 10
+
+
+def test_minhash_probe_no_old_old_verify(spark, tables):
+    """The incremental probe's 100 TB contract: the corpus side feeds
+    only band keys + shingle arrays into equi-joins — no cross
+    product anywhere, and the candidate join is band-keyed (old×old
+    pairs structurally impossible: the collision join's left side is
+    the batch)."""
+    from open_instrument_spark.operators.dedup import minhash_probe_pairs
+
+    docs = tables.table("documents").select("doc_id", "text")
+    batch = docs.limit(20).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text")
+    plan = plan_of(minhash_probe_pairs(docs, batch, threshold=0.4))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_retrieval_eval_cost_is_post_retrieval(spark):
+    """retrieval_eval must plan as joins/aggregations over its two
+    bounded inputs — no scan of anything else, no cross product."""
+    from open_instrument_spark.operators.retrieval import retrieval_eval
+
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "q_id long, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10, 2.0)], "q_id long, doc_id long, rel double")
+    plan = plan_of(retrieval_eval(results, truth, k=10))
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan
