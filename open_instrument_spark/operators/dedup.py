@@ -455,7 +455,11 @@ def build_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
     -replay scheme, streaming/ingest.py; the base build is epoch -1,
     batch/stream absorbs count up from 0 — one writer regime per
     index). Readers see ``epoch`` as one more partition column and
-    ignore it."""
+    ignore it. ``{path}/meta`` is a ONE-ROW parquet table
+    (num_perm, bands, next_epoch — the IVF centroids-table idiom) so
+    probes never infer store params by scanning the index: at a
+    10¹⁰-doc store a per-batch max-epoch aggregate would be a full
+    index scan; the meta read is one tiny file."""
     sh = docs.select("doc_id", shingles(F.col(text_col), k).alias("sh"))
     sigs = _minhash_sigs(sh, num_perm, portable=False)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs/epoch=-1")
@@ -464,29 +468,73 @@ def build_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
         num_perm, bands, portable=False,
     )
     banded.write.mode("overwrite").parquet(f"{path}/bands/epoch=-1")
+    _write_minhash_meta(docs.sparkSession, path, num_perm, bands, 0)
+
+
+def _write_minhash_meta(spark, path: str, num_perm: int, bands: int,
+                        next_epoch: int) -> None:
+    spark.createDataFrame(
+        [(int(num_perm), int(bands), int(next_epoch))],
+        "num_perm int, bands int, next_epoch long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_minhash_meta(spark, path: str) -> tuple[int, int, int]:
+    """(num_perm, bands, next_epoch) from the one-row ``{path}/meta``
+    table; legacy stores without one fall back to inferring from the
+    index itself (the pre-meta behavior — a full epoch-column scan,
+    acceptable once for migration, not per probe)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{path}/meta").first()
+        return int(r["num_perm"]), int(r["bands"]), int(r["next_epoch"])
+    except AnalysisException:
+        num_perm = len(
+            spark.read.parquet(f"{path}/sigs").select("sig").first()["sig"])
+        mx = spark.read.parquet(f"{path}/bands").agg(
+            F.max("band"), F.max("epoch")).first()
+        return num_perm, int(mx[0]) + 1, int(mx[1]) + 1
 
 
 def probe_minhash_index(spark, path: str, new_docs: DataFrame,
                         text_col: str = "text", k: int = 5,
                         threshold: float = 0.5,
-                        append: bool = False) -> DataFrame:
+                        append: bool = False,
+                        epoch: int | None = None,
+                        before_epoch: int | None = None) -> DataFrame:
     """Probe an on-disk :func:`build_minhash_index` store with an
     arriving batch: (new_id, old_id, est_jaccard) for every new doc
     whose bands collide with a stored doc and whose SIGNATURE-estimated
     Jaccard (matching minhash coordinates / num_perm — the unbiased
     estimator, exact verify impossible without stored text) clears
-    ``threshold``. num_perm/bands are inferred from the store. With
+    ``threshold``. num_perm/bands come from the store's one-row meta
+    table — the probe performs NO full-index driver action. With
     ``append=True`` the batch's bands+sigs are absorbed into the store
     afterwards (the ingest step: a fresh ``epoch=N`` subdirectory per
     absorb — see build_minhash_index's layout note), so later batches
     dedup against it — in that case the probe result is checkpointed
     (distributed, not collected) BEFORE the append so the lazy read
-    can't race the store's growth."""
-    sigs_store = spark.read.parquet(f"{path}/sigs").select("doc_id", "sig")
-    num_perm = len(sigs_store.first()["sig"])
+    can't race the store's growth.
+
+    ``epoch`` pins the absorb epoch (a retrying caller MUST pin it so
+    the retry overwrites the same partition instead of absorbing the
+    batch twice under two epochs); default = the meta's next_epoch,
+    computed only on the append path. ``before_epoch`` restricts the
+    PROBE to store epochs strictly below it — epoch is a partition
+    column, so this is a pruning filter, not a scan. Replay-safe
+    ingest (streaming/minhash_ingest.py) passes
+    ``before_epoch = epoch = batch_id``: a crash between absorb and
+    checkpoint commit replays the batch against a store that already
+    contains its own sigs, and without the filter every doc would
+    match itself and the whole batch would be flagged as dupes."""
+    sigs_store = spark.read.parquet(f"{path}/sigs")
     band_store = spark.read.parquet(f"{path}/bands")
-    bands = band_store.agg(F.max("band")).first()[0] + 1
-    next_epoch = band_store.agg(F.max("epoch")).first()[0] + 1
+    if before_epoch is not None:
+        sigs_store = sigs_store.filter(F.col("epoch") < before_epoch)
+        band_store = band_store.filter(F.col("epoch") < before_epoch)
+    sigs_store = sigs_store.select("doc_id", "sig")
+    num_perm, bands, next_epoch = _read_minhash_meta(spark, path)
     sh_new = new_docs.select(
         "doc_id", shingles(F.col(text_col), k).alias("sh"))
     sigs_new = _minhash_sigs(sh_new, num_perm, portable=False)
@@ -521,7 +569,9 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
     )
     if append:
         out = out.localCheckpoint(eager=True)
-        absorb_into_minhash_index(path, sigs_new, b_new, next_epoch)
+        absorb_into_minhash_index(
+            path, sigs_new, b_new,
+            next_epoch if epoch is None else epoch)
     return out
 
 
@@ -531,9 +581,15 @@ def absorb_into_minhash_index(path: str, sigs_new: DataFrame,
     subdirectories with OVERWRITE — replaying the same epoch (a crashed
     streaming micro-batch, a retried absorb) rewrites the same files
     instead of double-appending, the streaming/ingest.py idempotence
-    scheme applied to the dedup index."""
+    scheme applied to the dedup index. The one-row meta table is then
+    bumped to ``next_epoch = max(current, epoch+1)`` — monotone, so an
+    epoch-pinned replay of an old batch never winds it backwards."""
     sigs_new.write.mode("overwrite").parquet(f"{path}/sigs/epoch={epoch}")
     bands_new.write.mode("overwrite").parquet(f"{path}/bands/epoch={epoch}")
+    spark = sigs_new.sparkSession
+    num_perm, bands, nxt = _read_minhash_meta(spark, path)
+    _write_minhash_meta(spark, path, num_perm, bands,
+                        max(nxt, int(epoch) + 1))
 
 
 # ---- benchmark decontamination ---------------------------------------------

@@ -201,8 +201,12 @@ def retrieval_eval(results: DataFrame, truth: DataFrame,
     outputs rounded 6 (re-associated sums); 2^rel is integer-exact,
     log2 parity holds at the rounding (the F.pow/ln precedent).
 
-    Output: (q_id, n_rel, recall_k, mrr_k, ndcg_k), one row per TRUTH
-    query (a query with no results row scores 0 across the board)."""
+    Output: (q_id, n_rel, recall_k, mrr_k, ndcg_k), one row per truth
+    query WITH AT LEAST ONE rel > 0 judgment (a scored query with no
+    results row scores 0 across the board). Queries whose judgments
+    are all rel <= 0 have no relevant set — recall's denominator and
+    IDCG are undefined — so they are excluded from the output rather
+    than scored as 0."""
     res = results.filter(F.col("rank") <= k).select(
         "q_id", "doc_id", F.col("rank").cast("int").alias("rank")
     )

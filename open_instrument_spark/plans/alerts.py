@@ -203,12 +203,18 @@ def slo_burn_rate(points: DataFrame, bad, slo: float = 0.95,
 
     def ratio(interval_ms: int):
         win = F.window("ts", f"{interval_ms // 1000} seconds").start
+        # try_divide: a window whose accumulated traffic is 0.0 (dval=0
+        # rows pass the isNotNull filter) gets a NULL burn — plain
+        # division would throw DIVIDE_BY_ZERO under ANSI. NULL then
+        # propagates through page's three-valued AND, and DuckDB's
+        # division-by-zero NULL matches on the oracle side.
         return (
             pts.groupBy(win.alias("ts"))
             .agg(
                 F.sum("dval").alias("traffic"),
-                (F.sum(F.when(F.col("_bad"), F.col("dval")).otherwise(0.0))
-                 / F.sum("dval") / F.lit(budget)).alias("burn"),
+                (F.try_divide(
+                    F.sum(F.when(F.col("_bad"), F.col("dval")).otherwise(0.0)),
+                    F.sum("dval")) / F.lit(budget)).alias("burn"),
             )
         )
 

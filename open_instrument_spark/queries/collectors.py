@@ -219,6 +219,9 @@ UNION ALL
 SELECT '/varnish/status/director/default/happy{{backend=10.0.0.' || h ||
        ',backend_port=8080,hostname=cache' || h || '}}',
        {_TS}, CAST(n % 64 AS DOUBLE) FROM a
+UNION ALL
+SELECT '/varnish/status/vbe_d(a,b,c)xmetric{{hostname=cache' || h || '}}',
+       {_TS}, CAST(7 AS DOUBLE) FROM a
 """,
 )
 def collector_varnish_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +257,9 @@ def collector_varnish_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("esi_errors notanumber 0.00 ESI parse errors"),   # skipped
         F.lit("MEMPOOL.busyobj 5"),                             # <4 fields
         F.lit("vbe.bad(onepart).fail 5 0.00 desc"),             # D15 skip
+        # no dot before the metric: NOT a director line (the r12
+        # regex escape) — generic dots→underscores branch instead
+        F.lit("VBE.d(a,b,c)Xmetric 7 0.00 unescaped-dot probe"),
     )
     pts = C.parse_varnish_status(_scrape(d, "cache", payload))
     return _out(pts)

@@ -306,7 +306,7 @@ def parse_apache_status(scrapes: DataFrame) -> DataFrame:
 # varnish_status.py — `varnishstat -1` dump
 # ---------------------------------------------------------------------------
 
-_VBE_RE = r"^vbe\.([^(]+)\(([^)]+)\).(.+)$"
+_VBE_RE = r"^vbe\.([^(]+)\(([^)]+)\)\.(.+)$"
 
 
 def parse_varnish_status(scrapes: DataFrame) -> DataFrame:
@@ -327,7 +327,14 @@ def parse_varnish_status(scrapes: DataFrame) -> DataFrame:
 
     D15 discipline: a VBE address part without exactly three comma
     fields would crash the reference's 3-tuple unpack
-    (varnish_status.py:46) and is SKIPPED here instead. A line with
+    (varnish_status.py:46) and is SKIPPED here instead. The
+    reference's VBE regex (varnish_status.py:43) leaves the dot
+    between ``)`` and the metric unescaped, so ``vbe.d(a,b,c)Xmetric``
+    (any separator char) is accepted as a director line with the X
+    silently swallowed — ours escapes it (advisor r11), and such a
+    key therefore falls through to the generic dots→underscores
+    branch, exactly where the reference's own else-arm would send a
+    non-matching key. A line with
     LEADING whitespace (impossible in real varnishstat -1 output —
     names are left-justified) is also skipped, where the reference's
     ``re.split`` would shift fields and emit an empty-keyed

@@ -11,8 +11,11 @@ each micro-batch's document rows land in ``{dest}/epoch=N`` and its
 index contribution in ``{index}/{sigs,bands}/epoch=N`` — all OVERWRITE,
 so a crash-and-replay of epoch N rewrites the same files instead of
 double-appending, and the checkpointed foreachBatch replays at most
-one epoch. Probe-before-absorb inside one sink invocation means a doc
-never matches itself and a batch never matches its own members (new×new
+one epoch. The probe reads only store epochs STRICTLY BELOW the current
+batch epoch (``before_epoch`` partition pruning) — not merely
+probe-before-absorb ordering — so a doc never matches itself and a
+batch never matches its own members EVEN ON REPLAY after a crash that
+landed between the absorb write and the checkpoint commit (new×new
 dedup is :mod:`streaming.dedup_stream`'s exact pass or the batch LSH
 over the landed store — the incremental probe's contract is new×OLD).
 
@@ -32,7 +35,8 @@ from open_instrument_spark.operators.dedup import probe_minhash_index
 def start_near_dup_ingest(doc_stream: DataFrame, dest_path: str,
                           index_path: str, checkpoint: str,
                           threshold: float = 0.5,
-                          available_now: bool = False) -> StreamingQuery:
+                          available_now: bool = False,
+                          on_batch_complete=None) -> StreamingQuery:
     """Probe → flag → land → absorb, one checkpointed foreachBatch.
     ``available_now=True`` drains the currently-available input and
     terminates (backfill / test harness); the default is the
@@ -48,9 +52,16 @@ def start_near_dup_ingest(doc_stream: DataFrame, dest_path: str,
 
     def sink(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+        # before_epoch=epoch: the probe sees only store epochs strictly
+        # below this batch's own (a partition-pruning filter). Without
+        # it, a crash AFTER absorb wrote epoch=N but BEFORE the
+        # checkpoint commit would replay the batch against a store that
+        # already contains its own sigs — every doc would match itself
+        # (est_jaccard 1.0) and the replayed epoch would land fully
+        # flagged, silently dropping the batch from read_deduped.
         matches = probe_minhash_index(
             spark, index_path, batch.select("doc_id", "text"),
-            threshold=threshold, append=False,
+            threshold=threshold, append=False, before_epoch=epoch,
         )
         # best match per new doc: map-side MIN over (-est, old_id)
         # structs (the argmin-without-rank idiom)
@@ -70,21 +81,23 @@ def start_near_dup_ingest(doc_stream: DataFrame, dest_path: str,
         from open_instrument_spark.operators.dedup import (
             _band_keys,
             _minhash_sigs,
+            _read_minhash_meta,
             absorb_into_minhash_index,
             shingles,
         )
 
-        sigs_store = spark.read.parquet(f"{index_path}/sigs")
-        num_perm = len(sigs_store.select("sig").first()["sig"])
-        bands = (
-            spark.read.parquet(f"{index_path}/bands")
-            .agg(F.max("band")).first()[0] + 1
-        )
+        num_perm, bands, _ = _read_minhash_meta(spark, index_path)
         sh = batch.select("doc_id", shingles(F.col("text"), 5).alias("sh"))
         sigs_new = _minhash_sigs(sh, num_perm, portable=False)
         sigs_new = sigs_new.localCheckpoint(eager=False)
         b_new = _band_keys(sigs_new, num_perm, bands, portable=False)
         absorb_into_minhash_index(index_path, sigs_new, b_new, epoch)
+        if on_batch_complete is not None:
+            # test seam (the streaming/ingest.py idiom): raising here
+            # models a crash AFTER both sinks landed but BEFORE the
+            # checkpoint commit — the exact window the before_epoch
+            # probe filter exists for
+            on_batch_complete(epoch)
 
     writer = (
         doc_stream.writeStream.foreachBatch(sink)

@@ -67,15 +67,35 @@ def _emit_factory(budget: float, factor: float):
         for i in range(len(wins)):
             lt += traf[i]
             lb += bad[i]
-        burn_long = lb / lt / budget
+        # zero accumulated traffic (dval=0 rows pass the isNotNull
+        # filter) must NOT divide: the batch operator's SQL division
+        # yields a NULL burn there, and an exception in this emitter
+        # would crash the Python worker (the stream hangs retrying).
+        # Mirror the NULL, including SQL three-valued AND for page.
+        burn_long = lb / lt / budget if lt != 0.0 else None
         order = sorted(range(len(wins)), key=lambda i: wins[i])
-        burns = [bad[i] / traf[i] / budget for i in order]
+        burns = [bad[i] / traf[i] / budget if traf[i] != 0.0 else None
+                 for i in order]
+
+        def page(b):
+            c1 = None if b is None else b > factor
+            c2 = None if burn_long is None else burn_long > factor
+            if c1 is False or c2 is False:
+                return False
+            if c1 is None or c2 is None:
+                return None
+            return True
+
         yield pd.DataFrame({
             "ts": [pd.Timestamp(wins[i], unit="us") for i in order],
             "traffic": [round(traf[i], 6) for i in order],
-            "burn_short": [round(b, 6) for b in burns],
-            "burn_long": [round(burn_long, 6)] * len(order),
-            "page": [(b > factor) and (burn_long > factor) for b in burns],
+            "burn_short": pd.Series(
+                [None if b is None else round(b, 6) for b in burns],
+                dtype=object),
+            "burn_long": pd.Series(
+                [None if burn_long is None else round(burn_long, 6)]
+                * len(order), dtype=object),
+            "page": pd.Series([page(b) for b in burns], dtype=object),
         })
 
     return _emit

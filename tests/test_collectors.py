@@ -411,6 +411,7 @@ VBE.default(10.0.0.5,,8080).bereq_hdrbytes 5120 2.00 Request header bytes
 esi_errors   notanumber          0.00 ESI parse errors
 MEMPOOL.busyobj 5
 vbe.bad(onepart).fail 5 0.00 malformed address
+VBE.d(a,b,c)Xmetric 7 0.00 unescaped-dot probe
 """
 
 
@@ -419,7 +420,10 @@ def test_varnish_status(spark):
     (→ underscores, lowercased), VBE director lines (keep dots in the
     director name, backend/backend_port labels), float('1844...') ok,
     non-float skipped, short line skipped, malformed VBE address
-    skipped (D15; the reference's 3-tuple unpack would crash)."""
+    skipped (D15; the reference's 3-tuple unpack would crash).
+    ``VBE.d(a,b,c)Xmetric`` — no dot before the metric — is NOT a
+    director line (the reference regex's unescaped dot would swallow
+    the X; ours escapes it) and lands in the generic branch instead."""
     got = rows(C.parse_varnish_status(scrape(spark, VARNISH)))
     h = {"hostname": "h1"}
     vbe = {"hostname": "h1", "backend": "10.0.0.5", "backend_port": "8080"}
@@ -434,6 +438,7 @@ def test_varnish_status(spark):
              float(18446744073709551615), None),
             ("/varnish/status/director/default/bereq_hdrbytes", vbe,
              5120.0, None),
+            ("/varnish/status/vbe_d(a,b,c)xmetric", h, 7.0, None),
         ],
         key=lambda t: (t[0], sorted(t[1].items())),
     )

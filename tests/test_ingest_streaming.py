@@ -2352,3 +2352,135 @@ def test_streaming_near_dup_ingest(spark, tmp_path):
     assert rows[2_000_002]["near_dup_of"] is None
     deduped = {r["doc_id"] for r in read_deduped(spark, dest).collect()}
     assert deduped == {1_000_001, 2_000_002}
+
+
+def test_streaming_near_dup_ingest_replay_after_absorb(spark, tmp_path):
+    """The advisor-r11 failure window: batch N crashes AFTER its docs
+    landed and its sigs/bands were absorbed (epoch=N on disk) but
+    BEFORE the checkpoint commit. The replay probes a store that
+    already contains the batch's own signatures — without the
+    before_epoch partition filter every doc would match itself
+    (est_jaccard 1.0), the replayed epoch would land fully flagged,
+    and read_deduped would silently drop the whole batch. Assert the
+    crashed-and-replayed run equals a crash-free twin run exactly —
+    same flags, same deduped view — and that the absorb replay was
+    byte-idempotent (same store row multiset, no duplicate doc_ids)."""
+    from open_instrument_spark.operators.dedup import build_minhash_index
+    from open_instrument_spark.streaming.minhash_ingest import (
+        read_deduped,
+        start_near_dup_ingest,
+    )
+
+    base = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 60)
+    texts = {r["doc_id"]: r["text"] for r in base.limit(5).collect()}
+    ids = sorted(texts)
+    schema = "doc_id long, text string"
+    b1 = [(1_000_000, texts[ids[0]] + " aa bb"),        # near-dup of base
+          (1_000_001, "genuinely novel words " + "qq " * 40)]
+    # batch 2 = the crash epoch: one base near-dup, one b1 near-dup,
+    # one novel doc — the novel doc is the self-match canary
+    b2 = [(2_000_000, texts[ids[1]] + " cc dd"),
+          (2_000_001, "genuinely novel words " + "qq " * 40 + "rr"),
+          (2_000_002, "fresh unseen content " + "zz " * 40)]
+
+    def run(tag, crash_epoch=None):
+        index = str(tmp_path / f"idx_{tag}")
+        src = str(tmp_path / f"src_{tag}")
+        dest = str(tmp_path / f"dest_{tag}")
+        ck = str(tmp_path / f"ck_{tag}")
+        os.makedirs(src, exist_ok=True)
+        build_minhash_index(base, index)
+
+        def go(fault=None):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_near_dup_ingest(stream, dest, index, ck,
+                                      threshold=0.4, available_now=True,
+                                      on_batch_complete=fault)
+            q.awaitTermination(180)
+
+        def crash(epoch):
+            if epoch == crash_epoch:
+                raise RuntimeError("injected crash after absorb")
+
+        spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+        go()
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        if crash_epoch is not None:
+            with pytest.raises(Exception, match="injected crash"):
+                go(fault=crash)
+                raise RuntimeError("query did not fail")
+            # the crash window is real: epoch 1's absorb IS on disk...
+            assert glob.glob(os.path.join(index, "sigs", "epoch=1", "*.parquet"))
+            # ...and the checkpoint has no commit for it
+            assert not glob.glob(os.path.join(ck, "commits", "1"))
+            go()  # restart: replays epoch 1 against the absorbed store
+        else:
+            go()
+        flags = {r["doc_id"]: r["near_dup_of"]
+                 for r in spark.read.parquet(dest).collect()}
+        deduped = {r["doc_id"] for r in read_deduped(spark, dest).collect()}
+        store = sorted(
+            (r["doc_id"], r["epoch"]) for r in
+            spark.read.parquet(f"{index}/sigs").select("doc_id", "epoch").collect())
+        return flags, deduped, store
+
+    crashed = run("crash", crash_epoch=1)
+    clean = run("clean")
+    assert crashed == clean
+    flags, deduped, store = crashed
+    # the canary: the replayed batch's novel doc did NOT match itself
+    assert flags[2_000_002] is None
+    assert flags[2_000_001] == 1_000_001        # via batch-1 absorb
+    assert flags[2_000_000] == ids[1]           # via base build
+    assert deduped == {1_000_001, 2_000_002}
+    # absorb idempotence: one store row per doc, replay rewrote epoch 1
+    assert [d for d, _ in store] == sorted(d for d, _ in store)
+    assert len({d for d, _ in store}) == len(store)
+
+
+def test_streaming_slo_burn_zero_traffic_window(spark, tmp_path):
+    """A short window whose accumulated traffic is 0.0 (dval=0 rows
+    pass the isNotNull filter) must not crash the emitter worker
+    (advisor r11 medium): both engines yield a NULL burn_short and a
+    NULL page for it (SQL three-valued AND), and the twins still match
+    row-for-row."""
+    import datetime as dt
+
+    from open_instrument_spark.plans.alerts import slo_burn_rate
+    from open_instrument_spark.streaming.slo_burn_state import slo_burn_stream
+
+    BASE = dt.datetime(2024, 1, 1)
+    schema = "name string, ts timestamp, dval double"
+    SHORT, LONG = 3_600_000, 86_400_000
+    rows = [("/events/ok", BASE, 0.0),                      # hour 0: zero traffic
+            ("/events/error", BASE + dt.timedelta(minutes=5), 0.0),
+            ("/events/ok", BASE + dt.timedelta(hours=1), 100.0),
+            ("/events/error", BASE + dt.timedelta(hours=1, minutes=5), 50.0)]
+    pts = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "z_src")
+    dest = str(tmp_path / "z_out")
+    pts.write.parquet(src)
+    q = (
+        slo_burn_stream(spark.readStream.schema(schema).parquet(src),
+                        F.col("name") == "/events/error",
+                        slo=0.95, short_ms=SHORT, long_ms=LONG)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", dest)
+        .option("checkpointLocation", str(tmp_path / "z_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["ts"], r["traffic"], r["burn_short"], r["burn_long"], r["page"])
+           for r in spark.read.parquet(dest).collect()}
+    want = {(r["ts"], r["traffic"], r["burn_short"], r["burn_long"], r["page"])
+            for r in slo_burn_rate(pts, F.col("name") == "/events/error",
+                                   slo=0.95, short_ms=SHORT,
+                                   long_ms=LONG).collect()}
+    assert got == want and len(got) == 2
+    zero = next(t for t in got if t[1] == 0.0)
+    assert zero[2] is None and zero[4] is None      # NULL burn, NULL page
+    hot = next(t for t in got if t[1] == 150.0)
+    assert hot[4] is True                            # real traffic still pages

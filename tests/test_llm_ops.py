@@ -1550,3 +1550,76 @@ def test_redact_duplicated_spans_hand_traced(spark):
     assert got[3]["clean_text"] == "unique words only here"
     assert got[3]["n_removed"] == 0
     assert got[4]["clean_text"] == "tiny" and got[4]["n_tokens"] == 1
+
+
+def test_minhash_index_meta_no_full_scan(spark, tmp_path, monkeypatch):
+    """The store meta table (r12): build persists (num_perm, bands,
+    next_epoch) as a one-row parquet; a probe's only driver action is
+    that one-row meta read — never a full-index scan (at a 10^10-doc
+    store the old max-epoch aggregate read the whole band table per
+    micro-batch); absorb bumps next_epoch monotonically; an
+    epoch-PINNED retry is idempotent (same store rows, same probe
+    output, meta not wound back); before_epoch hides a store epoch
+    from the probe (the replay-safety filter)."""
+    # the concrete class (pyspark.sql.DataFrame is the abstract parent
+    # in Spark 4 — instance lookup resolves first/collect on this one)
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDF
+
+    from open_instrument_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 80)
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    assert [(r["num_perm"], r["bands"], r["next_epoch"]) for r in meta] \
+        == [(64, 16, 0)]
+
+    batch = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"))
+
+    # ---- action-count pin: building the probe plan touches the store
+    # with exactly ONE driver action, the one-row meta .first()
+    actions = []
+    orig_first, orig_collect = SparkDF.first, SparkDF.collect
+    monkeypatch.setattr(
+        SparkDF, "first",
+        lambda self: (actions.append("first"), orig_first(self))[1])
+    monkeypatch.setattr(
+        SparkDF, "collect",
+        lambda self: (actions.append("collect"), orig_collect(self))[1])
+    probe_minhash_index(spark, path, batch, threshold=0.5)
+    # exactly one logical action (first delegates to collect internally)
+    assert actions == ["first", "collect"] or actions == ["first"]
+    monkeypatch.setattr(SparkDF, "first", orig_first)
+    monkeypatch.setattr(SparkDF, "collect", orig_collect)
+
+    # ---- epoch-pinned absorb + retry is idempotent
+    got1 = sorted((r["new_id"], r["old_id"]) for r in probe_minhash_index(
+        spark, path, batch, threshold=0.5, append=True, epoch=5).collect())
+    assert spark.read.parquet(f"{path}/meta").first()["next_epoch"] == 6
+    # retry the same epoch (a caller retry after a partial failure):
+    # before_epoch=5 is the replay-safe probe of everything older
+    got2 = sorted((r["new_id"], r["old_id"]) for r in probe_minhash_index(
+        spark, path, batch, threshold=0.5, append=True, epoch=5,
+        before_epoch=5).collect())
+    assert got2 == got1
+    store = [(r["doc_id"], r["epoch"]) for r in
+             spark.read.parquet(f"{path}/sigs").select("doc_id", "epoch").collect()]
+    assert len(set(store)) == len(store)            # no duplicate rows
+    assert {e for _, e in store} == {-1, 5}          # no second epoch
+    assert spark.read.parquet(f"{path}/meta").first()["next_epoch"] == 6
+
+    # ---- before_epoch hides the batch's own absorbed epoch
+    n_batch = batch.count()
+    with_self = probe_minhash_index(spark, path, batch, threshold=0.99)
+    assert with_self.filter(
+        F.col("new_id") == F.col("old_id") + 0).count() >= n_batch \
+        or with_self.count() >= n_batch              # self-matches visible
+    without = sorted((r["new_id"], r["old_id"]) for r in probe_minhash_index(
+        spark, path, batch, threshold=0.5, before_epoch=5).collect())
+    assert without == got1                           # filter removes them
