@@ -841,10 +841,15 @@ def _semdedup_assign_arrow(centroids: np.ndarray):
     return pandas_udf(_assign, "cell int, csim double")
 
 
+# literal-fold assignment builds a k-term expression per row — fine for
+# the oracled seeded configs, quadratic-ish planning pain beyond this
+SEMDEDUP_FOLD_MAX_K = 64
+
+
 def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   assign: str = "fold") -> DataFrame:
+                   assign: str = "auto") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every
     vector to its nearest centroid, compute pairwise cosine ONLY inside
     each cluster, and mark duplicates above ``threshold``, keeping the
@@ -864,12 +869,19 @@ def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
 
     Output: (vec_id, cell, centroid_sim rounded 6dp, is_dup).
 
-    ``assign`` picks the assignment engine: "fold" (default) is the
-    oracle-exact literal-array HOF fold — right for the oracled seeded
+    ``assign`` picks the assignment engine: "fold" is the oracle-exact
+    literal-array HOF fold — right for the oracled seeded
     configuration, but its expression size grows with the centroid
     count; "arrow" is the matmul pandas_udf (the ivf_assign shape) —
-    the scale path when k grows ∝ N, same argmax-by-raw-dot semantics.
+    the scale path when k grows ∝ N, same argmax-by-raw-dot semantics
+    (equality pytest-pinned). "auto" (default) selects fold up to
+    ``SEMDEDUP_FOLD_MAX_K`` centroids and arrow above it, so the
+    DEFAULT engine survives the operator's own 100 TB story (the paper
+    grows k ∝ N — at real scale the literal expression would dwarf the
+    plan) while the oracled 32-cell config keeps its replayable fold.
     """
+    if assign == "auto":
+        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
     v = as_double(F.col(vec_col))
     if assign == "arrow":
         a0 = embeddings.select(

@@ -119,8 +119,12 @@ DRIVER_WINDOW = [
     "corpus_mixture_temperature",
     # -- single-driver-row entries (r9 was their first row) --
     "ann_ivfpq_seeded_topk",
+    # r12-new cisco config-blob collector (string-sample RLE + daily
+    # LATEST at blob size — the last reference collector data shape);
+    # displaces mutate_holt_winters (driver-green r10+r11; the trend
+    # family keeps mutate_holt_forecast oracle-gated under pytest).
+    "collector_cisco_config",
     # -- r10 rotation: the 21 r9-new oracled queries --
-    "mutate_holt_winters",
     "mutate_cusum",
     "mutate_predict_linear",
     "mutate_counter_resets",
@@ -157,6 +161,10 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
+    # r12 demotion — driver-green r10 AND r11; displaced by
+    # collector_cisco_config (mutate_holt_forecast keeps the trend
+    # family oracle-gated below).
+    "mutate_holt_winters",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",

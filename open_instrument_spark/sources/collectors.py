@@ -71,6 +71,7 @@ __all__ = [
     "parse_vmstat",
     "parse_entropy",
     "parse_ntpq",
+    "parse_cisco_config",
 ]
 
 _WS = r"\s+"
@@ -738,3 +739,70 @@ def parse_ntpq(scrapes: DataFrame) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# cisco_config.py — device-config snapshot as a STRING sample
+# ---------------------------------------------------------------------------
+
+# leading junk (cisco_config.py:38-39): blank, prompt echoes of
+# "term length 0" / the show command, or a bare "Building
+# configuration..." line (re.search with the trailing $: the prompt
+# alternatives match line SUFFIXES, the Building alternative the whole
+# line)
+_CC_LEAD_RE = r"(#term length 0|#show running-config)$"
+_CC_BUILDING_RE = r"^Building configuration\.\.\.$"
+_CC_BLANK_RE = r"^ *$"
+
+
+def parse_cisco_config(captures: DataFrame) -> DataFrame:
+    """Telnet ``show running-config`` capture → ONE
+    ``/network/device/configuration{device_type=cisco,hostname=h}``
+    STRING sample holding the whole config blob
+    (cisco_config.py:25-41,94-103) — the reference's only multi-KB
+    sval producer, the shape config.txt:37-47's daily-LATEST string
+    retention exists for.
+
+    Input: (hostname, ts, raw) where ``raw`` is the full telnet
+    capture, lines joined with CRLF (telnetlib's read_all framing,
+    cisco_config.py:35). Trimming mirrors the reference's pop loops
+    exactly (cisco_config.py:36-41): drop TRAILING lines that are
+    blank or end with ``#exit``; drop LEADING lines that are blank,
+    end with the prompt echoes, or are ``Building configuration...``;
+    interior junk survives (the pops stop at the first keeper from
+    each end — equivalently, keep [min non-lead-junk index, max
+    non-trail-junk index]). The kept lines are joined with NO
+    separator — ``"".join(config)`` on the line LIST is the
+    reference's own quirk (cisco_config.py:102; its SNMP path ships
+    the file verbatim instead) — and captures with fewer than six
+    kept lines are dropped (``not len(config) > 5``,
+    cisco_config.py:60 — a failed login's residue is not a config).
+
+    All-junk captures yield NULL bounds and are filtered with the
+    same guard; pure JVM expressions (one transform per bound +
+    array_min/array_max, which skip NULL elements)."""
+    arr = F.split(F.col("raw"), "\r\n")
+
+    def lead_junk(x):
+        return (x.rlike(_CC_BLANK_RE) | x.rlike(_CC_LEAD_RE)
+                | x.rlike(_CC_BUILDING_RE))
+
+    def trail_junk(x):
+        return x.rlike(_CC_BLANK_RE) | x.endswith("#exit")
+
+    bounds = captures.select(
+        "hostname", "ts", arr.alias("a"),
+        F.array_min(F.transform(
+            arr, lambda x, i: F.when(~lead_junk(x), i))).alias("lo"),
+        F.array_max(F.transform(
+            arr, lambda x, i: F.when(~trail_junk(x), i))).alias("hi"),
+    ).where((F.col("hi") - F.col("lo") + 1) > 5)
+    return bounds.select(
+        F.lit("/network/device/configuration").alias("name"),
+        _labels(("device_type", "cisco")).alias("labels"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("dval"),
+        F.array_join(
+            F.slice(F.col("a"), F.col("lo") + 1,
+                    F.col("hi") - F.col("lo") + 1), "").alias("sval"),
+    )

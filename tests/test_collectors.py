@@ -474,3 +474,36 @@ def test_http_fetch(spark):
     )
     assert got == exp
     assert all(r["ts"] == TS for r in C.parse_http_fetch(fetches).collect())
+
+
+def test_cisco_config(spark):
+    """Telnet show running-config capture → one multi-line STRING
+    sample (cisco_config.py:25-60): leading blank/prompt-echo/
+    'Building configuration...' lines popped, trailing blank/#exit
+    lines popped, INTERIOR blanks kept, lines joined with NO separator
+    (the reference's ''.join on the line list), device_type=cisco +
+    hostname labels. A capture left with <=5 lines after trimming is
+    dropped (the reference's len(config) > 5 guard), as is an all-junk
+    capture."""
+    body = ["version 15.2", "hostname rtr1", "", "interface Gi0/0",
+            " ip address 10.0.0.1 255.255.255.0", "line vty 0 4", "end"]
+    raw = "\r\n".join(
+        ["", "rtr1#term length 0", "rtr1#show running-config",
+         "Building configuration...", ""]
+        + body
+        + ["", "rtr1#exit", " "])
+    short = "\r\n".join(["rtr1#show running-config", "version 15.2",
+                         "end", "rtr1#exit"])          # 2 kept lines
+    junk = "\r\n".join(["", "rtr1#term length 0", "rtr1#exit", " "])
+    caps = spark.createDataFrame(
+        [("h1", TS, raw), ("h2", TS, short), ("h3", TS, junk)],
+        "hostname string, ts timestamp, raw string",
+    )
+    got = C.parse_cisco_config(caps).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["name"] == "/network/device/configuration"
+    assert dict(r["labels"]) == {"hostname": "h1", "device_type": "cisco"}
+    assert r["dval"] is None
+    assert r["sval"] == "".join(body)        # separator-less reference join
+    assert "interface Gi0/0 ip address" in r["sval"]   # interior blank gone
