@@ -214,6 +214,9 @@ HEADLINE = [
     "dedup_minhash_incremental",
     # span-dedup APPLY: remove duplicated-window tokens, reassemble text
     "dedup_spans_redact",
+    # r12 addition: config-blob string samples (parse -> daily LATEST ->
+    # sval RLE at multi-KB blob size)
+    "collector_cisco_config",
 ]
 
 
@@ -300,10 +303,15 @@ def main() -> None:
     # settle on the SAME quantity the contended flag judges (max of the
     # 1- and 5-min loadavg) — the first r10 artifact settled only on the
     # 1-min value and then flagged itself contended on the 5-min tail
-    # of the preceding probe run.
+    # of the preceding probe run. r12 (judge r11 #6): the 0.25·ncpu bar
+    # (8 on 32 cpus) let the r11 driver run start at 1-min loadavg 3.81
+    # and publish 3.4× spreads the idle artifact didn't have — the
+    # 1-min value now additionally gates at ~idle (max(1, 0.03·ncpu)),
+    # which decays within the bounded wait; the 5-min bar is unchanged.
     while (
         ncpu0 > 0
-        and max(load_before["loadavg"][:2]) > 0.25 * ncpu0
+        and (max(load_before["loadavg"][:2]) > 0.25 * ncpu0
+             or load_before["loadavg"][0] > max(1.0, 0.03 * ncpu0))
         and settle_s < max_settle
     ):
         time.sleep(15)

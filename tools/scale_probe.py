@@ -490,9 +490,11 @@ def main() -> None:
         semantic_dedup,
     )
 
-    # (arrow assignment at every tier — the k∝N engine — so the tier
-    # ratios compare the same pipeline; fold vs arrow equality is
-    # pytest-pinned at the oracled 32-cell config.)
+    # (arrow assignment pinned at every tier so the ratios compare one
+    # pipeline; since r12 the DEFAULT assign="auto" routes to this same
+    # arrow engine above 64 centroids — i.e. at every probed k∝N tier
+    # beyond ×1 — and fold≡arrow equality is pytest-pinned at the
+    # oracled 32-cell config.)
     run(semantic_dedup(emb, seeded_centroids(64, 32, 7), 0.35,
                        assign="arrow"))  # warm
     for k in emb_mults:
