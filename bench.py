@@ -214,9 +214,11 @@ HEADLINE = [
     "dedup_minhash_incremental",
     # span-dedup APPLY: remove duplicated-window tokens, reassemble text
     "dedup_spans_redact",
-    # r12 addition: config-blob string samples (parse -> daily LATEST ->
-    # sval RLE at multi-KB blob size)
+    # r12 additions: config-blob string samples (parse -> daily LATEST
+    # -> sval RLE at multi-KB blob size) and the PromQL *_over_time
+    # range-aggregation family (one exchange for all seven members)
     "collector_cisco_config",
+    "mutate_over_time_family",
 ]
 
 

@@ -390,3 +390,45 @@ def count_values(points: DataFrame,
         .agg(F.count(F.lit(1)).alias("n"))
         .select("name", "ts", "value", "n")
     )
+
+
+def range_aggregations(points: DataFrame,
+                       interval_ms: int = 86_400_000) -> DataFrame:
+    """The PromQL ``*_over_time`` range-aggregation family per series
+    over tumbling windows: avg / min / max / sum / count / last /
+    present (promql/functions.go func{Avg,Min,Max,Sum,Count,Last,
+    Present}OverTime — public PromQL docs). Completes the range-vector
+    surface next to :func:`quantile_over_time`.
+
+    Spark shape: ALL SEVEN ride one groupBy (a single aggregation
+    exchange, every member map-side combinable) — ``last_over_time``
+    is the lexicographic (ts, dval) struct MAX (the argmax-without-
+    rank idiom: no sort window, dval tie-breaks equal timestamps
+    deterministically on both engines), ``present_over_time`` is the
+    constant 1.0 PromQL defines (a group exists only if samples do).
+    avg/sum rounded 6 dp (re-associated float folds); min/max/last are
+    row values, exact. Output: (series_key, ts, avg_ot, min_ot,
+    max_ot, sum_ot, count_ot, last_ot, present_ot)."""
+    pts = (
+        _with_key(points)
+        .where(F.col("dval").isNotNull() & ~F.isnan("dval"))
+        .select(
+            "series_key",
+            F.window("ts", f"{interval_ms // 1000} seconds")
+            .start.alias("win"),
+            F.col("ts").alias("sts"),
+            "dval",
+        )
+    )
+    return (
+        pts.groupBy("series_key", F.col("win").alias("ts"))
+        .agg(
+            F.round(F.avg("dval"), 6).alias("avg_ot"),
+            F.min("dval").alias("min_ot"),
+            F.max("dval").alias("max_ot"),
+            F.round(F.sum("dval"), 6).alias("sum_ot"),
+            F.count(F.lit(1)).alias("count_ot"),
+            F.max(F.struct("sts", "dval"))["dval"].alias("last_ot"),
+            F.lit(1.0).alias("present_ot"),
+        )
+    )

@@ -151,11 +151,67 @@ def rebalance_ann_index(spark, path: str, skew_threshold: float = 4.0,
     return res
 
 
+def compact_minhash_index(spark, path: str, max_epochs: int = 8) -> dict:
+    """Fold a dedup-at-ingest MinHash store's accumulated epochs back
+    into one base epoch (r12 scale hardening). The streaming loop
+    (streaming/minhash_ingest.py) absorbs one ``epoch=N`` partition
+    per micro-batch, and probes read ALL epochs — so epoch count is
+    pure file-listing + small-file overhead, the same pathology
+    :func:`compact_dates` exists for, growing without bound under
+    continuous ingest.
+
+    When the store holds more than ``max_epochs`` sigs epochs: read
+    sigs+bands wholesale (signature-sized — the rewrite is linear in
+    INDEX size, never touches corpus text), stage a sibling store
+    (``{path}.compact``: everything under ``epoch=-1`` plus the meta),
+    then promote with the same staging-before-delete swap + ``.old``
+    crash recovery as :func:`rebalance_ann_index`. Probe results are
+    invariant (the probe unions epochs; content is unchanged), pinned
+    by test. The meta's ``next_epoch`` is PRESERVED, not reset — epoch
+    ids never recycle, so a later absorb can't collide with a
+    pre-compaction batch id. Single-writer contract: run from the same
+    maintenance loop that owns the store, with no in-flight absorb
+    (build_minhash_index's one-writer-regime note)."""
+    from open_instrument_spark.operators.dedup import (
+        _read_minhash_meta,
+        _write_minhash_meta,
+    )
+
+    old = path.rstrip("/") + ".old"
+    sib = path.rstrip("/") + ".compact"
+    recovered = False
+    if not os.path.exists(path) and os.path.exists(old):
+        shutil.move(old, path)
+        recovered = True
+    n_epochs = len(glob.glob(os.path.join(path, "sigs", "epoch=*")))
+    res = {"epochs_before": n_epochs, "compacted": False,
+           "swapped": False, "recovered": recovered}
+    if n_epochs <= max_epochs:
+        return res
+    num_perm, bands, nxt = _read_minhash_meta(spark, path)
+    shutil.rmtree(sib, ignore_errors=True)
+    spark.read.parquet(f"{path}/sigs").select("doc_id", "sig").write.mode(
+        "overwrite").parquet(f"{sib}/sigs/epoch=-1")
+    spark.read.parquet(f"{path}/bands").select(
+        "doc_id", "band", "bh").write.mode(
+        "overwrite").parquet(f"{sib}/bands/epoch=-1")
+    _write_minhash_meta(spark, sib, num_perm, bands, nxt)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
+    shutil.move(sib, path)
+    shutil.rmtree(old, ignore_errors=True)
+    res["compacted"] = True
+    res["swapped"] = True
+    return res
+
+
 def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
                      now, dry_run: bool = False, n_buckets: int = 16,
                      max_files_per_date: int | None = None,
                      ann_indexes: list[str] | None = None,
-                     ann_skew_threshold: float = 4.0
+                     ann_skew_threshold: float = 4.0,
+                     minhash_indexes: list[str] | None = None,
+                     minhash_max_epochs: int = 8
                      ) -> tuple[DataFrame, dict]:
     """One StoreFileManager tick. Returns ``(report, summary)``:
     ``report`` is the retention_report rows AS OF tick start (the
@@ -174,9 +230,15 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
     tick stays a fixpoint: a second tick at the same ``now`` finds
     balanced cells and changes nothing.
 
+    ``minhash_indexes`` (r12) likewise folds dedup-at-ingest store
+    upkeep into the tick: each store's epoch count is checked and a
+    store past ``minhash_max_epochs`` is compacted + swapped
+    (:func:`compact_minhash_index`) — also a fixpoint (a compacted
+    store has one epoch and is skipped).
+
     ``dry_run=True`` is the reference-exact log-only pass: no write,
     no delete, store bytes untouched — ANN indexes only get their skew
-    measured and reported."""
+    measured and reported, MinHash stores their epoch count."""
     pts = spark.read.parquet(store_path).drop(
         "dt", "bucket", "name_bucket", "epoch"
     )
@@ -193,6 +255,7 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
         "applied": not dry_run,
         "compacted_dates": [],
         "ann": {},
+        "minhash": {},
     }
     if dry_run:
         from open_instrument_spark.operators.pq import ivfpq_cell_stats
@@ -210,6 +273,12 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
                 "skew_after": stats["skew"], "swapped": False,
                 "out_path": None,
             }
+        for p in minhash_indexes or []:
+            summary["minhash"][p] = {
+                "epochs_before": len(
+                    glob.glob(os.path.join(p, "sigs", "epoch=*"))),
+                "compacted": False, "swapped": False, "recovered": False,
+            }
         return report, summary
     # the caller reads the report AFTER the rewrite — materialize it
     # now so the returned frame reflects tick-START state, not a lazy
@@ -223,5 +292,9 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
     for p in ann_indexes or []:
         summary["ann"][p] = rebalance_ann_index(
             spark, p, skew_threshold=ann_skew_threshold
+        )
+    for p in minhash_indexes or []:
+        summary["minhash"][p] = compact_minhash_index(
+            spark, p, max_epochs=minhash_max_epochs
         )
     return report, summary

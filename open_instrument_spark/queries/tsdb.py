@@ -2269,3 +2269,44 @@ def agg_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators.trend import count_values
 
     return count_values(_pts(spark, sf_dir))
+
+
+@query(
+    "mutate_over_time_family",
+    oracle=f"""
+WITH {P_CTE},
+b AS (
+  SELECT series_key, {_DAY_WIN} AS ts, ts AS sts, dval FROM p
+),
+l AS (
+  SELECT series_key, ts, dval AS last_ot,
+         row_number() OVER (PARTITION BY series_key, ts
+                            ORDER BY sts DESC, dval DESC) AS rn
+  FROM b
+),
+g AS (
+  SELECT series_key, ts,
+         round(avg(dval), 6) AS avg_ot,
+         min(dval) AS min_ot,
+         max(dval) AS max_ot,
+         round(sum(dval), 6) AS sum_ot,
+         count(*) AS count_ot,
+         1.0 AS present_ot
+  FROM b GROUP BY 1, 2
+)
+SELECT g.series_key, g.ts, g.avg_ot, g.min_ot, g.max_ot, g.sum_ot,
+       g.count_ot, l.last_ot, g.present_ot
+FROM g JOIN l ON g.series_key = l.series_key AND g.ts = l.ts AND l.rn = 1
+""",
+)
+def mutate_over_time_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL ``*_over_time`` range-aggregation family
+    (avg/min/max/sum/count/last/present per series per 1-day window)
+    in ONE aggregation exchange — last_over_time is the (ts, dval)
+    struct max (argmax-without-rank; the oracle replays it as a
+    row_number QUALIFY with the same ts-then-dval tie order).
+    Completes the range-vector surface next to agg_quantile_over_time
+    (operators/trend.py::range_aggregations)."""
+    from open_instrument_spark.operators.trend import range_aggregations
+
+    return range_aggregations(_pts(spark, sf_dir), interval_ms=86_400_000)

@@ -124,8 +124,12 @@ DRIVER_WINDOW = [
     # displaces mutate_holt_winters (driver-green r10+r11; the trend
     # family keeps mutate_holt_forecast oracle-gated under pytest).
     "collector_cisco_config",
+    # r12-new PromQL *_over_time range-aggregation family (one-exchange
+    # avg/min/max/sum/count/last/present); displaces mutate_cusum
+    # (driver-green r10+r11; CUSUM keeps its streaming-twin pytests and
+    # the oracle parity replay).
+    "mutate_over_time_family",
     # -- r10 rotation: the 21 r9-new oracled queries --
-    "mutate_cusum",
     "mutate_predict_linear",
     "mutate_counter_resets",
     "dedup_semantic",
@@ -161,10 +165,11 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
-    # r12 demotion — driver-green r10 AND r11; displaced by
-    # collector_cisco_config (mutate_holt_forecast keeps the trend
-    # family oracle-gated below).
+    # r12 demotions — each driver-green r10 AND r11; displaced by
+    # collector_cisco_config / mutate_over_time_family
+    # (mutate_holt_forecast keeps the trend family oracle-gated below).
     "mutate_holt_winters",
+    "mutate_cusum",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",

@@ -1645,3 +1645,67 @@ def test_semantic_dedup_auto_assign_routes_on_k(spark):
     fold = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
             similarity.semantic_dedup(emb, big, 0.3, assign="fold").collect()}
     assert auto == fold
+
+
+def test_maintenance_compacts_minhash_store(spark, tmp_path):
+    """r12: dedup-at-ingest stores grow one epoch per micro-batch
+    without bound; the maintenance tick folds them back into one base
+    epoch behind the crash-atomic swap. Probe results must be
+    INVARIANT across compaction (same pairs, same estimates), the
+    meta's next_epoch preserved (ids never recycle), below-threshold
+    stores untouched (fixpoint), and a mid-swap crash recovered from
+    .old."""
+    import glob
+    import os
+    import shutil
+
+    from open_instrument_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from open_instrument_spark.plans.maintenance import compact_minhash_index
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 120)
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs.filter(F.col("doc_id") < 60), path)
+    # ten absorbed micro-batches, epoch-pinned
+    for e in range(10):
+        batch = docs.filter(F.col("doc_id") % 10 == e).select(
+            (F.col("doc_id") + 500_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" e{e}")).alias("text"))
+        probe_minhash_index(spark, path, batch, threshold=0.9,
+                            append=True, epoch=e)
+
+    probe = docs.limit(20).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text")
+
+    def snap():
+        return sorted(
+            (r["new_id"], r["old_id"], r["est_jaccard"]) for r in
+            probe_minhash_index(spark, path, probe, threshold=0.3).collect())
+
+    def epochs():
+        return len(glob.glob(os.path.join(path, "sigs", "epoch=*")))
+
+    before = snap()
+    assert before and epochs() == 11
+    # below threshold: fixpoint no-op
+    res = compact_minhash_index(spark, path, max_epochs=16)
+    assert res == {"epochs_before": 11, "compacted": False,
+                   "swapped": False, "recovered": False}
+    # over threshold: compacts to one epoch, probe output invariant
+    res = compact_minhash_index(spark, path, max_epochs=8)
+    assert res["compacted"] and res["swapped"]
+    assert epochs() == 1 and snap() == before
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert meta["next_epoch"] == 10          # preserved, not reset
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".compact")
+    # second tick at the same state: fixpoint
+    res = compact_minhash_index(spark, path, max_epochs=8)
+    assert res["compacted"] is False and epochs() == 1
+    # mid-swap crash: live path gone, complete store at .old → recover
+    shutil.move(path, path + ".old")
+    res = compact_minhash_index(spark, path, max_epochs=8)
+    assert res["recovered"] is True and snap() == before
