@@ -219,6 +219,9 @@ HEADLINE = [
     # range-aggregation family (one exchange for all seven members)
     "collector_cisco_config",
     "mutate_over_time_family",
+    # leakage-safe split: clusters (component fixpoint on the pair
+    # list) land whole in one split
+    "corpus_split_leakage_safe",
 ]
 
 

@@ -437,3 +437,41 @@ def chunk_documents(docs: DataFrame, width: int = 64, stride: int = 48,
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
     )
+
+
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       weights: dict[str, float] | None = None,
+                       id_col: str = "doc_id",
+                       a: str = "a_id", b: str = "b_id") -> DataFrame:
+    """Cluster-aware train/val/test split: every near-dup CLUSTER lands
+    whole in one split. A plain per-doc hash split leaks — a test doc's
+    near-duplicate in train inflates eval scores (the decontamination
+    literature's in-corpus case: Lee et al. 2021 §6.2 observe ~triple
+    the validation perplexity improvement on seen-in-train dups; public)
+    — so the split KEY must be the dedup group, not the doc.
+
+    ``pairs`` is any pair-producing dedup stage's output (n-gram
+    Jaccard, MinHash-LSH verify, SemDeDup). Group id = the connected
+    component's min doc_id (singletons: the doc itself), hashed with
+    the same md5-threshold grammar as :func:`hash_split` — on a
+    duplicate-free corpus this REDUCES to hash_split exactly, and
+    adding documents never reassigns existing groups.
+
+    100 TB shape: connected components run on the EDGE list (pairs-
+    scale, not corpus-scale; O(log diameter) pointer-jumping rounds);
+    the corpus pays one left join against the component table (dup-
+    involved docs only — typically a few % of the corpus, broadcastable
+    at real dup rates) and a scan-project split expression. No corpus
+    self-join, no global sort. Output: docs + (group_id, split)."""
+    from open_instrument_spark.operators.dedup import connected_components
+
+    weights = weights or DEFAULT_WEIGHTS
+    comp = connected_components(pairs, a=a, b=b).withColumnRenamed(
+        "doc_id", id_col).withColumnRenamed("cluster_id", "_cluster")
+    out = docs.join(comp, on=id_col, how="left")
+    group = F.coalesce(F.col("_cluster"), F.col(id_col))
+    return (
+        out.withColumn("group_id", group)
+        .withColumn("split", split_column(F.col("group_id"), weights))
+        .drop("_cluster")
+    )

@@ -3719,3 +3719,75 @@ def retrieval_eval_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (11 - F.col("rank")).cast("double").alias("rel"),
     )
     return retrieval_eval(results, truth, k=10)
+
+
+@query(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL},
+sh AS ({_shingle_cte("corpus")}),
+ds AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+gds AS (
+  SELECT ds.doc_id, ds.shingle FROM ds
+  JOIN (SELECT shingle FROM ds GROUP BY 1 HAVING count(*) <= 1000) f
+    USING (shingle)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM gds a JOIN gds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN ds da ON da.doc_id = c.a_id
+  JOIN ds db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+g AS (
+  SELECT c.doc_id, COALESCE(m.cluster_id, c.doc_id) AS group_id
+  FROM corpus c LEFT JOIN comp m USING (doc_id)
+)
+SELECT doc_id, group_id,
+       CASE WHEN md5(CAST(group_id AS VARCHAR)) < '{_T_TRAIN}' THEN 'train'
+            WHEN md5(CAST(group_id AS VARCHAR)) < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+""",
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 leakage-safe split (r12): near-dup clusters land WHOLE in
+    one train/val/test split — the split key is the connected
+    component's min doc_id (singletons: the doc itself), md5-threshold
+    hashed exactly like corpus_hash_split, so a test doc can never have
+    a near-duplicate in train (the eval-leakage case the
+    decontamination literature measures, Lee et al. 2021 §6.2). Same
+    seeded near-dup corpus, guarded candidate path, and recursive-CTE
+    component fixpoint as dedup_clusters; the split CASE rides the
+    same md5 grammar (operators/corpus.py::leakage_safe_split)."""
+    from open_instrument_spark.operators.corpus import leakage_safe_split
+    from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    return leakage_safe_split(
+        corpus.select("doc_id"), pairs.select("a_id", "b_id")
+    ).select("doc_id", "group_id", "split")

@@ -129,8 +129,12 @@ DRIVER_WINDOW = [
     # (driver-green r10+r11; CUSUM keeps its streaming-twin pytests and
     # the oracle parity replay).
     "mutate_over_time_family",
+    # r12-new leakage-safe split (near-dup clusters land whole in one
+    # split; component fixpoint + md5 split grammar both replayed);
+    # displaces mutate_predict_linear (driver-green r10+r11; the trend
+    # family keeps predict_linear's hand-traced pytests + parity).
+    "corpus_split_leakage_safe",
     # -- r10 rotation: the 21 r9-new oracled queries --
-    "mutate_predict_linear",
     "mutate_counter_resets",
     "dedup_semantic",
     "dedup_spans",
@@ -170,6 +174,7 @@ _PAST_WINDOW_ORACLED = [
     # (mutate_holt_forecast keeps the trend family oracle-gated below).
     "mutate_holt_winters",
     "mutate_cusum",
+    "mutate_predict_linear",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",

@@ -1709,3 +1709,44 @@ def test_maintenance_compacts_minhash_store(spark, tmp_path):
     shutil.move(path, path + ".old")
     res = compact_minhash_index(spark, path, max_epochs=8)
     assert res["recovered"] is True and snap() == before
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Leakage-safe split (r12): every near-dup cluster lands WHOLE in
+    one split (the eval-leakage invariant), singletons get exactly
+    their hash_split assignment (the reduction property), and split
+    fractions stay near the weights."""
+    from open_instrument_spark.operators.corpus import (
+        hash_split,
+        leakage_safe_split,
+    )
+    from open_instrument_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 400_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" aa bb")).alias("text"))
+    corpus = docs.unionByName(near)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    out = leakage_safe_split(corpus.select("doc_id"),
+                             pairs.select("a_id", "b_id")).collect()
+    by_group: dict = {}
+    split_of = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+        split_of[r["doc_id"]] = (r["group_id"], r["split"])
+    # the invariant: one split per group
+    assert all(len(s) == 1 for s in by_group.values())
+    # seeded dups share their parent's group AND split
+    seeded = {r["doc_id"] for r in near.select("doc_id").collect()}
+    assert seeded and all(
+        split_of[d] == split_of[d - 400_000] for d in seeded)
+    # singletons == hash_split(doc_id) exactly
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(corpus.select("doc_id")).collect()}
+    multi = {g for g, s in by_group.items() if
+             sum(1 for d in split_of if split_of[d][0] == g) > 1}
+    singles = [d for d, (g, _) in split_of.items()
+               if g == d and g not in multi]
+    assert singles and all(split_of[d][1] == plain[d] for d in singles)
