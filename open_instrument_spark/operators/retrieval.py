@@ -250,3 +250,284 @@ def retrieval_eval(results: DataFrame, truth: DataFrame,
             ).alias("ndcg_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-query BM25 (the batched serving shape) + the on-disk inverted index
+# ---------------------------------------------------------------------------
+
+def _query_frame(spark, queries: dict[int, list[str]]) -> DataFrame:
+    """(q_id, term) rows from {q_id: [terms]}; per-query duplicate
+    terms collapse (BM25 is a bag-of-terms model — a repeated term
+    does not double its contribution in the single-query path either)."""
+    rows = []
+    for qid, terms in queries.items():
+        for t in dict.fromkeys(terms):
+            rows.append((int(qid), str(t)))
+    return spark.createDataFrame(rows, "q_id long, term string")
+
+
+def _bm25_weight(k1: float, b: float):
+    """The shared per-posting Okapi weight — identical literal bits to
+    bm25_scores so every path (single-query pivot, multi-query join,
+    on-disk search) produces bit-equal per-term weights."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    return (
+        idf * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+        )
+    )
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The inverted-index frame: one (doc_id, term, tf, dl) row per
+    distinct term per document, dl denormalized onto every posting
+    (Lucene's norms-in-the-postings idiom) so search never joins a
+    doc-length side table. Zero-word documents carry a single
+    (term=NULL, tf=0, dl=0) sentinel row so N and avgdl stay exact
+    corpus-wide counts wherever the postings travel.
+
+    One tokenize/explode scan → (doc_id, term) count → per-doc dl as a
+    second aggregate of THAT frame (never a second corpus pass); the
+    dl join back is doc_id↔doc_id on two frames that just aggregated
+    on doc_id-prefixed keys."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    per_pair = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = per_pair.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl_all = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .fillna(0, subset=["dl"])
+    )
+    return (
+        per_pair.join(dl_all, "doc_id", "right")
+        .select(
+            "doc_id",
+            "term",
+            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            "dl",
+        )
+    )
+
+
+def bm25_multi(docs: DataFrame, queries: dict[int, list[str]],
+               k: int = 10, k1: float = 1.2, b: float = 0.75,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k BM25 per query for a BATCH of term queries — the batched
+    retrieval/serving shape (one corpus pass amortized over every
+    query), score-identical to running :func:`bm25_topk` per query.
+
+    Plan: the postings frame (one corpus scan, see :func:`_postings`)
+    is joined to the broadcast (q_id, term) query table — the classic
+    inverted-index join: only postings of query terms survive, so the
+    frame entering scoring is Σ_t df(t) rows, not N·|queries|. df per
+    term and the one-row corpus stats are broadcast aggregates of the
+    same postings frame; ranking is a per-q_id window over the rounded
+    score (+ doc_id tie-break, the house cross-engine rank pin).
+
+    Output: (q_id, doc_id, dl, n_hit_terms, rank, score) — rank ≤ k,
+    feeds retrieval_eval / rrf_fuse directly.
+    """
+    post = _postings(docs, text_col, id_col)
+    qdf = _query_frame(docs.sparkSession, queries)
+    stats = post.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    dfreq = (
+        post.where(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    hits = post.join(F.broadcast(qdf), "term")
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+            F.round(F.sum(_bm25_weight(k1, b)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "doc_id", "dl", "n_hit_terms", "rank", "score")
+    )
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the postings bucket column: first 8 hex
+    chars of md5(term) as an int, mod n_buckets — the house portable
+    md5 grammar, so a search can compute which partitions its query
+    terms live in WITHOUT touching the index."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket(term, n_buckets: int):
+    """Spark column twin of :func:`term_bucket_py` (md5 first-8-hex →
+    long → mod); NULL terms (the zero-word sentinel postings) land in
+    bucket 0 so every row has a concrete partition."""
+    h = F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+    return F.coalesce((h % n_buckets).cast("int"), F.lit(0))
+
+
+def build_text_index(docs: DataFrame, path: str, n_buckets: int = 8,
+                     text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Materialize an on-disk BM25 inverted index: the postings frame
+    written to parquet PARTITIONED BY the term's md5 bucket, so a
+    search for |Q| terms reads at most |Q| of the ``n_buckets``
+    partitions — parquet partition PRUNING, the lexical twin of the
+    IVF/IVFPQ cell layout (similarity.py::build_ivf_index). A term's
+    postings live entirely inside its bucket, so per-term df is exact
+    from the pruned read alone; corpus-wide N / Σdl live in a one-row
+    ``meta`` table (the MinHash-store idiom, dedup.py) so search
+    performs no full-index action.
+
+    Layout: ``{path}/postings/epoch=-1/bucket=B`` (doc_id, term, tf,
+    dl), ``{path}/meta`` (n_docs, sum_dl, n_buckets, next_epoch).
+    Epoch subdirectories follow the store-write scheme every on-disk
+    store in this repo uses: the base build is epoch -1, appends count
+    up from 0 writing ``epoch=N`` exactly (idempotent under retry —
+    a replayed append overwrites its own partition, never doubles).
+
+    100 TB shape: index once (one corpus tokenize + two doc_id-keyed
+    aggregates + one bucket-partitioned shuffle write), search many
+    times touching only query-term buckets — the corpus text is never
+    re-read or re-tokenized at query time.
+    """
+    post = _postings(docs, text_col, id_col).withColumn(
+        "bucket", _term_bucket(F.col("term"), n_buckets)
+    )
+    post.write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/postings/epoch=-1"
+    )
+    spark = docs.sparkSession
+    sums = (
+        spark.read.parquet(f"{path}/postings/epoch=-1")
+        .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    _write_text_meta(spark, path, int(sums["n"]), int(sums["s"] or 0),
+                     n_buckets, 0)
+
+
+def _write_text_meta(spark, path: str, n_docs: int, sum_dl: int,
+                     n_buckets: int, next_epoch: int) -> None:
+    spark.createDataFrame(
+        [(int(n_docs), int(sum_dl), int(n_buckets), int(next_epoch))],
+        "n_docs long, sum_dl long, n_buckets int, next_epoch long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_text_meta(spark, path: str) -> tuple[int, int, int, int]:
+    r = spark.read.parquet(f"{path}/meta").first()
+    return (int(r["n_docs"]), int(r["sum_dl"]), int(r["n_buckets"]),
+            int(r["next_epoch"]))
+
+
+def append_to_text_index(new_docs: DataFrame, path: str,
+                         epoch: int | None = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Incremental index maintenance: tokenize ONLY the arriving batch,
+    land its postings in a fresh ``epoch=N`` subdirectory (same bucket
+    partitioning — search pruning is unchanged), and bump the one-row
+    meta (n_docs / Σdl accumulate, so avgdl and idf reflect the grown
+    corpus immediately). ``epoch`` pins the write for retrying callers
+    (the MinHash-store absorb contract): a replayed epoch overwrites
+    its own partition and re-asserts the same meta instead of double-
+    counting — callers that pass ``epoch`` must pair it with the
+    matching pre-append meta state, which is what the one-writer
+    regime gives them for free.
+
+    Per-batch cost is O(batch): existing postings are never read or
+    rewritten. df/avgdl correctness across epochs falls out of the
+    layout — a term's postings from every epoch still share one
+    bucket, and search reads the epoch column as just another
+    partition key."""
+    spark = new_docs.sparkSession
+    n_docs, sum_dl, n_buckets, next_epoch = _read_text_meta(spark, path)
+    if epoch is None:
+        epoch = next_epoch
+    post = _postings(new_docs, text_col, id_col).withColumn(
+        "bucket", _term_bucket(F.col("term"), n_buckets)
+    )
+    post.write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{path}/postings/epoch={int(epoch)}"
+    )
+    sums = (
+        spark.read.parquet(f"{path}/postings/epoch={int(epoch)}")
+        .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .first()
+    )
+    _write_text_meta(spark, path, n_docs + int(sums["n"]),
+                     sum_dl + int(sums["s"] or 0), n_buckets,
+                     max(next_epoch, int(epoch) + 1))
+
+
+def search_text_index(spark, path: str, queries: dict[int, list[str]],
+                      k: int = 10, k1: float = 1.2,
+                      b: float = 0.75) -> DataFrame:
+    """Top-k BM25 per query against a :func:`build_text_index` layout —
+    score-identical to :func:`bm25_multi` over the same corpus (pytest
+    -pinned), but the read touches ONLY the buckets the query terms
+    hash to: the bucket list is computed driver-side from the terms
+    themselves (:func:`term_bucket_py` — no index access needed), and
+    the postings read carries ``bucket IN (...)`` so parquet partition
+    pruning skips every other bucket's files (verifiable in the plan's
+    PartitionFilters, the search_ivf_index discipline). N / avgdl come
+    from the one-row meta table; df per term is a broadcast aggregate
+    of the pruned read (exact — a term's postings never span buckets).
+
+    Output: (q_id, doc_id, dl, n_hit_terms, rank, score)."""
+    n_docs, sum_dl, n_buckets, _ = _read_text_meta(spark, path)
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in all_terms})
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(all_terms))
+        .select("doc_id", "term", "tf", "dl")
+    )
+    qdf = _query_frame(spark, queries)
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    scored = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("n", F.lit(int(n_docs)).cast("long"))
+        .withColumn("avgdl", F.lit(avgdl))
+        .groupBy("q_id", "doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
+            F.round(F.sum(_bm25_weight(k1, b)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "doc_id", "dl", "n_hit_terms", "rank", "score")
+    )

@@ -3401,6 +3401,87 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
 
 
+# one rare discriminative term (df=25/500 at sf0.01) crossing two of the
+# three queries, the rest common — exercises shared-posting reuse and
+# per-query df/idf arithmetic under one gate
+_BM25_MULTI_QUERIES = {
+    0: ["dup", "vector"],
+    1: ["window", "merge", "batch"],
+    2: ["hash", "dup", "stream"],
+}
+_BM25_MULTI_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in _BM25_MULTI_QUERIES.items()
+    for t in dict.fromkeys(terms)
+)
+
+
+@query(
+    "text_bm25_multiquery",
+    oracle=f"""
+WITH per_pair AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS t FROM documents)
+  GROUP BY 1, 2
+),
+dl AS (
+  SELECT d.doc_id, coalesce(s.dl, 0) AS dl
+  FROM documents d LEFT JOIN
+    (SELECT doc_id, sum(tf) AS dl FROM per_pair GROUP BY 1) s USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+q(q_id, term) AS (VALUES {_BM25_MULTI_VALUES}),
+dfreq AS (
+  SELECT t AS term, count(*) AS df FROM per_pair
+  WHERE t IN (SELECT DISTINCT term FROM q) GROUP BY 1
+),
+bm AS (
+  SELECT q.q_id, p.doc_id, CAST(l.dl AS BIGINT) AS dl,
+         CAST(count(*) AS INTEGER) AS n_hit_terms,
+         round(sum(
+           (ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) * (p.tf * {_BM25_K1 + 1.0!r}))
+           / (p.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * (l.dl / s.avgdl)))
+         ), 6) AS score
+  FROM per_pair p JOIN q ON p.t = q.term
+  JOIN dfreq f ON f.term = p.t
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT q_id, doc_id, dl, n_hit_terms, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm
+)
+SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, dl, n_hit_terms,
+       CAST(rank AS INTEGER) AS rank, score
+FROM ranked WHERE rank <= 10
+""",
+)
+def text_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 BATCHED BM25 retrieval (r12): three term queries answered
+    in one corpus pass via the inverted-index join — postings
+    (doc_id, term, tf, dl) ⋈ broadcast query table, per-query df/idf,
+    per-q_id rounded-score rank. Score-identical to running the
+    oracled text_bm25_topk per query (pytest-pinned), and the serving
+    shape of the on-disk partition-pruned index
+    (operators/retrieval.py::build/search_text_index, pytest-pinned
+    equal to this plan). The whole pipeline — postings, length norms,
+    df, stats, ranking — replays in SQL under the hash gate."""
+    from open_instrument_spark.operators.retrieval import bm25_multi
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text").repartition(64, "doc_id")
+    )
+    return bm25_multi(docs, _BM25_MULTI_QUERIES, k=10,
+                      k1=_BM25_K1, b=_BM25_B)
+
+
 @query(
     "retrieval_hybrid_rrf",
     oracle=f"""

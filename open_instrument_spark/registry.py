@@ -93,7 +93,12 @@ DRIVER_WINDOW = [
     # text_lm_score_topk (green r8+r9) and ann_lsh_topk (green r8+r9;
     # the ANN family keeps ann_pq_seeded_topk + ann_ivfpq_seeded_topk
     # in-window), both staying under the pytest-hosted DuckDB gate):
-    "text_bm25_topk",
+    # r12: the BATCHED BM25 gate (inverted-index join, per-query df,
+    # three queries under one hash gate) supersedes the single-query
+    # text_bm25_topk (driver-green r10+r11) as the lexical-retrieval
+    # window entry; the single-query path stays oracle-gated under
+    # pytest and pinned row-equal to this one by test_text_index.py.
+    "text_bm25_multiquery",
     "retrieval_hybrid_rrf",
     # r10-new in-plan k-means Lloyd iteration — displaces
     # resample_interpolate_go, the registry's most-verified query
@@ -175,6 +180,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_holt_winters",
     "mutate_cusum",
     "mutate_predict_linear",
+    "text_bm25_topk",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",
