@@ -1181,3 +1181,116 @@ def kmeans_iterate(embeddings: DataFrame, seed_ids: list[int],
             nxt[int(cell_id)] = grp.sort_values("i")["mu"].to_numpy()
         C = nxt
     return C, inertia
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (faiss ScalarQuantizer / SQ8-flat shape)
+# ---------------------------------------------------------------------------
+
+def sq_train_stats(embeddings: DataFrame, vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """Train a per-DIMENSION scalar quantizer over the corpus: one-row
+    frame (vmins, vdiffs) — arrays indexed by dimension, vdiff =
+    vmax − vmin (the faiss QT_8bit train). Unlike the per-vector
+    affine compression (registry embed_quantize_uint8), per-dim ranges
+    are what an ANN index trains once and applies to every vector.
+
+    Shape: posexplode → per-dim min/max (d rows, map-side partials) →
+    folded into sorted arrays in one row. The frame is broadcast-sized
+    (2·d doubles) and stays IN-PLAN — never a driver artifact — so the
+    whole train+encode+search pipeline replays under the hash gate."""
+    ex = embeddings.select(
+        F.posexplode(as_double(F.col(vec_col))).alias("i", "x")
+    )
+    dims = ex.groupBy("i").agg(
+        F.min("x").alias("vmin"), F.max("x").alias("vmax")
+    )
+    return dims.agg(
+        F.array_sort(F.collect_list(F.struct("i", "vmin"))).alias("_a"),
+        F.array_sort(F.collect_list(F.struct("i", "vmax"))).alias("_b"),
+    ).select(
+        F.transform("_a", lambda s: s["vmin"]).alias("vmins"),
+        F.zip_with("_b", "_a", lambda b, a: b["vmax"] - a["vmin"])
+        .alias("vdiffs"),
+    )
+
+
+def _sq_reconstruct(vec: Column) -> Column:
+    """Quantize-then-decode ``vec`` against the (vmins, vdiffs) columns
+    in scope: code_i = clamp(floor((x−vmin)/vdiff·255 + 0.5), 0, 255)
+    (floor(+0.5) — round() half-even vs half-away differs cross-engine),
+    x̂_i = vmin + code_i·(vdiff/255). Zero-range dims always decode to
+    vmin (code 0). Pure HOF expression — whole-stage codegen."""
+    d = F.size(F.col("vmins"))
+    code = lambda i: F.least(  # noqa: E731
+        F.lit(255.0),
+        F.greatest(
+            F.lit(0.0),
+            F.floor(
+                (F.element_at(vec, i + 1) - F.element_at("vmins", i + 1))
+                / F.when(F.element_at("vdiffs", i + 1) > 0,
+                         F.element_at("vdiffs", i + 1)).otherwise(F.lit(1.0))
+                * F.lit(255.0)
+                + F.lit(0.5)
+            ).cast("double"),
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), d - 1),
+        lambda i: F.element_at("vmins", i + 1)
+        + code(i) * (F.element_at("vdiffs", i + 1) / F.lit(255.0)),
+    )
+
+
+def sq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> DataFrame:
+    """Top-k nearest neighbors by ASYMMETRIC scalar-quantized L2 — the
+    faiss SQ8-flat search: corpus vectors live as 1-byte-per-dim codes
+    (4× smaller than float32, 8× smaller than float64 — the property
+    that keeps a 100 TB corpus's search working set executor-resident),
+    queries stay full precision, and the distance is
+    Σ_i (q_i − decode(code_i))². Here codes are decoded in-plan (the
+    storage twin would persist the code arrays); the arithmetic is the
+    same either way.
+
+    Plan: train stats (one exploded aggregate, broadcast one-row) →
+    corpus scan projects the reconstructed vector once → broadcast
+    |Q|-row query join (full-precision query vectors pulled from the
+    corpus by id in-plan) → HOF distance → per-query rounded-rank
+    window. One corpus scan + one |Q|-bounded broadcast — no pair
+    blowup beyond the |Q|·N arithmetic floor every brute scorer pays;
+    compose with the IVF cell join (ann_ivf_topk) to bound WHICH rows
+    are scored, exactly as IVFPQ does for PQ codes.
+
+    Output: (q_id, n_id, rank, adist) — adist rounded 6 (the Σ over
+    dims re-associates), rank pinned on (rounded adist, n_id)."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    stats = sq_train_stats(embeddings, vec_col=vec_col)
+    recon = (
+        base.crossJoin(F.broadcast(stats))
+        .select("n_id", _sq_reconstruct(F.col("v")).alias("xh"))
+    )
+    queries = base.where(F.col("n_id").isin([int(q) for q in query_ids])) \
+        .select(F.col("n_id").alias("q_id"), F.col("v").alias("qv"))
+    adist = F.aggregate(
+        F.zip_with("qv", "xh", lambda q, x: (q - x) * (q - x)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        recon.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", F.round(adist, 6).alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adist").asc(), F.col("n_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round(F.col("adist"), 6).alias("adist"),
+                "rank")
+        .select("q_id", "n_id", "rank", "adist")
+    )

@@ -1999,6 +1999,79 @@ SELECT q_id, n_id, rank, adist FROM ranked WHERE rank <= {k}
 """
 
 
+_SQ_DIM = 64
+
+
+def _ann_sq_oracle(query_ids=(0, 1, 2, 3, 4), k: int = 10,
+                   dim: int = _SQ_DIM) -> str:
+    """DuckDB twin of similarity.sq_topk: per-dim min/max train, the
+    floor(+0.5) clamp encode, decode, asymmetric L2, rounded-rank —
+    the ENTIRE scalar-quantization pipeline including training replays
+    under the hash gate (integer codes are exact; every double chain
+    is parenthesized identically; the Σ over dims is a left fold on
+    both sides — DuckDB list_reduce's seedless x1+x2+… equals Spark
+    aggregate's 0.0+x1+x2… bit-for-bit since 0.0+x == x)."""
+    ids = ", ".join(str(int(q)) for q in query_ids)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT i, min(v[i+1]) AS vmin, max(v[i+1]) AS vmax
+  FROM e CROSS JOIN (SELECT unnest(range({dim})) AS i) GROUP BY 1
+),
+st AS (
+  SELECT list(vmin ORDER BY i) AS vmins,
+         list(vmax - vmin ORDER BY i) AS vdiffs
+  FROM dims
+),
+xh AS (
+  SELECT vec_id,
+         list_transform(range({dim}), i ->
+           vmins[i+1] + least(255.0, greatest(0.0,
+             floor((v[i+1] - vmins[i+1])
+                   / (CASE WHEN vdiffs[i+1] > 0 THEN vdiffs[i+1] ELSE 1.0 END)
+                   * 255.0 + 0.5)))
+           * (vdiffs[i+1] / 255.0)) AS xh
+  FROM e CROSS JOIN st
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+pair AS (
+  SELECT q.q_id, x.vec_id AS n_id,
+         round(list_reduce(list_transform(range({dim}), i ->
+           (qv[i+1] - xh[i+1]) * (qv[i+1] - xh[i+1])), (a, b) -> a + b),
+           6) AS adist
+  FROM xh x JOIN q ON x.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, adist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, n_id ASC) AS rank
+  FROM pair
+)
+SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank, adist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@query("ann_sq_topk", oracle=_ann_sq_oracle())
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar-quantized ANN (r12) — the faiss SQ8-flat shape:
+    per-DIMENSION min/max trained over the corpus in-plan (one-row
+    broadcast stats), corpus vectors collapse to 1-byte-per-dim codes
+    (4× under float32 — the executor-resident-search property on the
+    cheap), queries stay full precision, distance is asymmetric L2
+    against the decode. Training, encode, decode, and ranking ALL
+    replay in SQL under the hash gate — the trained-quantizer analog
+    of ann_pq_seeded_topk with nothing seeded: the train itself is
+    portable (exact per-dim min/max). Composes with the IVF cell join
+    for bounded scans, exactly as IVFPQ does
+    (operators/similarity.py::sq_topk)."""
+    from open_instrument_spark.operators.similarity import sq_topk
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return sq_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
 @query("ann_pq_seeded_topk", oracle=_ann_pq_oracle())
 def ann_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 ANN product quantization, fully-oracled configuration

@@ -146,7 +146,11 @@ DRIVER_WINDOW = [
     "corpus_mixture_tokens",
     "corpus_chunk",
     "text_quality_classifier",
-    "embed_range_search",
+    # r12: the fully-oracled scalar-quantization search (train + encode
+    # + asymmetric L2 all replayed) takes embed_range_search's slot
+    # (driver-green r10+r11; radius search keeps its parity replay and
+    # the ≥τ-margin pytest).
+    "ann_sq_topk",
     "agg_cms_label_counts",
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
@@ -181,6 +185,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_cusum",
     "mutate_predict_linear",
     "text_bm25_topk",
+    "embed_range_search",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",
