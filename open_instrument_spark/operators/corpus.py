@@ -475,3 +475,91 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
         .withColumn("split", split_column(F.col("group_id"), weights))
         .drop("_cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between corpus slices (PSI)
+# ---------------------------------------------------------------------------
+
+def _len_bin(n_chars: Column, edges: tuple[int, ...]) -> Column:
+    """Label of the first edge > n_chars ('<=E'), else '>Emax' — a
+    CASE chain over literal edges, identical grammar cross-engine."""
+    expr = F.lit(f">{edges[-1]}")
+    for e in reversed(edges):
+        expr = F.when(n_chars <= e, F.lit(f"<={e}")).otherwise(expr)
+    return expr
+
+
+def drift_psi(ref: DataFrame, cur: DataFrame,
+              len_edges: tuple[int, ...] = (100, 200, 300, 400, 500),
+              text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """Population Stability Index between a REFERENCE corpus slice and
+    a CURRENT slice over two feature distributions — document length
+    (binned at literal edges) and language — the drift monitor every
+    recurring training-data pipeline runs before trusting a new crawl
+    against the mix the model was tuned on (PSI is the standard
+    industry drift score; > 0.1 investigate / > 0.25 act):
+
+        PSI(feature) = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+
+    with p/q the add-half-smoothed bin shares (c_b + 0.5)/(n + 0.5·B),
+    B the number of bins observed for that feature across BOTH slices
+    (smoothing keeps bins observed on only one side finite and makes
+    PSI symmetric-safe at any corpus size).
+
+    Spark shape: one scan per slice → per-(feature, bin) counts
+    (explode of a 2-struct array, map-side combinable, ≤ B·2 rows out)
+    → full-outer join on the BOUNDED bin table → window totals per
+    feature. The corpus is never joined or shuffled row-wise; cost is
+    two aggregation passes however large the slices.
+
+    Output: (feature, bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+    psi_total) — one row per observed bin, psi_total repeated per
+    feature (rounded 6; the only re-associating sum)."""
+    def feat_counts(df: DataFrame, name: str) -> DataFrame:
+        n_chars = F.length(F.col(text_col))
+        pairs = F.array(
+            F.struct(F.lit("len").alias("feature"),
+                     _len_bin(n_chars, len_edges).alias("bin")),
+            F.struct(F.lit("lang").alias("feature"),
+                     F.coalesce(F.col(lang_col), F.lit("und")).alias("bin")),
+        )
+        return (
+            df.select(F.explode(pairs).alias("fb"))
+            .select("fb.feature", "fb.bin")
+            .groupBy("feature", "bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    r = feat_counts(ref, "n_ref")
+    c = feat_counts(cur, "n_cur")
+    joined = (
+        r.join(c, ["feature", "bin"], "full_outer")
+        .select(
+            "feature", "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur"),
+        )
+    )
+    wf = Window.partitionBy("feature")
+    tot = joined.select(
+        "feature", "bin", "n_ref", "n_cur",
+        F.sum("n_ref").over(wf).alias("_tr"),
+        F.sum("n_cur").over(wf).alias("_tc"),
+        F.count(F.lit(1)).over(wf).alias("_b"),
+    )
+    p = (F.col("n_ref") + F.lit(0.5)) / (F.col("_tr") + F.lit(0.5) * F.col("_b"))
+    q = (F.col("n_cur") + F.lit(0.5)) / (F.col("_tc") + F.lit(0.5) * F.col("_b"))
+    terms = tot.select(
+        "feature", "bin", "n_ref", "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        ((p - q) * F.log(p / q)).alias("_t"),
+    )
+    return (
+        terms.select(
+            "feature", "bin", "n_ref", "n_cur", "p_ref", "p_cur",
+            F.round(F.col("_t"), 6).alias("psi_term"),
+            F.round(F.sum("_t").over(Window.partitionBy("feature")), 6)
+            .alias("psi_total"),
+        )
+    )

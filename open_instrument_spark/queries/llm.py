@@ -3945,3 +3945,67 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         corpus.select("doc_id"), pairs.select("a_id", "b_id")
     ).select("doc_id", "group_id", "split")
+
+
+_PSI_EDGES = (100, 200, 300, 400, 500)
+_PSI_CASE = "CASE " + " ".join(
+    f"WHEN length(text) <= {e} THEN '<={e}'" for e in _PSI_EDGES
+) + f" ELSE '>{_PSI_EDGES[-1]}' END"
+
+
+@query(
+    "corpus_drift_psi",
+    oracle=f"""
+WITH sel AS (
+  SELECT CASE WHEN source < 'src2' THEN 'ref' ELSE 'cur' END AS side,
+         feature, bin
+  FROM (
+    SELECT source, 'len' AS feature, {_PSI_CASE} AS bin FROM documents
+    UNION ALL
+    SELECT source, 'lang', coalesce(lang, 'und') FROM documents
+  )
+),
+cnt AS (
+  SELECT feature, bin,
+         sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+  FROM sel GROUP BY 1, 2
+),
+tot AS (
+  SELECT feature, bin, CAST(n_ref AS BIGINT) AS n_ref,
+         CAST(n_cur AS BIGINT) AS n_cur,
+         sum(n_ref) OVER (PARTITION BY feature) AS tr,
+         sum(n_cur) OVER (PARTITION BY feature) AS tc,
+         count(*) OVER (PARTITION BY feature) AS b
+  FROM cnt
+),
+terms AS (
+  SELECT feature, bin, n_ref, n_cur,
+         (n_ref + 0.5) / (tr + 0.5 * b) AS p,
+         (n_cur + 0.5) / (tc + 0.5 * b) AS q
+  FROM tot
+)
+SELECT feature, bin, n_ref, n_cur,
+       round(p, 6) AS p_ref, round(q, 6) AS p_cur,
+       round((p - q) * ln(p / q), 6) AS psi_term,
+       round(sum((p - q) * ln(p / q)) OVER (PARTITION BY feature), 6)
+         AS psi_total
+FROM terms
+""",
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corpus drift monitor (r12): Population Stability Index
+    between a reference slice (sources src0/src1*) and the current
+    slice over length-bin and language distributions — the recurring
+    check a training-data pipeline runs on every new crawl before
+    trusting the mix (PSI > 0.1 investigate / > 0.25 act). Two
+    bounded aggregation passes + a B-row join; the add-half smoothing,
+    bin shares, per-bin terms and per-feature totals all replay in SQL
+    under the hash gate (operators/corpus.py::drift_psi)."""
+    from open_instrument_spark.operators.corpus import drift_psi
+
+    prepare(spark)
+    docs = load_tables(spark, sf_dir).table("documents")
+    ref = docs.where(F.col("source") < "src2")
+    cur = docs.where(F.col("source") >= "src2")
+    return drift_psi(ref, cur, len_edges=_PSI_EDGES)

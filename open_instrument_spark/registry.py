@@ -144,7 +144,9 @@ DRIVER_WINDOW = [
     "dedup_semantic",
     "dedup_spans",
     "corpus_mixture_tokens",
-    "corpus_chunk",
+    # r12: the PSI drift monitor takes corpus_chunk's slot (driver-
+    # green r10+r11; chunking keeps its no-Exchange plan pin + parity).
+    "corpus_drift_psi",
     "text_quality_classifier",
     # r12: the fully-oracled scalar-quantization search (train + encode
     # + asymmetric L2 all replayed) takes embed_range_search's slot
@@ -186,6 +188,7 @@ _PAST_WINDOW_ORACLED = [
     "mutate_predict_linear",
     "text_bm25_topk",
     "embed_range_search",
+    "corpus_chunk",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",
