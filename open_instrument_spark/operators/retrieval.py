@@ -402,11 +402,15 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 8,
     performs no full-index action.
 
     Layout: ``{path}/postings/epoch=-1/bucket=B`` (doc_id, term, tf,
-    dl), ``{path}/meta`` (n_docs, sum_dl, n_buckets, next_epoch).
-    Epoch subdirectories follow the store-write scheme every on-disk
-    store in this repo uses: the base build is epoch -1, appends count
-    up from 0 writing ``epoch=N`` exactly (idempotent under retry —
-    a replayed append overwrites its own partition, never doubles).
+    dl), ``{path}/meta/epoch=E`` (n_docs, sum_dl, n_buckets) — meta is
+    PER-EPOCH rows summed at read time (one tiny row per epoch, never
+    index-sized), so an append is two overwrites of its OWN epoch
+    partitions and nothing else: a crash-and-replay of epoch N rewrites
+    the same files — no read-modify-write anywhere, the property the
+    cumulative-counter meta the MinHash store uses for next_epoch can't
+    give corpus statistics. Epoch subdirectories follow the store-write
+    scheme every on-disk store in this repo uses: the base build is
+    epoch -1, appends count up from 0.
 
     100 TB shape: index once (one corpus tokenize + two doc_id-keyed
     aggregates + one bucket-partitioned shuffle write), search many
@@ -420,28 +424,50 @@ def build_text_index(docs: DataFrame, path: str, n_buckets: int = 8,
         f"{path}/postings/epoch=-1"
     )
     spark = docs.sparkSession
-    sums = (
-        spark.read.parquet(f"{path}/postings/epoch=-1")
-        .groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .first()
-    )
-    _write_text_meta(spark, path, int(sums["n"]), int(sums["s"] or 0),
-                     n_buckets, 0)
+    n, s = _epoch_stats(spark, f"{path}/postings/epoch=-1")
+    _write_text_meta(spark, path, n, s, n_buckets, epoch=-1)
+
+
+def _epoch_stats(spark, epoch_dir: str) -> tuple[int, int]:
+    """(n_docs, Σdl) of one landed postings epoch — read back from the
+    files just written (the absorb-verification idiom); an EMPTY epoch
+    (cold-start index, empty micro-batch) has no parquet files to infer
+    a schema from and counts as (0, 0)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        r = (
+            spark.read.parquet(epoch_dir)
+            .groupBy("doc_id").agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .first()
+        )
+        return int(r["n"]), int(r["s"] or 0)
+    except AnalysisException:
+        return 0, 0
 
 
 def _write_text_meta(spark, path: str, n_docs: int, sum_dl: int,
-                     n_buckets: int, next_epoch: int) -> None:
+                     n_buckets: int, epoch: int) -> None:
+    """One meta row for ONE epoch's contribution, landed in its own
+    ``epoch=E`` partition (overwrite → replay-idempotent)."""
     spark.createDataFrame(
-        [(int(n_docs), int(sum_dl), int(n_buckets), int(next_epoch))],
-        "n_docs long, sum_dl long, n_buckets int, next_epoch long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        [(int(n_docs), int(sum_dl), int(n_buckets))],
+        "n_docs long, sum_dl long, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta/epoch={int(epoch)}")
 
 
 def _read_text_meta(spark, path: str) -> tuple[int, int, int, int]:
-    r = spark.read.parquet(f"{path}/meta").first()
-    return (int(r["n_docs"]), int(r["sum_dl"]), int(r["n_buckets"]),
-            int(r["next_epoch"]))
+    """(n_docs, sum_dl, n_buckets, next_epoch) — the corpus statistics
+    are SUMS over the per-epoch meta rows (one row per epoch: the scan
+    is epoch-count-sized, never index-sized; compaction folds it)."""
+    r = (
+        spark.read.parquet(f"{path}/meta")
+        .agg(F.sum("n_docs"), F.sum("sum_dl"), F.first("n_buckets"),
+             F.max("epoch"))
+        .first()
+    )
+    return (int(r[0]), int(r[1] or 0), int(r[2]), int(r[3]) + 1)
 
 
 def append_to_text_index(new_docs: DataFrame, path: str,
@@ -460,12 +486,15 @@ def append_to_text_index(new_docs: DataFrame, path: str,
     regime gives them for free.
 
     Per-batch cost is O(batch): existing postings are never read or
-    rewritten. df/avgdl correctness across epochs falls out of the
+    rewritten, and the meta write is the BATCH's own one-row epoch
+    partition (read-time summing makes replay a no-op repair — a
+    retried epoch overwrites both of its partitions and double-counts
+    nothing). df/avgdl correctness across epochs falls out of the
     layout — a term's postings from every epoch still share one
     bucket, and search reads the epoch column as just another
     partition key."""
     spark = new_docs.sparkSession
-    n_docs, sum_dl, n_buckets, next_epoch = _read_text_meta(spark, path)
+    _, _, n_buckets, next_epoch = _read_text_meta(spark, path)
     if epoch is None:
         epoch = next_epoch
     post = _postings(new_docs, text_col, id_col).withColumn(
@@ -474,15 +503,8 @@ def append_to_text_index(new_docs: DataFrame, path: str,
     post.write.partitionBy("bucket").mode("overwrite").parquet(
         f"{path}/postings/epoch={int(epoch)}"
     )
-    sums = (
-        spark.read.parquet(f"{path}/postings/epoch={int(epoch)}")
-        .groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
-        .first()
-    )
-    _write_text_meta(spark, path, n_docs + int(sums["n"]),
-                     sum_dl + int(sums["s"] or 0), n_buckets,
-                     max(next_epoch, int(epoch) + 1))
+    n, s = _epoch_stats(spark, f"{path}/postings/epoch={int(epoch)}")
+    _write_text_meta(spark, path, n, s, n_buckets, epoch=int(epoch))
 
 
 def search_text_index(spark, path: str, queries: dict[int, list[str]],

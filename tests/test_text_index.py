@@ -98,27 +98,22 @@ def test_append_equals_full_build(spark, docs, tmp_path):
 
 
 def test_append_retry_is_idempotent(spark, docs, tmp_path):
-    """A retrying caller that pins the epoch overwrites its own
-    partition: replaying the same append must not double-count
-    postings... but the meta DOES accumulate on each call — the
-    one-writer contract is that a retry re-runs the whole append step
-    from the pre-append meta, which is what pinning epoch=N on a store
-    whose meta was re-asserted gives. Here we simulate the full replay:
-    reset meta to the pre-append state, re-append the same epoch, and
-    require byte-identical search results."""
+    """A replayed epoch-pinned append is a no-op repair with NO caller
+    bookkeeping: postings AND meta land in per-epoch partitions that
+    the replay simply overwrites (meta rows sum at read time), so
+    neither N, Σdl, df, nor any posting double-counts."""
     half1 = docs.where(F.col("doc_id") % 2 == 0)
     half2 = docs.where(F.col("doc_id") % 2 == 1)
     path = str(tmp_path / "retry")
     rt.build_text_index(half1, path, n_buckets=8)
-    meta_before = rt._read_text_meta(spark, path)
     rt.append_to_text_index(half2, path, epoch=0)
     first = rows_of(rt.search_text_index(spark, path, QUERIES, k=10))
-    # crash-replay: meta write raced back, epoch 0 re-lands
-    rt._write_text_meta(spark, path, *meta_before[:3], meta_before[3])
-    rt.append_to_text_index(half2, path, epoch=0)
+    meta_first = rt._read_text_meta(spark, path)
+    rt.append_to_text_index(half2, path, epoch=0)  # straight crash-replay
     second = rows_of(rt.search_text_index(spark, path, QUERIES, k=10))
     assert first == second
-    assert rt._read_text_meta(spark, path)[3] == 1  # next_epoch bumped once
+    assert rt._read_text_meta(spark, path) == meta_first
+    assert meta_first[3] == 1  # next_epoch bumped exactly once
 
 
 def test_zero_word_docs_count_toward_stats(spark):
@@ -152,3 +147,114 @@ def test_multi_feeds_retrieval_eval(spark, docs):
     assert set(rows) == set(QUERIES)
     for r in rows.values():
         assert r["recall_k"] == 1.0 and r["mrr_k"] == 1.0
+
+
+def test_streaming_indexed_ingest(spark, docs, tmp_path):
+    """Index-at-ingest end-to-end: two micro-batches land and index;
+    searches against the streamed store equal a one-shot batch build
+    over base + both batches (N, avgdl, df, every posting)."""
+    import os
+
+    from open_instrument_spark.streaming.text_index_ingest import (
+        read_landed,
+        start_indexed_ingest,
+    )
+
+    base = docs.where(F.col("doc_id") < 60)
+    index = str(tmp_path / "sti_idx")
+    rt.build_text_index(base, index, n_buckets=8)
+    schema = "doc_id long, text string"
+    b1 = [(1_000_000, "dup dup vector window alpha"),
+          (1_000_001, "merge stream beta gamma")]
+    b2 = [(2_000_000, "dup window window merge"),
+          (2_000_001, "vector vector stream delta")]
+    src = str(tmp_path / "sti_src")
+    dest = str(tmp_path / "sti_dest")
+    ck = str(tmp_path / "sti_ck")
+    os.makedirs(src, exist_ok=True)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = start_indexed_ingest(stream, dest, index, ck,
+                                 available_now=True)
+        q.awaitTermination(120)
+
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).write.mode("append").parquet(src)
+        run_once()
+
+    assert {r["doc_id"] for r in read_landed(spark, dest).collect()} == \
+        {d for d, _ in b1 + b2}
+    full = str(tmp_path / "sti_full")
+    all_docs = base.unionByName(
+        spark.createDataFrame(b1 + b2, schema))
+    rt.build_text_index(all_docs, full, n_buckets=8)
+    got = rt.search_text_index(spark, index, QUERIES, k=10)
+    want = rt.search_text_index(spark, full, QUERIES, k=10)
+    assert rows_of(got) == rows_of(want)
+    assert rt._read_text_meta(spark, index)[:3] == \
+        rt._read_text_meta(spark, full)[:3]
+
+
+def test_streaming_indexed_ingest_crash_replay(spark, docs, tmp_path):
+    """Crash AFTER epoch 1's document land + index append but BEFORE
+    the checkpoint commit: the replay overwrites the same epoch
+    partitions (postings AND the per-epoch meta row), so the restarted
+    run equals a crash-free twin exactly — no double-counted N/Σdl, no
+    duplicate postings."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from open_instrument_spark.streaming.text_index_ingest import (
+        start_indexed_ingest,
+    )
+
+    base = docs.where(F.col("doc_id") < 60)
+    schema = "doc_id long, text string"
+    b1 = [(1_000_000, "dup dup vector window alpha")]
+    b2 = [(2_000_000, "dup window window merge"),
+          (2_000_001, "vector vector stream delta")]
+
+    def run(tag, crash_epoch=None):
+        index = str(tmp_path / f"cr_idx_{tag}")
+        src = str(tmp_path / f"cr_src_{tag}")
+        dest = str(tmp_path / f"cr_dest_{tag}")
+        ck = str(tmp_path / f"cr_ck_{tag}")
+        os.makedirs(src, exist_ok=True)
+        rt.build_text_index(base, index, n_buckets=8)
+
+        def go(fault=None):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_indexed_ingest(stream, dest, index, ck,
+                                     available_now=True,
+                                     on_batch_complete=fault)
+            q.awaitTermination(180)
+
+        def crash(epoch):
+            if epoch == crash_epoch:
+                raise RuntimeError("injected crash after index append")
+
+        spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+        go()
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        if crash_epoch is not None:
+            with _pytest.raises(Exception, match="injected crash"):
+                go(fault=crash)
+            # the crash window is real: epoch 1's postings + meta are
+            # on disk but the checkpoint has no commit for it
+            assert glob.glob(os.path.join(index, "postings", "epoch=1",
+                                          "bucket=*"))
+            assert glob.glob(os.path.join(index, "meta", "epoch=1",
+                                          "*.parquet"))
+            assert not glob.glob(os.path.join(ck, "commits", "1"))
+            go()  # restart: replays epoch 1 over its own partitions
+        else:
+            go()
+        return (rows_of(rt.search_text_index(spark, index, QUERIES, k=10)),
+                rt._read_text_meta(spark, index))
+
+    crashed = run("crash", crash_epoch=1)
+    clean = run("clean")
+    assert crashed == clean

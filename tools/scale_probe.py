@@ -83,6 +83,8 @@ def operators(ev):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
+    from open_instrument_spark.operators.trend import range_aggregations
+
     return {
         "flagship_rate_sum": agg.aggregate_by_name(mutate.rate(pts), "sum", 300_000),
         "rate_chunked": mutate.rate(pts, chunk="1d"),
@@ -90,6 +92,9 @@ def operators(ev):
         "rle_encode": rle_encode(pts),
         "asof_join": as_of_join(purch, views, on=["user_id"]),
         "interpolate_sql": interpolate(pts, "1h", restore_labels=False),
+        # r12: all seven *_over_time members ride ONE aggregation
+        # exchange — the row should track the mean_resample family
+        "over_time_family": range_aggregations(pts, 3_600_000),
     }
 
 
@@ -313,7 +318,10 @@ def main() -> None:
             lm_score,
             tfidf_top_terms,
         )
-        from open_instrument_spark.operators.retrieval import bm25_topk
+        from open_instrument_spark.operators.retrieval import (
+            bm25_multi,
+            bm25_topk,
+        )
         from open_instrument_spark.queries.llm import _BPE_FIXED
 
         dd = d.repartition(64, "doc_id")
@@ -326,6 +334,15 @@ def main() -> None:
             # query-term dfs realistic (constant terms, growing corpus)
             "bm25_topk": bm25_topk(
                 dd, ["dup", "vector", "window", "merge"], k=20
+            ),
+            # r12: the BATCHED shape — three queries amortized over the
+            # same single corpus pass (broadcast query/df tables), so
+            # the row should track bm25_topk, not 3× it
+            "bm25_multi": bm25_multi(
+                dd,
+                {0: ["dup", "vector"], 1: ["window", "merge", "batch"],
+                 2: ["hash", "dup", "stream"]},
+                k=10,
             ),
             # r11 (judge r10 #5): DSIR — one tokenize/explode pass, both
             # bag models as in-plan CTEs; target fraction constant
@@ -411,7 +428,7 @@ def main() -> None:
     # split thresholds are constant driver artifacts; the doc_id join
     # is slim (two booleans + a hash per doc) — the row should track
     # the two corpus passes linearly.
-    from open_instrument_spark.operators.corpus import split_column
+    from open_instrument_spark.operators.corpus import drift_psi, split_column
     from open_instrument_spark.operators.text import pii_scrub
     from open_instrument_spark.queries.llm import _SPLIT_WEIGHTS, _seed_pii
 
@@ -480,7 +497,33 @@ def main() -> None:
         report.setdefault("safety_pipeline", {})[f"x{k}"] = round(
             run(safety_pipeline(big)), 2
         )
+        # r12: PSI drift — two aggregation passes to ≤B bin rows, the
+        # join is bounded, so the row should be exactly linear
+        report.setdefault("drift_psi", {})[f"x{k}"] = round(
+            run(drift_psi(big.where(F.col("source") < "src2"),
+                          big.where(F.col("source") >= "src2"))), 2
+        )
     peaks["docs_spans_x100"] = peak_rss_mb()
+
+    # r12: leakage-safe split at three decades — the edge list comes
+    # from the PROBED near-dup stage (shingle-banded, pairs-scale);
+    # component pointer-jumping rounds are O(log diameter) and the
+    # corpus side is one left join + scan-project, so the composed row
+    # should track the pair stage.
+    from open_instrument_spark.operators.corpus import leakage_safe_split
+    from open_instrument_spark.operators.dedup import minhash_lsh_pairs
+
+    def leak_split(d):
+        pairs = minhash_lsh_pairs(d, threshold=0.5).select("a_id", "b_id")
+        return leakage_safe_split(d.select("doc_id"), pairs)
+
+    run(leak_split(full_docs))  # warm
+    for k in (1, 10, 100):
+        report.setdefault("leakage_split", {})[f"x{k}"] = round(
+            run(leak_split(multiplied_full_docs(full_docs, k)
+                           .repartition(64, "doc_id"))), 2
+        )
+    peaks["docs_leakage_x100"] = peak_rss_mb()
 
     # SemDeDup at its documented scale path: centroid count grows ∝ N so
     # cell sizes (and with them Σ|cell|² pair work) stay bounded — the
@@ -518,6 +561,18 @@ def main() -> None:
             run(kmeans_lloyd_step(multiplied_emb(emb, k), _SEEDS)), 2
         )
     peaks["emb_kmeans"] = peak_rss_mb()
+
+    # r12: scalar-quantized search — train (exploded per-dim min/max,
+    # map-side combinable), one corpus reconstruct scan, broadcast
+    # |Q|-row query join: linear in N with constant queries.
+    from open_instrument_spark.operators.similarity import sq_topk
+
+    run(sq_topk(emb, [0, 1, 2], k=10))  # warm
+    for k in emb_mults:
+        report.setdefault("ann_sq", {})[f"x{k}"] = round(
+            run(sq_topk(multiplied_emb(emb, k), [0, 1, 2], k=10)), 2
+        )
+    peaks["emb_sq"] = peak_rss_mb()
 
     # r11 (judge r10 #4): the bounded DRIVER-LOOP iteration — 2 Lloyd
     # rounds via kmeans_iterate, whose per-round driver state is k·d
