@@ -205,13 +205,69 @@ def compact_minhash_index(spark, path: str, max_epochs: int = 8) -> dict:
     return res
 
 
+def compact_text_index(spark, path: str, max_epochs: int = 8) -> dict:
+    """Fold an index-at-ingest BM25 inverted index's accumulated
+    epochs back into one (r12). The streaming loop
+    (streaming/text_index_ingest.py) lands one ``postings/epoch=N`` +
+    one ``meta/epoch=N`` row per micro-batch; searches union all
+    epochs, so unbounded epoch count is pure file-listing overhead —
+    the compact_minhash_index pathology on the lexical store.
+
+    When the index holds more than ``max_epochs`` postings epochs:
+    read the postings wholesale (postings-sized — never re-tokenizes
+    corpus text), stage a sibling index with everything under ONE
+    epoch, then promote with the staging-before-delete swap + ``.old``
+    crash recovery shared with the other index stores. The folded
+    epoch id is the CURRENT MAX epoch (not −1): per-epoch meta rows
+    derive next_epoch from max(epoch)+1, so folding to the max
+    preserves it and epoch ids never recycle — a later append can't
+    collide with a pre-compaction batch id. Search results are
+    invariant (same postings multiset, same summed stats), pinned by
+    test. Single-writer contract: run from the maintenance loop that
+    owns the index, with no in-flight append."""
+    from open_instrument_spark.operators.retrieval import (
+        _read_text_meta,
+        _write_text_meta,
+    )
+
+    old = path.rstrip("/") + ".old"
+    sib = path.rstrip("/") + ".compact"
+    recovered = False
+    if not os.path.exists(path) and os.path.exists(old):
+        shutil.move(old, path)
+        recovered = True
+    epochs = glob.glob(os.path.join(path, "postings", "epoch=*"))
+    res = {"epochs_before": len(epochs), "compacted": False,
+           "swapped": False, "recovered": recovered}
+    if len(epochs) <= max_epochs:
+        return res
+    n_docs, sum_dl, n_buckets, next_epoch = _read_text_meta(spark, path)
+    fold_to = next_epoch - 1  # the current max epoch id
+    shutil.rmtree(sib, ignore_errors=True)
+    spark.read.parquet(f"{path}/postings").select(
+        "doc_id", "term", "tf", "dl", "bucket"
+    ).write.partitionBy("bucket").mode("overwrite").parquet(
+        f"{sib}/postings/epoch={fold_to}"
+    )
+    _write_text_meta(spark, sib, n_docs, sum_dl, n_buckets, epoch=fold_to)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
+    shutil.move(sib, path)
+    shutil.rmtree(old, ignore_errors=True)
+    res["compacted"] = True
+    res["swapped"] = True
+    return res
+
+
 def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
                      now, dry_run: bool = False, n_buckets: int = 16,
                      max_files_per_date: int | None = None,
                      ann_indexes: list[str] | None = None,
                      ann_skew_threshold: float = 4.0,
                      minhash_indexes: list[str] | None = None,
-                     minhash_max_epochs: int = 8
+                     minhash_max_epochs: int = 8,
+                     text_indexes: list[str] | None = None,
+                     text_max_epochs: int = 8
                      ) -> tuple[DataFrame, dict]:
     """One StoreFileManager tick. Returns ``(report, summary)``:
     ``report`` is the retention_report rows AS OF tick start (the
@@ -256,6 +312,7 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
         "compacted_dates": [],
         "ann": {},
         "minhash": {},
+        "text_index": {},
     }
     if dry_run:
         from open_instrument_spark.operators.pq import ivfpq_cell_stats
@@ -279,6 +336,12 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
                     glob.glob(os.path.join(p, "sigs", "epoch=*"))),
                 "compacted": False, "swapped": False, "recovered": False,
             }
+        for p in text_indexes or []:
+            summary["text_index"][p] = {
+                "epochs_before": len(
+                    glob.glob(os.path.join(p, "postings", "epoch=*"))),
+                "compacted": False, "swapped": False, "recovered": False,
+            }
         return report, summary
     # the caller reads the report AFTER the rewrite — materialize it
     # now so the returned frame reflects tick-START state, not a lazy
@@ -296,5 +359,9 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
     for p in minhash_indexes or []:
         summary["minhash"][p] = compact_minhash_index(
             spark, p, max_epochs=minhash_max_epochs
+        )
+    for p in text_indexes or []:
+        summary["text_index"][p] = compact_text_index(
+            spark, p, max_epochs=text_max_epochs
         )
     return report, summary

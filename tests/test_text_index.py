@@ -258,3 +258,95 @@ def test_streaming_indexed_ingest_crash_replay(spark, docs, tmp_path):
     crashed = run("crash", crash_epoch=1)
     clean = run("clean")
     assert crashed == clean
+
+
+def test_compaction_folds_epochs_and_preserves_results(spark, docs, tmp_path):
+    """compact_text_index: below the threshold it's a no-op; above it
+    the epochs fold to ONE (the current max id, so next_epoch is
+    preserved and batch ids never recycle), search results and summed
+    stats are invariant, and a second call is a fixpoint."""
+    from open_instrument_spark.plans.maintenance import compact_text_index
+
+    path = str(tmp_path / "cmp")
+    parts = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    rt.build_text_index(parts[0], path, n_buckets=8)
+    for p in parts[1:]:
+        rt.append_to_text_index(p, path)
+    before = rows_of(rt.search_text_index(spark, path, QUERIES, k=10))
+    meta_before = rt._read_text_meta(spark, path)
+
+    res = compact_text_index(spark, path, max_epochs=8)
+    assert res == {"epochs_before": 4, "compacted": False,
+                   "swapped": False, "recovered": False}
+
+    res = compact_text_index(spark, path, max_epochs=2)
+    assert res["compacted"] and res["swapped"]
+    assert len(glob.glob(os.path.join(path, "postings", "epoch=*"))) == 1
+    # folded to the max pre-compaction epoch id → next_epoch preserved
+    assert glob.glob(os.path.join(path, "postings", "epoch=2"))
+    assert rt._read_text_meta(spark, path) == meta_before
+    assert rows_of(rt.search_text_index(spark, path, QUERIES, k=10)) == before
+
+    assert not compact_text_index(spark, path, max_epochs=2)["compacted"]
+    # append after compaction uses the preserved next_epoch
+    rt.append_to_text_index(
+        spark.createDataFrame([(9_000_000, "dup vector appended")],
+                              "doc_id long, text string"), path)
+    assert glob.glob(os.path.join(path, "postings", "epoch=3"))
+
+
+def test_compaction_recovers_from_crashed_swap(spark, docs, tmp_path):
+    """A crash between 'move live → .old' and 'move sibling → live'
+    leaves only .old; the next tick promotes it back before deciding
+    anything (the rebalance_ann_index recovery contract)."""
+    import shutil
+
+    from open_instrument_spark.plans.maintenance import compact_text_index
+
+    path = str(tmp_path / "rec")
+    rt.build_text_index(docs, path, n_buckets=8)
+    before = rows_of(rt.search_text_index(spark, path, QUERIES, k=10))
+    shutil.move(path, path + ".old")
+    res = compact_text_index(spark, path, max_epochs=8)
+    assert res["recovered"] and not res["compacted"]
+    assert rows_of(rt.search_text_index(spark, path, QUERIES, k=10)) == before
+
+
+def test_maintenance_tick_compacts_text_indexes(spark, docs, tmp_path):
+    """The tick owns lexical-index upkeep like ANN/MinHash stores:
+    dry_run only reports the epoch count; a real tick compacts past
+    the threshold and is a fixpoint after."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.retention import PolicyItem
+    from open_instrument_spark.plans.maintenance import maintenance_tick
+    from open_instrument_spark.sources.ingest import write_points
+
+    idx = str(tmp_path / "tick_idx")
+    parts = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    rt.build_text_index(parts[0], idx, n_buckets=8)
+    for p in parts[1:]:
+        rt.append_to_text_index(p, idx)
+    store = str(tmp_path / "store")
+    schema = ("name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    write_points(
+        spark.createDataFrame(
+            [("/m", {"h": "a"}, dt.datetime(2024, 1, 30, 0, mi), 1.0, None)
+             for mi in range(3)], schema),
+        store, n_buckets=2,
+    )
+    policy = [PolicyItem(("*",), keep=True, max_age="4w")]
+    now = "2024-01-31 00:00:00"
+    _, dry = maintenance_tick(spark, store, policy, now, dry_run=True,
+                              n_buckets=2, text_indexes=[idx],
+                              text_max_epochs=2)
+    assert dry["text_index"][idx] == {
+        "epochs_before": 4, "compacted": False, "swapped": False,
+        "recovered": False}
+    _, s1 = maintenance_tick(spark, store, policy, now, n_buckets=2,
+                             text_indexes=[idx], text_max_epochs=2)
+    assert s1["text_index"][idx]["compacted"]
+    _, s2 = maintenance_tick(spark, store, policy, now, n_buckets=2,
+                             text_indexes=[idx], text_max_epochs=2)
+    assert not s2["text_index"][idx]["compacted"]
