@@ -1294,3 +1294,66 @@ def sq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
                 "rank")
         .select("q_id", "n_id", "rank", "adist")
     )
+
+
+def triplet_mining(embeddings: DataFrame, query_ids: list[int],
+                   k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive training triplets with HARD negatives — the miner an
+    embedding-model finetune runs over its labeled corpus (anchor,
+    positive, negative) where the negative is chosen to be maximally
+    confusing: for each anchor, the positive is its most-similar
+    SAME-label neighbor and the negatives are the top-k most-similar
+    DIFFERENT-label items (the in-batch/semi-hard mining literature's
+    "hardest negatives" at corpus scope).
+
+    Plan: ONE corpus pass against the broadcast |Q|-row anchor table
+    (the cosine_topk shape); the positive is an argmax-without-rank
+    (map-side MAX over (cos, −n_id) structs — no sort window), the
+    negatives a per-anchor rounded-cos rank window; the final join is
+    |Q|-row broadcast. No all-pairs stage — at 100 TB the cost is the
+    same |Q|·N arithmetic floor as brute cosine, and the candidate
+    generation composes with any ANN index in this module to bound it.
+
+    Output: (q_id, label, pos_id, pos_cos, neg_id, rank, neg_cos) —
+    k rows per anchor that HAS a same-label neighbor (an anchor whose
+    label is unique in the corpus yields no triplet — there is no
+    positive to contrast against), cos values rounded 6, ranks pinned
+    on (rounded cos desc, n_id asc)."""
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"),
+        F.col(label_col).alias("n_label"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    queries = base.filter(F.col("n_id").isin([int(q) for q in query_ids])) \
+        .select(F.col("n_id").alias("q_id"),
+                F.col("n_label").alias("label"),
+                F.col("v").alias("qv"))
+    pairs = (
+        base.join(F.broadcast(queries), F.col("n_id") != F.col("q_id"))
+        .select("q_id", "label", "n_id", "n_label",
+                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"))
+    )
+    pos = (
+        pairs.where(F.col("n_label") == F.col("label"))
+        .groupBy("q_id")
+        .agg(F.max(F.struct(F.col("cos").alias("c"),
+                            (-F.col("n_id")).alias("ni"))).alias("m"))
+        .select("q_id", (-F.col("m.ni")).alias("pos_id"),
+                F.col("m.c").alias("pos_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc()
+    )
+    negs = (
+        pairs.where(F.col("n_label") != F.col("label"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    return (
+        negs.join(F.broadcast(pos), "q_id")
+        .select("q_id", "label", "pos_id", "pos_cos",
+                F.col("n_id").alias("neg_id"), "rank",
+                F.col("cos").alias("neg_cos"))
+    )

@@ -1999,6 +1999,47 @@ SELECT q_id, n_id, rank, adist FROM ranked WHERE rank <= {k}
 """
 
 
+@query(
+    "embed_triplet_mining",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS q_id, a.label AS label, b.vec_id AS n_id,
+         b.label AS n_label, round({_COS_SQL}, 6) AS cos
+  FROM e a JOIN e b ON a.vec_id IN (0, 1, 2, 3, 4) AND b.vec_id != a.vec_id
+),
+pos AS (
+  SELECT q_id, n_id AS pos_id, cos AS pos_cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, n_id ASC) AS pr
+  FROM pairs WHERE n_label = label QUALIFY pr = 1
+),
+negs AS (
+  SELECT q_id, label, n_id AS neg_id, cos AS neg_cos,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, n_id ASC) AS rank
+  FROM pairs WHERE n_label != label QUALIFY rank <= 5
+)
+SELECT n.q_id, n.label, p.pos_id, p.pos_cos, n.neg_id,
+       CAST(n.rank AS INTEGER) AS rank, n.neg_cos
+FROM negs n JOIN pos p USING (q_id)
+""",
+)
+def embed_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 contrastive triplet mining (r12): (anchor, positive,
+    hard-negative) rows for embedding-model finetuning — positive =
+    most-similar SAME-label neighbor (argmax-without-rank struct MAX),
+    hard negatives = top-5 most-similar DIFFERENT-label items (the
+    "hardest negatives" recipe). One corpus pass against the broadcast
+    anchor table; both selections and every cosine replay in SQL under
+    the hash gate (operators/similarity.py::triplet_mining)."""
+    from open_instrument_spark.operators.similarity import triplet_mining
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return triplet_mining(emb, [0, 1, 2, 3, 4], k=5)
+
+
 _SQ_DIM = 64
 
 

@@ -147,7 +147,10 @@ DRIVER_WINDOW = [
     # r12: the PSI drift monitor takes corpus_chunk's slot (driver-
     # green r10+r11; chunking keeps its no-Exchange plan pin + parity).
     "corpus_drift_psi",
-    "text_quality_classifier",
+    # r12: contrastive triplet mining takes text_quality_classifier's
+    # slot (driver-green r10+r11; the classifier keeps its plan pin,
+    # probe row, and parity replay).
+    "embed_triplet_mining",
     # r12: the fully-oracled scalar-quantization search (train + encode
     # + asymmetric L2 all replayed) takes embed_range_search's slot
     # (driver-green r10+r11; radius search keeps its parity replay and
@@ -189,6 +192,7 @@ _PAST_WINDOW_ORACLED = [
     "text_bm25_topk",
     "embed_range_search",
     "corpus_chunk",
+    "text_quality_classifier",
     # r11 demotions — each driver-green in r9 AND r10, each family keeps
     # an in-window representative; replayed by test_oracle_parity.py.
     "collector_mysql_status",
