@@ -592,6 +592,59 @@ def absorb_into_minhash_index(path: str, sigs_new: DataFrame,
                         max(nxt, int(epoch) + 1))
 
 
+def cluster_canonical(docs: DataFrame, pairs: DataFrame,
+                      text_col: str = "text",
+                      a: str = "a_id", b: str = "b_id") -> DataFrame:
+    """Canonical-document selection — the MATERIALIZATION step after
+    cluster formation: every doc gets its near-dup cluster id (its own
+    id when unpaired), and each cluster elects ONE canonical member to
+    keep — the longest text, ties to the lowest doc_id (the "keep the
+    most complete copy" rule; contrast semantic_dedup's keep-least-
+    typical, which is per-PAIR). Everything else points at it via
+    ``dup_of`` — the exact drop/rewrite list a curation pipeline
+    applies.
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical, dup_of)
+    for EVERY input doc; singletons are their own canonical with
+    cluster_size 1 and NULL dup_of.
+
+    100 TB shape: :func:`connected_components` is O(log diameter)
+    pointer-jumping rounds over the (sparse) pair list; the component
+    labels join back to the corpus on doc_id (one shuffle), and the
+    election is window functions over ONE clustering by cluster_id —
+    Catalyst reuses a single exchange for the row_number, the count,
+    and the first_value. No all-pairs stage anywhere; the corpus is
+    never self-joined."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, a=a, b=b)
+    labeled = (
+        docs.select("doc_id", F.length(text_col).alias("_n_chars"))
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("_n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("cluster_id").orderBy(
+        F.col("_n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("int"))
+        .withColumn("_canon", F.first("doc_id").over(w))
+        .withColumn("is_canonical", F.row_number().over(w_rn) == 1)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+            F.when(~F.col("is_canonical"), F.col("_canon")).alias("dup_of"),
+        )
+    )
+
+
 # ---- benchmark decontamination ---------------------------------------------
 def contamination(docs: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", k: int = 5,

@@ -100,7 +100,8 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
 def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
              max_vocab: int | None = None,
              max_bigrams: int | None = None,
-             cache_tokens: bool = True) -> DataFrame:
+             cache_tokens: bool = True,
+             train: DataFrame | None = None) -> DataFrame:
     """Per-document mean bigram log-likelihood under the corpus's own
     add-α bigram model. Output: (doc_id, n_bigrams, avg_logp) — docs
     with fewer than two words carry n_bigrams=0 and NULL avg_logp.
@@ -124,17 +125,34 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
     price of an executor-local token copy (≈ input-sized) and the
     standard checkpoint trade that an executor loss mid-query fails
     the job instead of recomputing (same as connected_components;
-    flip off to trade recompute for zero storage)."""
+    flip off to trade recompute for zero storage).
+
+    ``train``: fit the count tables on a DIFFERENT corpus (same
+    (doc_id, text_col) shape) and score ``docs`` under it — the
+    cross-domain scoring Moore-Lewis selection needs. Out-of-model
+    words/bigrams score with count 0 (the same OOV left-join path the
+    capped tables use) and V is the TRAIN vocabulary size. Default
+    (None) keeps the self-scored semantics byte-identical."""
     toks_frame = docs.select("doc_id", words(F.col(text_col)).alias("_toks"))
     if cache_tokens:
         toks_frame = toks_frame.localCheckpoint(eager=False)
+    if train is not None:
+        train_toks = train.select(
+            "doc_id", words(F.col(text_col)).alias("_toks")
+        )
+        if cache_tokens:
+            train_toks = train_toks.localCheckpoint(eager=False)
+    else:
+        train_toks = toks_frame
     bg = _doc_bigrams(toks_frame)
     # the count tables are consumed twice (vocab size + joins) but are
     # small relative to the corpus; Spark's scan reuse handles the
     # double traversal of the exploded frame
-    bg_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bg_counts = (
+        _doc_bigrams(train_toks) if train is not None else bg
+    ).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
-        toks_frame.select(F.explode("_toks").alias("w1"))
+        train_toks.select(F.explode("_toks").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
@@ -145,19 +163,22 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
     if max_vocab is not None:
         uni = uni.orderBy(F.col("c1").desc(), "w1").limit(max_vocab)
     v = uni.count()  # (truncated) vocabulary size — one bounded action
-    # join type: untruncated tables cover every key, so INNER ≡ LEFT
-    # there — keep inner (Catalyst reorders/codegens it better); the
-    # capped tables genuinely miss keys and need the OOV left join.
+    # join type: untruncated SELF-trained tables cover every key, so
+    # INNER ≡ LEFT there — keep inner (Catalyst reorders/codegens it
+    # better); capped or cross-trained tables genuinely miss keys and
+    # need the OOV left join.
+    oov_bg = max_bigrams is not None or train is not None
+    oov_uni = max_vocab is not None or train is not None
     scored = (
         bg.join(
             F.broadcast(bg_counts) if max_bigrams is not None else bg_counts,
             ["w1", "w2"],
-            "left" if max_bigrams is not None else "inner",
+            "left" if oov_bg else "inner",
         )
         .join(
             F.broadcast(uni) if max_vocab is not None else uni,
             "w1",
-            "left" if max_vocab is not None else "inner",
+            "left" if oov_uni else "inner",
         )
         .withColumn(
             "_logp",
@@ -228,6 +249,66 @@ def ccnet_buckets(docs: DataFrame, head_frac: float = 1 / 3,
         .select(
             "doc_id", "n_bigrams", "avg_logp", bucket.alias("bucket"),
             (bucket != "tail").alias("keep"),
+        )
+    )
+
+
+def moore_lewis_select(docs: DataFrame, target_pred, n: int,
+                       text_col: str = "text",
+                       alpha: float = 0.5) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data"; the method behind CCNet/XLM-style domain filtering): score
+    every document under an IN-DOMAIN bigram LM (fit on the
+    ``target_pred`` slice, OOV-smoothed) and under the full-corpus
+    model, rank by the log-likelihood difference, and keep the top
+    ``n`` — documents that look like the target domain AND unlike the
+    generic corpus.
+
+    Output: (doc_id, n_bigrams, logp_in, logp_out, ml_score, selected)
+    for EVERY input doc; docs with no bigrams carry NULL scores and are
+    never selected. ``ml_score = round(logp_in − logp_out, 6)`` is
+    computed from the two 6-dp-rounded components so the ranking
+    replays bit-identically in SQL.
+
+    100 TB shape: both model fits are the :func:`lm_score` count
+    pipelines (the in-domain fit only scans the slice); the top-n cut
+    is a distributed sort+limit (TakeOrderedAndProject — per-partition
+    top-n then a driver merge of n·partitions rows, NO single-task
+    global sort), and the n-row selection broadcasts back onto the
+    scored frame. With the web-scale guard needs, pass the capped
+    tables through lm_score the same way text_lm_score_topk does."""
+    target = docs.filter(target_pred)
+    s_in = lm_score(docs, text_col=text_col, alpha=alpha, train=target)
+    s_out = lm_score(docs, text_col=text_col, alpha=alpha)
+    scored = (
+        s_out.select(
+            "doc_id", "n_bigrams", F.col("avg_logp").alias("logp_out")
+        )
+        .join(
+            s_in.select("doc_id", F.col("avg_logp").alias("logp_in")),
+            "doc_id",
+        )
+        .withColumn(
+            "ml_score",
+            F.round(F.col("logp_in") - F.col("logp_out"), 6),
+        )
+    )
+    sel = (
+        scored.filter(F.col("ml_score").isNotNull())
+        .orderBy(F.col("ml_score").desc(), "doc_id")
+        .limit(n)
+        .select("doc_id", F.lit(True).alias("_sel"))
+    )
+    return (
+        scored.join(F.broadcast(sel), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "logp_in",
+            "logp_out",
+            "ml_score",
+            F.coalesce("_sel", F.lit(False)).alias("selected"),
         )
     )
 

@@ -846,6 +846,83 @@ def _semdedup_assign_arrow(centroids: np.ndarray):
 SEMDEDUP_FOLD_MAX_K = 64
 
 
+def _cell_assign(embeddings: DataFrame, centroids: np.ndarray,
+                 id_col: str, vec_col: str, assign: str) -> DataFrame:
+    """Nearest-centroid assignment shared by :func:`semantic_dedup` and
+    :func:`knn_graph`: (vec_id, v, cell, csim) with cell = first index
+    of the max raw dot (bit-matching the DuckDB oracles'
+    list_indexof(ds, max)) and csim = max dot / (|v|·|c|). ``assign``
+    picks the engine — "fold" is the oracle-exact literal-array HOF
+    fold, "arrow" the matmul pandas_udf scale path (equality
+    pytest-pinned against fold)."""
+    v = as_double(F.col(vec_col))
+    if assign == "arrow":
+        a0 = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            v.alias("v"),
+            _semdedup_assign_arrow(centroids)(v).alias("a"),
+        )
+        return a0.select("vec_id", "v", F.col("a.cell").alias("cell"),
+                         F.col("a.csim").alias("csim"))
+    ds = F.array(*[dot(v, _lit_vec(c)) for c in centroids])
+    cnorms = F.array(
+        *[F.lit(float(np.sqrt(np.dot(c, c)))) for c in centroids]
+    )
+    cell = (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        cell.alias("cell"),
+        (F.array_max(ds) / (norm(v) * F.element_at(cnorms, cell + 1)))
+        .alias("csim"),
+    )
+
+
+def knn_graph(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              assign: str = "auto") -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus —
+    the substrate for graph-based curation (semantic clustering à la
+    SemDeDup's cluster step, label propagation, density scoring):
+    every vector is assigned to its nearest centroid cell, ranks all
+    OTHER members of its cell by exact cosine, and keeps its top ``k``
+    as directed edges.
+
+    The all-nodes sibling of the query-set funnels
+    (:func:`cosine_topk_coarse_rerank` serves |queries| ≪ N;
+    this serves every node): candidate work is the same Σ|cell|² in-cell
+    equi-join as :func:`semantic_dedup` — never all-pairs — so with the
+    centroid count grown ∝ N (bounded cell sizes) the graph build is
+    linear in N with a constant per-node edge budget. Approximate by
+    design: neighbors in adjacent cells are missed (recall vs brute
+    force is pinned by pytest); the deterministic pipeline itself —
+    fold-dot assignment, in-cell cosine rank with id tie-break —
+    replays in SQL under the hash gate with seeded centroids as
+    literals (the dedup_semantic precedent).
+
+    Output: (src, dst, cell, rank, cos rounded 6dp); nodes alone in
+    their cell contribute no rows."""
+    if assign == "auto":
+        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
+    a, b = asg.alias("a"), asg.alias("b")
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    return (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("a.vec_id") != F.col("b.vec_id")])
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cell", "rank",
+                F.round("_cos", 6).alias("cos"))
+    )
+
+
 def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -882,28 +959,7 @@ def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
     """
     if assign == "auto":
         assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
-    v = as_double(F.col(vec_col))
-    if assign == "arrow":
-        a0 = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            v.alias("v"),
-            _semdedup_assign_arrow(centroids)(v).alias("a"),
-        )
-        asg = a0.select("vec_id", "v", F.col("a.cell").alias("cell"),
-                        F.col("a.csim").alias("csim"))
-    else:
-        ds = F.array(*[dot(v, _lit_vec(c)) for c in centroids])
-        cnorms = F.array(
-            *[F.lit(float(np.sqrt(np.dot(c, c)))) for c in centroids]
-        )
-        cell = (F.array_position(ds, F.array_max(ds)) - 1).cast("int")
-        asg = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            v.alias("v"),
-            cell.alias("cell"),
-            (F.array_max(ds) / (norm(v) * F.element_at(cnorms, cell + 1)))
-            .alias("csim"),
-        )
+    asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
     a, b = asg.alias("a"), asg.alias("b")
     pairs = (
         a.join(b, on=[F.col("a.cell") == F.col("b.cell"),

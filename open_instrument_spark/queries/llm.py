@@ -624,6 +624,88 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_moore_lewis",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> struct_pack(w1 := w[i+1], w2 := w[i+2]))) AS g
+  FROM toks WHERE len(w) >= 2
+),
+bb AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM b),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+c1 AS (SELECT unnest(w) AS w1 FROM toks),
+c1c AS (SELECT w1, count(*) AS c1 FROM c1 GROUP BY 1),
+v AS (SELECT count(*) AS v FROM c1c),
+s_out AS (
+  SELECT bb.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((c12.c12 + 0.5) / (c1c.c1 + 0.5 * v.v))), 6) AS logp_out
+  FROM bb JOIN c12 USING (w1, w2) JOIN c1c USING (w1) CROSS JOIN v
+  GROUP BY bb.doc_id
+),
+tt AS (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+bbt AS (SELECT bb.w1, bb.w2 FROM bb JOIN tt USING (doc_id)),
+c12t AS (SELECT w1, w2, count(*) AS c12 FROM bbt GROUP BY 1, 2),
+c1t0 AS (SELECT unnest(w) AS w1 FROM toks JOIN tt USING (doc_id)),
+c1t AS (SELECT w1, count(*) AS c1 FROM c1t0 GROUP BY 1),
+vt AS (SELECT count(*) AS vt FROM c1t),
+s_in AS (
+  SELECT bb.doc_id,
+         round(avg(ln((coalesce(c12t.c12, 0) + 0.5)
+                      / (coalesce(c1t.c1, 0) + 0.5 * vt.vt))), 6) AS logp_in
+  FROM bb LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
+  CROSS JOIN vt
+  GROUP BY bb.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s_out.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+         s_in.logp_in, s_out.logp_out,
+         round(s_in.logp_in - s_out.logp_out, 6) AS ml_score
+  FROM documents d
+  LEFT JOIN s_out USING (doc_id)
+  LEFT JOIN s_in USING (doc_id)
+),
+sel AS (
+  SELECT doc_id FROM scored WHERE ml_score IS NOT NULL
+  ORDER BY ml_score DESC, doc_id LIMIT 100
+)
+SELECT s.doc_id, s.n_bigrams, s.logp_in, s.logp_out, s.ml_score,
+       (sel.doc_id IS NOT NULL) AS selected
+FROM scored s LEFT JOIN sel USING (doc_id)
+""",
+)
+def corpus_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 Moore-Lewis cross-entropy-difference selection (Moore &
+    Lewis 2010; the domain-filtering method CCNet/XLM built on):
+    every doc scored under the IN-DOMAIN bigram LM (fit on the
+    src0+src1 slice, OOV-smoothed left joins, V = slice vocab) and
+    the full-corpus model, ranked by the rounded score difference,
+    top-100 selected (operators/lm.py::moore_lewis_select). BOTH
+    model fits, both scoring passes, the delta, and the top-n cut
+    replay in SQL under the hash gate — the text_lm_score precedent
+    doubled. Scale: in-domain fit scans only the slice; the cut is a
+    distributed TakeOrderedAndProject + an n-row broadcast join, no
+    global sort."""
+    from open_instrument_spark.operators.lm import moore_lewis_select
+
+    prepare(spark)
+    docs = (
+        load_tables(spark, sf_dir).table("documents")
+        .select("doc_id", "text", "source").repartition(64, "doc_id")
+    )
+    return moore_lewis_select(
+        docs, F.col("source").isin("src0", "src1"), n=100
+    )
+
+
+@query(
     "text_lm_score_topk",
     oracle="""
 WITH toks AS (
@@ -1231,6 +1313,93 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
     return connected_components(pairs.select("a_id", "b_id"))
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL},
+sh AS ({_shingle_cte("corpus")}),
+ds AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+gds AS (
+  SELECT ds.doc_id, ds.shingle FROM ds
+  JOIN (SELECT shingle FROM ds GROUP BY 1 HAVING count(*) <= 1000) f
+    USING (shingle)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM gds a JOIN gds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS i
+  FROM cand c
+  JOIN ds da ON da.doc_id = c.a_id
+  JOIN ds db ON db.doc_id = c.b_id AND db.shingle = da.shingle
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS cluster_id,
+         length(c.text) AS n_chars
+  FROM corpus c LEFT JOIN comp USING (doc_id)
+),
+el AS (
+  SELECT doc_id, cluster_id,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER)
+           AS cluster_size,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         first_value(doc_id) OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS canon
+  FROM lab
+)
+SELECT doc_id, cluster_id, cluster_size,
+       rn = 1 AS is_canonical,
+       CASE WHEN rn != 1 THEN canon END AS dup_of
+FROM el
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 canonical-per-cluster dedup MATERIALIZATION
+    (operators/dedup.py::cluster_canonical): the drop list a curation
+    pipeline actually applies — connected components over the guarded
+    n-gram Jaccard pairs (same seeded corpus, threshold, and
+    max_bucket=1000 guard as dedup_clusters), then each cluster elects
+    its longest member (ties to lowest doc_id) as canonical and every
+    other member points at it via dup_of; singleton docs are their own
+    canonical. The oracle replays the candidate guard, the Jaccard
+    verify on full shingle sets, the component fixpoint (recursive
+    CTE), AND the election windows. Spark side: pointer-jumping CC +
+    one doc_id join + three window functions sharing one cluster_id
+    exchange."""
+    from open_instrument_spark.operators.dedup import (
+        cluster_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    return cluster_canonical(corpus, pairs.select("a_id", "b_id"))
 
 
 @query(
@@ -2816,6 +2985,68 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
     return semantic_dedup_trained(emb, threshold=0.35)
+
+
+def _knn_graph_oracle(k: int = 5, n_cells: int = 32,
+                      dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity.knn_graph with the seeded centroids as
+    literal arrays: the SAME asg CTE as _semdedup_oracle (sequential
+    list_sum fold dots, first-max assignment), then directed in-cell
+    pairs ranked by exact cosine with dst id tie-break and cut at k.
+    Rank is computed on the UNROUNDED cosine in both engines; only the
+    output column is rounded — the embed_coarse_rerank precedent."""
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    C = seeded_centroids(dim, n_cells, seed)
+
+    def dot(c) -> str:
+        lit = ", ".join(repr(float(x)) for x in c)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    ds = ",\n    ".join(dot(c) for c in C)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM e),
+asg AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell
+  FROM d),
+g AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.cell AS cell,
+         {_COS_SQL} AS cos
+  FROM asg a JOIN asg b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id),
+r AS (
+  SELECT src, dst, cell, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+  FROM g)
+SELECT src, dst, cell, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cos
+FROM r WHERE rank <= {k}
+"""
+
+
+@query("embed_knn_graph", oracle=_knn_graph_oracle())
+def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 approximate kNN GRAPH over the whole embedding corpus
+    (operators/similarity.py::knn_graph): seeded-centroid cells, each
+    node's top-5 in-cell neighbors by exact cosine as directed edges —
+    the substrate for graph-based curation (clustering, density
+    scoring, label propagation). Candidate work is the same in-cell
+    Σ|cell|² equi-join as dedup_semantic (never all-pairs; k-means k
+    grown ∝ N keeps cells bounded → linear). Every stage — fold-dot
+    assignment, in-cell cosine rank, the k cut — replays in SQL with
+    the centroids as literals; in-cell recall vs brute force is pinned
+    by pytest."""
+    from open_instrument_spark.operators.similarity import (
+        knn_graph,
+        seeded_centroids,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return knn_graph(emb, seeded_centroids(64, 32, 7), k=5)
 
 
 @query("dedup_semantic_arrow")

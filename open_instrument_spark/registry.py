@@ -159,12 +159,21 @@ DRIVER_WINDOW = [
     "agg_cms_label_counts",
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
-    "corpus_weighted_sample",
+    # r12-late: the in-cell kNN graph takes corpus_weighted_sample's
+    # slot (driver-green r10+r11; the sampling family keeps
+    # corpus_mixture_tokens / _temperature / dsir in-window).
+    "embed_knn_graph",
     "list_stale_series",
     "text_pii_scrub",
     "corpus_safety_pipeline",
-    "agg_topk_series",
-    "mutate_offset_compare",
+    # r12-late: canonical-per-cluster materialization takes
+    # agg_topk_series' slot (driver-green r10+r11; the agg family keeps
+    # seven in-window representatives).
+    "dedup_cluster_canonical",
+    # r12-late: Moore-Lewis cross-entropy selection takes
+    # mutate_offset_compare's slot (driver-green r10+r11; the mutate
+    # family keeps increase/irate/idelta/counter_resets/over_time).
+    "corpus_moore_lewis",
     "alert_rule_states",
     "alert_rule_transitions",
     # -- r11 rotation additions --
@@ -183,6 +192,11 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
+    # r12-late demotions — each driver-green r10 AND r11; displaced by
+    # embed_knn_graph / dedup_cluster_canonical / corpus_moore_lewis.
+    "corpus_weighted_sample",
+    "agg_topk_series",
+    "mutate_offset_compare",
     # r12 demotions — each driver-green r10 AND r11; displaced by
     # collector_cisco_config / mutate_over_time_family
     # (mutate_holt_forecast keeps the trend family oracle-gated below).

@@ -1750,3 +1750,110 @@ def test_leakage_safe_split_invariants(spark):
     singles = [d for d, (g, _) in split_of.items()
                if g == d and g not in multi]
     assert singles and all(split_of[d][1] == plain[d] for d in singles)
+
+
+def test_knn_graph_exact_within_cell_and_rank_shape(spark):
+    """knn_graph is EXACT inside each cell: for the largest cell, each
+    member's edge list equals the brute-force in-cell top-min(k, n-1)
+    by (cos desc, dst asc); ranks are contiguous from 1 everywhere."""
+    import numpy as np
+
+    from open_instrument_spark.operators.similarity import (
+        knn_graph,
+        seeded_centroids,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C = seeded_centroids(64, 32, 7)
+    g = knn_graph(emb, C, k=5).collect()
+    by_src: dict = {}
+    for r in g:
+        by_src.setdefault(r["src"], []).append(r)
+    for rows in by_src.values():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+    # brute-force replay of the largest cell
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    cells: dict = {}
+    for vid, v in vecs.items():
+        d = C.astype(np.float64) @ v
+        cells.setdefault(int(d.argmax()), []).append(vid)
+    cell_members = max(cells.values(), key=len)
+    assert len(cell_members) >= 3  # non-degenerate cell to replay
+    for src in cell_members:
+        sv = vecs[src]
+        cand = sorted(
+            (
+                (-float(sv @ vecs[d]
+                        / (np.linalg.norm(sv) * np.linalg.norm(vecs[d]))), d)
+                for d in cell_members if d != src
+            )
+        )[: min(5, len(cell_members) - 1)]
+        expect = [d for _, d in cand]
+        got = [r["dst"] for r in sorted(by_src.get(src, []),
+                                        key=lambda r: r["rank"])]
+        assert got == expect
+
+
+def test_cluster_canonical_invariants(spark, near_corpus):
+    """Every cluster elects exactly one canonical (its longest member,
+    ties to lowest id); every non-canonical points at it; singletons
+    are their own cluster with NULL dup_of; no doc is dropped."""
+    from open_instrument_spark.operators.dedup import (
+        cluster_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(near_corpus, threshold=0.5)
+    out = cluster_canonical(near_corpus, pairs.select("a_id", "b_id")).collect()
+    assert len(out) == near_corpus.count()
+    lens = {r["doc_id"]: len(r["text"]) for r in near_corpus.collect()}
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    multi = 0
+    for cid, rows in by_cluster.items():
+        canons = [r for r in rows if r["is_canonical"]]
+        assert len(canons) == 1
+        canon = canons[0]
+        assert canon["dup_of"] is None
+        # longest text, ties to lowest doc_id
+        best = min(rows, key=lambda r: (-lens[r["doc_id"]], r["doc_id"]))
+        assert canon["doc_id"] == best["doc_id"]
+        for r in rows:
+            assert r["cluster_size"] == len(rows)
+            if not r["is_canonical"]:
+                assert r["dup_of"] == canon["doc_id"]
+        if len(rows) == 1:
+            assert rows[0]["cluster_id"] == rows[0]["doc_id"]
+        else:
+            multi += 1
+    assert multi  # the seeded near-dups formed real clusters
+
+
+def test_moore_lewis_prefers_in_domain_docs(spark):
+    """On a corpus of two disjoint vocabularies, selection with the
+    domain slice as target picks ONLY domain-vocab docs; short docs
+    (no bigrams) carry NULL scores and are never selected."""
+    from open_instrument_spark.operators.lm import moore_lewis_select
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"alpha beta gamma delta epsilon run{i % 3}", "dom"))
+    for i in range(30, 60):
+        rows.append((i, f"lorem ipsum dolor sit amet item{i % 5}", "gen"))
+    rows.append((60, "x", "gen"))  # no bigrams -> NULL, never selected
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = moore_lewis_select(docs, F.col("source") == "dom", n=10).collect()
+    assert len(out) == 61
+    sel = {r["doc_id"] for r in out if r["selected"]}
+    assert len(sel) == 10
+    assert all(d < 30 for d in sel)  # all selected are domain docs
+    null_doc = [r for r in out if r["doc_id"] == 60][0]
+    assert null_doc["ml_score"] is None and not null_doc["selected"]
+    # every domain doc outscores every generic doc
+    mls = {r["doc_id"]: r["ml_score"] for r in out if r["ml_score"] is not None}
+    assert min(mls[d] for d in mls if d < 30) > max(
+        mls[d] for d in mls if d >= 30)
