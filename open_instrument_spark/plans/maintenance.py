@@ -259,6 +259,159 @@ def compact_text_index(spark, path: str, max_epochs: int = 8) -> dict:
     return res
 
 
+def _recover_old(path: str) -> bool:
+    """Shared ``.old`` crash-recovery preamble: a crash between the
+    staging swap's two moves leaves the pre-swap index at ``.old`` and
+    nothing at the live path — promote it back."""
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        shutil.move(old, path)
+        return True
+    return False
+
+
+def _swap_in(path: str, sib: str) -> None:
+    """Staging-before-delete promotion with ``.old`` recovery window —
+    the rebalance_ann_index idiom shared by every index rewrite."""
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(path, old)
+    shutil.move(sib, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def forget_from_minhash_index(spark, path: str, doc_ids) -> dict:
+    """Deletion propagation (right-to-be-forgotten / takedown) for the
+    dedup-at-ingest MinHash store: remove every signature and band row
+    belonging to ``doc_ids`` so forgotten documents can never again
+    surface as prior-corpus matches in a probe. The epoch layout is
+    PRESERVED (each surviving row stays in its epoch partition) and the
+    meta's ``next_epoch`` is untouched — epoch ids never recycle, so
+    in-flight ingest batch ids can't collide with the rewrite.
+
+    Staged as a ``.forget`` sibling and promoted with the
+    staging-before-delete swap + ``.old`` crash recovery shared with
+    the compactors; a replayed forget of the same ids is a no-op
+    (second call removes 0 rows and skips the swap). The rewrite is
+    INDEX-sized (signatures, never corpus text) — batch forget sets
+    and run them from the maintenance tick, the way compaction
+    amortizes. Returns {removed_sigs, removed_bands, swapped,
+    recovered}."""
+    from open_instrument_spark.operators.dedup import (
+        _read_minhash_meta,
+        _write_minhash_meta,
+    )
+
+    recovered = _recover_old(path)
+    ids = [int(i) for i in doc_ids]
+    sigs = spark.read.parquet(f"{path}/sigs")
+    bands = spark.read.parquet(f"{path}/bands")
+    rm_s = sigs.filter(F.col("doc_id").isin(ids)).count()
+    rm_b = bands.filter(F.col("doc_id").isin(ids)).count()
+    res = {"removed_sigs": rm_s, "removed_bands": rm_b,
+           "swapped": False, "recovered": recovered}
+    if rm_s == 0 and rm_b == 0:
+        return res
+    sib = path.rstrip("/") + ".forget"
+    shutil.rmtree(sib, ignore_errors=True)
+    sigs.filter(~F.col("doc_id").isin(ids)).write.partitionBy(
+        "epoch").mode("overwrite").parquet(f"{sib}/sigs")
+    bands.filter(~F.col("doc_id").isin(ids)).write.partitionBy(
+        "epoch").mode("overwrite").parquet(f"{sib}/bands")
+    num_perm, n_bands, nxt = _read_minhash_meta(spark, path)
+    _write_minhash_meta(spark, sib, num_perm, n_bands, nxt)
+    _swap_in(path, sib)
+    res["swapped"] = True
+    return res
+
+
+def forget_from_text_index(spark, path: str, doc_ids) -> dict:
+    """Deletion propagation for the BM25 inverted index: drop the
+    forgotten docs' postings and SUBTRACT their contribution from the
+    per-epoch meta rows, so n_docs / avgdl / df immediately reflect
+    the shrunk corpus — search results become identical to an index
+    built without the forgotten docs (pytest-pinned). Every
+    pre-existing epoch keeps a meta row (zeroed if emptied), so
+    ``next_epoch`` derivation (max epoch + 1) is preserved and batch
+    ids never recycle. Same ``.forget`` staging + ``.old`` recovery as
+    the other index rewrites; replay is a no-op."""
+    from open_instrument_spark.operators.retrieval import (
+        _read_text_meta,
+        _write_text_meta,
+    )
+
+    recovered = _recover_old(path)
+    ids = [int(i) for i in doc_ids]
+    _, _, n_buckets, _ = _read_text_meta(spark, path)
+    post = spark.read.parquet(f"{path}/postings")
+    rm = post.filter(F.col("doc_id").isin(ids)).count()
+    res = {"removed_postings": rm, "swapped": False, "recovered": recovered}
+    if rm == 0:
+        return res
+    sib = path.rstrip("/") + ".forget"
+    shutil.rmtree(sib, ignore_errors=True)
+    keep = post.filter(~F.col("doc_id").isin(ids))
+    keep.write.partitionBy("epoch", "bucket").mode("overwrite").parquet(
+        f"{sib}/postings"
+    )
+    # per-epoch contributions recomputed from the SURVIVING postings;
+    # emptied epochs keep a zero row so max(epoch) never goes backwards
+    stats = {
+        int(r["epoch"]): (int(r["n"]), int(r["s"] or 0))
+        for r in keep.groupBy("epoch", "doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+        .collect()
+    }
+    for d in glob.glob(os.path.join(path, "meta", "epoch=*")):
+        e = int(os.path.basename(d).split("=", 1)[1])
+        n, s = stats.get(e, (0, 0))
+        _write_text_meta(spark, sib, n, s, n_buckets, epoch=e)
+    _swap_in(path, sib)
+    res["swapped"] = True
+    return res
+
+
+def forget_from_ann_index(spark, path: str, vec_ids) -> dict:
+    """Deletion propagation for the ANN serving indexes: drop the
+    forgotten vectors from whichever row stores the layout has —
+    ``vectors`` (IVF, and the IVFPQ exact-rerank sidecar) and ``codes``
+    (IVFPQ) — preserving the cell partitioning (searches keep their
+    partition-pruned reads; an emptied cell simply yields no rows).
+    Centroids and codebooks are NOT retrained: codes are raw-vector
+    encodings (by_residual=False), so surviving rows' bytes are
+    invariant — the same property that makes append/rebalance safe.
+    Same staging + ``.old`` recovery; replay is a no-op."""
+    recovered = _recover_old(path)
+    ids = [int(i) for i in vec_ids]
+    res = {"removed": {}, "swapped": False, "recovered": recovered}
+    parts = [s for s in ("vectors", "codes")
+             if os.path.isdir(os.path.join(path, s))]
+    frames = {}
+    total = 0
+    for s in parts:
+        df = spark.read.parquet(f"{path}/{s}")
+        rm = df.filter(F.col("n_id").isin(ids)).count()
+        res["removed"][s] = rm
+        total += rm
+        frames[s] = df
+    if total == 0:
+        return res
+    sib = path.rstrip("/") + ".forget"
+    shutil.rmtree(sib, ignore_errors=True)
+    for s in parts:
+        frames[s].filter(~F.col("n_id").isin(ids)).write.partitionBy(
+            "cell").mode("overwrite").parquet(f"{sib}/{s}")
+    for aux in ("centroids", "codebooks"):
+        if os.path.isdir(os.path.join(path, aux)):
+            spark.read.parquet(f"{path}/{aux}").write.mode(
+                "overwrite").parquet(f"{sib}/{aux}")
+    _swap_in(path, sib)
+    res["swapped"] = True
+    return res
+
+
 def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
                      now, dry_run: bool = False, n_buckets: int = 16,
                      max_files_per_date: int | None = None,
@@ -267,7 +420,9 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
                      minhash_indexes: list[str] | None = None,
                      minhash_max_epochs: int = 8,
                      text_indexes: list[str] | None = None,
-                     text_max_epochs: int = 8
+                     text_max_epochs: int = 8,
+                     forget_doc_ids=None,
+                     forget_vec_ids=None,
                      ) -> tuple[DataFrame, dict]:
     """One StoreFileManager tick. Returns ``(report, summary)``:
     ``report`` is the retention_report rows AS OF tick start (the
@@ -292,9 +447,17 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
     (:func:`compact_minhash_index`) — also a fixpoint (a compacted
     store has one epoch and is skipped).
 
+    ``forget_doc_ids`` / ``forget_vec_ids`` (r12): deletion
+    propagation — the forget set is applied to every listed MinHash /
+    text / ANN index via the ``forget_from_*`` rewrites BEFORE
+    compaction (so a forget that empties epochs and the compaction
+    that folds them land in one tick). Also a fixpoint: replaying the
+    tick with the same forget set removes 0 rows and skips the swaps.
+
     ``dry_run=True`` is the reference-exact log-only pass: no write,
     no delete, store bytes untouched — ANN indexes only get their skew
-    measured and reported, MinHash stores their epoch count."""
+    measured and reported, MinHash stores their epoch count; forget
+    sets are NOT applied."""
     pts = spark.read.parquet(store_path).drop(
         "dt", "bucket", "name_bucket", "epoch"
     )
@@ -313,6 +476,7 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
         "ann": {},
         "minhash": {},
         "text_index": {},
+        "forget": {},
     }
     if dry_run:
         from open_instrument_spark.operators.pq import ivfpq_cell_stats
@@ -352,6 +516,22 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
         spark, store_path, n_buckets=n_buckets,
         max_files_per_date=max_files_per_date,
     )
+    # deletion propagation runs BEFORE compaction so a forget that
+    # empties epochs and a compaction that folds them land in one tick
+    if forget_doc_ids:
+        for p in minhash_indexes or []:
+            summary["forget"][p] = forget_from_minhash_index(
+                spark, p, forget_doc_ids
+            )
+        for p in text_indexes or []:
+            summary["forget"][p] = forget_from_text_index(
+                spark, p, forget_doc_ids
+            )
+    if forget_vec_ids:
+        for p in ann_indexes or []:
+            summary["forget"][p] = forget_from_ann_index(
+                spark, p, forget_vec_ids
+            )
     for p in ann_indexes or []:
         summary["ann"][p] = rebalance_ann_index(
             spark, p, skew_threshold=ann_skew_threshold

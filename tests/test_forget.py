@@ -1,0 +1,226 @@
+"""Deletion propagation (forget_from_* / maintenance_tick forget sets):
+a forgotten doc must be indistinguishable from one that was never
+ingested — every store's post-forget behavior is pinned EQUAL to a
+fresh index built without the forgotten rows, and the rewrites are
+replay-idempotent with the shared .old crash recovery."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from open_instrument_spark.plans.maintenance import (
+    forget_from_ann_index,
+    forget_from_minhash_index,
+    forget_from_text_index,
+)
+from open_instrument_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+FORGET = [0, 11, 22, 33, 44]
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text")
+
+
+def test_forget_minhash_matches_rebuild(spark, tmp_path):
+    from open_instrument_spark.operators.dedup import (
+        _read_minhash_meta,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = _docs(spark)
+    survivors = docs.filter(~F.col("doc_id").isin(FORGET))
+    path, fresh = str(tmp_path / "mh"), str(tmp_path / "mh_fresh")
+    build_minhash_index(docs, path)
+    # grow a second epoch so the rewrite must preserve multi-epoch layout
+    batch = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"))
+    probe_minhash_index(spark, path, batch, threshold=0.5, append=True)
+    meta_before = _read_minhash_meta(spark, path)
+
+    res = forget_from_minhash_index(spark, path, FORGET)
+    assert res["swapped"] and res["removed_sigs"] > 0
+
+    # store contents == fresh build on (survivors + absorbed batch),
+    # ignoring epoch layout (11 and 22 are %11 parents — their +200000
+    # near-dups were absorbed and must SURVIVE the forget of the parent)
+    build_minhash_index(survivors, fresh)
+    probe_minhash_index(spark, fresh, batch, threshold=0.5, append=True)
+
+    def sig_set(p):
+        return {(r["doc_id"], tuple(r["sig"])) for r in
+                spark.read.parquet(f"{p}/sigs").collect()}
+
+    def band_set(p):
+        return {(r["doc_id"], r["band"], r["bh"]) for r in
+                spark.read.parquet(f"{p}/bands").collect()}
+
+    assert sig_set(path) == sig_set(fresh)
+    assert band_set(path) == band_set(fresh)
+    # meta (num_perm, bands, next_epoch) preserved — epochs never recycle
+    assert _read_minhash_meta(spark, path) == meta_before
+
+    # probe parity: a new batch sees the two stores identically
+    batch2 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    got = {(r["new_id"], r["old_id"]) for r in probe_minhash_index(
+        spark, path, batch2, threshold=0.5).collect()}
+    want = {(r["new_id"], r["old_id"]) for r in probe_minhash_index(
+        spark, fresh, batch2, threshold=0.5).collect()}
+    assert got == want
+    assert not any(o in FORGET for _, o in got)
+
+    # replay is a no-op (idempotence)
+    res2 = forget_from_minhash_index(spark, path, FORGET)
+    assert not res2["swapped"] and res2["removed_sigs"] == 0
+
+
+def test_forget_minhash_old_crash_recovery(spark, tmp_path):
+    from open_instrument_spark.operators.dedup import build_minhash_index
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs, path)
+    before = spark.read.parquet(f"{path}/sigs").count()
+    # simulate a crash between the swap's two moves: live gone, .old set
+    shutil.move(path, path + ".old")
+    res = forget_from_minhash_index(spark, path, [99999999])  # no match
+    assert res["recovered"] and not res["swapped"]
+    assert spark.read.parquet(f"{path}/sigs").count() == before
+
+
+def test_forget_text_index_matches_rebuild(spark, tmp_path):
+    from open_instrument_spark.operators.retrieval import (
+        _read_text_meta,
+        append_to_text_index,
+        build_text_index,
+        search_text_index,
+    )
+
+    docs = _docs(spark)
+    survivors = docs.filter(~F.col("doc_id").isin(FORGET))
+    path, fresh = str(tmp_path / "ti"), str(tmp_path / "ti_fresh")
+    build_text_index(docs, path)
+    extra = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    append_to_text_index(extra, path)
+    next_before = _read_text_meta(spark, path)[3]
+
+    res = forget_from_text_index(spark, path, FORGET)
+    assert res["swapped"] and res["removed_postings"] > 0
+
+    build_text_index(survivors, fresh)
+    append_to_text_index(extra, fresh)
+
+    # BM25 scores (df, n_docs, avgdl all shrink-corrected) identical to
+    # the never-ingested twin
+    queries = {1: ["the", "and"], 2: ["data", "of", "to"]}
+    got = sorted(map(tuple, search_text_index(
+        spark, path, queries, k=10).collect()))
+    want = sorted(map(tuple, search_text_index(
+        spark, fresh, queries, k=10).collect()))
+    assert got == want
+    assert got and not any(r[1] in FORGET for r in got)
+    # next_epoch preserved (zeroed meta rows keep max(epoch))
+    assert _read_text_meta(spark, path)[3] == next_before
+
+    res2 = forget_from_text_index(spark, path, FORGET)
+    assert not res2["swapped"] and res2["removed_postings"] == 0
+
+
+def test_forget_ann_index_matches_rebuild(spark, tmp_path):
+    import numpy as np
+
+    from open_instrument_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+        seeded_centroids,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    gone = [3, 7, 15]
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    C = seeded_centroids(64, 8, 7)
+    path, fresh = str(tmp_path / "ivf"), str(tmp_path / "ivf_fresh")
+    build_ivf_index(emb, path, centroids=C)
+    res = forget_from_ann_index(spark, path, gone)
+    assert res["swapped"] and res["removed"]["vectors"] == len(gone)
+
+    build_ivf_index(survivors, fresh, centroids=C)
+    qs = {r["vec_id"]: list(r["embedding"]) for r in
+          emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()}
+    got = sorted(map(tuple, search_ivf_index(
+        spark, path, qs, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, search_ivf_index(
+        spark, fresh, qs, k=5, n_probe=3).collect()))
+    assert got == want and got
+    assert not any(r[1] in gone for r in got)
+    # centroids untouched by the rewrite
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    for r in crows:
+        assert np.allclose(r["c"], C[r["cell"]])
+
+    res2 = forget_from_ann_index(spark, path, gone)
+    assert not res2["swapped"] and res2["removed"]["vectors"] == 0
+
+
+def test_forget_ivfpq_drops_codes_and_sidecar(spark, tmp_path):
+    from open_instrument_spark.operators.pq import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    gone = [5, 9]
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    path, fresh = str(tmp_path / "pq"), str(tmp_path / "pq_fresh")
+    build_ivfpq_index(emb, path, include_vectors=True)
+    res = forget_from_ann_index(spark, path, gone)
+    assert res["swapped"]
+    assert res["removed"]["codes"] == len(gone)
+    assert res["removed"]["vectors"] == len(gone)
+
+    build_ivfpq_index(survivors, fresh, include_vectors=True)
+    qs = {r["vec_id"]: list(r["embedding"]) for r in
+          emb.filter(F.col("vec_id").isin([0, 1])).collect()}
+    got = sorted(map(tuple, search_ivfpq_index(
+        spark, path, qs, k=5, n_probe=3).collect()))
+    want = sorted(map(tuple, search_ivfpq_index(
+        spark, fresh, qs, k=5, n_probe=3).collect()))
+    assert got == want and got
+
+
+def test_tick_applies_forget_and_is_fixpoint(spark, tmp_path):
+    import datetime as dt
+
+    from open_instrument_spark.operators.dedup import build_minhash_index
+    from open_instrument_spark.operators.retention import PolicyItem
+    from open_instrument_spark.plans.maintenance import maintenance_tick
+    from open_instrument_spark.sources.ingest import write_points
+
+    docs = _docs(spark)
+    mh = str(tmp_path / "mh")
+    build_minhash_index(docs, mh)
+    store = str(tmp_path / "store")
+    schema = ("name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    rows = [("/m", {"h": "a"}, dt.datetime(2024, 1, 30, 0, mi), 1.0, None)
+            for mi in range(4)]
+    write_points(spark.createDataFrame(rows, schema), store, n_buckets=2)
+    policy = [PolicyItem(("*",), keep=True)]
+    now = "2024-01-31 00:00:00"
+    _, s1 = maintenance_tick(
+        spark, store, policy, now, minhash_indexes=[mh],
+        forget_doc_ids=FORGET)
+    assert s1["forget"][mh]["swapped"]
+    _, s2 = maintenance_tick(
+        spark, store, policy, now, minhash_indexes=[mh],
+        forget_doc_ids=FORGET)
+    assert not s2["forget"][mh]["swapped"]
+    assert s2["forget"][mh]["removed_sigs"] == 0

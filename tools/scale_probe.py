@@ -525,6 +525,44 @@ def main() -> None:
         )
     peaks["docs_leakage_x100"] = peak_rss_mb()
 
+    # r12-late: canonical-per-cluster materialization — the SAME banded
+    # pair stage as leakage_split feeding pointer-jumping CC, then one
+    # doc_id join + one cluster_id window exchange over the corpus; the
+    # row should track leakage_split (the windows add a linear pass).
+    from open_instrument_spark.operators.dedup import cluster_canonical
+
+    def canon(d):
+        pairs = minhash_lsh_pairs(d, threshold=0.5).select("a_id", "b_id")
+        return cluster_canonical(d, pairs)
+
+    run(canon(full_docs))  # warm
+    for k in (1, 10, 100):
+        report.setdefault("cluster_canonical", {})[f"x{k}"] = round(
+            run(canon(multiplied_full_docs(full_docs, k)
+                      .repartition(64, "doc_id"))), 2
+        )
+    peaks["docs_canonical_x100"] = peak_rss_mb()
+
+    # r12-late: Moore-Lewis selection — two lm_score count pipelines
+    # (the in-domain fit scans only the constant-fraction slice) plus a
+    # distributed TakeOrderedAndProject top-n and an n-row broadcast
+    # join back; the row should land near 2× the lm-score families.
+    from open_instrument_spark.operators.lm import moore_lewis_select
+
+    def ml(d):
+        return moore_lewis_select(
+            d.select("doc_id", "text", "source"),
+            F.col("source").isin("src0", "src1"), n=100,
+        )
+
+    run(ml(full_docs.repartition(64, "doc_id")))  # warm
+    for k in (1, 10, 100):
+        report.setdefault("moore_lewis", {})[f"x{k}"] = round(
+            run(ml(multiplied_full_docs(full_docs, k)
+                   .repartition(64, "doc_id"))), 2
+        )
+    peaks["docs_moore_lewis_x100"] = peak_rss_mb()
+
     # SemDeDup at its documented scale path: centroid count grows ∝ N so
     # cell sizes (and with them Σ|cell|² pair work) stay bounded — the
     # probe measures the whole assign+in-cell-join+flag pipeline.
@@ -547,6 +585,22 @@ def main() -> None:
             run(semantic_dedup(big_emb, C, 0.35, assign="arrow")), 2
         )
     peaks["emb_semdedup"] = peak_rss_mb()
+
+    # r12-late: the in-cell kNN graph on the same k∝N regime as
+    # semantic_dedup (bounded cells → Σ|cell|² linear); adds the
+    # per-node top-k window over the in-cell pairs — the row should
+    # track semantic_dedup.
+    from open_instrument_spark.operators.similarity import knn_graph
+
+    run(knn_graph(emb, seeded_centroids(64, 32, 7), k=5,
+                  assign="arrow"))  # warm
+    for k in emb_mults:
+        report.setdefault("knn_graph", {})[f"x{k}"] = round(
+            run(knn_graph(multiplied_emb(emb, k),
+                          seeded_centroids(64, 32 * k, 7), k=5,
+                          assign="arrow")), 2
+        )
+    peaks["emb_knn_graph"] = peak_rss_mb()
 
     # r10: one k-means Lloyd iteration at the same tiers — broadcast
     # k-row seed side × corpus (linear), argmin folded map-side, k·d-row
@@ -573,6 +627,27 @@ def main() -> None:
             run(sq_topk(multiplied_emb(emb, k), [0, 1, 2], k=10)), 2
         )
     peaks["emb_sq"] = peak_rss_mb()
+
+    # r12: triplet mining — one corpus pass against the broadcast
+    # |Q|-row anchor table (the cosine_topk shape: |Q|·N arithmetic
+    # floor, no pair blowup), map-side struct-MAX positive + per-anchor
+    # rank window on the matching rows only. Linear with constant |Q|.
+    from open_instrument_spark.operators.similarity import triplet_mining
+
+    def trip(e):
+        # multiplied_emb drops label — derive a deterministic 7-class
+        # label at every tier so the ×1 and ×k runs mine the same shape
+        return triplet_mining(
+            e.withColumn("label", (F.col("vec_id") % 7).cast("int")),
+            [0, 1, 2, 3, 4], k=5,
+        )
+
+    run(trip(emb.select("vec_id", "embedding")))  # warm
+    for k in emb_mults:
+        report.setdefault("triplet_mining", {})[f"x{k}"] = round(
+            run(trip(multiplied_emb(emb, k))), 2
+        )
+    peaks["emb_triplets"] = peak_rss_mb()
 
     # r11 (judge r10 #4): the bounded DRIVER-LOOP iteration — 2 Lloyd
     # rounds via kmeans_iterate, whose per-round driver state is k·d
