@@ -985,6 +985,159 @@ def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
     )
 
 
+def semantic_probe_pairs(corpus: DataFrame, new: DataFrame,
+                         centroids: np.ndarray, threshold: float = 0.35,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         assign: str = "auto") -> DataFrame:
+    """Semantic dedup-at-INGEST, the in-plan twin: which ARRIVING
+    vectors near-duplicate the existing corpus — NEW×OLD in-cell cosine
+    only, never old×old re-verification (the embedding sibling of
+    dedup.minhash_probe_pairs). Both sides take the same
+    nearest-centroid assignment as :func:`semantic_dedup`; the join is
+    the cell equi-join, so probe work is Σ_cell |new_cell|·|old_cell| —
+    O(batch) with bounded cells, never corpus².
+
+    Output: (new_id, old_id, cell, cos rounded 6dp) for every pair with
+    cosine > ``threshold``. The on-disk store twin is
+    :func:`probe_semantic_index`."""
+    if assign == "auto":
+        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    old_asg = _cell_assign(corpus, centroids, id_col, vec_col, assign)
+    new_asg = _cell_assign(new, centroids, id_col, vec_col, assign)
+    a, b = new_asg.alias("a"), old_asg.alias("b")
+    return (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell")])
+        .where(cosine(F.col("a.v"), F.col("b.v")) > F.lit(float(threshold)))
+        .select(
+            F.col("a.vec_id").alias("new_id"),
+            F.col("b.vec_id").alias("old_id"),
+            F.col("b.cell").alias("cell"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+    )
+
+
+# ---- on-disk semantic dedup-at-ingest store --------------------------------
+# Layout: {path}/vectors/epoch=E/cell=C (vec_id, v), {path}/centroids
+# (cell, c), {path}/meta (dim, n_cells, next_epoch). The minhash-store
+# discipline on the embedding side: per-epoch OVERWRITE absorbs are
+# replay-idempotent, probes prune on BOTH partition columns (epoch <
+# before_epoch, cell IN the batch's cells), and the meta keeps probes
+# free of full-store driver actions.
+
+
+def _write_semantic_meta(spark, path: str, dim: int, n_cells: int,
+                         next_epoch: int) -> None:
+    spark.createDataFrame(
+        [(int(dim), int(n_cells), int(next_epoch))],
+        "dim int, n_cells int, next_epoch long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_semantic_meta(spark, path: str) -> tuple[int, int, int]:
+    r = spark.read.parquet(f"{path}/meta").first()
+    return int(r["dim"]), int(r["n_cells"]), int(r["next_epoch"])
+
+
+def _store_centroids(spark, path: str) -> np.ndarray:
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    if not crows:
+        raise ValueError(f"semantic index at {path} has no centroids")
+    dim = len(crows[0]["c"])
+    C = np.zeros((max(r["cell"] for r in crows) + 1, dim))
+    for r in crows:
+        C[r["cell"]] = r["c"]
+    return C
+
+
+def build_semantic_index(embeddings: DataFrame, path: str,
+                         centroids: np.ndarray,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         assign: str = "auto") -> None:
+    """Materialize the dedup-at-ingest semantic store: the corpus
+    assigned once and written cell-partitioned under ``epoch=-1`` (the
+    MinHash-store base-build convention — streaming batch ids count up
+    from 0, and a batch-0 probe with ``before_epoch=0`` must still see
+    the base corpus), the centroid table, and the one-row meta. Vectors are stored as
+    float64 arrays — the store is corpus-sized (contrast the MinHash
+    store's signature-sized tables); at 100 TB pair it with the
+    SQ8/PQ code layouts if the raw store won't fit its tier."""
+    spark = embeddings.sparkSession
+    if assign == "auto":
+        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
+    asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
+        "overwrite").parquet(f"{path}/vectors/epoch=-1")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, c array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_semantic_meta(spark, path, centroids.shape[1],
+                         len(centroids), 0)
+
+
+def absorb_into_semantic_index(path: str, assigned_new: DataFrame,
+                               epoch: int) -> None:
+    """Write a batch's assigned vectors into ``epoch=N`` with OVERWRITE
+    (replay-idempotent — the minhash-store absorb scheme) and bump the
+    meta's next_epoch monotonically."""
+    spark = assigned_new.sparkSession
+    assigned_new.select("vec_id", "v", "cell").write.partitionBy(
+        "cell").mode("overwrite").parquet(f"{path}/vectors/epoch={int(epoch)}")
+    dim, n_cells, nxt = _read_semantic_meta(spark, path)
+    _write_semantic_meta(spark, path, dim, n_cells,
+                         max(nxt, int(epoch) + 1))
+
+
+def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
+                         threshold: float = 0.35, append: bool = False,
+                         epoch: int | None = None,
+                         before_epoch: int | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Probe an arriving embedding batch against the on-disk semantic
+    store: assign the batch to the STORED centroids (in-plan), read
+    only the store partitions the batch can touch — ``epoch <
+    before_epoch`` when set AND ``cell IN`` the batch's cells, both
+    plain partition-pruning filters — and emit NEW×OLD pairs above
+    ``threshold`` exactly like :func:`semantic_probe_pairs`.
+
+    The batch's cell list is one bounded driver action (≤ n_cells
+    rows); the store is never scanned outside the probed partitions.
+    ``append=True`` absorbs the assigned batch under ``epoch`` (the
+    meta's next_epoch when None) AFTER materializing the probe, so a
+    probe never sees its own batch even without ``before_epoch``.
+
+    Output: (new_id, old_id, cell, cos rounded 6dp)."""
+    C = _store_centroids(spark, path)
+    assign = "fold" if len(C) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    new_asg = _cell_assign(new_vectors, C, id_col, vec_col, assign)
+    new_asg = new_asg.localCheckpoint(eager=False)
+    cells = [r["cell"] for r in new_asg.select("cell").distinct().collect()]
+    old = spark.read.parquet(f"{path}/vectors")
+    if before_epoch is not None:
+        old = old.where(F.col("epoch") < int(before_epoch))
+    old = old.where(F.col("cell").isin(cells))
+    a, b = new_asg.alias("a"), old.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell")])
+        .where(cosine(F.col("a.v"), F.col("b.v")) > F.lit(float(threshold)))
+        .select(
+            F.col("a.vec_id").alias("new_id"),
+            F.col("b.vec_id").alias("old_id"),
+            F.col("b.cell").alias("cell"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+    )
+    if append:
+        pairs = pairs.localCheckpoint(eager=True)
+        if epoch is None:
+            _, _, epoch = _read_semantic_meta(spark, path)
+        absorb_into_semantic_index(path, new_asg, epoch)
+    return pairs
+
+
 def semantic_dedup_trained(embeddings: DataFrame, threshold: float = 0.35,
                            n_cells: int = 32, train_n: int = 2048,
                            seed: int = 43, id_col: str = "vec_id",

@@ -2973,6 +2973,72 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, seeded_centroids(64, 32, 7), threshold=0.35)
 
 
+def _semantic_probe_oracle(threshold: float = 0.35, n_cells: int = 32,
+                           dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity.semantic_probe_pairs: the _semdedup
+    assignment CTE applied to BOTH the corpus and the derived arriving
+    batch (exact copies of every 9th vector, id+100000), then the
+    NEW×OLD cell equi-join with the cosine threshold — the whole
+    incremental probe replayed with the seeded centroids as
+    literals."""
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    C = seeded_centroids(dim, n_cells, seed)
+
+    def dot(c) -> str:
+        lit = ", ".join(repr(float(x)) for x in c)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    ds = ",\n    ".join(dot(c) for c in C)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+newb AS (SELECT vec_id + 100000 AS vec_id, v FROM base WHERE vec_id % 9 = 0),
+od AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM base),
+oasg AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell
+  FROM od),
+nd AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM newb),
+nasg AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell
+  FROM nd)
+SELECT a.vec_id AS new_id, b.vec_id AS old_id, b.cell AS cell,
+       round({_COS_SQL}, 6) AS cos
+FROM nasg a JOIN oasg b ON a.cell = b.cell
+WHERE {_COS_SQL} > {threshold}
+"""
+
+
+@query("dedup_semantic_incremental", oracle=_semantic_probe_oracle())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 SEMANTIC dedup-at-INGEST (late r12): which arriving
+    embeddings near-duplicate the existing corpus — NEW×OLD in-cell
+    cosine only, never old×old re-verification
+    (operators/similarity.py::semantic_probe_pairs; the embedding
+    sibling of dedup_minhash_incremental). The batch is exact copies
+    of every 9th corpus vector (guaranteed cos=1.0 hits plus whatever
+    in-cell neighbors cross the threshold); assignment, the cell
+    equi-join, and every cosine replay in SQL with the seeded
+    centroids as literals. The on-disk store twin
+    (build/probe/absorb_semantic_index, epoch+cell double partition
+    pruning) and its streaming foreachBatch loop
+    (streaming/semantic_ingest.py) are pytest-pinned equal."""
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_probe_pairs,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    new = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return semantic_probe_pairs(emb, new, seeded_centroids(64, 32, 7),
+                                threshold=0.35)
+
+
 @query("dedup_semantic_trained")
 def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with bounded-sample k-means centroids (the paper's

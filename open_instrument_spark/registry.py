@@ -174,7 +174,11 @@ DRIVER_WINDOW = [
     # mutate_offset_compare's slot (driver-green r10+r11; the mutate
     # family keeps increase/irate/idelta/counter_resets/over_time).
     "corpus_moore_lewis",
-    "alert_rule_states",
+    # r12-late: the incremental semantic probe (embedding sibling of
+    # dedup_minhash_incremental) takes alert_rule_states' slot
+    # (driver-green r10+r11; the alert family keeps alert_slo_burn and
+    # alert_rule_transitions in-window).
+    "dedup_semantic_incremental",
     "alert_rule_transitions",
     # -- r11 rotation additions --
     "agg_count_values",
@@ -197,6 +201,7 @@ _PAST_WINDOW_ORACLED = [
     "corpus_weighted_sample",
     "agg_topk_series",
     "mutate_offset_compare",
+    "alert_rule_states",
     # r12 demotions — each driver-green r10 AND r11; displaced by
     # collector_cisco_config / mutate_over_time_family
     # (mutate_holt_forecast keeps the trend family oracle-gated below).

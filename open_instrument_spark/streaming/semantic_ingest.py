@@ -1,0 +1,93 @@
+"""Streaming SEMANTIC near-dup ingest — the embedding twin of
+streaming/minhash_ingest.py: every arriving embedding micro-batch is
+probed against the on-disk semantic store
+(``similarity.build_semantic_index`` — nearest-centroid cells, NEW×OLD
+in-cell cosine), lands in the vector store carrying its verdict, and is
+absorbed so the NEXT batch dedups against it. §2.9's incremental
+SemDeDup over §2.8's exactly-once ingest machinery.
+
+Exactly-once discipline (identical to the MinHash loop): each
+micro-batch's rows land in ``{dest}/epoch=N`` and its index
+contribution in ``{index}/vectors/epoch=N`` — all OVERWRITE, so a
+crash-and-replay of epoch N rewrites the same files instead of
+double-appending. The probe reads only store epochs STRICTLY BELOW the
+batch epoch (``before_epoch`` partition pruning) plus only the batch's
+own cells (a second pruning filter), so a vector never matches itself
+even on replay after a crash between the absorb write and the
+checkpoint commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from open_instrument_spark.operators.similarity import (
+    SEMDEDUP_FOLD_MAX_K,
+    _cell_assign,
+    _store_centroids,
+    absorb_into_semantic_index,
+    probe_semantic_index,
+)
+
+
+def start_semantic_ingest(vec_stream: DataFrame, dest_path: str,
+                          index_path: str, checkpoint: str,
+                          threshold: float = 0.35,
+                          available_now: bool = False,
+                          on_batch_complete=None) -> StreamingQuery:
+    """Probe → flag → land → absorb, one checkpointed foreachBatch.
+    ``vec_stream`` needs (vec_id, embedding). Landed rows carry the
+    batch epoch (partition column) plus ``near_dup_of`` — the
+    best-matching stored vector (highest cosine, lowest old_id on
+    ties) or NULL — and ``cos``. Consumers filter
+    ``near_dup_of IS NULL`` for the deduped view."""
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        matches = probe_semantic_index(
+            spark, index_path, batch.select("vec_id", "embedding"),
+            threshold=threshold, append=False, before_epoch=epoch,
+        )
+        best = (
+            matches.groupBy("new_id")
+            .agg(F.min(F.struct((-F.col("cos")).alias("neg"),
+                                F.col("old_id").alias("old_id"))).alias("m"))
+            .select(F.col("new_id").alias("vec_id"),
+                    F.col("m.old_id").alias("near_dup_of"),
+                    F.round(-F.col("m.neg"), 6).alias("cos"))
+        )
+        flagged = batch.join(best, "vec_id", "left")
+        flagged.write.mode("overwrite").parquet(f"{dest_path}/epoch={epoch}")
+        # absorb AFTER landing — both sinks overwrite their own epoch,
+        # so a replay is a no-op repair
+        C = _store_centroids(spark, index_path)
+        assign = "fold" if len(C) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+        asg = _cell_assign(batch, C, "vec_id", "embedding", assign)
+        absorb_into_semantic_index(index_path, asg, epoch)
+        if on_batch_complete is not None:
+            # test seam: raising models a crash AFTER both sinks landed
+            # but BEFORE the checkpoint commit
+            on_batch_complete(epoch)
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_deduped_vectors(spark, dest_path: str) -> DataFrame:
+    """The deduped view of a landed semantic ingest store."""
+    return (
+        spark.read.parquet(dest_path)
+        .where(F.col("near_dup_of").isNull())
+        .drop("near_dup_of", "cos", "epoch")
+    )
+
+
+__all__ = ["start_semantic_ingest", "read_deduped_vectors"]

@@ -2484,3 +2484,95 @@ def test_streaming_slo_burn_zero_traffic_window(spark, tmp_path):
     assert zero[2] is None and zero[4] is None      # NULL burn, NULL page
     hot = next(t for t in got if t[1] == 150.0)
     assert hot[4] is True                            # real traffic still pages
+
+
+def test_streaming_semantic_ingest_replay_after_absorb(spark, tmp_path):
+    """The embedding twin of the MinHash absorb-crash-replay test:
+    batch N crashes AFTER its vectors landed and were absorbed
+    (vectors/epoch=N on disk) but BEFORE the checkpoint commit. The
+    replay probes a store already containing the batch's own vectors —
+    without the before_epoch partition filter every vector would match
+    itself at cos 1.0 and the replayed epoch would land fully flagged.
+    Assert the crashed-and-replayed run equals a crash-free twin
+    exactly, and the absorb replay left no duplicate vec_ids."""
+    from open_instrument_spark.operators.similarity import (
+        build_semantic_index,
+        seeded_centroids,
+    )
+    from open_instrument_spark.streaming.semantic_ingest import (
+        read_deduped_vectors,
+        start_semantic_ingest,
+    )
+
+    base = load_tables(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", "embedding").filter(F.col("vec_id") < 60)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in base.limit(4).collect()}
+    ids = sorted(vecs)
+    schema = "vec_id long, embedding array<float>"
+    # negated vectors are anti-correlated with their source (cos −1)
+    # and can't be within 0.8 of any random vector — the novel canary
+    neg = [-x for x in vecs[ids[0]]]
+    b1 = [(1_000_000, vecs[ids[0]]),   # exact copy of base → flagged
+          (1_000_001, neg)]            # novel
+    b2 = [(2_000_000, vecs[ids[1]]),   # base copy → flagged
+          (2_000_001, vecs[ids[0]]),   # copy of b1's copy → flagged vs b1
+          (2_000_002, [-x for x in vecs[ids[2]]])]  # novel canary
+
+    def run(tag, crash_epoch=None):
+        index = str(tmp_path / f"semidx_{tag}")
+        src = str(tmp_path / f"semsrc_{tag}")
+        dest = str(tmp_path / f"semdest_{tag}")
+        ck = str(tmp_path / f"semck_{tag}")
+        os.makedirs(src, exist_ok=True)
+        build_semantic_index(base, index, seeded_centroids(64, 8, 7))
+
+        def go(fault=None):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_semantic_ingest(stream, dest, index, ck,
+                                      threshold=0.8, available_now=True,
+                                      on_batch_complete=fault)
+            q.awaitTermination(180)
+
+        def crash(epoch):
+            if epoch == crash_epoch:
+                raise RuntimeError("injected crash after absorb")
+
+        spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+        go()
+        spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+        if crash_epoch is not None:
+            with pytest.raises(Exception, match="injected crash"):
+                go(fault=crash)
+                raise RuntimeError("query did not fail")
+            # the crash window is real: epoch 1's absorb IS on disk...
+            assert glob.glob(os.path.join(
+                index, "vectors", "epoch=1", "*", "*.parquet"))
+            # ...and the checkpoint has no commit for it
+            assert not glob.glob(os.path.join(ck, "commits", "1"))
+            go()  # restart: replays epoch 1 against the absorbed store
+        else:
+            go()
+        flags = {r["vec_id"]: r["near_dup_of"]
+                 for r in spark.read.parquet(dest).collect()}
+        deduped = {r["vec_id"]
+                   for r in read_deduped_vectors(spark, dest).collect()}
+        store = sorted(
+            (r["vec_id"], r["epoch"]) for r in
+            spark.read.parquet(f"{index}/vectors").select(
+                "vec_id", "epoch").collect())
+        return flags, deduped, store
+
+    crashed = run("crash", crash_epoch=1)
+    clean = run("clean")
+    assert crashed == clean
+    flags, deduped, store = crashed
+    # copies flagged against their sources; the b2 chain found b1's copy
+    assert flags[1_000_000] == ids[0]
+    assert flags[2_000_000] == ids[1]
+    assert flags[2_000_001] in (ids[0], 1_000_000)
+    # the canaries: novel vectors did NOT match themselves on replay
+    assert flags[1_000_001] is None and flags[2_000_002] is None
+    assert {1_000_001, 2_000_002} <= deduped
+    # absorb idempotence: one store row per vec_id, no second epoch
+    vids = [v for v, _ in store]
+    assert len(vids) == len(set(vids))

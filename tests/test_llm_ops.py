@@ -1857,3 +1857,68 @@ def test_moore_lewis_prefers_in_domain_docs(spark):
     mls = {r["doc_id"]: r["ml_score"] for r in out if r["ml_score"] is not None}
     assert min(mls[d] for d in mls if d < 30) > max(
         mls[d] for d in mls if d >= 30)
+
+
+def test_semantic_index_probe_matches_in_plan(spark, tmp_path):
+    """The on-disk semantic dedup-at-ingest store: probe results equal
+    the in-plan semantic_probe_pairs twin, the store read is
+    partition-pruned on epoch AND cell, absorb makes the store grow
+    (batch 2 matches vectors absorbed from batch 1), and an
+    epoch-pinned absorb retry is idempotent."""
+    from open_instrument_spark.operators.similarity import (
+        _read_semantic_meta,
+        build_semantic_index,
+        probe_semantic_index,
+        seeded_centroids,
+        semantic_probe_pairs,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).table("embeddings")
+    C = seeded_centroids(64, 32, 7)
+    path = str(tmp_path / "sem")
+    build_semantic_index(emb, path, C)
+
+    new = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    got_df = probe_semantic_index(spark, path, new, threshold=0.35,
+                                  before_epoch=1)
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in
+            semantic_probe_pairs(emb, new, C, threshold=0.35).collect()}
+    assert got == want and got
+    # every exact copy found its source at cos 1.0
+    copies = {r["vec_id"] for r in new.select("vec_id").collect()}
+    found = {(r[0], r[1]) for r in got}
+    assert {(i, i - 100000) for i in copies} <= found
+    # the store read prunes on BOTH partition columns
+    plan = got_df._sc._jvm.PythonSQLUtils.explainString(
+        got_df._jdf.queryExecution(), "simple")
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "epoch" in pf and "cell" in pf
+
+    # absorb + growth: batch1 absorbed under epoch 1; batch2 copies of
+    # batch1 ids match them — findable only because absorb landed
+    probe_semantic_index(spark, path, new, threshold=0.35,
+                         append=True, epoch=1)
+    assert _read_semantic_meta(spark, path)[2] == 2
+    batch2 = new.limit(3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    got2 = {(r["new_id"], r["old_id"]) for r in probe_semantic_index(
+        spark, path, batch2, threshold=0.35).collect()}
+    b2 = {r["vec_id"] for r in batch2.select("vec_id").collect()}
+    assert {(i, i - 100000) for i in b2} <= got2   # batch1 parents
+    assert {(i, i - 200000) for i in b2} <= got2   # original corpus
+
+    # epoch-pinned absorb retry: same store rows, meta unchanged
+    rows_before = sorted(
+        (r["vec_id"], r["epoch"]) for r in
+        spark.read.parquet(f"{path}/vectors").select(
+            "vec_id", "epoch").collect())
+    probe_semantic_index(spark, path, new, threshold=0.35,
+                         append=True, epoch=1)
+    rows_after = sorted(
+        (r["vec_id"], r["epoch"]) for r in
+        spark.read.parquet(f"{path}/vectors").select(
+            "vec_id", "epoch").collect())
+    assert rows_before == rows_after
+    assert _read_semantic_meta(spark, path)[2] == 2
