@@ -143,13 +143,29 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
         if cache_tokens:
             train_toks = train_toks.localCheckpoint(eager=False)
     else:
+        train_toks = None
+    return _lm_score_from_toks(docs.select("doc_id"), toks_frame,
+                               train_toks, alpha, max_vocab, max_bigrams)
+
+
+def _lm_score_from_toks(ids: DataFrame, toks_frame: DataFrame,
+                        train_toks: DataFrame | None, alpha: float,
+                        max_vocab: int | None,
+                        max_bigrams: int | None) -> DataFrame:
+    """:func:`lm_score`'s post-tokenization core, factored out so
+    callers that score the same corpus under several models
+    (:func:`moore_lewis_select`) tokenize it ONCE. ``train_toks=None``
+    = self-trained (inner scoring joins); a distinct train frame takes
+    the OOV left-join path."""
+    cross = train_toks is not None
+    if train_toks is None:
         train_toks = toks_frame
     bg = _doc_bigrams(toks_frame)
     # the count tables are consumed twice (vocab size + joins) but are
     # small relative to the corpus; Spark's scan reuse handles the
     # double traversal of the exploded frame
     bg_counts = (
-        _doc_bigrams(train_toks) if train is not None else bg
+        _doc_bigrams(train_toks) if cross else bg
     ).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (
         train_toks.select(F.explode("_toks").alias("w1"))
@@ -167,8 +183,8 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
     # INNER ≡ LEFT there — keep inner (Catalyst reorders/codegens it
     # better); capped or cross-trained tables genuinely miss keys and
     # need the OOV left join.
-    oov_bg = max_bigrams is not None or train is not None
-    oov_uni = max_vocab is not None or train is not None
+    oov_bg = max_bigrams is not None or cross
+    oov_uni = max_vocab is not None or cross
     scored = (
         bg.join(
             F.broadcast(bg_counts) if max_bigrams is not None else bg_counts,
@@ -194,8 +210,7 @@ def lm_score(docs: DataFrame, text_col: str = "text", alpha: float = 0.5,
         )
     )
     return (
-        docs.select("doc_id")
-        .join(scored, "doc_id", "left")
+        ids.join(scored, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
@@ -271,16 +286,23 @@ def moore_lewis_select(docs: DataFrame, target_pred, n: int,
     computed from the two 6-dp-rounded components so the ranking
     replays bit-identically in SQL.
 
-    100 TB shape: both model fits are the :func:`lm_score` count
-    pipelines (the in-domain fit only scans the slice); the top-n cut
+    100 TB shape: the corpus is TOKENIZED ONCE (a shared lazy
+    localCheckpoint feeds both model fits and both scoring passes —
+    the in-domain count tables come from filtering the tokenized
+    frame to the target slice, never a re-tokenize); the top-n cut
     is a distributed sort+limit (TakeOrderedAndProject — per-partition
     top-n then a driver merge of n·partitions rows, NO single-task
     global sort), and the n-row selection broadcasts back onto the
     scored frame. With the web-scale guard needs, pass the capped
     tables through lm_score the same way text_lm_score_topk does."""
-    target = docs.filter(target_pred)
-    s_in = lm_score(docs, text_col=text_col, alpha=alpha, train=target)
-    s_out = lm_score(docs, text_col=text_col, alpha=alpha)
+    toks = docs.select(
+        "doc_id", words(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    target_ids = docs.filter(target_pred).select("doc_id")
+    train_toks = toks.join(target_ids, "doc_id")
+    ids = docs.select("doc_id")
+    s_in = _lm_score_from_toks(ids, toks, train_toks, alpha, None, None)
+    s_out = _lm_score_from_toks(ids, toks, None, alpha, None, None)
     scored = (
         s_out.select(
             "doc_id", "n_bigrams", F.col("avg_logp").alias("logp_out")

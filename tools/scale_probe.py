@@ -602,6 +602,28 @@ def main() -> None:
         )
     peaks["emb_knn_graph"] = peak_rss_mb()
 
+    # r12-late: the incremental semantic probe — CONSTANT batch against
+    # a growing corpus (the realistic ingest shape, the minhash_probe
+    # row's embedding sibling); with k∝N centroids the in-cell probe
+    # work is Σ|new_cell|·|old_cell| → the row should flatten once the
+    # corpus-side assignment pass dominates.
+    from open_instrument_spark.operators.similarity import (
+        semantic_probe_pairs,
+    )
+
+    _probe_batch = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 900_000_000).alias("vec_id"), "embedding")
+    run(semantic_probe_pairs(emb, _probe_batch,
+                             seeded_centroids(64, 32, 7),
+                             assign="arrow"))  # warm
+    for k in emb_mults:
+        report.setdefault("semantic_probe", {})[f"x{k}"] = round(
+            run(semantic_probe_pairs(multiplied_emb(emb, k), _probe_batch,
+                                     seeded_centroids(64, 32 * k, 7),
+                                     assign="arrow")), 2
+        )
+    peaks["emb_semantic_probe"] = peak_rss_mb()
+
     # r10: one k-means Lloyd iteration at the same tiers — broadcast
     # k-row seed side × corpus (linear), argmin folded map-side, k·d-row
     # update exchange. Fixed k: the iteration cost is what's probed
