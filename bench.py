@@ -222,6 +222,18 @@ HEADLINE = [
     # leakage-safe split: clusters (component fixpoint on the pair
     # list) land whole in one split
     "corpus_split_leakage_safe",
+    # mid-r12: batched BM25 over the on-disk inverted index, PSI corpus
+    # drift, SQ8 ANN, contrastive triplet mining
+    "text_bm25_multiquery",
+    "corpus_drift_psi",
+    "ann_sq_topk",
+    "embed_triplet_mining",
+    # late r12: in-cell kNN graph, canonical-per-cluster drop list,
+    # Moore-Lewis selection, incremental semantic probe
+    "embed_knn_graph",
+    "dedup_cluster_canonical",
+    "corpus_moore_lewis",
+    "dedup_semantic_incremental",
 ]
 
 
