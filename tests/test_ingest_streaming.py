@@ -1648,7 +1648,8 @@ def test_maintenance_tick_dry_run_apply_fixpoint(spark, tmp_path):
     assert got == [(-1, "default_drop", 1, 1), (0, "keep", 4, 1),
                    (1, "downsample", 4, 1)]
     assert summary == {"variables": 1, "values": 9, "applied": False,
-                       "compacted_dates": [], "ann": {}}
+                       "compacted_dates": [], "ann": {}, "minhash": {},
+                       "text_index": {}, "forget": {}}
     assert listing() == before                      # log-only: untouched
 
     report2, summary2 = maintenance_tick(spark, store, policy, NOW,
