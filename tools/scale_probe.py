@@ -232,6 +232,14 @@ def main() -> None:
     from bench import _load_evidence  # repo root on sys.path (line 29)
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # The probe session lives through ~35 families × 3 tiers, and the
+    # checkpoint-backed ones (lm token caches, connected-components edge
+    # lists) leave executor-local blocks behind that the ContextCleaner
+    # only releases after a driver GC notices the dropped references —
+    # cumulative pressure the per-query harness never sees. Give the
+    # probe JVM headroom (unless the caller pinned it) and force a GC
+    # before each timed run so stale blocks die OUTSIDE the timer.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     mults = [
         int(m) for m in os.environ.get("SPARK_GRAFT_PROBE_MULTS", "1,10,100").split(",")
     ]
@@ -245,6 +253,9 @@ def main() -> None:
     ev = load_tables(spark, sf_dir).table("events")
 
     def run(df) -> float:
+        # release the previous run's checkpoint/broadcast blocks before
+        # the clock starts (see the driver-mem note above)
+        df.sparkSession._jvm.System.gc()
         t0 = time.monotonic()
         df.write.mode("overwrite").format("noop").save()
         return time.monotonic() - t0
