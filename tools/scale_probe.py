@@ -239,7 +239,7 @@ def main() -> None:
     # cumulative pressure the per-query harness never sees. Give the
     # probe JVM headroom (unless the caller pinned it) and force a GC
     # before each timed run so stale blocks die OUTSIDE the timer.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     mults = [
         int(m) for m in os.environ.get("SPARK_GRAFT_PROBE_MULTS", "1,10,100").split(",")
     ]
@@ -573,6 +573,17 @@ def main() -> None:
                    .repartition(64, "doc_id"))), 2
         )
     peaks["docs_moore_lewis_x100"] = peak_rss_mb()
+
+    # Recycle the JVM between the document and embedding sections: the
+    # ×100 doc families' checkpoint blocks (token caches, CC edge
+    # lists) leave the old-gen near its ceiling even after GC, and the
+    # embedding section's Arrow batches then OOM at the margin — a
+    # fresh heap makes the section self-contained (the events→docs
+    # break above exists for the same reason).
+    spark.stop()
+    spark = get_spark("scale-probe-emb2")
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
 
     # SemDeDup at its documented scale path: centroid count grows ∝ N so
     # cell sizes (and with them Σ|cell|² pair work) stay bounded — the
