@@ -711,3 +711,76 @@ def test_retrieval_eval_cost_is_post_retrieval(spark):
     plan = plan_of(retrieval_eval(results, truth, k=10))
     assert "CartesianProduct" not in plan
     assert "Scan parquet" not in plan
+
+
+def test_knn_graph_in_cell_only_no_python(spark, tables):
+    """The kNN graph's candidate stage is the cell equi-join — never a
+    cross product — and the whole pipeline (fold assignment, cosine,
+    rank) stays JVM-side; exactly one window pass ranks the edges."""
+    from open_instrument_spark.operators.similarity import (
+        knn_graph,
+        seeded_centroids,
+    )
+
+    df = knn_graph(tables.table("embeddings"), seeded_centroids(64, 32, 7),
+                   k=5)
+    plan = plan_of(df)
+    assert count_in(plan, "Cartesian") == 0
+    assert count_in(plan, "BroadcastNestedLoop") == 0
+    assert count_in(plan, "EvalPython") == 0
+    # ONE ranking window, and the rank<=k cut rewritten into
+    # WindowGroupLimit with a map-side Partial — each task keeps only
+    # its local top-k per src BEFORE the exchange, so the shuffle
+    # carries O(nodes·k) edges, not the full in-cell pair set
+    assert count_in(plan, "+- Window [") == 1
+    assert count_in(plan, "row_number(), 5, Partial") == 1
+    assert count_in(plan, "row_number(), 5, Final") == 1
+
+
+def test_semantic_probe_new_x_old_join_no_python(spark, tables):
+    """The incremental semantic probe joins NEW against OLD on the cell
+    id only — no cross product, no Python, and the threshold rides the
+    join so non-matching in-cell pairs die before any later stage."""
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_probe_pairs,
+    )
+
+    emb = tables.table("embeddings")
+    new = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    plan = plan_of(semantic_probe_pairs(emb, new,
+                                        seeded_centroids(64, 32, 7)))
+    assert count_in(plan, "Cartesian") == 0
+    assert count_in(plan, "BroadcastNestedLoop") == 0
+    assert count_in(plan, "EvalPython") == 0
+
+
+def test_cluster_canonical_one_cluster_exchange_for_windows(spark, tables):
+    """The election reuses ONE clustering: all three window functions
+    (size, canonical, row_number) hang off a single cluster_id
+    exchange after the component join — no per-window re-shuffle."""
+    from open_instrument_spark.operators.dedup import cluster_canonical
+
+    docs = tables.table("documents").select("doc_id", "text")
+    pairs = docs.limit(0).select(
+        F.col("doc_id").alias("a_id"), F.col("doc_id").alias("b_id"))
+    plan = plan_of(cluster_canonical(docs, pairs))
+    # exchanges: the doc_id component join + ONE cluster_id clustering
+    assert count_in(plan, "hashpartitioning(cluster_id") == 1
+    assert count_in(plan, "EvalPython") == 0
+
+
+def test_moore_lewis_no_python_no_cross(spark, tables):
+    """Both LM fits, both scoring passes, and the top-n flag join stay
+    JVM-side; the only nominal cross joins are one-row literal frames
+    (none at all here), and the selection comes back as a broadcast."""
+    from open_instrument_spark.operators.lm import moore_lewis_select
+
+    docs = tables.table("documents").select("doc_id", "text", "source")
+    plan = plan_of(moore_lewis_select(
+        docs, F.col("source").isin("src0", "src1"), n=100))
+    assert count_in(plan, "Cartesian") == 0
+    assert count_in(plan, "BroadcastNestedLoop") == 0
+    assert count_in(plan, "EvalPython") == 0
+    assert count_in(plan, "TakeOrderedAndProject") == 1
