@@ -113,6 +113,42 @@ def list_series(points: DataFrame, pattern: str | None = None,
     return grouped.select("name", "labels", SERIES_KEY_COL, "last_ts")
 
 
+def absent_selectors(points: DataFrame, patterns: list[str]) -> DataFrame:
+    """PromQL ``absent()``: for each selector PATTERN, does it match
+    ANY series at all — the "this metric disappeared entirely"
+    alerting primitive (promql/functions.go funcAbsent; complements
+    :func:`stale_series`, which needs at least one sample to age).
+    Emits one row per selector — present selectors too, with their
+    matched-series count, so one query drives both the absent alert
+    and the coverage panel.
+
+    Output: (selector, n_series, absent). 100 TB shape: ONE pass over
+    the corpus computes every selector's distinct-series count
+    simultaneously — each selector is a conditional count_distinct
+    riding a single map-side-combined aggregation to one row, exploded
+    back to |patterns| rows — no per-selector scan, no join. Exact-name
+    selectors additionally prune at the scan when the store is
+    name-bucketed (read_store's PartitionFilters path)."""
+    keyed = points.withColumn(SERIES_KEY_COL, series_key())
+    one = keyed.agg(*[
+        F.count_distinct(
+            F.when(VariableMatcher.from_string(p).predicate(),
+                   F.col(SERIES_KEY_COL))
+        ).alias(f"_n{i}")
+        for i, p in enumerate(patterns)
+    ])
+    rows = F.array(*[
+        F.struct(F.lit(p).alias("selector"),
+                 F.col(f"_n{i}").alias("n"))
+        for i, p in enumerate(patterns)
+    ])
+    return one.select(F.explode(rows).alias("s")).select(
+        F.col("s.selector").alias("selector"),
+        F.col("s.n").cast("int").alias("n_series"),
+        (F.col("s.n") == 0).alias("absent"),
+    )
+
+
 def stale_series(points: DataFrame, now, max_age_ms: int = 259_200_000,
                  pattern: str | None = None) -> DataFrame:
     """The inverse of List's freshness filter: EVERY matched series

@@ -1525,6 +1525,46 @@ def list_stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stale_series(_pts(spark, sf_dir), NOW, max_age_ms=259_200_000)
 
 
+@query(
+    "select_absent",
+    oracle=f"""
+WITH {P_CTE},
+c AS (
+  SELECT
+    count(DISTINCT CASE WHEN name = '/events/click'
+                        THEN series_key END) AS n0,
+    count(DISTINCT CASE WHEN name = '/events/purchase' AND k IS NOT NULL
+                        THEN series_key END) AS n1,
+    count(DISTINCT CASE WHEN name LIKE '/events/%'
+                        THEN series_key END) AS n2,
+    count(DISTINCT CASE WHEN name = '/events/doesnotexist'
+                        THEN series_key END) AS n3
+  FROM p
+)
+SELECT '/events/click' AS selector, CAST(n0 AS INTEGER) AS n_series,
+       n0 = 0 AS absent FROM c
+UNION ALL SELECT '/events/purchase{{k=*}}', CAST(n1 AS INTEGER), n1 = 0 FROM c
+UNION ALL SELECT '/events/*', CAST(n2 AS INTEGER), n2 = 0 FROM c
+UNION ALL SELECT '/events/doesnotexist', CAST(n3 AS INTEGER), n3 = 0 FROM c
+""",
+)
+def select_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent()`` (late r12): one row per selector — exact
+    name, label-present, trailing-* glob, and a selector matching
+    NOTHING (the absent alert fires) — with its matched-series count
+    (operators/select.py::absent_selectors). All four selectors ride
+    ONE conditional-count aggregation pass; the matcher grammar (F1,
+    F2, F4) and the absent verdicts replay under the hash gate."""
+    from open_instrument_spark.operators.select import absent_selectors
+
+    return absent_selectors(_pts(spark, sf_dir), [
+        "/events/click",
+        "/events/purchase{k=*}",
+        "/events/*",
+        "/events/doesnotexist",
+    ])
+
+
 _LES_SQL = "[5.0, 10.0, 25.0, 50.0, 100.0, 250.0]"
 
 

@@ -156,7 +156,10 @@ DRIVER_WINDOW = [
     # (driver-green r10+r11; radius search keeps its parity replay and
     # the ≥τ-margin pytest).
     "ann_sq_topk",
-    "agg_cms_label_counts",
+    # r12-late: PromQL absent() (one-pass conditional-count selectors)
+    # takes agg_cms_label_counts' slot (driver-green r10+r11; the
+    # sketch family keeps dedup_bloom_contaminated in-window).
+    "select_absent",
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
     # r12-late: the in-cell kNN graph takes corpus_weighted_sample's
@@ -202,6 +205,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_topk_series",
     "mutate_offset_compare",
     "alert_rule_states",
+    "agg_cms_label_counts",
     # r12 demotions — each driver-green r10 AND r11; displaced by
     # collector_cisco_config / mutate_over_time_family
     # (mutate_holt_forecast keeps the trend family oracle-gated below).

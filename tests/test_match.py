@@ -139,3 +139,30 @@ def test_label_join_promql_contract(spark):
     # single absent src with no sep context: empty result removes dst
     got2 = label_join(pts, "ab", "", "a").collect()[2]["labels"]
     assert got2 == {"c": "z"}
+
+
+def test_absent_selectors_counts_and_flags(spark):
+    """absent() per selector: exact hit, glob hit, label-present hit,
+    and a no-match selector flagged absent — all from one aggregation
+    pass; distinct SERIES are counted, not samples."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.select import absent_selectors
+
+    schema = ("name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    t = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([
+        ("/m/a", {"h": "1"}, t, 1.0, None),
+        ("/m/a", {"h": "1"}, t, 2.0, None),     # same series, 2 samples
+        ("/m/a", {"h": "2"}, t, 3.0, None),
+        ("/m/b", {"h": "1", "k": "x"}, t, 4.0, None),
+    ], schema)
+    out = {r["selector"]: (r["n_series"], r["absent"])
+           for r in absent_selectors(pts, [
+               "/m/a", "/m/*", "/m/b{k=*}", "/m/a{k=*}", "/nope"]).collect()}
+    assert out["/m/a"] == (2, False)       # distinct series, not samples
+    assert out["/m/*"] == (3, False)
+    assert out["/m/b{k=*}"] == (1, False)
+    assert out["/m/a{k=*}"] == (0, True)   # label never present on /m/a
+    assert out["/nope"] == (0, True)
