@@ -129,6 +129,10 @@ def absent_selectors(points: DataFrame, patterns: list[str]) -> DataFrame:
     back to |patterns| rows — no per-selector scan, no join. Exact-name
     selectors additionally prune at the scan when the store is
     name-bucketed (read_store's PartitionFilters path)."""
+    if not patterns:
+        # agg() with zero expressions / F.array() of nothing would fail
+        # opaquely inside Spark — name the argument instead
+        raise ValueError("absent_selectors: patterns must be non-empty")
     keyed = points.withColumn(SERIES_KEY_COL, series_key())
     one = keyed.agg(*[
         F.count_distinct(

@@ -16,6 +16,8 @@ planes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1005,14 +1007,19 @@ def semantic_probe_pairs(corpus: DataFrame, new: DataFrame,
     old_asg = _cell_assign(corpus, centroids, id_col, vec_col, assign)
     new_asg = _cell_assign(new, centroids, id_col, vec_col, assign)
     a, b = new_asg.alias("a"), old_asg.alias("b")
+    # project the cosine ONCE, filter on it, round only in the final
+    # select — the HOF fold is the dominant per-pair arithmetic, and a
+    # where()+select() pair of identical expressions evaluates it twice
+    # (r13, advisor)
     return (
         a.join(b, on=[F.col("a.cell") == F.col("b.cell")])
-        .where(cosine(F.col("a.v"), F.col("b.v")) > F.lit(float(threshold)))
+        .withColumn("_cos", cosine(F.col("a.v"), F.col("b.v")))
+        .where(F.col("_cos") > F.lit(float(threshold)))
         .select(
             F.col("a.vec_id").alias("new_id"),
             F.col("b.vec_id").alias("old_id"),
             F.col("b.cell").alias("cell"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(F.col("_cos"), 6).alias("cos"),
         )
     )
 
@@ -1120,14 +1127,17 @@ def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
         old = old.where(F.col("epoch") < int(before_epoch))
     old = old.where(F.col("cell").isin(cells))
     a, b = new_asg.alias("a"), old.alias("b")
+    # cosine projected once, filtered, rounded last (r13, advisor —
+    # same rewrite as semantic_probe_pairs)
     pairs = (
         a.join(b, on=[F.col("a.cell") == F.col("b.cell")])
-        .where(cosine(F.col("a.v"), F.col("b.v")) > F.lit(float(threshold)))
+        .withColumn("_cos", cosine(F.col("a.v"), F.col("b.v")))
+        .where(F.col("_cos") > F.lit(float(threshold)))
         .select(
             F.col("a.vec_id").alias("new_id"),
             F.col("b.vec_id").alias("old_id"),
             F.col("b.cell").alias("cell"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(F.col("_cos"), 6).alias("cos"),
         )
     )
     if append:

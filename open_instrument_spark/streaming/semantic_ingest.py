@@ -23,13 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from open_instrument_spark.operators.similarity import (
-    SEMDEDUP_FOLD_MAX_K,
-    _cell_assign,
-    _store_centroids,
-    absorb_into_semantic_index,
-    probe_semantic_index,
-)
+from open_instrument_spark.operators.similarity import probe_semantic_index
 
 
 def start_semantic_ingest(vec_stream: DataFrame, dest_path: str,
@@ -46,9 +40,19 @@ def start_semantic_ingest(vec_stream: DataFrame, dest_path: str,
 
     def sink(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+        # ONE probe call does probe AND absorb (append=True): the
+        # batch's centroid assignment is computed once and reused for
+        # the absorb write instead of a second _cell_assign + a second
+        # centroid-table read (r13, advisor). Replay stays correct:
+        # the probe prunes on before_epoch, and the absorb's
+        # epoch-pinned OVERWRITE is a no-op repair. The probe frame is
+        # eagerly checkpointed inside probe_semantic_index BEFORE the
+        # absorb lands, so the matches below are pre-absorb state even
+        # without the pruning.
         matches = probe_semantic_index(
             spark, index_path, batch.select("vec_id", "embedding"),
-            threshold=threshold, append=False, before_epoch=epoch,
+            threshold=threshold, append=True, epoch=epoch,
+            before_epoch=epoch,
         )
         best = (
             matches.groupBy("new_id")
@@ -60,12 +64,6 @@ def start_semantic_ingest(vec_stream: DataFrame, dest_path: str,
         )
         flagged = batch.join(best, "vec_id", "left")
         flagged.write.mode("overwrite").parquet(f"{dest_path}/epoch={epoch}")
-        # absorb AFTER landing — both sinks overwrite their own epoch,
-        # so a replay is a no-op repair
-        C = _store_centroids(spark, index_path)
-        assign = "fold" if len(C) <= SEMDEDUP_FOLD_MAX_K else "arrow"
-        asg = _cell_assign(batch, C, "vec_id", "embedding", assign)
-        absorb_into_semantic_index(index_path, asg, epoch)
         if on_batch_complete is not None:
             # test seam: raising models a crash AFTER both sinks landed
             # but BEFORE the checkpoint commit
