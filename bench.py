@@ -14,14 +14,21 @@ pipelines in the r7 artifact) and once at the MEASURED tier (r11 change
 cold costs that key on the tier itself: file listing, real-size
 broadcast builds, AQE decisions from real stats).
 
-Methodology (r3): each query runs N times (default 3, env
+Methodology (r3, revised r13): each query runs N times (default 3, env
 SPARK_GRAFT_BENCH_N); repetitions are interleaved round-robin across the
 whole suite so a transient host-load spike lands on every query equally
 instead of biasing whichever one it straddles. Reported per-query time
-is the MEDIAN, with min/max spread in "spread"; "value" is the sum of
-medians. Single-shot wall-clock at this scale has ~±30% run-to-run
-variance (SCALE.md) — medians make round-over-round comparison
-meaningful.
+is the MIN of the N runs, with min/max spread in "spread" and the
+median kept in "median"; "value" is the sum of mins. r13 change (judge
+r12 "Next round" #3): the driver artifact ran 14.6% above the idle
+artifact in r12 purely from the suite's own load landing on later
+repetitions (load_after ≈ 7 on an idle-start host) — the median
+absorbs that self-contention, the min doesn't: a query's fastest
+observed run is the least noise-contaminated estimate of its true plan
+cost, and both artifacts (driver + idle rerun) converge on it because
+host-state differences can only ADD time. Round-over-round comparison:
+r13+ totals are sums of mins; compare to earlier rounds via the
+"median" field, which preserves the old statistic.
 
 Load evidence (r6): the artifact records 1/5/15-min loadavg (before and
 after the suite), cpu count, and the number of COMPETING Spark/JVM
@@ -234,6 +241,10 @@ HEADLINE = [
     "dedup_cluster_canonical",
     "corpus_moore_lewis",
     "dedup_semantic_incremental",
+    # r13 additions, first benched r13 (baseline for later rounds): the
+    # two kNN-graph consumers (mutual-kNN components; in-degree density)
+    "embed_mutual_knn_clusters",
+    "embed_knn_density",
 ]
 
 
@@ -401,7 +412,8 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    times = {name: round(median(ts), 3) for name, ts in runs.items()}
+    times = {name: round(min(ts), 3) for name, ts in runs.items()}
+    medians = {name: round(median(ts), 3) for name, ts in runs.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in runs.items()}
     total = round(sum(times.values()), 3)
     load_after = _load_evidence()
@@ -425,6 +437,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": times,
+            "median": medians,
+            "stat": "min_of_n",
             "spread": spread,
             "n_runs": n_runs,
             "sf": _sf_of(sf_dir),

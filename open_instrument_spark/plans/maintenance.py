@@ -485,8 +485,16 @@ def compact_semantic_index(spark, path: str, max_epochs: int = 8) -> dict:
         if not os.path.isdir(os.path.join(path, s)):
             continue
         df = spark.read.parquet(f"{path}/{s}")
-        df.drop("epoch").write.partitionBy("cell").mode(
-            "overwrite").parquet(f"{sib}/{s}/epoch=-1")
+        # repartition ON the partition column: without it each of the
+        # (many tiny) input splits writes its own file into every cell
+        # dir, so the fold would collapse epoch COUNT but keep the
+        # small files — and small parquet files also gut the codes
+        # table's dictionary encoding (per-file dict pages dominate).
+        # One shuffle, corpus-sized like the rewrite itself; output is
+        # ~one file per cell (spark.sql.files.maxRecordsPerFile caps
+        # it on a real tier).
+        df.drop("epoch").repartition("cell").write.partitionBy(
+            "cell").mode("overwrite").parquet(f"{sib}/{s}/epoch=-1")
     for aux in _SEMANTIC_AUX_DIRS:
         if os.path.isdir(os.path.join(path, aux)):
             spark.read.parquet(f"{path}/{aux}").write.mode(

@@ -3115,6 +3115,116 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, seeded_centroids(64, 32, 7), k=5)
 
 
+def _knn_cte(k: int = 5, n_cells: int = 32, dim: int = 64,
+             seed: int = 7) -> str:
+    """The shared CTE chain of every kNN-graph oracle: seeded-centroid
+    assignment (the _semdedup_oracle grammar), directed in-cell pairs
+    ranked by exact cosine with dst tie-break, cut at ``k`` into
+    ``kept`` (src, dst, cell, cos rounded 6)."""
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    Cm = seeded_centroids(dim, n_cells, seed)
+
+    def dot(c) -> str:
+        lit = ", ".join(repr(float(x)) for x in c)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    ds = ",\n    ".join(dot(c) for c in Cm)
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM e),
+asg AS (
+  SELECT vec_id, v,
+         CAST(list_indexof(ds, list_aggregate(ds, 'max')) - 1 AS INTEGER) AS cell
+  FROM d),
+g AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.cell AS cell,
+         {_COS_SQL} AS cos
+  FROM asg a JOIN asg b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id),
+rk AS (
+  SELECT src, dst, cell, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+  FROM g),
+kept AS (
+  SELECT src, dst, cell, round(cos, 6) AS cos FROM rk WHERE rank <= {k})"""
+
+
+@query(
+    "embed_mutual_knn_clusters",
+    oracle=f"""
+WITH RECURSIVE {_knn_cte()},
+mutual AS (
+  SELECT k1.src AS src, k1.dst AS dst
+  FROM kept k1 JOIN kept k2 ON k2.src = k1.dst AND k2.dst = k1.src
+  WHERE k1.src < k1.dst),
+edges AS (
+  SELECT src, dst FROM mutual
+  UNION
+  SELECT dst, src FROM mutual),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT ed.dst, r.label FROM reach r JOIN edges ed ON ed.src = r.id
+)
+SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def embed_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 semantic clusters from the kNN graph (r13 — the graph
+    consumer the r12 verdict asked for;
+    operators/similarity.py::mutual_knn_clusters): mutual-kNN
+    symmetrization (an edge survives only if BOTH endpoints rank each
+    other top-5 — kills hub-induced chaining) then connected
+    components, cluster_id = min vec_id (the dedup_clusters grammar).
+    The graph build is the in-cell Σ|cell|² equi-join, the mutual
+    filter a semi-join on the ≤k·N edge list, and the component pass
+    the pointer-jumping fixpoint — the oracle replays all three (the
+    recursion over the mutual edge set) as a recursive CTE."""
+    from open_instrument_spark.operators.similarity import (
+        mutual_knn_clusters,
+        seeded_centroids,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return mutual_knn_clusters(emb, seeded_centroids(64, 32, 7), k=5)
+
+
+@query(
+    "embed_knn_density",
+    oracle=f"""
+WITH {_knn_cte()},
+deg AS (
+  SELECT dst AS vec_id, count(*) AS n,
+         floor(sum(CAST(round(cos * 1000000, 0) AS BIGINT))
+               / count(*) + 0.5) / 1000000.0 AS avg_in_cos
+  FROM kept GROUP BY dst)
+SELECT asg.vec_id, asg.cell,
+       CAST(coalesce(deg.n, 0) AS INTEGER) AS in_degree,
+       deg.avg_in_cos
+FROM asg LEFT JOIN deg ON asg.vec_id = deg.vec_id
+""",
+)
+def embed_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 kNN-graph density scoring (r13 —
+    operators/similarity.py::knn_density): a node's in-degree over the
+    top-5 graph (how many nodes rank it among their neighbors — the
+    coreset/diversity selection signal) plus the mean incoming cosine.
+    One groupBy over the ≤k·N edge list joined back to the node set so
+    isolated nodes keep a zero row; the oracle replays the shared
+    graph CTE plus the degree aggregate."""
+    from open_instrument_spark.operators.similarity import (
+        knn_density,
+        seeded_centroids,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return knn_density(emb, seeded_centroids(64, 32, 7), k=5)
+
+
 @query("dedup_semantic_arrow")
 def dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_semantic`` on the declared 100 TB assignment path: the

@@ -182,3 +182,140 @@ def test_tick_semantic_forget_then_compact_fixpoint(spark, tmp_path):
     assert s2["forget"][sem]["removed"]["vectors"] == 0
     assert not s2["semantic"][sem]["compacted"]
     assert _snap(spark, emb, sem) == after
+
+
+def _col_bytes(p, colname):
+    """Total compressed parquet column-chunk bytes for one column under
+    a store dir — the store-bytes probe that ignores per-file footer
+    overhead (which dominates raw file sizes at gate scale)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema.split(".")[0] == colname:
+                        total += col.total_compressed_size
+    return total
+
+
+def test_sq8_store_probe_parity_and_lifecycle(spark, tmp_path):
+    """The quantized semantic-store layout (r13): an SQ8 store's
+    funnel probe (codes candidates → exact re-rank on the raw sidecar)
+    returns EXACTLY the raw store's verdicts on the gate corpus, the
+    codes table rides absorb/compact/forget beside the raw rows, and
+    the codes bytes land well under the raw bytes (the reason the
+    layout exists)."""
+    emb = _emb(spark)
+    raw_p = str(tmp_path / "raw")
+    sq_p = str(tmp_path / "sq8")
+    build_semantic_index(emb, raw_p, C)
+    build_semantic_index(emb, sq_p, C, layout="sq8")
+    assert os.path.isdir(f"{sq_p}/sq") and os.path.isdir(f"{sq_p}/codes")
+
+    batch = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+
+    def probe(p, **kw):
+        return sorted(tuple(r) for r in probe_semantic_index(
+            spark, p, batch, threshold=0.35, **kw).collect())
+
+    want = probe(raw_p)
+    assert want and probe(sq_p) == want           # funnel ≡ raw
+    assert probe(sq_p, use_codes=False) == want   # raw path on sq8 store
+
+    # codes read is partition-pruned on epoch AND cell like the raw read
+    df = probe_semantic_index(spark, sq_p, batch, threshold=0.35,
+                              before_epoch=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    pf = plan.split("PartitionFilters")[1][:160]
+    assert "epoch" in pf and "cell" in pf
+
+    # absorb lands codes beside vectors; batch2 finds absorbed parents
+    probe_semantic_index(spark, sq_p, batch, threshold=0.35,
+                         append=True, epoch=0)
+    assert len(glob.glob(os.path.join(sq_p, "codes", "epoch=*"))) == 2
+    batch2 = batch.limit(3).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    got2 = {(r["new_id"], r["old_id"]) for r in probe_semantic_index(
+        spark, sq_p, batch2, threshold=0.35).collect()}
+    b2 = {r["vec_id"] for r in batch2.select("vec_id").collect()}
+    assert {(i, i - 100_000) for i in b2} <= got2
+
+    # forget reaches the codes table and equals a fresh sq8 build
+    gone = [0, 9]
+    res = forget_from_semantic_index(spark, sq_p, gone)
+    assert res["swapped"]
+    assert res["removed"]["vectors"] == len(gone)
+    assert res["removed"]["codes"] == len(gone)
+    fresh = str(tmp_path / "sq8_fresh")
+    build_semantic_index(emb.filter(~F.col("vec_id").isin(gone)),
+                         fresh, C, layout="sq8")
+    probe_semantic_index(spark, fresh, batch, threshold=0.35,
+                         append=True, epoch=0)
+    assert probe(sq_p) == probe(fresh)
+
+    # compaction folds codes epochs too, probe invariant
+    before = probe(sq_p)
+    for e in range(1, 11):
+        nb = emb.filter(F.col("vec_id") % 10 == e % 10).select(
+            (F.col("vec_id") + 500_000 + 10_000 * e).alias("vec_id"),
+            "embedding")
+        probe_semantic_index(spark, sq_p, nb, threshold=0.35,
+                             append=True, epoch=e)
+    before_grown = probe(sq_p)
+    n_files_before = len(glob.glob(
+        os.path.join(sq_p, "codes", "**", "*.parquet"), recursive=True))
+    res = compact_semantic_index(spark, sq_p, max_epochs=8)
+    assert res["compacted"]
+    assert len(glob.glob(os.path.join(sq_p, "codes", "epoch=*"))) == 1
+    assert len(glob.glob(os.path.join(sq_p, "vectors", "epoch=*"))) == 1
+    assert os.path.isdir(f"{sq_p}/sq")            # grid survives the fold
+    # the fold consolidates FILES, not just epoch dirs (~one per cell)
+    n_files_after = len(glob.glob(
+        os.path.join(sq_p, "codes", "**", "*.parquet"), recursive=True))
+    assert n_files_after <= 40 < n_files_before, (
+        n_files_before, n_files_after)
+    assert probe(sq_p) == before_grown and len(before_grown) >= len(before)
+
+    # the layout's point: the probe's hot column (codes) is a small
+    # fraction of the raw vector column on the same rows. Codes land
+    # ~1.1 B/dim (dictionary-encoded); the gate corpus's raw column
+    # compresses to ~3.8 B/dim (the synthetic embeddings are
+    # float32-valued doubles, so snappy eats the zero mantissa tail —
+    # real float64 embeddings sit at ~8 B/dim and the ratio doubles),
+    # so the floor here is 3×, not the nominal 8×.
+    vb = _col_bytes(f"{sq_p}/vectors", "v")
+    cb = _col_bytes(f"{sq_p}/codes", "codes")
+    assert cb * 3 < vb, (cb, vb)
+
+
+def test_sq8_encode_decode_matches_reconstruct(spark):
+    """_sq_decode(_sq_encode(v)) ≡ _sq_reconstruct(v) — the stored-codes
+    path and the in-plan quantize-then-decode path share one grid."""
+    from open_instrument_spark.operators.similarity import (
+        _sq_decode,
+        _sq_encode,
+        _sq_reconstruct,
+        sq_train_stats,
+    )
+
+    emb = _emb(spark).limit(50)
+    stats = sq_train_stats(emb)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).crossJoin(F.broadcast(stats))
+    both = base.select(
+        "vec_id",
+        _sq_reconstruct(F.col("v")).alias("direct"),
+        _sq_decode(_sq_encode(F.col("v"))).alias("via_codes"),
+    ).collect()
+    for r in both:
+        assert r["direct"] == r["via_codes"], r["vec_id"]

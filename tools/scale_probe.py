@@ -624,6 +624,36 @@ def main() -> None:
         )
     peaks["emb_knn_graph"] = peak_rss_mb()
 
+    # r13: the kNN-graph consumers on the same k∝N regime. The mutual
+    # filter is a semi-join on the ≤k·N edge list and the component
+    # pass runs on the (smaller) mutual pair list — the row should
+    # track knn_graph plus a data-flat number of fixpoint hops.
+    # knn_density adds one edge-list groupBy + a node-set join.
+    from open_instrument_spark.operators.similarity import (
+        knn_density,
+        mutual_knn_clusters,
+    )
+
+    run(mutual_knn_clusters(emb, seeded_centroids(64, 32, 7), k=5,
+                            assign="arrow"))  # warm
+    for k in emb_mults:
+        report.setdefault("mutual_knn_clusters", {})[f"x{k}"] = round(
+            run(mutual_knn_clusters(multiplied_emb(emb, k),
+                                    seeded_centroids(64, 32 * k, 7), k=5,
+                                    assign="arrow")), 2
+        )
+    peaks["emb_mutual_knn"] = peak_rss_mb()
+
+    run(knn_density(emb, seeded_centroids(64, 32, 7), k=5,
+                    assign="arrow"))  # warm
+    for k in emb_mults:
+        report.setdefault("knn_density", {})[f"x{k}"] = round(
+            run(knn_density(multiplied_emb(emb, k),
+                            seeded_centroids(64, 32 * k, 7), k=5,
+                            assign="arrow")), 2
+        )
+    peaks["emb_knn_density"] = peak_rss_mb()
+
     # r12-late: the incremental semantic probe — CONSTANT batch against
     # a growing corpus (the realistic ingest shape, the minhash_probe
     # row's embedding sibling); with k∝N centroids the in-cell probe
@@ -645,6 +675,60 @@ def main() -> None:
                                      assign="arrow")), 2
         )
     peaks["emb_semantic_probe"] = peak_rss_mb()
+
+    # r13: the SQ8 semantic-store layout — same constant batch probed
+    # against a raw-layout and an sq8-layout store at each tier. Two
+    # numbers per tier: probe seconds (funnel: codes candidates →
+    # exact re-rank on the raw sidecar) and the hot-column bytes ratio
+    # raw_v / codes (the reason the layout exists — the probe's scan
+    # reads ~1/8 the bytes; verdict parity is pytest-pinned).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pyarrow.parquet as _pq
+
+    from open_instrument_spark.operators.similarity import (
+        build_semantic_index,
+        probe_semantic_index,
+    )
+
+    def _colbytes(p, colname):
+        total = 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = _pq.ParquetFile(os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        if col.path_in_schema.split(".")[0] == colname:
+                            total += col.total_compressed_size
+        return total
+
+    _store_root = _tempfile.mkdtemp(prefix="sq8probe_")
+    try:
+        for k in emb_mults:
+            big = multiplied_emb(emb, k)
+            C = seeded_centroids(64, 32 * k, 7)
+            raw_p = os.path.join(_store_root, f"raw_x{k}")
+            sq_p = os.path.join(_store_root, f"sq8_x{k}")
+            build_semantic_index(big, raw_p, C)
+            build_semantic_index(big, sq_p, C, layout="sq8")
+            row = {
+                "probe_raw_s": round(run(probe_semantic_index(
+                    spark, raw_p, _probe_batch, threshold=0.35)), 2),
+                "probe_sq8_s": round(run(probe_semantic_index(
+                    spark, sq_p, _probe_batch, threshold=0.35)), 2),
+                "bytes_ratio_raw_over_codes": round(
+                    _colbytes(os.path.join(sq_p, "vectors"), "v")
+                    / max(1, _colbytes(os.path.join(sq_p, "codes"),
+                                       "codes")), 2),
+            }
+            report.setdefault("semantic_store_sq8", {})[f"x{k}"] = row
+    finally:
+        _shutil.rmtree(_store_root, ignore_errors=True)
+    peaks["emb_semantic_store_sq8"] = peak_rss_mb()
 
     # r10: one k-means Lloyd iteration at the same tiers — broadcast
     # k-row seed side × corpus (linear), argmin folded map-side, k·d-row
