@@ -242,9 +242,11 @@ HEADLINE = [
     "corpus_moore_lewis",
     "dedup_semantic_incremental",
     # r13 additions, first benched r13 (baseline for later rounds): the
-    # two kNN-graph consumers (mutual-kNN components; in-degree density)
+    # three kNN-graph consumers (mutual-kNN components; in-degree
+    # density; one-round label propagation)
     "embed_mutual_knn_clusters",
     "embed_knn_density",
+    "embed_label_propagation",
 ]
 
 

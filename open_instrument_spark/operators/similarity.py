@@ -1018,6 +1018,53 @@ def knn_density(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
     )
 
 
+def knn_label_propagation(embeddings: DataFrame, centroids: np.ndarray,
+                          k: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label",
+                          assign: str = "auto") -> DataFrame:
+    """One round of kNN label propagation over the graph — the
+    label-densification step a semi-supervised curation pipeline runs
+    (predict a label for every node from its neighborhood; agreement
+    with the node's own label is the standard label-noise signal):
+    each node's top-k in-cell neighbors vote with their edge cosine as
+    weight, prediction = argmax label by summed weight, ties to the
+    SMALLER label id. Weights are summed on the exact 1e-6 integer
+    grid (edge cosines are already 6dp-rounded) so the vote total and
+    the argmax replay bit-equal in any engine — no float re-association
+    anywhere after the graph.
+
+    One labels join on the ≤k·N edge list + two map-side-combinable
+    aggregates (votes, then a struct-max argmax without a rank
+    window). Nodes with no edges (alone in their cell) emit no row —
+    surface them via :func:`knn_density`.
+
+    Output: (vec_id, pred_label, vote_w) — vote_w the winning label's
+    summed weight in 1e-6 units (integer)."""
+    if assign == "auto":
+        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
+    g = _knn_edges(asg, k)
+    lbl = embeddings.select(F.col(id_col).alias("dst"),
+                            F.col(label_col).alias("dst_label"))
+    votes = (
+        g.join(lbl, on="dst")
+        .groupBy("src", "dst_label")
+        .agg(F.sum(F.round(F.col("cos") * 1e6, 0).cast("long")).alias("w"))
+    )
+    return (
+        votes.groupBy("src")
+        .agg(F.max(F.struct(
+            F.col("w").alias("w"),
+            (-F.col("dst_label")).alias("nl"))).alias("m"))
+        .select(
+            F.col("src").alias("vec_id"),
+            (-F.col("m.nl")).alias("pred_label"),
+            F.col("m.w").alias("vote_w"),
+        )
+    )
+
+
 def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",

@@ -3225,6 +3225,43 @@ def embed_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_density(emb, seeded_centroids(64, 32, 7), k=5)
 
 
+@query(
+    "embed_label_propagation",
+    oracle=f"""
+WITH {_knn_cte()},
+votes AS (
+  SELECT k.src, e2.label AS dst_label,
+         sum(CAST(round(k.cos * 1000000, 0) AS BIGINT)) AS w
+  FROM kept k JOIN embeddings e2 ON e2.vec_id = k.dst
+  GROUP BY k.src, e2.label),
+best AS (
+  SELECT src, dst_label, w,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY w DESC, dst_label ASC) AS rn
+  FROM votes)
+SELECT src AS vec_id, dst_label AS pred_label, w AS vote_w
+FROM best WHERE rn = 1
+""",
+)
+def embed_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 one-round kNN label propagation (r13 — graph consumer #3;
+    operators/similarity.py::knn_label_propagation): every node's top-5
+    in-cell neighbors vote with their edge cosine, prediction = argmax
+    label by summed weight (ties to the smaller label id) — the
+    label-densification / label-noise-detection step of a
+    semi-supervised curation pipeline. Vote weights ride the exact 1e-6
+    integer grid, so the whole pipeline — graph, votes, argmax —
+    replays bit-equal in SQL."""
+    from open_instrument_spark.operators.similarity import (
+        knn_label_propagation,
+        seeded_centroids,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return knn_label_propagation(emb, seeded_centroids(64, 32, 7), k=5)
+
+
 @query("dedup_semantic_arrow")
 def dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_semantic`` on the declared 100 TB assignment path: the

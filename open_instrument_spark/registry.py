@@ -197,11 +197,15 @@ DRIVER_WINDOW = [
     # pytest-hosted DuckDB gate (tests/test_oracle_parity.py).
     "embed_mutual_knn_clusters",
     "embed_knn_density",
+    # consumer #3, one-round kNN label propagation — displaces
+    # embed_kmeans_iterate2 (driver-green r11 AND r12; the embed family
+    # keeps kmeans_step in-window, the 2-round chain keeps its
+    # oracle-parity replay + chained-equality pytest).
+    "embed_label_propagation",
     # -- r11 rotation additions --
     "collector_varnish_status",
     "collector_http_fetch",
     "agg_anchored_median_user0",
-    "embed_kmeans_iterate2",
     "ann_ivfpq_coarse_rerank",
     "retrieval_eval_funnel",
     "mutate_idelta",
@@ -212,9 +216,11 @@ DRIVER_WINDOW = [
 
 _PAST_WINDOW_ORACLED = [
     # r13 demotions — each driver-green r11 AND r12; displaced by the
-    # kNN-graph consumers (embed_mutual_knn_clusters, embed_knn_density).
+    # kNN-graph consumers (embed_mutual_knn_clusters, embed_knn_density,
+    # embed_label_propagation).
     "agg_count_values",
     "embed_coarse_rerank",
+    "embed_kmeans_iterate2",
     # r12-late demotions — each driver-green r10 AND r11; displaced by
     # embed_knn_graph / dedup_cluster_canonical / corpus_moore_lewis.
     "corpus_weighted_sample",

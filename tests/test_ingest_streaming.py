@@ -2577,3 +2577,59 @@ def test_streaming_semantic_ingest_replay_after_absorb(spark, tmp_path):
     # absorb idempotence: one store row per vec_id, no second epoch
     vids = [v for v, _ in store]
     assert len(vids) == len(set(vids))
+
+
+def test_streaming_semantic_ingest_sq8_store_matches_raw(spark, tmp_path):
+    """r13: the streaming semantic loop over an SQ8-LAYOUT store — the
+    sink's probe auto-detects the codes table (funnel: codes
+    candidates → exact re-rank) and its absorb lands codes beside the
+    raw rows, so verdicts equal a raw-layout run exactly and the codes
+    table grows one epoch per micro-batch like the vectors."""
+    from open_instrument_spark.operators.similarity import (
+        build_semantic_index,
+        seeded_centroids,
+    )
+    from open_instrument_spark.streaming.semantic_ingest import (
+        start_semantic_ingest,
+    )
+
+    base = load_tables(spark, SF_SMOKE).table("embeddings").select(
+        "vec_id", "embedding").filter(F.col("vec_id") < 60)
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in base.limit(3).collect()}
+    ids = sorted(vecs)
+    schema = "vec_id long, embedding array<float>"
+    b1 = [(1_000_000, vecs[ids[0]]),
+          (1_000_001, [-x for x in vecs[ids[1]]])]   # novel canary
+    b2 = [(2_000_000, vecs[ids[0]]),                 # matches base AND b1
+          (2_000_001, [-x for x in vecs[ids[2]]])]   # novel canary
+
+    def run(tag, layout):
+        index = str(tmp_path / f"sq8s_idx_{tag}")
+        src = str(tmp_path / f"sq8s_src_{tag}")
+        dest = str(tmp_path / f"sq8s_dest_{tag}")
+        ck = str(tmp_path / f"sq8s_ck_{tag}")
+        os.makedirs(src, exist_ok=True)
+        build_semantic_index(base, index, seeded_centroids(64, 8, 7),
+                             layout=layout)
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, schema).write.mode(
+                "append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_semantic_ingest(stream, dest, index, ck,
+                                      threshold=0.8, available_now=True)
+            q.awaitTermination(180)
+        flags = {r["vec_id"]: (r["near_dup_of"], r["cos"])
+                 for r in spark.read.parquet(dest).collect()}
+        return index, flags
+
+    sq_idx, sq_flags = run("sq8", "sq8")
+    _, raw_flags = run("raw", "raw")
+    assert sq_flags == raw_flags
+    assert sq_flags[1_000_000][0] == ids[0]
+    assert sq_flags[1_000_001][0] is None
+    # codes epochs mirror the vector epochs (base + one per batch)
+    code_eps = sorted(int(os.path.basename(p).split("=")[1]) for p in
+                      glob.glob(os.path.join(sq_idx, "codes", "epoch=*")))
+    vec_eps = sorted(int(os.path.basename(p).split("=")[1]) for p in
+                     glob.glob(os.path.join(sq_idx, "vectors", "epoch=*")))
+    assert code_eps == vec_eps == [-1, 0, 1]

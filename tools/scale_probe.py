@@ -654,6 +654,27 @@ def main() -> None:
         )
     peaks["emb_knn_density"] = peak_rss_mb()
 
+    # r13: one-round label propagation — graph + one labels equi-join
+    # on the edge list + two map-side aggregates; should track
+    # knn_graph. multiplied_emb carries no label column, so labels ride
+    # a derived mod-16 column at every tier.
+    from open_instrument_spark.operators.similarity import (
+        knn_label_propagation,
+    )
+
+    def lp(df, cents):
+        return knn_label_propagation(
+            df.withColumn("label", (F.col("vec_id") % 16).cast("int")),
+            cents, k=5, assign="arrow")
+
+    run(lp(emb, seeded_centroids(64, 32, 7)))  # warm
+    for k in emb_mults:
+        report.setdefault("label_propagation", {})[f"x{k}"] = round(
+            run(lp(multiplied_emb(emb, k),
+                   seeded_centroids(64, 32 * k, 7))), 2
+        )
+    peaks["emb_label_propagation"] = peak_rss_mb()
+
     # r12-late: the incremental semantic probe — CONSTANT batch against
     # a growing corpus (the realistic ingest shape, the minhash_probe
     # row's embedding sibling); with k∝N centroids the in-cell probe
