@@ -247,6 +247,8 @@ HEADLINE = [
     "embed_mutual_knn_clusters",
     "embed_knn_density",
     "embed_label_propagation",
+    # PromQL absent_over_time (spine-joined windowed absence)
+    "select_absent_over_time",
 ]
 
 

@@ -164,6 +164,55 @@ def absent_selectors(points: DataFrame, patterns: list[str]) -> DataFrame:
     )
 
 
+def absent_over_time(points: DataFrame, pattern: str, start, end,
+                     window_s: int = 3600) -> DataFrame:
+    """PromQL ``absent_over_time(selector[range])`` evaluated over a
+    grid (r13): for each ``window_s`` bucket between ``start``
+    (inclusive) and ``end`` (exclusive), did the selector match ANY
+    sample — the "this metric went dark for a while" alerting
+    primitive. :func:`absent_selectors` answers "is it absent NOW over
+    the whole corpus"; this answers "WHEN was it absent", which needs a
+    time spine: buckets with zero samples don't exist in a groupBy, so
+    the per-bucket counts right-join an in-plan spine built from one
+    ``sequence``-explode row (bucket count rows total — literal-sized,
+    broadcast side of the join).
+
+    100 TB shape: the selector predicate and the [start, end) range
+    both push to the scan (name-bucketed stores also partition-prune),
+    one epoch-aligned bucket groupBy map-side-combines to ≤ n_buckets
+    rows, and the spine join is broadcast. Output: (window_start,
+    n_samples, absent), one row per bucket."""
+    win_us = int(window_s) * 1_000_000
+    # spine buckets snap to the same epoch-aligned grid the counts
+    # floor onto, so an unaligned ``start`` can't shear the join keys
+    start_us = (F.floor(F.lit(start).cast("timestamp").cast("long")
+                        * 1_000_000 / win_us) * win_us).cast("long")
+    spine = (
+        points.sparkSession.range(1)
+        .select(F.explode(F.sequence(
+            start_us,
+            (F.lit(end).cast("timestamp").cast("long") * 1_000_000
+             - F.lit(1)),
+            F.lit(win_us),
+        )).alias("bucket_us"))
+    )
+    counts = (
+        match_variables(points, pattern)
+        .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .groupBy((F.floor(F.unix_micros("ts") / win_us) * win_us)
+                 .alias("bucket_us"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(counts), on="bucket_us", how="left")
+        .select(
+            F.timestamp_micros(F.col("bucket_us")).alias("window_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_samples"),
+            F.coalesce("n", F.lit(0)).eqNullSafe(0).alias("absent"),
+        )
+    )
+
+
 def stale_series(points: DataFrame, now, max_age_ms: int = 259_200_000,
                  pattern: str | None = None) -> DataFrame:
     """The inverse of List's freshness filter: EVERY matched series

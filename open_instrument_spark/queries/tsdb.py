@@ -1565,6 +1565,47 @@ def select_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query(
+    "select_absent_over_time",
+    oracle=f"""
+WITH {P_CTE},
+spine AS (
+  SELECT gs.bucket_us FROM generate_series(
+    CAST(epoch_us(TIMESTAMP '2024-01-10 00:00:00') AS BIGINT),
+    CAST(epoch_us(TIMESTAMP '2024-01-12 00:00:00') AS BIGINT) - 1,
+    3600000000) gs(bucket_us)
+),
+c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         count(*) AS n
+  FROM p
+  WHERE name = '/events/signup'
+    AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+  GROUP BY 1
+)
+SELECT make_timestamp(spine.bucket_us) AS window_start,
+       coalesce(c.n, 0) AS n_samples,
+       coalesce(c.n, 0) = 0 AS absent
+FROM spine LEFT JOIN c USING (bucket_us)
+""",
+)
+def select_absent_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``absent_over_time`` over a grid (r13;
+    operators/select.py::absent_over_time): for each hourly bucket of
+    a 2-day range, did the selector match any sample — absent()'s
+    windowed sibling ("WHEN did the metric go dark"). Buckets with no
+    samples only exist because of the in-plan time spine (one
+    sequence-explode row, broadcast-restored like absent_selectors'
+    zero counts); the selector + range push to the scan and the
+    per-bucket counts map-side-combine. At ~2.8 events/hour the gate
+    range exercises both verdicts."""
+    from open_instrument_spark.operators.select import absent_over_time
+
+    return absent_over_time(
+        _pts(spark, sf_dir), "/events/signup",
+        "2024-01-10 00:00:00", "2024-01-12 00:00:00", window_s=3600)
+
+
 _LES_SQL = "[5.0, 10.0, 25.0, 50.0, 100.0, 250.0]"
 
 

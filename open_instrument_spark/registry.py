@@ -160,6 +160,12 @@ DRIVER_WINDOW = [
     # takes agg_cms_label_counts' slot (driver-green r10+r11; the
     # sketch family keeps dedup_bloom_contaminated in-window).
     "select_absent",
+    # r13: absent_over_time — absent()'s windowed sibling over an
+    # in-plan time spine; displaces retrieval_eval_funnel (driver-green
+    # r11 AND r12; the retrieval family keeps text_bm25_multiquery and
+    # retrieval_hybrid_rrf in-window, and the funnel eval keeps its
+    # parity replay + recall pytests).
+    "select_absent_over_time",
     "dedup_bloom_contaminated",
     "agg_histogram_quantile",
     # r12-late: the in-cell kNN graph takes corpus_weighted_sample's
@@ -207,7 +213,6 @@ DRIVER_WINDOW = [
     "collector_http_fetch",
     "agg_anchored_median_user0",
     "ann_ivfpq_coarse_rerank",
-    "retrieval_eval_funnel",
     "mutate_idelta",
     "corpus_ccnet_buckets",
     "dedup_minhash_incremental",
@@ -221,6 +226,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_count_values",
     "embed_coarse_rerank",
     "embed_kmeans_iterate2",
+    "retrieval_eval_funnel",
     # r12-late demotions — each driver-green r10 AND r11; displaced by
     # embed_knn_graph / dedup_cluster_canonical / corpus_moore_lewis.
     "corpus_weighted_sample",
