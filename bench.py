@@ -243,7 +243,12 @@ HEADLINE = [
     "dedup_semantic_incremental",
     # r13 additions, first benched r13 (baseline for later rounds): the
     # three kNN-graph consumers (mutual-kNN components; in-degree
-    # density; one-round label propagation)
+    # density; one-round label propagation). NOTE mutual_knn_clusters'
+    # local number is graph build + CC ITERATION overhead (fixed Spark
+    # job latency per pointer-jumping round on a small mutual edge
+    # list), not data cost — the dedup_clusters story (SCALE.md
+    # "Round-6 additions"); the probe's k∝N row is the scaling
+    # evidence.
     "embed_mutual_knn_clusters",
     "embed_knn_density",
     "embed_label_propagation",

@@ -841,6 +841,10 @@ def main() -> None:
             (int(t[1:]), v) for t, v in r.items() if t.startswith("x")
         )
         (k0, v0), (kn, vn) = tiers[0], tiers[-1]
+        if isinstance(v0, dict):
+            # structured rows (semantic_store_sq8): ratio on the sq8
+            # probe seconds, the layout's serving-path number
+            v0, vn = v0["probe_sq8_s"], vn["probe_sq8_s"]
         r["ratio"] = round(vn / max(v0, 1e-9), 2)
         r["data_ratio"] = kn // k0
     load_after = _load_evidence()
