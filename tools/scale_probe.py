@@ -634,13 +634,23 @@ def main() -> None:
         mutual_knn_clusters,
     )
 
-    run(mutual_knn_clusters(emb, seeded_centroids(64, 32, 7), k=5,
-                            assign="arrow"))  # warm
+    # connected_components drives its fixpoint EAGERLY inside the call
+    # (checkpoint + count per round), so the clock must wrap the CALL,
+    # not just the returned frame's write — run(df) alone would time an
+    # already-materialized label frame (the first r13 probe artifact's
+    # 0.02 s rows were exactly that mistake).
+    def run_mutual(df, cents):
+        spark._jvm.System.gc()
+        t0 = time.monotonic()
+        out = mutual_knn_clusters(df, cents, k=5, assign="arrow")
+        out.write.mode("overwrite").format("noop").save()
+        return time.monotonic() - t0
+
+    run_mutual(emb, seeded_centroids(64, 32, 7))  # warm
     for k in emb_mults:
         report.setdefault("mutual_knn_clusters", {})[f"x{k}"] = round(
-            run(mutual_knn_clusters(multiplied_emb(emb, k),
-                                    seeded_centroids(64, 32 * k, 7), k=5,
-                                    assign="arrow")), 2
+            run_mutual(multiplied_emb(emb, k),
+                       seeded_centroids(64, 32 * k, 7)), 2
         )
     peaks["emb_mutual_knn"] = peak_rss_mb()
 
