@@ -183,14 +183,22 @@ def absent_over_time(points: DataFrame, pattern: str, start, end,
     rows, and the spine join is broadcast. Output: (window_start,
     n_samples, absent), one row per bucket."""
     win_us = int(window_s) * 1_000_000
-    # spine buckets snap to the same epoch-aligned grid the counts
-    # floor onto, so an unaligned ``start`` can't shear the join keys
-    start_us = (F.floor(F.lit(start).cast("timestamp").cast("long")
-                        * 1_000_000 / win_us) * win_us).cast("long")
+    # An unaligned ``start`` snaps DOWN to the epoch grid the counts
+    # floor onto, and the RANGE FILTER moves with it: the spine and
+    # the counts must agree on where the first bucket begins, or a
+    # bucket the metric was present in would read absent because the
+    # filter clipped its early samples (pytest-pinned). Snapping
+    # happens driver-side so the scan keeps a plain pushable ts range.
+    s = start if isinstance(start, dt.datetime) else (
+        dt.datetime.fromisoformat(start))
+    epoch = dt.datetime(1970, 1, 1)
+    start_us = ((s - epoch) // dt.timedelta(microseconds=1)
+                // win_us * win_us)
+    snapped = epoch + dt.timedelta(microseconds=start_us)
     spine = (
         points.sparkSession.range(1)
         .select(F.explode(F.sequence(
-            start_us,
+            F.lit(start_us).cast("long"),
             (F.lit(end).cast("timestamp").cast("long") * 1_000_000
              - F.lit(1)),
             F.lit(win_us),
@@ -198,7 +206,7 @@ def absent_over_time(points: DataFrame, pattern: str, start, end,
     )
     counts = (
         match_variables(points, pattern)
-        .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .filter((F.col("ts") >= F.lit(snapped)) & (F.col("ts") < F.lit(end)))
         .groupBy((F.floor(F.unix_micros("ts") / win_us) * win_us)
                  .alias("bucket_us"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -166,3 +166,40 @@ def test_absent_selectors_counts_and_flags(spark):
     assert out["/m/b{k=*}"] == (1, False)
     assert out["/m/a{k=*}"] == (0, True)   # label never present on /m/a
     assert out["/nope"] == (0, True)
+
+
+def test_absent_over_time_spine_and_alignment(spark):
+    """absent_over_time (r13): every bucket of the range gets a row
+    (present AND absent), counts are exact, and an UNALIGNED start
+    snaps to the same epoch grid the counts floor onto (no sheared
+    join keys → no spuriously-absent buckets)."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.select import absent_over_time
+
+    schema = ("name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    base = dt.datetime(2024, 1, 5)
+    rows = [
+        ("/m/a", {"h": "x"}, base + dt.timedelta(minutes=5), 1.0, None),
+        ("/m/a", {"h": "y"}, base + dt.timedelta(minutes=20), 2.0, None),
+        # hour 1: nothing
+        ("/m/a", {"h": "x"}, base + dt.timedelta(hours=2, minutes=1), 3.0, None),
+        ("/m/b", {"h": "x"}, base + dt.timedelta(hours=1), 9.0, None),  # other metric
+    ]
+    pts = spark.createDataFrame(rows, schema)
+    got = {r["window_start"]: (r["n_samples"], r["absent"]) for r in
+           absent_over_time(pts, "/m/a", "2024-01-05 00:00:00",
+                            "2024-01-05 03:00:00", window_s=3600).collect()}
+    assert got == {
+        base: (2, False),
+        base + dt.timedelta(hours=1): (0, True),
+        base + dt.timedelta(hours=2): (1, False),
+    }
+    # unaligned start (00:30) snaps DOWN to the hour grid: same three
+    # buckets, so the hour-0 samples still land in their bucket
+    got2 = {r["window_start"]: r["n_samples"] for r in
+            absent_over_time(pts, "/m/a", "2024-01-05 00:30:00",
+                             "2024-01-05 03:00:00", window_s=3600).collect()}
+    assert got2 == {base: 2, base + dt.timedelta(hours=1): 0,
+                    base + dt.timedelta(hours=2): 1}
