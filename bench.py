@@ -254,6 +254,8 @@ HEADLINE = [
     "embed_label_propagation",
     # PromQL absent_over_time (spine-joined windowed absence)
     "select_absent_over_time",
+    # the curation endpoint: clusters + density → per-cluster keep set
+    "embed_knn_coreset",
 ]
 
 

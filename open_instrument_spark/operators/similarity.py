@@ -1018,6 +1018,51 @@ def knn_density(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
     )
 
 
+def knn_coreset(embeddings: DataFrame, centroids: np.ndarray,
+                k: int = 5, per_cluster: int = 2,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                assign: str = "auto") -> DataFrame:
+    """Diversity-preserving coreset selection over the kNN graph — the
+    curation ENDPOINT the graph consumers compose into: group the
+    corpus into mutual-kNN semantic clusters, score every node's
+    redundancy by graph in-degree, and KEEP the ``per_cluster``
+    LEAST-connected members of each cluster (ties to lower id) plus
+    every singleton. Low in-degree inside a tight cluster = the
+    member other vectors do NOT crowd around — the SemDeDup intuition
+    (keep the least typical example) lifted from centroid similarity
+    to graph structure; singletons are outliers and survive by
+    definition (they're what diversity sampling exists to protect).
+
+    One pass each of :func:`mutual_knn_clusters` and
+    :func:`knn_density` (both linear on the k∝N regime) + a per-cluster
+    rank window over the node set — no stage rescans vectors after the
+    graph lands.
+
+    Output: (vec_id, cluster_id, in_degree, keep) — cluster_id = the
+    mutual component's min id, or the node's own id for singletons."""
+    clusters = mutual_knn_clusters(embeddings, centroids, k=k,
+                                   id_col=id_col, vec_col=vec_col,
+                                   assign=assign)
+    density = knn_density(embeddings, centroids, k=k, id_col=id_col,
+                          vec_col=vec_col, assign=assign)
+    nodes = (
+        density.select("vec_id", "in_degree")
+        .join(clusters, on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+            "in_degree",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("in_degree").asc(), F.col("vec_id").asc())
+    return (
+        nodes.withColumn("_rk", F.row_number().over(w))
+        .select("vec_id", "cluster_id", "in_degree",
+                (F.col("_rk") <= per_cluster).alias("keep"))
+    )
+
+
 def knn_label_propagation(embeddings: DataFrame, centroids: np.ndarray,
                           k: int = 5, id_col: str = "vec_id",
                           vec_col: str = "embedding",

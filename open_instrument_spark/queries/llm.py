@@ -3262,6 +3262,63 @@ def embed_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_propagation(emb, seeded_centroids(64, 32, 7), k=5)
 
 
+@query(
+    "embed_knn_coreset",
+    oracle=f"""
+WITH RECURSIVE {_knn_cte()},
+mutual AS (
+  SELECT k1.src AS src, k1.dst AS dst
+  FROM kept k1 JOIN kept k2 ON k2.src = k1.dst AND k2.dst = k1.src
+  WHERE k1.src < k1.dst),
+edges AS (
+  SELECT src, dst FROM mutual
+  UNION
+  SELECT dst, src FROM mutual),
+mnodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, label) AS (
+  SELECT id, id FROM mnodes
+  UNION
+  SELECT ed.dst, r.label FROM reach r JOIN edges ed ON ed.src = r.id
+),
+comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+deg AS (SELECT dst AS vec_id, count(*) AS n FROM kept GROUP BY dst),
+nodes AS (
+  SELECT asg.vec_id,
+         coalesce(comp.cluster_id, asg.vec_id) AS cluster_id,
+         CAST(coalesce(deg.n, 0) AS INTEGER) AS in_degree
+  FROM asg
+  LEFT JOIN deg ON deg.vec_id = asg.vec_id
+  LEFT JOIN comp ON comp.id = asg.vec_id),
+rnk AS (
+  SELECT vec_id, cluster_id, in_degree,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY in_degree ASC, vec_id ASC) AS r
+  FROM nodes)
+SELECT vec_id, cluster_id, in_degree, r <= 2 AS keep FROM rnk
+""",
+)
+def embed_knn_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 graph coreset selection (r13 — the curation ENDPOINT the
+    three graph consumers compose into;
+    operators/similarity.py::knn_coreset): mutual-kNN clusters +
+    in-degree redundancy scores → keep each cluster's 2
+    least-connected members (ties to lower id) and every singleton —
+    SemDeDup's keep-the-least-typical rule lifted from centroid
+    similarity to graph structure, with outliers surviving by
+    definition. The oracle replays the whole composition: graph CTE,
+    mutual semi-join, component fixpoint (recursive CTE), degree
+    aggregate, and the per-cluster rank cut."""
+    from open_instrument_spark.operators.similarity import (
+        knn_coreset,
+        seeded_centroids,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return knn_coreset(emb, seeded_centroids(64, 32, 7), k=5,
+                       per_cluster=2)
+
+
 @query("dedup_semantic_arrow")
 def dedup_semantic_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_semantic`` on the declared 100 TB assignment path: the

@@ -208,11 +208,16 @@ DRIVER_WINDOW = [
     # keeps kmeans_step in-window, the 2-round chain keeps its
     # oracle-parity replay + chained-equality pytest).
     "embed_label_propagation",
+    # the curation endpoint composing consumers #1+#2 (clusters +
+    # density → per-cluster keep set) — displaces
+    # ann_ivfpq_coarse_rerank (driver-green r11 AND r12; the ANN
+    # family keeps ann_ivfpq_seeded_topk and ann_sq_topk in-window,
+    # and the funnel keeps its parity replay + recall pytests).
+    "embed_knn_coreset",
     # -- r11 rotation additions --
     "collector_varnish_status",
     "collector_http_fetch",
     "agg_anchored_median_user0",
-    "ann_ivfpq_coarse_rerank",
     "mutate_idelta",
     "corpus_ccnet_buckets",
     "dedup_minhash_incremental",
@@ -227,6 +232,7 @@ _PAST_WINDOW_ORACLED = [
     "embed_coarse_rerank",
     "embed_kmeans_iterate2",
     "retrieval_eval_funnel",
+    "ann_ivfpq_coarse_rerank",
     # r12-late demotions — each driver-green r10 AND r11; displaced by
     # embed_knn_graph / dedup_cluster_canonical / corpus_moore_lewis.
     "corpus_weighted_sample",

@@ -79,3 +79,23 @@ def test_label_propagation_recovers_group_labels(spark):
     assert all(lbl == 9 for v, (lbl, _) in got.items() if 10 <= v < 100)
     # vote weights are exact integer micros of k≈2 near-unit cosines
     assert all(1_990_000 <= w <= 2_000_000 for _, w in got.values())
+
+
+def test_knn_coreset_keeps_singletons_and_cuts_clusters(spark):
+    from open_instrument_spark.operators.similarity import knn_coreset
+
+    got = {r["vec_id"]: (r["cluster_id"], r["in_degree"], r["keep"])
+           for r in knn_coreset(_emb(spark), C, k=2,
+                                per_cluster=2).collect()}
+    # every node keeps a row; the isolated vector is its own singleton
+    # cluster and survives
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 100}
+    assert got[100] == (100, 0, True)
+    # each mutual cluster keeps exactly per_cluster=2 members, chosen
+    # by (lowest in-degree, lowest id)
+    for cid, size in ((0, 4), (10, 3)):
+        members = {v: t for v, t in got.items() if t[0] == cid}
+        assert len(members) == size
+        kept = sorted(v for v, t in members.items() if t[2])
+        want = sorted(members, key=lambda v: (members[v][1], v))[:2]
+        assert kept == sorted(want)
