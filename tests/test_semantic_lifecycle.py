@@ -319,3 +319,60 @@ def test_sq8_encode_decode_matches_reconstruct(spark):
     ).collect()
     for r in both:
         assert r["direct"] == r["via_codes"], r["vec_id"]
+
+
+def test_tick_all_store_kinds_one_cadence(spark, tmp_path):
+    """The reference's ONE StoreFileManager thread owns all store
+    upkeep — pin that the tick reaches every store kind in one call:
+    MinHash + BM25 + ANN + semantic all listed, both forget sets
+    applied, every summary section populated, and the whole thing a
+    fixpoint on replay."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.dedup import build_minhash_index
+    from open_instrument_spark.operators.retention import PolicyItem
+    from open_instrument_spark.operators.retrieval import build_text_index
+    from open_instrument_spark.operators.similarity import build_ivf_index
+    from open_instrument_spark.sources.ingest import write_points
+    from open_instrument_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text").filter(F.col("doc_id") < 80)
+    emb = _emb(spark)
+    mh = str(tmp_path / "mh")
+    tx = str(tmp_path / "tx")
+    ann = str(tmp_path / "ann")
+    sem = str(tmp_path / "sem")
+    build_minhash_index(docs, mh)
+    build_text_index(docs, tx)
+    build_ivf_index(emb, ann, centroids=seeded_centroids(64, 8, 7))
+    build_semantic_index(emb, sem, C, layout="sq8")
+
+    store = str(tmp_path / "store")
+    schema = ("name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    rows = [("/m", {"h": "a"}, dt.datetime(2024, 1, 30, 0, mi), 1.0, None)
+            for mi in range(3)]
+    write_points(spark.createDataFrame(rows, schema), store, n_buckets=2)
+    policy = [PolicyItem(("*",), keep=True)]
+    now = "2024-01-31 00:00:00"
+
+    _, s1 = maintenance_tick(
+        spark, store, policy, now,
+        minhash_indexes=[mh], text_indexes=[tx],
+        ann_indexes=[ann], semantic_indexes=[sem],
+        forget_doc_ids=[0, 1], forget_vec_ids=[0, 1])
+    # every store kind reported, every forget applied
+    assert s1["forget"][mh]["swapped"] and s1["forget"][tx]["swapped"]
+    assert s1["forget"][ann]["swapped"] and s1["forget"][sem]["swapped"]
+    assert s1["forget"][sem]["removed"]["codes"] == 2   # sq8 layout
+    assert mh in s1["minhash"] and tx in s1["text_index"]
+    assert ann in s1["ann"] and sem in s1["semantic"]
+
+    _, s2 = maintenance_tick(
+        spark, store, policy, now,
+        minhash_indexes=[mh], text_indexes=[tx],
+        ann_indexes=[ann], semantic_indexes=[sem],
+        forget_doc_ids=[0, 1], forget_vec_ids=[0, 1])
+    assert not any(v["swapped"] for v in s2["forget"].values())
+    assert not s2["semantic"][sem]["compacted"]
