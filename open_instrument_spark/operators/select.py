@@ -191,9 +191,22 @@ def absent_over_time(points: DataFrame, pattern: str, start, end,
     # happens driver-side so the scan keeps a plain pushable ts range.
     s = start if isinstance(start, dt.datetime) else (
         dt.datetime.fromisoformat(start))
+    e = end if isinstance(end, dt.datetime) else (
+        dt.datetime.fromisoformat(end))
     epoch = dt.datetime(1970, 1, 1)
     start_us = ((s - epoch) // dt.timedelta(microseconds=1)
                 // win_us * win_us)
+    n_buckets = ((e - epoch) // dt.timedelta(microseconds=1)
+                 - start_us + win_us - 1) // win_us
+    if n_buckets > 10_000_000:
+        # the spine is one sequence-explode row and the per-bucket
+        # counts broadcast — both sized by bucket COUNT, not corpus.
+        # A grid this dense (e.g. 1 s windows over a year is 31M) wants
+        # a coarser window or a chunked range, not a bigger broadcast.
+        raise ValueError(
+            f"absent_over_time: {n_buckets} buckets (window_s="
+            f"{window_s} over [{s}, {e})) exceeds the 10M spine bound —"
+            " widen the window or chunk the range")
     snapped = epoch + dt.timedelta(microseconds=start_us)
     spine = (
         points.sparkSession.range(1)
