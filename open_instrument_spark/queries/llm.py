@@ -3239,7 +3239,8 @@ best AS (
          row_number() OVER (PARTITION BY src
                             ORDER BY w DESC, dst_label ASC) AS rn
   FROM votes)
-SELECT src AS vec_id, dst_label AS pred_label, w AS vote_w
+SELECT src AS vec_id, dst_label AS pred_label,
+       CAST(w AS BIGINT) AS vote_w
 FROM best WHERE rn = 1
 """,
 )

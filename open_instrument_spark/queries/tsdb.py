@@ -2372,7 +2372,7 @@ g AS (
          max(dval) AS max_ot,
          round(sum(dval), 6) AS sum_ot,
          count(*) AS count_ot,
-         1.0 AS present_ot
+         CAST(1.0 AS DOUBLE) AS present_ot
   FROM b GROUP BY 1, 2
 )
 SELECT g.series_key, g.ts, g.avg_ot, g.min_ot, g.max_ot, g.sum_ot,

@@ -41,6 +41,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(dt: np.dtype) -> str:
+    """Collapse a numpy dtype to the kind the driver's hash cares
+    about: int vs float vs bool vs datetime vs object. Width (int32 vs
+    int64) is forgiven — pandas materializes both sides at 64-bit —
+    but a kind flip (int vs float) changes the hashed bytes."""
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.datetime64):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf) != len(odf):
@@ -54,6 +70,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        # The driver's value hash is dtype-sensitive: an int64 Spark
+        # column vs a float64 oracle column hash-mismatches even when
+        # every value is equal (r13's embed_label_propagation red row —
+        # DuckDB sum(BIGINT) -> HUGEINT -> pandas float64). Flag kind
+        # divergence loudly instead of silently casting through float.
+        skind = _dtype_kind(sv.dtype)
+        okind = _dtype_kind(ov.dtype)
+        if skind != okind:
+            problems.append(
+                f"col {c}: DTYPE KIND MISMATCH spark={sv.dtype} ({skind}) "
+                f"oracle={ov.dtype} ({okind}) — driver hash would fail even "
+                f"on equal values; cast the oracle (or Spark) side"
+            )
+            continue
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
             sv2 = sv.astype(float)
             ov2 = ov.astype(float)
