@@ -14,21 +14,29 @@ pipelines in the r7 artifact) and once at the MEASURED tier (r11 change
 cold costs that key on the tier itself: file listing, real-size
 broadcast builds, AQE decisions from real stats).
 
-Methodology (r3, revised r13): each query runs N times (default 3, env
-SPARK_GRAFT_BENCH_N); repetitions are interleaved round-robin across the
-whole suite so a transient host-load spike lands on every query equally
-instead of biasing whichever one it straddles. Reported per-query time
-is the MIN of the N runs, with min/max spread in "spread" and the
-median kept in "median"; "value" is the sum of mins. r13 change (judge
-r12 "Next round" #3): the driver artifact ran 14.6% above the idle
-artifact in r12 purely from the suite's own load landing on later
-repetitions (load_after ≈ 7 on an idle-start host) — the median
-absorbs that self-contention, the min doesn't: a query's fastest
-observed run is the least noise-contaminated estimate of its true plan
-cost, and both artifacts (driver + idle rerun) converge on it because
-host-state differences can only ADD time. Round-over-round comparison:
-r13+ totals are sums of mins; compare to earlier rounds via the
-"median" field, which preserves the old statistic.
+Methodology (r3, revised r13, statistic keys fixed r14): each query
+runs N times (default 3, env SPARK_GRAFT_BENCH_N); repetitions are
+interleaved round-robin across the whole suite so a transient host-load
+spike lands on every query equally instead of biasing whichever one it
+straddles. Two statistics are reported side by side: the MEDIAN of the
+N runs (the historical statistic, r1–r12) and the MIN (r13's addition —
+the least noise-contaminated estimate of true plan cost, and the one
+that converges between driver and idle artifacts because host-state
+differences can only ADD time). r14 change (advisor r13): r13 silently
+moved "value"/"queries" from medians to mins, so cross-round tooling
+comparing "value" conflated the methodology change with real speedups.
+The keys now carry ONE meaning each across the whole artifact series:
+"value"/"queries"/"median" are medians (comparable to r1–r12),
+"value_min"/"queries_min" are mins (comparable to r13's
+"value"/"queries"), and "stat" says so.
+
+Host normalization (r14, judge r13 "Next round" #6): the per-round VM
+is not speed-stable (r13's 115 shared queries ran 1.26× r12 idle with
+ZERO plan changes; r12 ran 0.72× r11). Every artifact now records
+"cpu_calib" — the seconds a fixed single-thread SHA-256 workload takes
+on this host, measured before the suite — so round-over-round ratios
+can be divided by the calibration ratio instead of argued from
+uniformity.
 
 Load evidence (r6): the artifact records 1/5/15-min loadavg (before and
 after the suite), cpu count, and the number of COMPETING Spark/JVM
@@ -302,6 +310,26 @@ def _load_evidence() -> dict:
     }
 
 
+def cpu_calibration(reps: int = 3, iters: int = 2500, buf_kib: int = 64) -> dict:
+    """Fixed single-thread CPU microbenchmark (judge r13 #6): hash a
+    64 KiB buffer `iters` times with SHA-256, take the min of `reps`
+    timings. The work is identical on every host, so the ratio of two
+    rounds' "seconds" is the hosts' single-thread speed ratio — divide
+    a cross-round bench ratio by it to host-normalize."""
+    import hashlib
+
+    buf = b"\x5a" * (buf_kib * 1024)
+    best = float("inf")
+    for _ in range(reps):
+        h = hashlib.sha256()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            h.update(buf)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return {"work": f"sha256 x {iters} x {buf_kib}KiB", "seconds": round(best, 4)}
+
+
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     try:
@@ -356,6 +384,9 @@ def main() -> None:
         time.sleep(15)
         settle_s += 15
         load_before = _load_evidence()
+    # Host-speed anchor, measured post-settle on an otherwise-quiet
+    # host so it reflects the same conditions as the suite timings.
+    cpu_calib = cpu_calibration()
     spark = get_spark("oi-bench")
 
     # Warm up (not counted): one pass of EVERY headline query at the
@@ -423,10 +454,11 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    times = {name: round(min(ts), 3) for name, ts in runs.items()}
+    mins = {name: round(min(ts), 3) for name, ts in runs.items()}
     medians = {name: round(median(ts), 3) for name, ts in runs.items()}
     spread = {name: [min(ts), max(ts)] for name, ts in runs.items()}
-    total = round(sum(times.values()), 3)
+    total_median = round(sum(medians.values()), 3)
+    total_min = round(sum(mins.values()), 3)
     load_after = _load_evidence()
     ncpu = load_after["cpus"]
     # Contended: another Spark driver was alive, or the pre-existing
@@ -445,13 +477,20 @@ def main() -> None:
     payload = json.dumps(
         {
             "metric": "headline_suite_total",
-            "value": total,
+            # "value"/"queries"/"median" = medians of N (the r1–r12
+            # statistic); "value_min"/"queries_min" = mins of N (the
+            # statistic r13 briefly published under "value"). Compare
+            # like with like across rounds.
+            "value": total_median,
+            "value_min": total_min,
             "unit": "sec",
-            "queries": times,
+            "queries": medians,
+            "queries_min": mins,
             "median": medians,
-            "stat": "min_of_n",
+            "stat": "median_of_n (value/queries); min_of_n (value_min/queries_min)",
             "spread": spread,
             "n_runs": n_runs,
+            "cpu_calib": cpu_calib,
             "sf": _sf_of(sf_dir),
             "load_before": load_before,
             "load_after": load_after,

@@ -864,11 +864,16 @@ def main() -> None:
         or load_after["competing_spark_pids"] > 0
         or (ncpu > 0 and max(load_before["loadavg"][:2]) > 0.25 * ncpu)
     )
+    from bench import cpu_calibration
+
     print(json.dumps({
         "sf": sf_dir, "mults": mults, "emb_mults": emb_mults,
         "operators": report, "peak_rss_mb": peaks,
         "load_before": load_before, "load_after": load_after,
         "contended": contended,
+        # Host-speed anchor for cross-round normalization (judge r13
+        # "Next round" #6) — same fixed workload bench.py records.
+        "cpu_calib": cpu_calibration(),
     }))
     spark.stop()
 
