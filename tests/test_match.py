@@ -203,3 +203,49 @@ def test_absent_over_time_spine_and_alignment(spark):
                              "2024-01-05 03:00:00", window_s=3600).collect()}
     assert got2 == {base: 2, base + dt.timedelta(hours=1): 0,
                     base + dt.timedelta(hours=2): 1}
+
+
+def test_absent_over_time_subsecond_end_and_empty_range(spark):
+    """r14 (advisor r13): a sub-second ``end`` must still produce the
+    final partial bucket (the old spine stop cast through TIMESTAMP
+    seconds and truncated it away), and an empty/inverted range raises
+    a clear ValueError instead of an opaque sequence() runtime error."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from open_instrument_spark.operators.select import absent_over_time
+
+    schema = ("name string, labels map<string,string>, ts timestamp, "
+              "dval double, sval string")
+    base = dt.datetime(2024, 1, 5)
+    pts = spark.createDataFrame(
+        [("/m/a", {"h": "x"}, base + dt.timedelta(hours=1, minutes=1), 1.0, None)],
+        schema)
+    # end = 01:00:00.5 → bucket [01:00, 02:00) is a partial bucket the
+    # spine must still carry; the 01:01 sample is OUTSIDE [start, end)
+    # so the bucket exists AND reads absent.
+    got = {r["window_start"]: (r["n_samples"], r["absent"]) for r in
+           absent_over_time(pts, "/m/a", base,
+                            base + dt.timedelta(hours=1, milliseconds=500),
+                            window_s=3600).collect()}
+    assert got == {base: (0, True),
+                   base + dt.timedelta(hours=1): (0, True)}
+    # ...and a sample inside the partial bucket's [start, end) slice
+    # counts.
+    pts2 = spark.createDataFrame(
+        [("/m/a", {"h": "x"}, base + dt.timedelta(hours=1, microseconds=200),
+          1.0, None)], schema)
+    got2 = {r["window_start"]: r["n_samples"] for r in
+            absent_over_time(pts2, "/m/a", base,
+                             base + dt.timedelta(hours=1, milliseconds=500),
+                             window_s=3600).collect()}
+    assert got2[base + dt.timedelta(hours=1)] == 1
+    with _pytest.raises(ValueError, match="empty range"):
+        absent_over_time(pts, "/m/a", base, base, window_s=3600)
+    with _pytest.raises(ValueError, match="empty range"):
+        absent_over_time(pts, "/m/a", base, base - dt.timedelta(hours=1),
+                         window_s=3600)
+    with _pytest.raises(ValueError, match="1M spine bound"):
+        absent_over_time(pts, "/m/a", base, base + dt.timedelta(days=365),
+                         window_s=1)
