@@ -225,6 +225,10 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
+    # r14-new, slotted here until the r14 window rotation at the end of
+    # the round (every new oracled query must take a driver slot —
+    # tracked in the DRIVER_WINDOW comment when rotated in).
+    "embed_label_propagation2",
     # r13 demotions — each driver-green r11 AND r12; displaced by the
     # kNN-graph consumers (embed_mutual_knn_clusters, embed_knn_density,
     # embed_label_propagation).
