@@ -263,7 +263,15 @@ HEADLINE = [
     # PromQL absent_over_time (spine-joined windowed absence)
     "select_absent_over_time",
     # the curation endpoint: clusters + density → per-cluster keep set
+    # (r14: one shared graph pass feeds both consumers — expect
+    # ~mutual+ε, down from the r13 2× rebuild)
     "embed_knn_coreset",
+    # r14 additions, first benched r14: the materialized graph store
+    # end-to-end (build base + absorb batch + read — the store IS the
+    # operator, so the bench number includes the disk writes) and
+    # two-round label propagation (graph built once, two vote rounds).
+    "embed_knn_graph_store",
+    "embed_label_propagation2",
 ]
 
 

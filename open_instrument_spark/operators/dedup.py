@@ -566,6 +566,12 @@ def probe_minhash_index(spark, path: str, new_docs: DataFrame,
                                 F.col("sig").alias("osig")), "old_id")
         .select("new_id", "old_id", F.round(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        # a doc is never a duplicate of ITSELF: after a crashed absorb
+        # + compaction folds the batch's epoch into -1, the replayed
+        # probe's before_epoch no longer excludes the batch's own rows
+        # (r14, advisor r13) — identical ids are identity, drop them
+        # unconditionally (a no-op for fresh-id batches)
+        .filter(F.col("new_id") != F.col("old_id"))
     )
     if append:
         out = out.localCheckpoint(eager=True)

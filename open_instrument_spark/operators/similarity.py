@@ -17,6 +17,7 @@ planes.
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
@@ -1336,13 +1337,55 @@ def _write_semantic_codes(assigned: DataFrame, path: str,
     (cell-partitioned, OVERWRITE — the same replay-idempotent layout
     as the raw rows). The grid is NEVER retrained at absorb (the faiss
     discipline — codes stay comparable across epochs; out-of-range
-    dims clamp, which the probe's margin absorbs)."""
+    dims clamp). The one-row ``sq_bounds`` table (max_err = the
+    largest actual ‖v − decode(encode(v))‖ ever landed — clamping
+    included, since it is measured, not grid-derived — and min_norm =
+    the smallest ‖v‖) is folded monotonically on every write; it is
+    what lets the probe derive a SOUND candidate margin instead of
+    trusting a fixed constant (r14, advisor r13)."""
     spark = assigned.sparkSession
     sq = spark.read.parquet(f"{path}/sq")
     assigned.crossJoin(F.broadcast(sq)).select(
         "vec_id", _sq_encode(F.col("v")).alias("codes"), "cell"
     ).write.partitionBy("cell").mode("overwrite").parquet(
         f"{path}/codes/epoch={int(epoch)}")
+    diff = F.zip_with(F.col("v"), _sq_reconstruct(F.col("v")),
+                      lambda a, b: (a - b) * (a - b))
+    err = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    row = assigned.crossJoin(F.broadcast(sq)).agg(
+        F.max(err).alias("max_err"),
+        F.min(norm(F.col("v"))).alias("min_norm"),
+    ).first()
+    max_err, min_norm = float(row["max_err"]), float(row["min_norm"])
+    bp = os.path.join(path, "sq_bounds")
+    if os.path.isdir(bp):
+        old = spark.read.parquet(bp).first()
+        max_err = max(max_err, float(old["max_err"]))
+        min_norm = min(min_norm, float(old["min_norm"]))
+    spark.createDataFrame(
+        [(max_err, min_norm)], "max_err double, min_norm double"
+    ).coalesce(1).write.mode("overwrite").parquet(bp)
+
+
+def derived_sq_margin(spark, path: str) -> float:
+    """The worst-case cosine perturbation the SQ8 grid can inflict on
+    a stored vector, from the persisted ``sq_bounds``: for v' = v + e,
+    |cos(a,v') − cos(a,v)| ≤ ‖v'/‖v'‖ − v/‖v‖‖ ≤ 2‖e‖/‖v‖ ≤
+    2·max_err/min_norm. A funnel cutting candidates at
+    approx_cos > threshold − this margin provably drops no true match
+    (r14, advisor r13 — the fixed 0.05 default was only pinned on the
+    gate corpus; small-norm or wide-range embeddings exceed it)."""
+    bp = os.path.join(path, "sq_bounds")
+    if not os.path.isdir(bp):
+        raise ValueError(
+            f"semantic store at {path} has no sq_bounds table (built "
+            "before r14) — pass margin= explicitly or rebuild the store")
+    r = spark.read.parquet(bp).first()
+    if not r["min_norm"] or float(r["min_norm"]) <= 0.0:
+        raise ValueError(
+            "store contains a zero-norm vector: cosine (and any margin "
+            "bound) is undefined — pass margin= explicitly")
+    return 2.0 * float(r["max_err"]) / float(r["min_norm"]) + 1e-12
 
 
 def build_semantic_index(embeddings: DataFrame, path: str,
@@ -1413,8 +1456,8 @@ def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
                          before_epoch: int | None = None,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         use_codes: bool | None = None,
-                         margin: float = 0.05) -> DataFrame:
+                         use_codes: bool = False,
+                         margin: float | None = None) -> DataFrame:
     """Probe an arriving embedding batch against the on-disk semantic
     store: assign the batch to the STORED centroids (in-plan), read
     only the store partitions the batch can touch — ``epoch <
@@ -1429,16 +1472,19 @@ def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
     probe never sees its own batch even without ``before_epoch``.
 
     On an SQ8-layout store (``build_semantic_index(layout="sq8")``)
-    the probe funnels (``use_codes`` None = auto-detect): candidates
-    come from the ~8×-smaller codes table — decode against the
-    build-time grid, keep pairs with approximate cosine >
-    ``threshold − margin`` — then ONLY the candidates re-rank by exact
-    cosine against the cell-pruned raw sidecar (the IVFPQ
-    coarse→exact funnel, pq.py:614). ``margin`` must dominate the
-    grid's worst-case cosine perturbation; the default is generous for
-    unit-ish embeddings and verdict parity vs the raw probe is
-    pytest-pinned on the gate corpus. Output and semantics are
-    IDENTICAL to the raw path — only the read bytes change.
+    ``use_codes=True`` opts into the funnel: candidates come from the
+    ~8×-smaller codes table — decode against the build-time grid, keep
+    pairs with approximate cosine > ``threshold − margin`` — then ONLY
+    the candidates re-rank by exact cosine against the cell-pruned raw
+    sidecar (the IVFPQ coarse→exact funnel, pq.py:614). r14 (advisor
+    r13): the funnel is OPT-IN (no auto-detect — an sq8 store must not
+    silently flip exact callers into an approximate candidate path),
+    and ``margin=None`` derives the worst-case sound bound from the
+    store's persisted ``sq_bounds`` (:func:`derived_sq_margin`) —
+    with it, output IS identical to the raw path, clamped absorbs
+    included, because the measured decode error dominates the cut. An
+    explicit smaller margin is honored but warns when it undercuts the
+    sound bound (it may silently drop true matches).
 
     Output: (new_id, old_id, cell, cos rounded 6dp)."""
     C = _store_centroids(spark, path)
@@ -1446,8 +1492,6 @@ def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
     new_asg = _cell_assign(new_vectors, C, id_col, vec_col, assign)
     new_asg = new_asg.localCheckpoint(eager=False)
     cells = [r["cell"] for r in new_asg.select("cell").distinct().collect()]
-    if use_codes is None:
-        use_codes = os.path.isdir(os.path.join(path, "codes"))
 
     def pruned(subdir: str) -> DataFrame:
         df = spark.read.parquet(f"{path}/{subdir}")
@@ -1457,6 +1501,19 @@ def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
 
     a = new_asg.alias("a")
     if use_codes:
+        if margin is None:
+            margin = derived_sq_margin(spark, path)
+        else:
+            try:
+                bound = derived_sq_margin(spark, path)
+            except ValueError:
+                bound = None
+            if bound is not None and float(margin) < bound:
+                warnings.warn(
+                    f"probe_semantic_index: margin={margin} is below the "
+                    f"store's sound bound {bound:.6g} — the funnel may "
+                    "silently drop true matches; pass margin=None to "
+                    "derive the sound bound", stacklevel=2)
         sq = spark.read.parquet(f"{path}/sq")
         c = pruned("codes").alias("c")
         cand = (
@@ -1497,6 +1554,13 @@ def probe_semantic_index(spark, path: str, new_vectors: DataFrame,
                 F.round(F.col("_cos"), 6).alias("cos"),
             )
         )
+    # a vector is never a duplicate of ITSELF: after a crashed
+    # streaming absorb + a compaction that folds the batch's epoch into
+    # -1, the replayed probe's before_epoch no longer excludes the
+    # batch's own rows, and every vector would match itself at cos=1
+    # (r14, advisor r13). Identical ids are identity, not duplication —
+    # drop self-pairs unconditionally (a no-op for fresh-id batches).
+    pairs = pairs.where(F.col("new_id") != F.col("old_id"))
     if append:
         pairs = pairs.localCheckpoint(eager=True)
         if epoch is None:

@@ -441,7 +441,11 @@ def forget_from_ann_index(spark, path: str, vec_ids) -> dict:
 # the quantized layout) and ``codes`` (SQ8 1-byte-per-dim encodings,
 # present when the store was built with layout="sq8").
 _SEMANTIC_DATA_DIRS = ("vectors", "codes")
-_SEMANTIC_AUX_DIRS = ("centroids", "sq")
+# sq_bounds (r14) carries the probe-margin bound (max decode error,
+# min norm); carrying it UNCHANGED through compaction and forget is
+# sound — both only remove or move rows, so the true bounds can only
+# shrink and the persisted ones stay conservative.
+_SEMANTIC_AUX_DIRS = ("centroids", "sq", "sq_bounds")
 
 
 def compact_semantic_index(spark, path: str, max_epochs: int = 8) -> dict:

@@ -122,8 +122,6 @@ DRIVER_WINDOW = [
     "select_label_join",
     "alert_slo_burn",
     "corpus_mixture_temperature",
-    # -- single-driver-row entries (r9 was their first row) --
-    "ann_ivfpq_seeded_topk",
     # r12-new cisco config-blob collector (string-sample RLE + daily
     # LATEST at blob size — the last reference collector data shape);
     # displaces mutate_holt_winters (driver-green r10+r11; the trend
@@ -214,10 +212,29 @@ DRIVER_WINDOW = [
     # family keeps ann_ivfpq_seeded_topk and ann_sq_topk in-window,
     # and the funnel keeps its parity replay + recall pytests).
     "embed_knn_coreset",
+    # -- r14 rotation (judge r13 "Next round" #1/#3/#5/#8) --
+    # embed_label_propagation KEEPS its slot from r13: it is the one
+    # oracled query whose only driver row was red (the oracle's un-cast
+    # HUGEINT vote_w, fixed this round) — it stays in-window until it
+    # has a green row. The two r14-new oracled queries take slots
+    # immediately per the standing invariant:
+    # - embed_knn_graph_store (the materialized graph store end-to-end:
+    #   build − batch, absorb, read) displaces ann_ivfpq_seeded_topk
+    #   (driver-green r9, r11, r12, r13 + the r1-era rows — 5 greens,
+    #   the thickest non-canary ANN evidence; the ANN family keeps
+    #   ann_sq_topk in-window and IVFPQ keeps its recall-floor +
+    #   maintenance pytests and the parity replay).
+    "embed_knn_graph_store",
+    # - embed_label_propagation2 (two-round propagation, chained-CTE
+    #   oracle) displaces agg_anchored_median_user0 (5 driver greens —
+    #   the thickest aggregate evidence after the canary; the agg
+    #   family keeps agg_sum_by_name, agg_mad_outliers,
+    #   agg_quantile_over_time and agg_histogram_quantile in-window,
+    #   and the anchored kernel keeps its Go goldens + parity replay).
+    "embed_label_propagation2",
     # -- r11 rotation additions --
     "collector_varnish_status",
     "collector_http_fetch",
-    "agg_anchored_median_user0",
     "mutate_idelta",
     "corpus_ccnet_buckets",
     "dedup_minhash_incremental",
@@ -225,11 +242,12 @@ DRIVER_WINDOW = [
 ]
 
 _PAST_WINDOW_ORACLED = [
-    # r14-new, slotted here until the r14 window rotation at the end of
-    # the round (every new oracled query must take a driver slot —
-    # tracked in the DRIVER_WINDOW comment when rotated in).
-    "embed_label_propagation2",
-    "embed_knn_graph_store",
+    # r14 demotions — displaced by the two r14-new window entries
+    # (embed_knn_graph_store, embed_label_propagation2); both among the
+    # registry's thickest driver evidence (5 green rows each) and both
+    # still replayed by the identical pytest-hosted DuckDB gate below.
+    "ann_ivfpq_seeded_topk",
+    "agg_anchored_median_user0",
     # r13 demotions — each driver-green r11 AND r12; displaced by the
     # kNN-graph consumers (embed_mutual_knn_clusters, embed_knn_density,
     # embed_label_propagation).

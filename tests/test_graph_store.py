@@ -240,3 +240,73 @@ def test_tick_dispatches_graph_store(spark, tmp_path):
         spark, store, policy, dt.datetime(2024, 6, 1), dry_run=True,
         graph_indexes=[gpath])
     assert s3["graph"][gpath]["epochs_before"] == 1
+
+
+def test_streaming_graph_ingest_replay_equals_clean_and_fresh(spark, tmp_path):
+    """The graph store's streaming twin (r14): batch N crashes AFTER
+    its absorb landed (vectors/epoch=N + the touched cells' edge
+    rewrite on disk) but BEFORE the checkpoint commit. The replay
+    re-absorbs the same epoch — vector OVERWRITE + deterministic
+    per-cell recompute make it idempotent — so the crashed-and-replayed
+    run equals a crash-free twin exactly, and BOTH equal a fresh
+    knn_graph over everything ingested."""
+    import pytest as _pytest
+
+    from open_instrument_spark.streaming.graph_ingest import (
+        start_graph_ingest,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1).limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    b2 = emb.filter(F.col("vec_id") % 3 == 2).limit(20).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    schema = "vec_id long, embedding array<float>"
+
+    def run(tag, crash_epoch=None):
+        store = str(tmp_path / f"gs_{tag}")
+        src = str(tmp_path / f"gsrc_{tag}")
+        dest = str(tmp_path / f"gdest_{tag}")
+        ck = str(tmp_path / f"gck_{tag}")
+        os.makedirs(src, exist_ok=True)
+        build_knn_graph_store(base, store, C, k=K)
+
+        def go(fault=None):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = start_graph_ingest(stream, dest, store, ck,
+                                   available_now=True,
+                                   on_batch_complete=fault)
+            q.awaitTermination(180)
+
+        def crash(epoch):
+            if epoch == crash_epoch:
+                raise RuntimeError("injected crash after absorb")
+
+        b1.write.mode("append").parquet(src)
+        go()
+        b2.write.mode("append").parquet(src)
+        if crash_epoch is not None:
+            with _pytest.raises(Exception, match="injected crash"):
+                go(fault=crash)
+            # the crash window is real: epoch 1's absorb IS on disk...
+            assert glob.glob(os.path.join(
+                store, "vectors", "epoch=1", "*", "*.parquet"))
+            # ...and the checkpoint has no commit for it
+            assert not glob.glob(os.path.join(ck, "commits", "1"))
+            go()  # restart replays epoch 1 into the absorbed store
+        else:
+            go()
+        log = sorted((r["vec_id"], r["epoch"], r["cell"]) for r in
+                     spark.read.parquet(dest).collect())
+        return _edge_rows(read_knn_graph_edges(spark, store)), log
+
+    crashed = run("crash", crash_epoch=1)
+    clean = run("clean")
+    assert crashed == clean
+    edges, log = crashed
+    # the maintained store equals a fresh graph over everything
+    assert edges == _fresh_edges(base.unionByName(b1).unionByName(b2))
+    # the ingest log carries each batch exactly once
+    vids = [v for v, _, _ in log]
+    assert len(vids) == len(set(vids)) == 40

@@ -1649,7 +1649,8 @@ def test_maintenance_tick_dry_run_apply_fixpoint(spark, tmp_path):
                    (1, "downsample", 4, 1)]
     assert summary == {"variables": 1, "values": 9, "applied": False,
                        "compacted_dates": [], "ann": {}, "minhash": {},
-                       "text_index": {}, "semantic": {}, "forget": {}}
+                       "text_index": {}, "semantic": {}, "graph": {},
+                       "forget": {}}
     assert listing() == before                      # log-only: untouched
 
     report2, summary2 = maintenance_tick(spark, store, policy, NOW,

@@ -1614,15 +1614,17 @@ def test_minhash_index_meta_no_full_scan(spark, tmp_path, monkeypatch):
     assert {e for _, e in store} == {-1, 5}          # no second epoch
     assert spark.read.parquet(f"{path}/meta").first()["next_epoch"] == 6
 
-    # ---- before_epoch hides the batch's own absorbed epoch
-    n_batch = batch.count()
+    # ---- the batch's own absorbed epoch can no longer self-match:
+    # r14 (advisor r13) drops new_id == old_id pairs unconditionally —
+    # before_epoch remains the pruning that keeps the probe from even
+    # READING the batch's rows, but a probe without it (or after a
+    # compaction folded the epoch under it) stays self-match-free.
     with_self = probe_minhash_index(spark, path, batch, threshold=0.99)
     assert with_self.filter(
-        F.col("new_id") == F.col("old_id") + 0).count() >= n_batch \
-        or with_self.count() >= n_batch              # self-matches visible
+        F.col("new_id") == F.col("old_id")).count() == 0
     without = sorted((r["new_id"], r["old_id"]) for r in probe_minhash_index(
         spark, path, batch, threshold=0.5, before_epoch=5).collect())
-    assert without == got1                           # filter removes them
+    assert without == got1                           # pruning unchanged
 
 
 def test_semantic_dedup_auto_assign_routes_on_k(spark):

@@ -226,12 +226,15 @@ def test_sq8_store_probe_parity_and_lifecycle(spark, tmp_path):
             spark, p, batch, threshold=0.35, **kw).collect())
 
     want = probe(raw_p)
-    assert want and probe(sq_p) == want           # funnel ≡ raw
-    assert probe(sq_p, use_codes=False) == want   # raw path on sq8 store
+    # funnel ≡ raw with the DERIVED sound margin (r14, advisor r13 —
+    # use_codes is now opt-in: no auto-detect, margin=None derives the
+    # bound from the persisted sq_bounds)
+    assert want and probe(sq_p, use_codes=True) == want
+    assert probe(sq_p) == want                    # default = exact raw path
 
     # codes read is partition-pruned on epoch AND cell like the raw read
     df = probe_semantic_index(spark, sq_p, batch, threshold=0.35,
-                              before_epoch=1)
+                              use_codes=True, before_epoch=1)
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple")
     pf = plan.split("PartitionFilters")[1][:160]
@@ -244,7 +247,7 @@ def test_sq8_store_probe_parity_and_lifecycle(spark, tmp_path):
     batch2 = batch.limit(3).select(
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
     got2 = {(r["new_id"], r["old_id"]) for r in probe_semantic_index(
-        spark, sq_p, batch2, threshold=0.35).collect()}
+        spark, sq_p, batch2, threshold=0.35, use_codes=True).collect()}
     b2 = {r["vec_id"] for r in batch2.select("vec_id").collect()}
     assert {(i, i - 100_000) for i in b2} <= got2
 
@@ -259,17 +262,17 @@ def test_sq8_store_probe_parity_and_lifecycle(spark, tmp_path):
                          fresh, C, layout="sq8")
     probe_semantic_index(spark, fresh, batch, threshold=0.35,
                          append=True, epoch=0)
-    assert probe(sq_p) == probe(fresh)
+    assert probe(sq_p, use_codes=True) == probe(fresh, use_codes=True)
 
     # compaction folds codes epochs too, probe invariant
-    before = probe(sq_p)
+    before = probe(sq_p, use_codes=True)
     for e in range(1, 11):
         nb = emb.filter(F.col("vec_id") % 10 == e % 10).select(
             (F.col("vec_id") + 500_000 + 10_000 * e).alias("vec_id"),
             "embedding")
         probe_semantic_index(spark, sq_p, nb, threshold=0.35,
                              append=True, epoch=e)
-    before_grown = probe(sq_p)
+    before_grown = probe(sq_p, use_codes=True)
     n_files_before = len(glob.glob(
         os.path.join(sq_p, "codes", "**", "*.parquet"), recursive=True))
     res = compact_semantic_index(spark, sq_p, max_epochs=8)
@@ -282,7 +285,8 @@ def test_sq8_store_probe_parity_and_lifecycle(spark, tmp_path):
         os.path.join(sq_p, "codes", "**", "*.parquet"), recursive=True))
     assert n_files_after <= 40 < n_files_before, (
         n_files_before, n_files_after)
-    assert probe(sq_p) == before_grown and len(before_grown) >= len(before)
+    assert probe(sq_p, use_codes=True) == before_grown
+    assert len(before_grown) >= len(before)
 
     # the layout's point: the probe's hot column (codes) is a small
     # fraction of the raw vector column on the same rows. Codes land
@@ -376,3 +380,113 @@ def test_tick_all_store_kinds_one_cadence(spark, tmp_path):
         forget_doc_ids=[0, 1], forget_vec_ids=[0, 1])
     assert not any(v["swapped"] for v in s2["forget"].values())
     assert not s2["semantic"][sem]["compacted"]
+
+
+def test_sq8_derived_margin_protects_small_norms(spark, tmp_path):
+    """r14 (advisor r13's failure scenario): the grid's decode error is
+    bounded in ABSOLUTE terms by the corpus range, so a small-norm
+    vector's decoded direction can be arbitrarily wrong — here the
+    corpus spans ±100 per dim and the 0.4-norm vector decodes to its
+    own NEGATION (the nearest grid point sits across zero). A fixed
+    margin=0.05 funnel drops the exact cos=1.0 duplicate pair; the
+    derived sound margin (2·max_err/min_norm from sq_bounds) keeps it
+    and reproduces the raw path exactly. An explicit undercutting
+    margin warns."""
+    import warnings as _w
+
+    import numpy as np
+    import pytest as _pytest
+
+    # dims 1-2 span ±100 (decode error up to ~0.39 per dim — maximal
+    # exactly at 0, the grid-cell midpoint); dims 3-4 span ±1. The
+    # small vector's SIGNAL lives in the tight dims while its wide
+    # dims sit at the midpoint, so its decode gains a spurious
+    # (0.392, 0.392, ...) component ~8× its own norm and the
+    # approximate cosine of its exact duplicate collapses to ~0.13.
+    C1 = np.array([[1.0, 1.0, 1.0, 1.0]])
+    rows = [(0, [100.0, 100.0, 1.0, 1.0]),
+            (1, [-100.0, -100.0, -1.0, -1.0]),
+            (2, [0.0, 0.0, 0.05, 0.05])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "sq8_small")
+    build_semantic_index(emb, path, C1, layout="sq8")
+    batch = spark.createDataFrame([(10, [0.0, 0.0, 0.05, 0.05])],
+                                  "vec_id long, embedding array<double>")
+
+    def pairs(**kw):
+        return {(r["new_id"], r["old_id"]) for r in probe_semantic_index(
+            spark, path, batch, threshold=0.35, **kw).collect()}
+
+    want = pairs()                                # raw path: exact truth
+    assert want == {(10, 2)}
+    # the sound derived margin reproduces it through the funnel
+    assert pairs(use_codes=True) == want
+    # the old fixed margin silently drops the small-norm duplicate
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        assert pairs(use_codes=True, margin=0.05) == set()
+    # ...and undercutting the sound bound warns
+    with _pytest.warns(UserWarning, match="below the store's sound bound"):
+        pairs(use_codes=True, margin=0.05)
+    # sq_bounds rides absorbs monotonically
+    from open_instrument_spark.operators.similarity import derived_sq_margin
+
+    m0 = derived_sq_margin(spark, path)
+    probe_semantic_index(spark, path, batch, threshold=0.35, append=True,
+                         epoch=0)
+    assert derived_sq_margin(spark, path) >= m0 * (1 - 1e-12)
+
+
+def test_crashed_absorb_then_compact_replay_has_no_self_pairs(spark, tmp_path):
+    """r14 (advisor r13): if a streaming micro-batch's absorb landed
+    but its checkpoint commit crashed, and a compaction folds that
+    epoch into -1 BEFORE the replay, the replayed probe's
+    before_epoch=epoch no longer excludes the batch's own rows — every
+    batch vector would match itself at cos=1 and the whole batch would
+    be flagged duplicate. The probe now drops new_id == old_id
+    self-pairs unconditionally, closing the window for the semantic
+    store AND its MinHash sibling."""
+    emb = _emb(spark)
+    path = str(tmp_path / "sem")
+    build_semantic_index(emb, path, C)
+    batch = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding")
+    # the batch's absorb landed (epoch 0) but the commit "crashed"
+    probe_semantic_index(spark, path, batch, threshold=0.35,
+                         append=True, epoch=0, before_epoch=0)
+    # maintenance folds epoch 0 into the base before the replay
+    res = compact_semantic_index(spark, path, max_epochs=0)
+    assert res["compacted"]
+    # replayed probe: the batch's own rows are visible, but self-pairs
+    # must not surface; real prior-corpus matches (the % 9 parents at
+    # cos 1.0) still do
+    replay = probe_semantic_index(spark, path, batch, threshold=0.35,
+                                  append=True, epoch=0, before_epoch=0)
+    rows = replay.collect()
+    assert rows and all(r["new_id"] != r["old_id"] for r in rows)
+    parents = {(r["new_id"], r["old_id"]) for r in rows}
+    some_parent = [r["vec_id"] for r in batch.limit(3).collect()]
+    assert all((i, i - 100_000) in parents for i in some_parent)
+
+    # MinHash sibling, same window
+    from open_instrument_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from open_instrument_spark.plans.maintenance import compact_minhash_index
+    from open_instrument_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, SF_SMOKE).table("documents").select(
+        "doc_id", "text")
+    mh = str(tmp_path / "mh")
+    build_minhash_index(docs, mh)
+    b = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"))
+    probe_minhash_index(spark, mh, b, threshold=0.5, append=True,
+                        epoch=0, before_epoch=0)
+    assert compact_minhash_index(spark, mh, max_epochs=0)["compacted"]
+    replay_mh = probe_minhash_index(spark, mh, b, threshold=0.5,
+                                    append=True, epoch=0,
+                                    before_epoch=0).collect()
+    assert replay_mh and all(r["new_id"] != r["old_id"] for r in replay_mh)
