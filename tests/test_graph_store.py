@@ -310,3 +310,28 @@ def test_streaming_graph_ingest_replay_equals_clean_and_fresh(spark, tmp_path):
     # the ingest log carries each batch exactly once
     vids = [v for v, _, _ in log]
     assert len(vids) == len(set(vids)) == 40
+
+
+def test_store_reads_are_partition_pruned(spark, tmp_path):
+    """Cell-pruned edge/node reads must reach the scan as
+    PartitionFilters (directory pruning, zero bytes from other cells),
+    and the node read's schema must exclude the vector arrays (column
+    pruning keeps `v` on disk)."""
+    path = str(tmp_path / "gstore")
+    build_knn_graph_store(_emb(spark), path, C, k=K)
+    edges = read_knn_graph_edges(spark, path, cells=[1, 2, 3])
+    nodes = read_knn_graph_nodes(spark, path, cells=[1, 2, 3])
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+
+    ep, np_ = plan(edges), plan(nodes)
+    assert "PartitionFilters" in ep and "cell" in ep.split(
+        "PartitionFilters")[1][:120]
+    assert "PartitionFilters" in np_ and "cell" in np_.split(
+        "PartitionFilters")[1][:120]
+    # node read never materializes the vector column
+    assert "v" not in nodes.columns
+    rs = np_.split("ReadSchema")[1][:120] if "ReadSchema" in np_ else ""
+    assert "vec_id" in rs and '"v"' not in rs
