@@ -52,6 +52,15 @@ AGG_FNS = {
         F.array_sort(F.collect_list(c)),
         F.floor(F.size(F.collect_list(c)) / 2).cast("int"),
     ),
+    # PromQL cross-series aggregator tail (r14 — promql/engine.go
+    # aggregation contract; extensions beyond the reference's five,
+    # like topk/bottomk before them). stddev/stdvar are POPULATION
+    # moments (PromQL funcs are σ², not sample variance); group() is
+    # the constant-1 presence aggregator.
+    "count": lambda c: F.count(c),
+    "stddev": lambda c: F.stddev_pop(c),
+    "stdvar": lambda c: F.var_pop(c),
+    "group": lambda c: F.max(F.lit(1.0)),
 }
 
 
@@ -82,6 +91,32 @@ def aggregate_by_name(points: DataFrame, agg_type: str,
         points.withColumn("ts", _bucket_start(interval_ms))
         .groupBy("name", "ts")
         .agg(_agg_expr(agg_type))
+    )
+
+
+def aggregate_by_name_multi(points: DataFrame, aggs: dict[str, str],
+                            sample_interval=DEFAULT_SAMPLE_INTERVAL_MS,
+                            ) -> DataFrame:
+    """A7 with SEVERAL aggregators folded in ONE pass: ``aggs`` maps
+    output column name → aggregator type (any :func:`_agg_expr` kind —
+    the A2-A6 five, percentiles, and the PromQL tail count / stddev /
+    stdvar / group). A dashboard or rule asking for mean+p95+count of
+    the same selector should cost one exchange, not three: Spark folds
+    all requested aggregators in the same aggregate pair, one shuffle
+    on (name, bucket) regardless of how many are asked for (the moment
+    aggregators — sum/avg/min/max/count/stddev/stdvar/group — stay
+    map-side partial-combinable; exact percentiles/medians carry their
+    usual per-group buffer, same as when requested alone).
+
+    Output: (name, ts = bucket start, <one column per aggs key>)."""
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregator")
+    interval_ms = parse_duration_ms(sample_interval)
+    exprs = [_agg_expr(kind, "dval").alias(out) for out, kind in aggs.items()]
+    return (
+        points.withColumn("ts", _bucket_start(interval_ms))
+        .groupBy("name", "ts")
+        .agg(*exprs)
     )
 
 

@@ -432,3 +432,124 @@ def range_aggregations(points: DataFrame,
             F.lit(1.0).alias("present_ot"),
         )
     )
+
+
+# ===========================================================================
+# PromQL instant-vector math + calendar functions (r14)
+# ===========================================================================
+
+_INF = float("inf")
+_NAN = float("nan")
+
+
+def _scalar_expr(fn: str, c: Column, *, to: float = 1.0,
+                 lo: float | None = None, hi: float | None = None) -> Column:
+    """One PromQL math function as a pure JVM column expression
+    (promql/functions.go func{Abs,Ceil,Floor,Sqrt,Exp,Ln,Log2,Log10,
+    Sgn,Clamp,ClampMin,ClampMax,Round} — public PromQL docs). IEEE
+    edge semantics are PromQL's, not Spark's defaults: ln/log2/log10
+    of 0 is -Inf and of a negative is NaN (Spark's builtin log yields
+    NULL for both — rewritten here), sqrt of a negative is NaN,
+    round(v, to) is floor(v/to + 0.5)*to (Go's half-up, NOT
+    half-even). All stay inside whole-stage codegen — no UDFs."""
+    f = fn.lower()
+    if f == "abs":
+        return F.abs(c)
+    if f == "ceil":
+        return F.ceil(c).cast("double")
+    if f == "floor":
+        return F.floor(c).cast("double")
+    if f == "sqrt":
+        return F.sqrt(c)          # Spark: NaN for negatives (IEEE), kept
+    if f == "exp":
+        return F.exp(c)
+    if f in ("ln", "log2", "log10"):
+        base = {"ln": F.log, "log2": F.log2, "log10": F.log10}[f]
+        return (
+            F.when(c > 0, base(c))
+            .when(c == 0, F.lit(-_INF))
+            .otherwise(F.lit(_NAN))
+        )
+    if f == "sgn":
+        return F.signum(c)
+    if f == "round":
+        if to <= 0:
+            raise ValueError(f"round 'to' must be > 0, got {to}")
+        return F.floor(c / F.lit(float(to)) + F.lit(0.5)) * F.lit(float(to))
+    if f == "clamp_min":
+        if lo is None:
+            raise ValueError("clamp_min requires lo")
+        return F.greatest(c, F.lit(float(lo)))
+    if f == "clamp_max":
+        if hi is None:
+            raise ValueError("clamp_max requires hi")
+        return F.least(c, F.lit(float(hi)))
+    if f == "clamp":
+        if lo is None or hi is None:
+            raise ValueError("clamp requires lo and hi")
+        return F.greatest(F.least(c, F.lit(float(hi))), F.lit(float(lo)))
+    raise ValueError(f"unknown scalar function {fn!r}")
+
+
+def scalar_map(points: DataFrame, fn: str, *, to: float = 1.0,
+               lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Apply one PromQL math function to every sample of every series
+    — ``abs(rate(...))``-style instant-vector arithmetic, the last
+    PromQL function class this engine lacked (selection, mutation,
+    aggregation, label manipulation, absent, *_over_time all exist).
+
+    A pure narrow map: no shuffle, no window — Catalyst fuses it into
+    whatever scan or mutation feeds it, so at 100 TB it rides the
+    parent stage for free. ``clamp`` with lo > hi returns the EMPTY
+    frame (the documented PromQL special case), not an error.
+    Output: (series_key, ts, dval) with dval transformed."""
+    pts = _with_key(points).select("series_key", "ts", "dval")
+    if fn.lower() == "clamp" and lo is not None and hi is not None and lo > hi:
+        return pts.where(F.lit(False))
+    return pts.withColumn("dval", _scalar_expr(fn, F.col("dval"),
+                                               to=to, lo=lo, hi=hi))
+
+
+def calendar_components(points: DataFrame) -> DataFrame:
+    """The PromQL calendar-function family evaluated on each sample's
+    own timestamp (promql/functions.go func{Year,Month,DayOfMonth,
+    DayOfWeek,DayOfYear,Hour,Minute,DaysInMonth}): the per-sample
+    analog of applying PromQL's time functions to a range vector —
+    "which hour-of-day / day-of-week does this series fire in" is the
+    standard seasonality question over a metrics corpus.
+
+    All eight ride ONE narrow projection (UTC-pinned session, so the
+    components are pure integer calendar math — engine-portable and
+    hash-gateable). day_of_week is PromQL's 0=Sunday (Spark's
+    dayofweek is 1=Sunday, shifted here); days_in_month via last_day.
+    Output: (series_key, ts, dval, year, month, day_of_month,
+    day_of_week, day_of_year, hour, minute, days_in_month)."""
+    ts = F.col("ts")
+    return _with_key(points).select(
+        "series_key", "ts", "dval",
+        F.year(ts).cast("int").alias("year"),
+        F.month(ts).cast("int").alias("month"),
+        F.dayofmonth(ts).cast("int").alias("day_of_month"),
+        (F.dayofweek(ts) - 1).cast("int").alias("day_of_week"),
+        F.dayofyear(ts).cast("int").alias("day_of_year"),
+        F.hour(ts).cast("int").alias("hour"),
+        F.minute(ts).cast("int").alias("minute"),
+        F.dayofmonth(F.last_day(ts)).cast("int").alias("days_in_month"),
+    )
+
+
+def scalar_math_family(points: DataFrame,
+                       specs: dict[str, tuple | str]) -> DataFrame:
+    """Several PromQL math functions of the same samples as sibling
+    columns — ``specs`` maps output column → function name or
+    (name, params-dict). One narrow projection computes all of them
+    (the mutate_over_time_family pattern: a dashboard wanting
+    abs+clamped+log of one selector pays one pass, and the gate query
+    exercises every :func:`_scalar_expr` member under one hash).
+    Output: (series_key, ts, dval, <one column per spec>)."""
+    pts = _with_key(points)
+    cols = []
+    for out, spec in specs.items():
+        fn, params = (spec, {}) if isinstance(spec, str) else spec
+        cols.append(_scalar_expr(fn, F.col("dval"), **params).alias(out))
+    return pts.select("series_key", "ts", "dval", *cols)

@@ -419,6 +419,44 @@ def agg_avg_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg_by_name(spark, sf_dir, "average", 3_600_000)
 
 
+@query(
+    "agg_cross_family",
+    oracle=f"""
+WITH {P_CTE}
+SELECT name, {_bucket_sql(3_600_000)} AS ts,
+       CAST(count(dval) AS BIGINT) AS cnt,
+       round(coalesce(stddev_pop(dval), 0), 6) AS sd,
+       round(coalesce(var_pop(dval), 0), 6) AS sv,
+       CAST(1.0 AS DOUBLE) AS grp
+FROM p GROUP BY 1, 2
+""",
+)
+def agg_cross_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 × the PromQL cross-series aggregator tail (r14): count /
+    stddev / stdvar / group per (name, hourly bucket), all four folded
+    in ONE exchange via operators/aggregate.py::aggregate_by_name_multi
+    — the promql/engine.go aggregation contract (population moments,
+    group()=1), closing the aggregator gap the A2-A6 five + topk /
+    bottomk / percentiles left open. The oracle replays every member
+    in the same GROUP BY; both engines define the population moments
+    of a single-sample bucket as 0.0 (verified), with a coalesce-to-0
+    guard on both sides so the gate can never hinge on an engine NULL
+    convention."""
+    from open_instrument_spark.operators import aggregate as agg
+
+    out = agg.aggregate_by_name_multi(
+        _pts(spark, sf_dir),
+        {"cnt": "count", "sd": "stddev", "sv": "stdvar", "grp": "group"},
+        3_600_000,
+    )
+    return out.select(
+        "name", "ts", "cnt",
+        F.round(F.coalesce("sd", F.lit(0.0)), 6).alias("sd"),
+        F.round(F.coalesce("sv", F.lit(0.0)), 6).alias("sv"),
+        "grp",
+    )
+
+
 @query("agg_anchored_sum")
 def agg_anchored_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 reference-EXACT drift-bucket SUM per name: the sequential
@@ -2391,3 +2429,105 @@ def mutate_over_time_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_instrument_spark.operators.trend import range_aggregations
 
     return range_aggregations(_pts(spark, sf_dir), interval_ms=86_400_000)
+
+
+@query(
+    "mutate_scalar_math_family",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval,
+       abs(dval) AS absv,
+       ceil(dval) AS ceilv,
+       floor(dval) AS floorv,
+       sqrt(dval) AS sqrtv,
+       round(CASE WHEN dval > 0 THEN ln(dval)
+                  WHEN dval = 0 THEN CAST('-infinity' AS DOUBLE)
+                  ELSE CAST('nan' AS DOUBLE) END, 6) AS lnv,
+       round(CASE WHEN dval > 0 THEN log2(dval)
+                  WHEN dval = 0 THEN CAST('-infinity' AS DOUBLE)
+                  ELSE CAST('nan' AS DOUBLE) END, 6) AS log2v,
+       round(CASE WHEN dval > 0 THEN log10(dval)
+                  WHEN dval = 0 THEN CAST('-infinity' AS DOUBLE)
+                  ELSE CAST('nan' AS DOUBLE) END, 6) AS log10v,
+       CAST(sign(dval) AS DOUBLE) AS sgnv,
+       floor(dval / CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         * CAST(0.5 AS DOUBLE) AS roundv,
+       greatest(least(dval, CAST(300.0 AS DOUBLE)), CAST(50.0 AS DOUBLE))
+         AS clampv,
+       greatest(dval, CAST(100.0 AS DOUBLE)) AS clampminv,
+       least(dval, CAST(200.0 AS DOUBLE)) AS clampmaxv
+FROM p
+""",
+)
+def mutate_scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL instant-vector MATH function family (r14 —
+    operators/trend.py::scalar_math_family / scalar_map): abs / ceil /
+    floor / sqrt / ln / log2 / log10 / sgn / round(to=0.5) / clamp /
+    clamp_min / clamp_max of every sample, twelve functions under ONE
+    hash in one narrow projection (no shuffle — Catalyst fuses the
+    whole family into the scan stage). The oracle replays each,
+    including the PromQL log-branch rewrite (ln(0) = -Inf, ln(<0) =
+    NaN — Spark's builtin log yields NULL for both and is rewritten;
+    the corpus is strictly positive so the gate exercises the finite
+    branch, the IEEE branches are pinned by pytest). Only the three
+    log columns are rounded (1-ulp libm divergence at |v| ≈ 1e0 sits
+    1e10 below the 6-dp grid); every other member is exact integer /
+    IEEE-determined arithmetic on both engines. ``exp`` is in the
+    operator but deliberately NOT in the hash gate: on this corpus
+    exp(490) ≈ 1e212, where a 1-ulp divergence is ~1e196 — no decimal
+    rounding can absorb it — so it is pinned by pytest against numpy
+    instead."""
+    from open_instrument_spark.operators.trend import scalar_math_family
+
+    out = scalar_math_family(_pts(spark, sf_dir), {
+        "absv": "abs",
+        "ceilv": "ceil",
+        "floorv": "floor",
+        "sqrtv": "sqrt",
+        "lnv": "ln",
+        "log2v": "log2",
+        "log10v": "log10",
+        "sgnv": "sgn",
+        "roundv": ("round", {"to": 0.5}),
+        "clampv": ("clamp", {"lo": 50.0, "hi": 300.0}),
+        "clampminv": ("clamp_min", {"lo": 100.0}),
+        "clampmaxv": ("clamp_max", {"hi": 200.0}),
+    })
+    return out.select(
+        "series_key", "ts", "dval",
+        "absv", "ceilv", "floorv", "sqrtv",
+        F.round("lnv", 6).alias("lnv"),
+        F.round("log2v", 6).alias("log2v"),
+        F.round("log10v", 6).alias("log10v"),
+        "sgnv", "roundv", "clampv", "clampminv", "clampmaxv",
+    )
+
+
+@query(
+    "mutate_calendar_family",
+    oracle=f"""
+WITH {P_CTE}
+SELECT series_key, ts, dval,
+       year(ts) AS year,
+       month(ts) AS month,
+       day(ts) AS day_of_month,
+       dayofweek(ts) AS day_of_week,
+       dayofyear(ts) AS day_of_year,
+       hour(ts) AS hour,
+       minute(ts) AS minute,
+       day(last_day(ts)) AS days_in_month
+FROM p
+""",
+)
+def mutate_calendar_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL CALENDAR function family evaluated on each sample's
+    own timestamp (r14 — operators/trend.py::calendar_components):
+    year / month / day_of_month / day_of_week / day_of_year / hour /
+    minute / days_in_month, eight components under one hash in one
+    narrow projection. Pure integer calendar math on the UTC-pinned
+    session, so the gate is exact — DuckDB's dayofweek is already
+    PromQL's 0=Sunday convention, Spark's 1=Sunday is shifted inside
+    the operator."""
+    from open_instrument_spark.operators.trend import calendar_components
+
+    return calendar_components(_pts(spark, sf_dir))

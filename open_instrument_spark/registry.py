@@ -394,6 +394,12 @@ _PAST_WINDOW_ORACLED = [
     "multimodal_frame_sample",
     "analytics_top_orders_per_customer",
     "api_get_fanout",
+    # r14-new (placed here during development; the r14 window rotation
+    # at the end of the round decides in-window slots — see the
+    # rotation comment above DRIVER_WINDOW):
+    "agg_cross_family",
+    "mutate_scalar_math_family",
+    "mutate_calendar_family",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [
