@@ -881,9 +881,89 @@ def _cell_assign(embeddings: DataFrame, centroids: np.ndarray,
     )
 
 
+def _cell_assign_multi(embeddings: DataFrame, centroids: np.ndarray,
+                       id_col: str, vec_col: str, n_probe: int,
+                       assign: str) -> DataFrame:
+    """Top-``n_probe`` nearest-centroid assignment — the multi-probe
+    sibling of :func:`_cell_assign` for recall-sensitive graph builds:
+    one row per (vector, probe cell), cells ranked by raw dot
+    descending with first-index tie-break (the same order the
+    single-probe argmax induces, so n_probe=1 reproduces it exactly).
+    "fold" builds the oracle-exact literal dot array and sorts
+    (-dot, idx) structs in-plan; "arrow" is the matmul scale path
+    (stable argsort — equality with fold pytest-pinned).
+    Output: (vec_id, v, cell, prank) with prank in 1..n_probe."""
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(
+            f"n_probe must be in 1..{len(centroids)}, got {n_probe}")
+    v = as_double(F.col(vec_col))
+    if assign == "arrow":
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = centroids.astype(np.float64)
+        p = n_probe
+
+        def _top(vs):
+            X = np.stack(vs.values).astype(np.float64)
+            D = X @ C.T
+            # argsort of -dot, stable → dot desc with index tie-break,
+            # bit-matching the fold engine's (-dot, idx) struct sort.
+            top = np.argsort(-D, axis=1, kind="stable")[:, :p]
+            return pd.Series([r.astype("int32").tolist() for r in top])
+
+        _top.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+        cells = pandas_udf(_top, "array<int>")(v)
+    else:
+        ds = F.array(*[dot(v, _lit_vec(c)) for c in centroids])
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda i: F.struct((-F.get(ds, i)).alias("nd"),
+                               i.alias("idx")),
+        )
+        cells = F.transform(F.slice(F.array_sort(pairs), 1, n_probe),
+                            lambda s: s["idx"].cast("int"))
+    ex = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                           F.posexplode(cells).alias("pos", "cell"))
+    return ex.select("vec_id", "v", "cell",
+                     (F.col("pos") + 1).alias("prank"))
+
+
+def _knn_edges_multi(asgp: DataFrame, k: int) -> DataFrame:
+    """Edge stage over a multi-probe assignment: the same in-cell
+    candidate equi-join as :func:`_knn_edges`, then (src, dst) pairs
+    deduplicated (a pair sharing several probe cells appears once per
+    shared cell — the cosine is bit-identical across instances, the
+    attributed cell is the minimum) before the global per-src top-k
+    rank. Costs one extra exchange vs single-probe (the dedup groupBy
+    on the candidate edge key, ≤ n_probe²-amplified but still never
+    all-pairs); the rank window then shuffles the ≤ N·k·p² deduped
+    edge list on src only."""
+    a, b = asgp.alias("a"), asgp.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                      F.col("a.vec_id") != F.col("b.vec_id")])
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.col("a.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
+        )
+    )
+    ded = cand.groupBy("src", "dst").agg(F.min("cell").alias("cell"),
+                                         F.max("_cos").alias("_cos"))
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    return (
+        ded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cell", "rank",
+                F.round("_cos", 6).alias("cos"))
+    )
+
+
 def knn_graph(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              assign: str = "auto") -> DataFrame:
+              assign: str = "auto", n_probe: int = 1) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus —
     the substrate for graph-based curation (semantic clustering à la
     SemDeDup's cluster step, label propagation, density scoring):
@@ -903,10 +983,24 @@ def knn_graph(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
     replays in SQL under the hash gate with seeded centroids as
     literals (the dedup_semantic precedent).
 
+    ``n_probe`` (r14) is the standard IVF recall lever applied to the
+    graph build: each vector joins its top-``n_probe`` cells' candidate
+    pools, so true neighbors split across a cell boundary — the one
+    approximation class single-probe can never see — become edges at
+    ≤ n_probe²× the candidate work (still in-cell, never all-pairs).
+    n_probe=1 is the default and reproduces the single-probe plan
+    exactly; the measured recall lift and the n_probe=1 equality are
+    pytest-pinned, and the n_probe=2 pipeline has its own full hash
+    gate (embed_knn_graph_multiprobe).
+
     Output: (src, dst, cell, rank, cos rounded 6dp); nodes alone in
     their cell contribute no rows."""
     if assign == "auto":
         assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    if n_probe != 1:
+        asgp = _cell_assign_multi(embeddings, centroids, id_col, vec_col,
+                                  n_probe, assign)
+        return _knn_edges_multi(asgp, k)
     asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
     return _knn_edges(asg, k)
 

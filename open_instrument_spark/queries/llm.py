@@ -3154,6 +3154,80 @@ def embed_knn_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_knn_graph_edges(spark, path)
 
 
+def _knn_graph_multiprobe_oracle(k: int = 5, n_probe: int = 2,
+                                 n_cells: int = 32, dim: int = 64,
+                                 seed: int = 7) -> str:
+    """DuckDB twin of similarity.knn_graph(n_probe=2): the same
+    literal dot array, then each vector's top-``n_probe`` cells by
+    (dot DESC, cell index ASC) — the exact order the Spark side's
+    (-dot, idx) struct sort induces — the in-cell candidate join over
+    the probe-expanded assignment, (src, dst) dedup keeping the min
+    shared cell (the cosine is bit-identical across instances), and
+    the global per-src top-k rank."""
+    from open_instrument_spark.operators.similarity import seeded_centroids
+
+    Cm = seeded_centroids(dim, n_cells, seed)
+
+    def dot(c) -> str:
+        lit = ", ".join(repr(float(x)) for x in c)
+        return f"list_sum(list_transform(list_zip(v, [{lit}]), x -> x[1] * x[2]))"
+
+    ds = ",\n    ".join(dot(c) for c in Cm)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, v, [
+    {ds}] AS ds FROM e),
+u AS (
+  SELECT vec_id, v, unnest(ds) AS dv,
+         CAST(generate_subscripts(ds, 1) - 1 AS INTEGER) AS cell
+  FROM d),
+pr AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dv DESC, cell) AS prank
+  FROM u),
+asgp AS (SELECT vec_id, v, cell FROM pr WHERE prank <= {n_probe}),
+g0 AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, a.cell AS cell,
+         {_COS_SQL} AS cos
+  FROM asgp a JOIN asgp b
+    ON a.cell = b.cell AND a.vec_id != b.vec_id),
+g AS (
+  SELECT src, dst, min(cell) AS cell, max(cos) AS cos
+  FROM g0 GROUP BY 1, 2),
+r AS (
+  SELECT src, dst, cell, cos,
+         row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+  FROM g)
+SELECT src, dst, cell, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos
+FROM r WHERE rank <= {k}
+"""
+
+
+@query("embed_knn_graph_multiprobe", oracle=_knn_graph_multiprobe_oracle())
+def embed_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 the kNN graph's RECALL lever (r14 —
+    operators/similarity.py::knn_graph(n_probe=2)): single-probe
+    in-cell graphs structurally miss true neighbors split across a
+    cell boundary; multi-probe joins each vector into its top-2 cells'
+    candidate pools (the standard IVF probe trade: ≤ n_probe²× the
+    in-cell candidate work, still never all-pairs) so boundary
+    neighbors become edges. The whole expanded pipeline — top-2 cell
+    rank with (dot DESC, index) tie order, probe-expanded candidate
+    join, (src, dst) dedup to the min shared cell, global top-k —
+    replays in SQL; the measured recall lift over single-probe (and
+    n_probe=1 ≡ the single-probe plan) is pytest-pinned in
+    tests/test_knn_consumers.py."""
+    from open_instrument_spark.operators.similarity import (
+        knn_graph,
+        seeded_centroids,
+    )
+
+    prepare(spark)
+    emb = load_tables(spark, sf_dir).table("embeddings")
+    return knn_graph(emb, seeded_centroids(64, 32, 7), k=5, n_probe=2)
+
+
 def _knn_cte(k: int = 5, n_cells: int = 32, dim: int = 64,
              seed: int = 7) -> str:
     """The shared CTE chain of every kNN-graph oracle: seeded-centroid

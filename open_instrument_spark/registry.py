@@ -400,6 +400,7 @@ _PAST_WINDOW_ORACLED = [
     "agg_cross_family",
     "mutate_scalar_math_family",
     "mutate_calendar_family",
+    "embed_knn_graph_multiprobe",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

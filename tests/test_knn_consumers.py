@@ -172,3 +172,102 @@ def test_consumers_accept_precomputed_graph(spark):
         knn_density(emb, C, k=2, edges=edges)
     with _pytest.raises(ValueError, match="both edges and nodes"):
         knn_coreset(emb, C, k=2, nodes=nodes)
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe graph build (r14): the recall lever
+# ---------------------------------------------------------------------------
+
+def test_multiprobe_finds_boundary_neighbor_single_probe_misses(spark):
+    # v near the e1/e2 bisector lands in cell 0; its TRUE nearest
+    # neighbor sits in cell 1 — invisible to single-probe, found by
+    # probing the second-closest cell.
+    rows = [
+        (1, [1.0, 0.8, 0.0, 0.0], 0),   # boundary vector → cell 0
+        (2, [0.9, 1.0, 0.0, 0.0], 0),   # its true nearest → cell 1
+        (3, [1.0, 0.0, 0.0, 0.0], 0),   # cell-0 filler
+        (4, [0.0, 1.0, 0.0, 0.0], 0),   # cell-1 filler
+    ]
+    emb = spark.createDataFrame(rows, SCHEMA)
+    e1 = {(r.src, r.dst) for r in knn_graph(emb, C, k=1).collect()}
+    e2 = {(r.src, r.dst) for r in knn_graph(emb, C, k=1, n_probe=2).collect()}
+    assert (1, 3) in e1 and (1, 2) not in e1     # stuck with its cellmate
+    assert (1, 2) in e2                          # boundary neighbor found
+
+
+def test_multiprobe_n_probe_1_equals_single_probe(spark):
+    emb = _emb(spark)
+    base = sorted(map(tuple, knn_graph(emb, C, k=2).collect()))
+    mp1 = sorted(map(tuple, knn_graph(emb, C, k=2, n_probe=1).collect()))
+    assert base == mp1
+
+
+def test_multiprobe_all_cells_equals_brute_force(spark):
+    # Probing every cell makes the candidate set all-pairs, so the
+    # graph must equal exact brute-force kNN.
+    emb = _emb(spark)
+    got = {(r.src, r.dst, r.rank) for r in
+           knn_graph(emb, C, k=2, n_probe=len(C)).collect()}
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    expect = set()
+    for s, xv in X.items():
+        sims = sorted(
+            ((float(xv @ yv / (np.linalg.norm(xv) * np.linalg.norm(yv))), d)
+             for d, yv in X.items() if d != s),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (_, d) in enumerate(sims[:2], start=1):
+            expect.add((s, d, rank))
+    assert got == expect
+
+
+def test_multiprobe_fold_equals_arrow(spark):
+    emb = _emb(spark)
+    fold = sorted(map(tuple,
+                      knn_graph(emb, C, k=2, n_probe=2,
+                                assign="fold").collect()))
+    arrow = sorted(map(tuple,
+                       knn_graph(emb, C, k=2, n_probe=2,
+                                 assign="arrow").collect()))
+    assert fold == arrow
+
+
+def test_multiprobe_recall_lift_vs_brute_force(spark):
+    # The sf0.001 embeddings are near-random — the WORST case for
+    # cell-partitioned candidate generation — yet probing 2 of 32
+    # cells must still lift recall@5 well clear of single-probe
+    # (measured: 0.091 → 0.290 → 0.714 for n_probe 1/2/4).
+    from open_instrument_spark.operators.similarity import seeded_centroids
+    from open_instrument_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001").table("embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.values
+    X = np.stack(pdf.embedding.values).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2.0)
+    k = 5
+    true = {vid: set(ids[j] for j in np.argsort(-S[i], kind="stable")[:k])
+            for i, vid in enumerate(ids)}
+    Cs = seeded_centroids(64, 32, 7)
+
+    def recall(n_probe):
+        got = {}
+        for r in knn_graph(emb, Cs, k=k, n_probe=n_probe).collect():
+            got.setdefault(r.src, set()).add(r.dst)
+        return sum(len(true[v] & got.get(v, set()))
+                   for v in true) / (len(true) * k)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 2.0 * r1          # measured 3.2x; pinned with slack
+    assert r2 >= 0.25
+
+
+def test_multiprobe_validation(spark):
+    import pytest as _pytest
+
+    emb = _emb(spark)
+    with _pytest.raises(ValueError):
+        knn_graph(emb, C, k=2, n_probe=0).collect()
+    with _pytest.raises(ValueError):
+        knn_graph(emb, C, k=2, n_probe=len(C) + 1).collect()
