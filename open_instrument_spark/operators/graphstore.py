@@ -32,8 +32,25 @@ MinHash/BM25 stores in operators/dedup.py / operators/retrieval.py):
   :func:`~open_instrument_spark.operators.similarity.knn_graph` over
   the current corpus, the invariant the consumers' oracles rely on.
 - ``centroids`` — (cell, c), the assignment table (never retrained).
-- ``meta`` — one row (dim, n_cells, k, next_epoch): ``k`` lives in the
-  store so every rebuild agrees with the build-time edge budget.
+- ``meta`` — one row (dim, n_cells, k, next_epoch, n_probe): ``k`` and
+  ``n_probe`` live in the store so every rebuild agrees with the
+  build-time edge budget and probe width.
+
+Multi-probe stores (r14, ``build_knn_graph_store(n_probe=p)``) carry
+the RECALL-lever graph (``knn_graph(n_probe=p)`` — boundary neighbors
+across cells become edges): each vector lands once per probe cell as a
+(vec_id, v, prank, pcell) replica — ``cell`` stays the candidate-pool
+partition key, ``pcell`` is the vector's primary (rank-1) cell — and
+``edges`` is partitioned by ``pcell`` instead, because a src's top-k
+merges candidates from ALL its probe cells: its edge rows must live in
+exactly one partition for partition-grain rewrites to be possible. A
+mutation's blast radius expands accordingly (``affected_pcells`` →
+``rebuild_edge_pcells``): touched candidate cells → the primary cells
+of every src probing them → those partitions recompute from the
+candidate-cell set of their srcs. The expansion is found on the THIN
+(pcell, cell) projection — column pruning keeps the fat vectors on
+disk — and is bounded by n_probe hops, never a fixpoint, never
+corpus-wide vector work.
 
 100 TB shape: an absorb touches only the batch's cells — the rewrite
 is Σ|touched cell|², never corpus-wide; cells stay bounded by growing
@@ -60,7 +77,9 @@ from pyspark.sql import DataFrame, functions as F
 from open_instrument_spark.operators.similarity import (
     SEMDEDUP_FOLD_MAX_K,
     _cell_assign,
+    _cell_assign_multi,
     _knn_edges,
+    _knn_edges_multi,
     _store_centroids,
 )
 
@@ -68,17 +87,20 @@ EDGE_COLS = ["src", "dst", "cell", "rank", "cos"]
 
 
 def _write_graph_meta(spark, path: str, dim: int, n_cells: int, k: int,
-                      next_epoch: int) -> None:
+                      next_epoch: int, n_probe: int = 1) -> None:
     spark.createDataFrame(
-        [(int(dim), int(n_cells), int(k), int(next_epoch))],
-        "dim int, n_cells int, k int, next_epoch long",
+        [(int(dim), int(n_cells), int(k), int(next_epoch), int(n_probe))],
+        "dim int, n_cells int, k int, next_epoch long, n_probe int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def _read_graph_meta(spark, path: str) -> tuple[int, int, int, int]:
+def _read_graph_meta(spark, path: str) -> tuple[int, int, int, int, int]:
     r = spark.read.parquet(f"{path}/meta").first()
+    # n_probe landed with the multi-probe layout (r14); stores written
+    # before it are single-probe by construction.
+    n_probe = int(r["n_probe"]) if "n_probe" in r.__fields__ else 1
     return (int(r["dim"]), int(r["n_cells"]), int(r["k"]),
-            int(r["next_epoch"]))
+            int(r["next_epoch"]), n_probe)
 
 
 def rebuild_edge_cells(spark, path: str, cells: list[int], k: int,
@@ -125,31 +147,133 @@ def rebuild_edge_cells(spark, path: str, cells: list[int], k: int,
     return sorted(with_members)
 
 
+def affected_pcells(spark, vroot: str, cells: list[int]) -> list[int]:
+    """Multi-probe blast radius, step 1: the primary cells of every
+    vector holding a replica in a touched candidate cell. Reads ONLY
+    the touched partitions' thin (pcell) projection."""
+    if not cells:
+        return []
+    rows = (
+        spark.read.parquet(vroot)
+        .where(F.col("cell").isin([int(c) for c in cells]))
+        .select("pcell").distinct().collect()
+    )
+    return sorted(int(r["pcell"]) for r in rows)
+
+
+def rebuild_edge_pcells(spark, path: str, pcells: list[int], k: int,
+                        vectors_at: str | None = None,
+                        edges_at: str | None = None) -> list[int]:
+    """Multi-probe edge rewrite: recompute ``edges/pcell=P`` for the
+    given primary cells and overwrite exactly those partitions.
+
+    Per-partition granularity forces recomputing EVERY src whose
+    primary cell is in ``pcells`` (not just the srcs an absorb
+    touched); their candidate pools span their probe cells, so the
+    rebuild reads vectors from the candidate-cell set Q = every cell
+    holding a replica of an affected src. Q is found on the THIN
+    (pcell, cell) projection — parquet column pruning keeps the fat
+    ``v`` arrays on disk for that pass — then the fat read is
+    partition-pruned to Q. Bounded: |Q| ≤ n_probe · |affected srcs'
+    cells|, no fixpoint, never corpus-wide vector work.
+
+    Same contract as :func:`rebuild_edge_cells`: emptied partitions'
+    stale directories are removed; returns the pcells still carrying
+    edges."""
+    vroot = vectors_at or f"{path}/vectors"
+    eroot = edges_at or f"{path}/edges"
+    pcells = sorted(int(c) for c in pcells)
+    if not pcells:
+        return []
+    vec_all = spark.read.parquet(vroot)
+    qcells = sorted(
+        int(r["cell"])
+        for r in vec_all.where(F.col("pcell").isin(pcells))
+        .select("cell").distinct().collect()
+    )
+    cand = (
+        vec_all.where(F.col("cell").isin(qcells))
+        .select("vec_id", "v", "cell", "pcell")
+    )
+    new_edges = _knn_edges_multi(cand, k).where(
+        F.col("pcell").isin(pcells))
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        new_edges.write.partitionBy("pcell").mode("overwrite").parquet(eroot)
+    finally:
+        spark.conf.set(mode_key, prev)
+    # a primary cell keeps edges iff any of its srcs shares a candidate
+    # cell with ≥1 other vector — decidable on the thin projection
+    # (column pruning skips the v arrays; no cosine work repeated).
+    big = sorted(
+        int(r["cell"])
+        for r in cand.groupBy("cell").count().where(F.col("count") >= 2)
+        .collect()
+    )
+    with_edges = {
+        int(r["pcell"])
+        for r in cand.where(F.col("cell").isin(big)
+                            & F.col("pcell").isin(pcells))
+        .select("pcell").distinct().collect()
+    }
+    for c in pcells:
+        if c not in with_edges:
+            shutil.rmtree(os.path.join(eroot, f"pcell={c}"),
+                          ignore_errors=True)
+    return sorted(with_edges)
+
+
 def build_knn_graph_store(embeddings: DataFrame, path: str,
                           centroids: np.ndarray, k: int = 5,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          assign: str = "auto") -> None:
+                          assign: str = "auto",
+                          n_probe: int = 1) -> None:
     """Materialize the graph store: corpus assigned once, vectors
     landed cell-partitioned under ``epoch=-1`` (the base-build
     convention shared with the semantic store), centroids + meta, and
     the full edge table computed from the landed vectors (so the edges
-    are a function of exactly what a later rebuild would read)."""
+    are a function of exactly what a later rebuild would read).
+
+    ``n_probe`` > 1 (r14) materializes the RECALL-lever graph
+    (``knn_graph(n_probe=p)``): each vector lands once per probe cell
+    — (vec_id, v, prank, pcell) replicas under ``vectors/epoch=E/
+    cell=C`` where ``cell`` is the candidate cell and ``pcell`` the
+    vector's primary (rank-1) cell — and edges are the globally
+    deduped per-src top-k, partitioned by ``pcell`` (each src's edges
+    live in exactly one partition, which is what lets a mutation
+    rewrite whole partitions). The store stays pinned EQUAL to a
+    fresh ``knn_graph(n_probe=p)`` over its corpus."""
     spark = embeddings.sparkSession
     if assign == "auto":
         assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
-    asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
-    asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
-        "overwrite").parquet(f"{path}/vectors/epoch=-1")
+    if n_probe > 1:
+        asg = _cell_assign_multi(embeddings, centroids, id_col, vec_col,
+                                 n_probe, assign, with_primary=True)
+        asg.select("vec_id", "v", "prank", "pcell", "cell").write.\
+            partitionBy("cell").mode("overwrite").parquet(
+            f"{path}/vectors/epoch=-1")
+    else:
+        asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
+        asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
+            "overwrite").parquet(f"{path}/vectors/epoch=-1")
     spark.createDataFrame(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, c array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     landed = spark.read.parquet(f"{path}/vectors")
-    _knn_edges(landed.select("vec_id", "v", "cell"), k).write.partitionBy(
-        "cell").mode("overwrite").parquet(f"{path}/edges")
+    if n_probe > 1:
+        _knn_edges_multi(
+            landed.select("vec_id", "v", "cell", "pcell"), k
+        ).write.partitionBy("pcell").mode("overwrite").parquet(
+            f"{path}/edges")
+    else:
+        _knn_edges(landed.select("vec_id", "v", "cell"), k).write.\
+            partitionBy("cell").mode("overwrite").parquet(f"{path}/edges")
     _write_graph_meta(spark, path, centroids.shape[1], len(centroids),
-                      k, 0)
+                      k, 0, n_probe)
 
 
 def absorb_into_knn_graph_store(path: str, new_vectors: DataFrame,
@@ -164,33 +288,54 @@ def absorb_into_knn_graph_store(path: str, new_vectors: DataFrame,
     same cell unions), so a crash anywhere in the sequence is healed
     by replaying the batch.
 
+    On a multi-probe store (meta ``n_probe`` > 1) the batch lands as
+    replicas, touched cells expand to the affected PRIMARY cells
+    (:func:`affected_pcells` — existing members probing a touched cell
+    get displaced too), and the edge rewrite is
+    :func:`rebuild_edge_pcells`.
+
     Returns {epoch, cells (touched), edge_cells (still carrying
     edges)}."""
     spark = new_vectors.sparkSession
     C = _store_centroids(spark, path)
     assign = "fold" if len(C) <= SEMDEDUP_FOLD_MAX_K else "arrow"
-    asg = _cell_assign(new_vectors, C, id_col, vec_col, assign)
-    asg = asg.localCheckpoint(eager=False)
-    cells = sorted(
-        int(r["cell"]) for r in asg.select("cell").distinct().collect())
-    dim, n_cells, k, nxt = _read_graph_meta(spark, path)
+    dim, n_cells, k, nxt, n_probe = _read_graph_meta(spark, path)
     if epoch is None:
         epoch = nxt
-    asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
-        "overwrite").parquet(f"{path}/vectors/epoch={int(epoch)}")
-    edge_cells = rebuild_edge_cells(spark, path, cells, k)
+    if n_probe > 1:
+        asg = _cell_assign_multi(new_vectors, C, id_col, vec_col,
+                                 n_probe, assign, with_primary=True)
+        asg = asg.localCheckpoint(eager=False)
+        cells = sorted(
+            int(r["cell"]) for r in asg.select("cell").distinct().collect())
+        asg.select("vec_id", "v", "prank", "pcell", "cell").write.\
+            partitionBy("cell").mode("overwrite").parquet(
+            f"{path}/vectors/epoch={int(epoch)}")
+        pcells = affected_pcells(spark, f"{path}/vectors", cells)
+        edge_cells = rebuild_edge_pcells(spark, path, pcells, k)
+    else:
+        asg = _cell_assign(new_vectors, C, id_col, vec_col, assign)
+        asg = asg.localCheckpoint(eager=False)
+        cells = sorted(
+            int(r["cell"]) for r in asg.select("cell").distinct().collect())
+        asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
+            "overwrite").parquet(f"{path}/vectors/epoch={int(epoch)}")
+        edge_cells = rebuild_edge_cells(spark, path, cells, k)
     _write_graph_meta(spark, path, dim, n_cells, k,
-                      max(nxt, int(epoch) + 1))
+                      max(nxt, int(epoch) + 1), n_probe)
     return {"epoch": int(epoch), "cells": cells, "edge_cells": edge_cells}
 
 
 def read_knn_graph_edges(spark, path: str,
                          cells: list[int] | None = None) -> DataFrame:
     """The stored edge list in :func:`knn_graph`'s exact output shape
-    (src, dst, cell, rank, cos) — ``cells`` prunes partitions."""
+    (src, dst, cell, rank, cos) — ``cells`` prunes partitions (the
+    edge partition key: ``cell`` on single-probe stores, the src's
+    primary cell ``pcell`` on multi-probe ones)."""
     df = spark.read.parquet(f"{path}/edges")
+    part = "pcell" if "pcell" in df.columns else "cell"
     if cells is not None:
-        df = df.where(F.col("cell").isin([int(c) for c in cells]))
+        df = df.where(F.col(part).isin([int(c) for c in cells]))
     return df.select(
         "src", "dst", F.col("cell").cast("int").alias("cell"), "rank",
         "cos")
@@ -200,9 +345,15 @@ def read_knn_graph_nodes(spark, path: str,
                          cells: list[int] | None = None) -> DataFrame:
     """The store's node set (vec_id, cell) — the two-column projection
     parquet serves without reading the vector arrays; the zero-degree
-    side every consumer joins back to."""
-    df = spark.read.parquet(f"{path}/vectors").select(
-        "vec_id", F.col("cell").cast("int").alias("cell"))
+    side every consumer joins back to. On a multi-probe store a node's
+    cell is its PRIMARY cell and the prank-1 replica row represents it
+    (one row per vector either way)."""
+    df = spark.read.parquet(f"{path}/vectors")
+    if "prank" in df.columns:
+        # a prank-1 replica's candidate cell IS its primary cell, so
+        # filtering on the partition key keeps the read partition-pruned
+        df = df.where(F.col("prank") == 1)
+    df = df.select("vec_id", F.col("cell").cast("int").alias("cell"))
     if cells is not None:
         df = df.where(F.col("cell").isin([int(c) for c in cells]))
     return df

@@ -883,7 +883,7 @@ def _cell_assign(embeddings: DataFrame, centroids: np.ndarray,
 
 def _cell_assign_multi(embeddings: DataFrame, centroids: np.ndarray,
                        id_col: str, vec_col: str, n_probe: int,
-                       assign: str) -> DataFrame:
+                       assign: str, with_primary: bool = False) -> DataFrame:
     """Top-``n_probe`` nearest-centroid assignment — the multi-probe
     sibling of :func:`_cell_assign` for recall-sensitive graph builds:
     one row per (vector, probe cell), cells ranked by raw dot
@@ -892,7 +892,10 @@ def _cell_assign_multi(embeddings: DataFrame, centroids: np.ndarray,
     "fold" builds the oracle-exact literal dot array and sorts
     (-dot, idx) structs in-plan; "arrow" is the matmul scale path
     (stable argsort — equality with fold pytest-pinned).
-    Output: (vec_id, v, cell, prank) with prank in 1..n_probe."""
+    Output: (vec_id, v, cell, prank) with prank in 1..n_probe;
+    ``with_primary`` adds ``pcell`` (the prank-1 cell, constant per
+    vector) on every replica row — the graph store's edge-partition
+    key, derived in the same pass so no self-join is ever needed."""
     if not 1 <= n_probe <= len(centroids):
         raise ValueError(
             f"n_probe must be in 1..{len(centroids)}, got {n_probe}")
@@ -923,10 +926,14 @@ def _cell_assign_multi(embeddings: DataFrame, centroids: np.ndarray,
         )
         cells = F.transform(F.slice(F.array_sort(pairs), 1, n_probe),
                             lambda s: s["idx"].cast("int"))
-    ex = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"),
-                           F.posexplode(cells).alias("pos", "cell"))
-    return ex.select("vec_id", "v", "cell",
-                     (F.col("pos") + 1).alias("prank"))
+    base = embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                             cells.alias("cells"))
+    ex = base.select("vec_id", "v",
+                     F.element_at(F.col("cells"), 1).alias("pcell"),
+                     F.posexplode("cells").alias("pos", "cell"))
+    out = ex.select("vec_id", "v", "cell",
+                    (F.col("pos") + 1).alias("prank"), "pcell")
+    return out if with_primary else out.drop("pcell")
 
 
 def _knn_edges_multi(asgp: DataFrame, k: int) -> DataFrame:
@@ -939,25 +946,32 @@ def _knn_edges_multi(asgp: DataFrame, k: int) -> DataFrame:
     on the candidate edge key, ≤ n_probe²-amplified but still never
     all-pairs); the rank window then shuffles the ≤ N·k·p² deduped
     edge list on src only."""
+    carry_primary = "pcell" in asgp.columns
     a, b = asgp.alias("a"), asgp.alias("b")
-    cand = (
-        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
-                      F.col("a.vec_id") != F.col("b.vec_id")])
-        .select(
-            F.col("a.vec_id").alias("src"),
-            F.col("b.vec_id").alias("dst"),
-            F.col("a.cell").alias("cell"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
-        )
-    )
-    ded = cand.groupBy("src", "dst").agg(F.min("cell").alias("cell"),
-                                         F.max("_cos").alias("_cos"))
+    sel = [
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        F.col("a.cell").alias("cell"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
+    ]
+    if carry_primary:
+        sel.append(F.col("a.pcell").alias("pcell"))
+    cand = a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                         F.col("a.vec_id") != F.col("b.vec_id")]).select(*sel)
+    aggs = [F.min("cell").alias("cell"), F.max("_cos").alias("_cos")]
+    if carry_primary:
+        # constant per src (the primary cell), min is just deterministic
+        aggs.append(F.min("pcell").alias("pcell"))
+    ded = cand.groupBy("src", "dst").agg(*aggs)
     w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
+    out_cols = ["src", "dst", "cell", "rank",
+                F.round("_cos", 6).alias("cos")]
+    if carry_primary:
+        out_cols.append("pcell")
     return (
         ded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("src", "dst", "cell", "rank",
-                F.round("_cos", 6).alias("cos"))
+        .select(*out_cols)
     )
 
 

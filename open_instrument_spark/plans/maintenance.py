@@ -591,17 +591,19 @@ def compact_knn_graph_store(spark, path: str, max_epochs: int = 8) -> dict:
            "swapped": False, "recovered": recovered}
     if n_epochs <= max_epochs:
         return res
-    dim, n_cells, k, nxt = _read_graph_meta(spark, path)
+    dim, n_cells, k, nxt, n_probe = _read_graph_meta(spark, path)
     sib = path.rstrip("/") + ".compact"
     shutil.rmtree(sib, ignore_errors=True)
     spark.read.parquet(f"{path}/vectors").drop("epoch").repartition(
         "cell").write.partitionBy("cell").mode("overwrite").parquet(
         f"{sib}/vectors/epoch=-1")
-    spark.read.parquet(f"{path}/edges").repartition("cell").write.\
-        partitionBy("cell").mode("overwrite").parquet(f"{sib}/edges")
+    edges = spark.read.parquet(f"{path}/edges")
+    epart = "pcell" if "pcell" in edges.columns else "cell"
+    edges.repartition(epart).write.partitionBy(epart).mode(
+        "overwrite").parquet(f"{sib}/edges")
     spark.read.parquet(f"{path}/centroids").write.mode(
         "overwrite").parquet(f"{sib}/centroids")
-    _write_graph_meta(spark, sib, dim, n_cells, k, nxt)
+    _write_graph_meta(spark, sib, dim, n_cells, k, nxt, n_probe)
     _swap_in(path, sib)
     res["compacted"] = True
     res["swapped"] = True
@@ -627,7 +629,9 @@ def forget_from_knn_graph_store(spark, path: str, vec_ids) -> dict:
     from open_instrument_spark.operators.graphstore import (
         _read_graph_meta,
         _write_graph_meta,
+        affected_pcells,
         rebuild_edge_cells,
+        rebuild_edge_pcells,
     )
 
     recovered = _recover_old(path)
@@ -648,24 +652,37 @@ def forget_from_knn_graph_store(spark, path: str, vec_ids) -> dict:
     res["removed"] = rm
     if rm == 0:
         return res
-    dim, n_cells, k, nxt = _read_graph_meta(spark, path)
+    dim, n_cells, k, nxt, n_probe = _read_graph_meta(spark, path)
     sib = path.rstrip("/") + ".forget"
     shutil.rmtree(sib, ignore_errors=True)
     keep.write.partitionBy("epoch", "cell").mode("overwrite").parquet(
         f"{sib}/vectors")
-    # untouched cells' edges carry over; affected cells recompute from
-    # the sibling's surviving vectors (never the live store's)
-    spark.read.parquet(f"{path}/edges").where(
-        ~F.col("cell").isin(cells)).write.partitionBy("cell").mode(
-        "overwrite").parquet(f"{sib}/edges")
-    rebuilt = rebuild_edge_cells(
-        spark, path, cells, k,
-        vectors_at=f"{sib}/vectors", edges_at=f"{sib}/edges")
+    # untouched partitions' edges carry over; affected ones recompute
+    # from the sibling's surviving vectors (never the live store's).
+    # Multi-probe: forgotten replicas' cells expand to the affected
+    # PRIMARY cells first (a survivor probing a touched cell may have
+    # ranked a forgotten vector — its whole partition recomputes).
+    if n_probe > 1:
+        pcells = affected_pcells(spark, f"{path}/vectors", cells)
+        spark.read.parquet(f"{path}/edges").where(
+            ~F.col("pcell").isin(pcells)).write.partitionBy("pcell").mode(
+            "overwrite").parquet(f"{sib}/edges")
+        rebuilt = rebuild_edge_pcells(
+            spark, path, pcells, k,
+            vectors_at=f"{sib}/vectors", edges_at=f"{sib}/edges")
+        res["cells_rebuilt"] = pcells
+    else:
+        spark.read.parquet(f"{path}/edges").where(
+            ~F.col("cell").isin(cells)).write.partitionBy("cell").mode(
+            "overwrite").parquet(f"{sib}/edges")
+        rebuilt = rebuild_edge_cells(
+            spark, path, cells, k,
+            vectors_at=f"{sib}/vectors", edges_at=f"{sib}/edges")
+        res["cells_rebuilt"] = cells
     spark.read.parquet(f"{path}/centroids").write.mode(
         "overwrite").parquet(f"{sib}/centroids")
-    _write_graph_meta(spark, sib, dim, n_cells, k, nxt)
+    _write_graph_meta(spark, sib, dim, n_cells, k, nxt, n_probe)
     _swap_in(path, sib)
-    res["cells_rebuilt"] = cells
     res["edge_cells"] = rebuilt
     res["swapped"] = True
     return res

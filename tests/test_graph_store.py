@@ -56,8 +56,8 @@ def test_build_matches_in_session_graph_and_reads_prune(spark, tmp_path):
     emb = _emb(spark)
     build_knn_graph_store(emb, path, C, k=K)
     assert _edge_rows(read_knn_graph_edges(spark, path)) == _fresh_edges(emb)
-    # meta carries the build-time k and the base next_epoch
-    assert _read_graph_meta(spark, path) == (64, 32, K, 0)
+    # meta carries the build-time k, the base next_epoch, and n_probe
+    assert _read_graph_meta(spark, path) == (64, 32, K, 0, 1)
     # node set = every corpus vector with its cell, served without the
     # vector arrays
     nodes = read_knn_graph_nodes(spark, path)
@@ -335,3 +335,112 @@ def test_store_reads_are_partition_pruned(spark, tmp_path):
     assert "v" not in nodes.columns
     rs = np_.split("ReadSchema")[1][:120] if "ReadSchema" in np_ else ""
     assert "vec_id" in rs and '"v"' not in rs
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe store (r14): the recall-lever graph, materialized
+# ---------------------------------------------------------------------------
+# Same binding invariant, multi-probe edition: after any build / absorb
+# / compact / forget, stored edges EQUAL a fresh knn_graph(n_probe=2)
+# over the current corpus. The blast radius differs — an absorb into a
+# candidate cell displaces neighbors of every src PROBING that cell, so
+# the rewrite unit is the affected srcs' PRIMARY-cell partitions.
+
+P = 2
+
+
+def _fresh_edges_mp(corpus):
+    return _edge_rows(knn_graph(corpus, C, k=K, n_probe=P))
+
+
+def test_multiprobe_build_matches_in_session_graph(spark, tmp_path):
+    path = str(tmp_path / "gstore_mp")
+    emb = _emb(spark)
+    build_knn_graph_store(emb, path, C, k=K, n_probe=P)
+    assert _edge_rows(read_knn_graph_edges(spark, path)) == _fresh_edges_mp(emb)
+    assert _read_graph_meta(spark, path) == (64, 32, K, 0, P)
+    # one node row per vector despite the replica layout
+    nodes = read_knn_graph_nodes(spark, path)
+    assert nodes.columns == ["vec_id", "cell"]
+    assert nodes.count() == emb.count()
+    # edges are partitioned by the src's primary cell
+    assert glob.glob(os.path.join(path, "edges", "pcell=*"))
+
+
+def test_multiprobe_absorb_equals_fresh_over_union(spark, tmp_path):
+    path = str(tmp_path / "gstore_mp")
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    build_knn_graph_store(base, path, C, k=K, n_probe=P)
+    res = absorb_into_knn_graph_store(path, batch, epoch=0)
+    assert res["epoch"] == 0 and res["cells"]
+    assert _edge_rows(read_knn_graph_edges(spark, path)) == _fresh_edges_mp(emb)
+    # replaying the SAME epoch (crash-recovery path) is a no-op in content
+    absorb_into_knn_graph_store(path, batch, epoch=0)
+    assert _edge_rows(read_knn_graph_edges(spark, path)) == _fresh_edges_mp(emb)
+    assert _read_graph_meta(spark, path)[3] == 1  # next_epoch bumped once
+
+
+def test_multiprobe_forget_equals_fresh_over_survivors(spark, tmp_path):
+    path = str(tmp_path / "gstore_mp")
+    emb = _emb(spark)
+    build_knn_graph_store(emb, path, C, k=K, n_probe=P)
+    gone = [int(r["vec_id"]) for r in
+            emb.filter(F.col("vec_id") % 11 == 0).collect()]
+    res = forget_from_knn_graph_store(spark, path, gone)
+    assert res["swapped"] and res["removed"] > 0
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    assert _edge_rows(read_knn_graph_edges(spark, path)) == \
+        _fresh_edges_mp(survivors)
+    # replay removes nothing and skips the swap
+    res2 = forget_from_knn_graph_store(spark, path, gone)
+    assert res2["removed"] == 0 and not res2["swapped"]
+
+
+def test_multiprobe_compact_is_invariant_and_folds_epochs(spark, tmp_path):
+    path = str(tmp_path / "gstore_mp")
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    build_knn_graph_store(base, path, C, k=K, n_probe=P)
+    absorb_into_knn_graph_store(
+        path, emb.filter(F.col("vec_id") % 3 == 1), epoch=0)
+    absorb_into_knn_graph_store(
+        path, emb.filter(F.col("vec_id") % 3 == 2), epoch=1)
+    before = _edge_rows(read_knn_graph_edges(spark, path))
+    res = compact_knn_graph_store(spark, path, max_epochs=1)
+    assert res["compacted"] and res["swapped"]
+    assert len(glob.glob(os.path.join(path, "vectors", "epoch=*"))) == 1
+    assert _edge_rows(read_knn_graph_edges(spark, path)) == before
+    assert _read_graph_meta(spark, path) == (64, 32, K, 2, P)
+    # a post-compaction absorb still maintains the invariant
+    # (replica columns survived the fold)
+    extra = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    absorb_into_knn_graph_store(path, extra, epoch=2)
+    assert _edge_rows(read_knn_graph_edges(spark, path)) == \
+        _fresh_edges_mp(emb.unionByName(extra))
+
+
+def test_multiprobe_consumers_read_store_graph(spark, tmp_path):
+    from open_instrument_spark.operators.similarity import (
+        knn_density,
+        mutual_knn_clusters,
+    )
+
+    path = str(tmp_path / "gstore_mp")
+    emb = _emb(spark)
+    build_knn_graph_store(emb, path, C, k=K, n_probe=P)
+    edges, nodes = graph_from_store(spark, path)
+    live = knn_graph(emb, C, k=K, n_probe=P)
+    got = sorted((r["vec_id"], r["cluster_id"]) for r in
+                 mutual_knn_clusters(None, None, edges=edges).collect())
+    want = sorted((r["vec_id"], r["cluster_id"]) for r in
+                  mutual_knn_clusters(None, None, edges=live).collect())
+    assert got == want
+    gd = sorted(map(tuple, knn_density(None, None, edges=edges,
+                                       nodes=nodes).collect()))
+    wd = sorted(map(tuple, knn_density(
+        None, None, edges=live,
+        nodes=nodes).collect()))
+    assert gd == wd
