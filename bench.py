@@ -272,6 +272,15 @@ HEADLINE = [
     # two-round label propagation (graph built once, two vote rounds).
     "embed_knn_graph_store",
     "embed_label_propagation2",
+    # mid-r14 additions: the PromQL function-family gates (narrow
+    # maps / one-exchange aggregations — all expected ~1 s) and the
+    # multi-probe graph build (top-2-cell candidate pools: expect a
+    # small constant factor over embed_knn_graph, plus one dedup
+    # exchange).
+    "agg_cross_family",
+    "mutate_scalar_math_family",
+    "mutate_calendar_family",
+    "embed_knn_graph_multiprobe",
 ]
 
 

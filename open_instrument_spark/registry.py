@@ -114,14 +114,33 @@ DRIVER_WINDOW = [
     # r10-new (PromQL counter trio — new this round, so they take their
     # driver rows immediately, displacing retention_report, mutate_ewma
     # and corpus_pack_bpe, each green r8+r9 and most rounds before):
-    "mutate_increase",
+    # r14 mid-round rotation (the standing invariant: new oracled
+    # queries enter the window the round they land; displaced = the
+    # thickest-evidence keepers whose family stays represented):
+    # - agg_cross_family (PromQL aggregator tail: count/stddev/stdvar/
+    #   group in one exchange) displaces mutate_increase (driver-green
+    #   r10-r13 — four rows; the counter family keeps mutate_irate,
+    #   mutate_idelta and mutate_counter_resets in-window).
+    "agg_cross_family",
     "mutate_irate",
-    "agg_quantile_over_time",
+    # - mutate_scalar_math_family (12 PromQL math functions under one
+    #   hash) displaces agg_quantile_over_time (driver-green r10-r13;
+    #   the over-time family keeps mutate_over_time_family in-window
+    #   and quantile_over_time keeps its hand-traced pytests).
+    "mutate_scalar_math_family",
     "corpus_dsir_sample",
     "select_label_replace",
-    "select_label_join",
+    # - mutate_calendar_family (8 calendar components, integer-exact)
+    #   displaces select_label_join (driver-green r10-r13; the label-
+    #   manipulation family keeps select_label_replace in-window).
+    "mutate_calendar_family",
     "alert_slo_burn",
-    "corpus_mixture_temperature",
+    # - embed_knn_graph_multiprobe (the graph recall lever: top-2-cell
+    #   candidate pools, dedup, global top-k — all replayed) displaces
+    #   corpus_mixture_temperature (driver-green r10-r13; the mixture/
+    #   sampling family keeps corpus_mixture_tokens and
+    #   corpus_dsir_sample in-window).
+    "embed_knn_graph_multiprobe",
     # r12-new cisco config-blob collector (string-sample RLE + daily
     # LATEST at blob size — the last reference collector data shape);
     # displaces mutate_holt_winters (driver-green r10+r11; the trend
@@ -394,13 +413,14 @@ _PAST_WINDOW_ORACLED = [
     "multimodal_frame_sample",
     "analytics_top_orders_per_customer",
     "api_get_fanout",
-    # r14-new (placed here during development; the r14 window rotation
-    # at the end of the round decides in-window slots — see the
-    # rotation comment above DRIVER_WINDOW):
-    "agg_cross_family",
-    "mutate_scalar_math_family",
-    "mutate_calendar_family",
-    "embed_knn_graph_multiprobe",
+    # r14 mid-round demotions (each displaced by an r14-new window
+    # entry — see the rotation comments inside DRIVER_WINDOW; every
+    # one is driver-green r10-r13 and stays under the pytest-hosted
+    # DuckDB gate):
+    "mutate_increase",
+    "agg_quantile_over_time",
+    "select_label_join",
+    "corpus_mixture_temperature",
 ]
 
 _PAST_WINDOW_ROWS_ONLY = [

@@ -624,6 +624,19 @@ def main() -> None:
         )
     peaks["emb_knn_graph"] = peak_rss_mb()
 
+    # r14: the multi-probe recall lever on the same k∝N regime —
+    # candidate pools are probe-expanded (≤ n_probe² × the in-cell
+    # pair count) plus one dedup exchange, so the row should land a
+    # small constant factor above knn_graph at each tier and stay
+    # ≤ linear in data.
+    for k in emb_mults:
+        report.setdefault("knn_graph_multiprobe", {})[f"x{k}"] = round(
+            run(knn_graph(multiplied_emb(emb, k),
+                          seeded_centroids(64, 32 * k, 7), k=5,
+                          assign="arrow", n_probe=2)), 2
+        )
+    peaks["emb_knn_graph_mp"] = peak_rss_mb()
+
     # r13: the kNN-graph consumers on the same k∝N regime. The mutual
     # filter is a semi-join on the ≤k·N edge list and the component
     # pass runs on the (smaller) mutual pair list — the row should
