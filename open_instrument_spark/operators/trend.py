@@ -453,6 +453,16 @@ def _scalar_expr(fn: str, c: Column, *, to: float = 1.0,
     round(v, to) is floor(v/to + 0.5)*to (Go's half-up, NOT
     half-even). All stay inside whole-stage codegen — no UDFs."""
     f = fn.lower()
+    # The PromQL trigonometric family (promql/functions.go simpleFunc
+    # table): plain libm maps, NaN outside the inverse functions'
+    # domains (Spark already matches — asin(2) is NaN, not NULL).
+    trig = {"sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
+            "acos": F.acos, "atan": F.atan, "sinh": F.sinh,
+            "cosh": F.cosh, "tanh": F.tanh, "asinh": F.asinh,
+            "acosh": F.acosh, "atanh": F.atanh, "deg": F.degrees,
+            "rad": F.radians}
+    if f in trig:
+        return trig[f](c)
     if f == "abs":
         return F.abs(c)
     if f == "ceil":

@@ -2455,7 +2455,16 @@ SELECT series_key, ts, dval,
        greatest(least(dval, CAST(300.0 AS DOUBLE)), CAST(50.0 AS DOUBLE))
          AS clampv,
        greatest(dval, CAST(100.0 AS DOUBLE)) AS clampminv,
-       least(dval, CAST(200.0 AS DOUBLE)) AS clampmaxv
+       least(dval, CAST(200.0 AS DOUBLE)) AS clampmaxv,
+       round(sin(dval), 6) AS sinv,
+       round(cos(dval), 6) AS cosv,
+       round(tan(dval), 6) AS tanv,
+       round(atan(dval), 6) AS atanv,
+       round(CAST(1.0 AS DOUBLE)
+             - CAST(2.0 AS DOUBLE) / (exp(CAST(2.0 AS DOUBLE) * dval)
+                                      + CAST(1.0 AS DOUBLE)), 6) AS tanhv,
+       round(degrees(dval), 6) AS degv,
+       round(radians(dval), 6) AS radv
 FROM p
 """,
 )
@@ -2463,9 +2472,14 @@ def mutate_scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PromQL instant-vector MATH function family (r14 —
     operators/trend.py::scalar_math_family / scalar_map): abs / ceil /
     floor / sqrt / ln / log2 / log10 / sgn / round(to=0.5) / clamp /
-    clamp_min / clamp_max of every sample, twelve functions under ONE
-    hash in one narrow projection (no shuffle — Catalyst fuses the
-    whole family into the scan stage). The oracle replays each,
+    clamp_min / clamp_max plus the trig members whose range keeps a
+    1-ulp libm divergence under the 6-dp grid (sin / cos / tan / atan /
+    tanh / deg / rad), NINETEEN functions under ONE hash in one narrow
+    projection (no shuffle — Catalyst fuses the whole family into the
+    scan stage). The oracle replays each (DuckDB 1.0 has no hyperbolic
+    functions, so tanh replays as 1 − 2/(e^{2x}+1) — overflow-safe at
+    both ends, equal to libm tanh at 1e-16 before the shared 6-dp
+    round),
     including the PromQL log-branch rewrite (ln(0) = -Inf, ln(<0) =
     NaN — Spark's builtin log yields NULL for both and is rewritten;
     the corpus is strictly positive so the gate exercises the finite
@@ -2476,7 +2490,10 @@ def mutate_scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator but deliberately NOT in the hash gate: on this corpus
     exp(490) ≈ 1e212, where a 1-ulp divergence is ~1e196 — no decimal
     rounding can absorb it — so it is pinned by pytest against numpy
-    instead."""
+    instead; sinh/cosh overflow the same way and asin/acos/asinh/
+    acosh/atanh leave the real domain on this corpus (NaN columns
+    carry no signal), so the whole inverse/hyperbolic tail is
+    pytest-pinned with them."""
     from open_instrument_spark.operators.trend import scalar_math_family
 
     out = scalar_math_family(_pts(spark, sf_dir), {
@@ -2492,6 +2509,13 @@ def mutate_scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clampv": ("clamp", {"lo": 50.0, "hi": 300.0}),
         "clampminv": ("clamp_min", {"lo": 100.0}),
         "clampmaxv": ("clamp_max", {"hi": 200.0}),
+        "sinv": "sin",
+        "cosv": "cos",
+        "tanv": "tan",
+        "atanv": "atan",
+        "tanhv": "tanh",
+        "degv": "deg",
+        "radv": "rad",
     })
     return out.select(
         "series_key", "ts", "dval",
@@ -2500,6 +2524,13 @@ def mutate_scalar_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log2v", 6).alias("log2v"),
         F.round("log10v", 6).alias("log10v"),
         "sgnv", "roundv", "clampv", "clampminv", "clampmaxv",
+        F.round("sinv", 6).alias("sinv"),
+        F.round("cosv", 6).alias("cosv"),
+        F.round("tanv", 6).alias("tanv"),
+        F.round("atanv", 6).alias("atanv"),
+        F.round("tanhv", 6).alias("tanhv"),
+        F.round("degv", 6).alias("degv"),
+        F.round("radv", 6).alias("radv"),
     )
 
 

@@ -185,3 +185,30 @@ def test_multi_validation(spark):
         agg_ops.aggregate_by_name_multi(p, {}, 60_000)
     with pytest.raises(ValueError):
         agg_ops.aggregate_by_name_multi(p, {"x": "nosuch"}, 60_000)
+
+
+def test_trig_family_matches_libm_and_domains(spark):
+    # The trig members outside the corpus hash gate (inverse/
+    # hyperbolic) pinned against the C library; domain exits are NaN
+    # per PromQL, never NULL.
+    vals = [-2.0, -0.5, 0.0, 0.5, 1.0, 2.0, 490.02]
+    for fn, ref in (("sin", math.sin), ("cos", math.cos),
+                    ("tan", math.tan), ("atan", math.atan),
+                    ("sinh", math.sinh), ("cosh", math.cosh),
+                    ("tanh", math.tanh),
+                    ("deg", math.degrees), ("rad", math.radians)):
+        out = _vals(scalar_map(_pts(spark, vals), fn))
+        for v, o in zip(vals, out):
+            assert o == pytest.approx(ref(v), rel=1e-13), (fn, v)
+    # inverse functions: NaN outside the domain, exact inside
+    out = _vals(scalar_map(_pts(spark, [-2.0, 0.5, 2.0]), "asin"))
+    assert math.isnan(out[0]) and math.isnan(out[2])
+    assert out[1] == pytest.approx(math.asin(0.5))
+    out = _vals(scalar_map(_pts(spark, [0.5, 3.0]), "acosh"))
+    assert math.isnan(out[0])
+    assert out[1] == pytest.approx(math.acosh(3.0))
+    out = _vals(scalar_map(_pts(spark, [-1.5, 0.5]), "atanh"))
+    assert math.isnan(out[0])
+    assert out[1] == pytest.approx(math.atanh(0.5))
+    out = _vals(scalar_map(_pts(spark, [-3.0, 3.0]), "asinh"))
+    assert out == pytest.approx([math.asinh(-3.0), math.asinh(3.0)])
