@@ -444,3 +444,45 @@ def test_multiprobe_consumers_read_store_graph(spark, tmp_path):
         None, None, edges=live,
         nodes=nodes).collect()))
     assert gd == wd
+
+
+def test_streaming_ingest_into_multiprobe_store(spark, tmp_path):
+    """The streaming twin needs no branch of its own for multi-probe
+    stores: absorb dispatches on the store's meta, so a stream into a
+    build_knn_graph_store(n_probe=2) store maintains the multi-probe
+    invariant (edges ≡ fresh knn_graph(n_probe=2) over everything
+    ingested; replica rows logged once per probe cell)."""
+    from open_instrument_spark.streaming.graph_ingest import (
+        start_graph_ingest,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1).limit(15).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    b2 = emb.filter(F.col("vec_id") % 3 == 2).limit(15).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    store = str(tmp_path / "gs_mp")
+    src = str(tmp_path / "gsrc_mp")
+    dest = str(tmp_path / "gdest_mp")
+    ck = str(tmp_path / "gck_mp")
+    os.makedirs(src, exist_ok=True)
+    build_knn_graph_store(base, store, C, k=K, n_probe=P)
+
+    def go():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(src)
+        q = start_graph_ingest(stream, dest, store, ck,
+                               available_now=True)
+        q.awaitTermination(180)
+
+    b1.write.mode("append").parquet(src)
+    go()
+    b2.write.mode("append").parquet(src)
+    go()
+    assert _edge_rows(read_knn_graph_edges(spark, store)) == \
+        _fresh_edges_mp(base.unionByName(b1).unionByName(b2))
+    # each ingested vector logs once per probe cell, exactly-once
+    log = spark.read.parquet(dest)
+    assert log.count() == 30 * P
+    assert log.select("vec_id").distinct().count() == 30
