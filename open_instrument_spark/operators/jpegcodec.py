@@ -2,13 +2,16 @@
 operators (§2.9) — closes the last codec gate flagged in the r5 verdict.
 
 Scope: BASELINE, extended-sequential, and PROGRESSIVE Huffman JPEGs
-(SOF0/SOF1/SOF2, 8-bit, interleaved and non-interleaved scans,
-spectral selection + successive approximation + EOB runs per T.81
-Annex G, optional restart markers, any sampling-factor layout incl.
-4:4:4 / 4:2:2 / 4:2:0, 1 or 3 components). Arithmetic coding,
-hierarchical, lossless and 12-bit variants raise
-``NotImplementedError`` with the reason — the same honest gating the
-other codecs use for their exotic corners.
+(SOF0/SOF1/SOF2, 8-bit AND 12-bit sample precision — 12-bit decodes to
+uint16 and encodes via ``precision=12`` with the T.81-widened Huffman
+category ranges; the entropy layer was always size-generic, so r14's
+12-bit support only touches the level shift, clip ceiling, tables and
+dtype — interleaved and non-interleaved scans, spectral selection +
+successive approximation + EOB runs per T.81 Annex G, optional restart
+markers, any sampling-factor layout incl. 4:4:4 / 4:2:2 / 4:2:0, 1 or
+3 components). Arithmetic coding, hierarchical and lossless variants
+raise ``NotImplementedError`` with the reason — the same honest gating
+the other codecs use for their exotic corners.
 
 The decoder is multi-scan: each SOS accumulates into per-component
 coefficient arrays (so sequential multi-scan files work too), then one
@@ -153,6 +156,18 @@ _ENC_DC_VALUES = list(range(12))
 _ENC_AC_BITS = [0] * 7 + [176] + [0] * 8
 _ENC_AC_VALUES = [r << 4 for r in range(15)] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0xF0]
+
+# 12-bit variants (r14): DC difference categories reach 0..16 and AC
+# size categories reach 14 (T.81 tables F.1/F.2 for 12-bit precision),
+# so the flat layouts widen — 17 DC codes at 5 bits, 240 AC symbols
+# (15 EOBn + 16 runs x 14 sizes + ZRL) at 8 bits; the all-ones code
+# stays unused at both lengths as T.81 requires.
+_ENC_DC_BITS_12 = [0, 0, 0, 0, 17] + [0] * 11
+_ENC_DC_VALUES_12 = list(range(17))
+_ENC_AC_BITS_12 = [0] * 7 + [240] + [0] * 8
+_ENC_AC_VALUES_12 = [r << 4 for r in range(15)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
 ] + [0xF0]
 
 
@@ -447,13 +462,15 @@ def _decode_scan(segments, scan, ss, se, ah, al, progressive, restart_interval,
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Huffman JPEG → (h, w, 1|3) uint8: baseline, extended-sequential,
+    """Huffman JPEG → (h, w, 1|3) array: baseline, extended-sequential,
     and progressive (SOF0/SOF1/SOF2 — spectral selection, successive
-    approximation, EOB runs, restart markers, any sampling layout).
+    approximation, EOB runs, restart markers, any sampling layout);
+    8-bit returns uint8, 12-bit (SOF1/SOF2 precision 12, r14) uint16
+    in 0..4095.
 
     Grayscale returns 1 channel; YCbCr returns RGB via BT.601. Raises
     ValueError on malformed streams, NotImplementedError on arithmetic/
-    hierarchical/lossless/12-bit variants."""
+    hierarchical/lossless variants."""
     if not b.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     i, n = 2, len(b)
@@ -499,8 +516,14 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             if len(seg) < 6:
                 raise ValueError("JPEG SOF truncated")
             depth = seg[0]
-            if depth != 8:
-                raise NotImplementedError(f"JPEG sample depth {depth} (only 8)")
+            if depth not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG sample depth {depth} (8 and 12 supported)")
+            if depth == 12 and marker == 0xC0:
+                # T.81 B.2.2: baseline (SOF0) is 8-bit by definition —
+                # a 12-bit claim there is a malformed stream, not an
+                # unsupported coding process.
+                raise ValueError("baseline JPEG (SOF0) cannot be 12-bit")
             progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -578,6 +601,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     _h, _w, comp_of, hmax, vmax, mcus_x, mcus_y = geom
 
     # Dequantize + batch IDCT per component, then crop/upsample.
+    # 12-bit (SOF1/SOF2 with precision 12): the entropy layer is
+    # size-generic already, so the only depth-dependent pieces are the
+    # level-shift center 2^(P-1), the clip ceiling, and the output
+    # dtype (uint16 carries 0..4095).
+    center = float(1 << (depth - 1))
+    maxval = (1 << depth) - 1
+    out_dtype = np.uint8 if depth == 8 else np.uint16
     full = []
     for cid, hs, vs, tq in comps:
         if tq not in qt:
@@ -587,7 +617,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         raster = np.zeros((bh * bw, 64), dtype=np.int64)
         raster[:, _ZIGZAG] = arr.reshape(bh * bw, 64)  # dezigzag
         blocks = (raster * qt[tq]).reshape(bh * bw, 8, 8).astype(np.float64)
-        pixels = _T.T @ blocks @ _T + 128.0
+        pixels = _T.T @ blocks @ _T + center
         plane = (
             pixels.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         )
@@ -597,21 +627,22 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0]), 0, maxval).astype(out_dtype)
         return out[:, :, None]
     if len(full) != 3:
         raise NotImplementedError(f"JPEG with {len(full)} components")
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bl = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxval).astype(out_dtype)
 
 
 # ---------------------------------------------------------------- encoder
 def encode_jpeg(arr: np.ndarray, quality: int = 100,
-                subsample: bool = False, progressive: bool = False) -> bytes:
+                subsample: bool = False, progressive: bool = False,
+                precision: int = 8) -> bytes:
     """(h, w[, 1|3]) uint8 → baseline (or progressive) JFIF-less JPEG.
 
     3-channel input is RGB → YCbCr; ``subsample=True`` writes 4:2:0
@@ -620,8 +651,25 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
     writes SOF2 with a 9-scan script (interleaved DC at Al=1, spectral
     bands 1-5/6-63 per component at Al=1, then the Ah=1/Al=0
     successive-approximation refinements) — same coefficients, so the
-    decoded output is bit-identical to the baseline encoding's."""
-    arr = np.asarray(arr, dtype=np.uint8)
+    decoded output is bit-identical to the baseline encoding's.
+
+    ``precision=12`` (r14) takes uint16 input in 0..4095 and writes the
+    T.81 extended-sequential form (SOF1; SOF2 when progressive — SOF0
+    baseline is 8-bit by definition): level shift 2^11, wider Huffman
+    tables (DC categories 0..16, AC sizes to 14), the same scan
+    machinery otherwise — the fixture source for the 12-bit decode
+    path."""
+    if precision not in (8, 12):
+        raise ValueError(f"encode_jpeg precision must be 8 or 12, got {precision}")
+    if precision == 12:
+        arr = np.asarray(arr)
+        if arr.dtype != np.uint16:
+            raise ValueError("12-bit encode expects a uint16 array")
+        if arr.size and int(arr.max()) > 4095:
+            raise ValueError("12-bit samples must be in 0..4095")
+        arr = arr.astype(np.int64)
+    else:
+        arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nch = arr.shape
@@ -630,6 +678,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg expects non-empty image")
 
+    center = float(1 << (precision - 1))
     ql = _scaled_quant(_QL_BASE, quality)
     qc = _scaled_quant(_QC_BASE, quality)
 
@@ -641,8 +690,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
         rgb = arr.astype(np.float64)
         r, g, bl = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * bl
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + center
         if subsample:
             # 2×2 mean chroma (pad to even first, edge-replicated)
             def half(p):
@@ -676,16 +725,23 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
         blocks = (
             plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-            - 128.0
+            - center
         )
         coef = _T @ blocks @ _T.T
         q = np.round(coef.reshape(-1, 64) / quants[ci]).astype(np.int64)
-        if np.abs(q[:, 1:]).max(initial=0) >= (1 << 10):
-            raise ValueError("AC coefficient out of baseline range")
+        ac_bound = 10 if precision == 8 else 14  # T.81 size categories
+        if np.abs(q[:, 1:]).max(initial=0) >= (1 << ac_bound):
+            raise ValueError("AC coefficient out of range for precision")
         zz_all.append(q[:, _ZIGZAG].reshape(bh, bw, 64))
 
-    dc_enc = _build_encode_table(_ENC_DC_BITS, _ENC_DC_VALUES)
-    ac_enc = _build_encode_table(_ENC_AC_BITS, _ENC_AC_VALUES)
+    if precision == 8:
+        enc_dc_bits, enc_dc_values = _ENC_DC_BITS, _ENC_DC_VALUES
+        enc_ac_bits, enc_ac_values = _ENC_AC_BITS, _ENC_AC_VALUES
+    else:
+        enc_dc_bits, enc_dc_values = _ENC_DC_BITS_12, _ENC_DC_VALUES_12
+        enc_ac_bits, enc_ac_values = _ENC_AC_BITS_12, _ENC_AC_VALUES_12
+    dc_enc = _build_encode_table(enc_dc_bits, enc_dc_values)
+    ac_enc = _build_encode_table(enc_ac_bits, enc_ac_values)
 
     def write_dc_diff(wtr: _BitWriter, diff: int) -> None:
         size = _category(diff)
@@ -866,13 +922,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 100,
     qts = [(0, ql)] + ([(1, qc)] if nch == 3 else [])
     for tid, tbl in qts:
         out += seg(0xDB, bytes([tid]) + bytes(int(x) for x in tbl[_ZIGZAG]))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes([len(comps)])
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, (hs << 4) | vs, tq])
-    out += seg(0xC2 if progressive else 0xC0, sof)
+    # SOF0 baseline is 8-bit only; 12-bit sequential is SOF1 (extended)
+    sof_marker = 0xC2 if progressive else (0xC0 if precision == 8 else 0xC1)
+    out += seg(sof_marker, sof)
     for tc in (0, 1):
-        bits = _ENC_DC_BITS if tc == 0 else _ENC_AC_BITS
-        values = _ENC_DC_VALUES if tc == 0 else _ENC_AC_VALUES
+        bits = enc_dc_bits if tc == 0 else enc_ac_bits
+        values = enc_dc_values if tc == 0 else enc_ac_values
         out += seg(
             0xC4, bytes([tc << 4]) + bytes(bits) + bytes(values)
         )

@@ -829,3 +829,90 @@ def test_extract_mjpeg_frames_corrupt_inputs():
         except (ValueError, NotImplementedError):
             pass
     assert ok >= 0  # parse path exercised; no hang/crash
+
+
+# ---------------------------------------------------------------------------
+# 12-bit JPEG (r14): SOF1/SOF2 precision-12 decode + the fixture encoder
+# ---------------------------------------------------------------------------
+
+def _rand12(rng, h, w, c):
+    return rng.integers(0, 4096, (h, w, c)).astype(np.uint16).squeeze()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    h=st.integers(1, 18),
+    w=st.integers(1, 18),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg12_gray_roundtrip_near_lossless(h, w, seed):
+    """12-bit grayscale at quality=100: same few-LSB bound as 8-bit —
+    but an LSB is now 1/4096, so the absolute fidelity is 16x finer."""
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(
+        0, 4096, (h, w)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(img, quality=100, precision=12))
+    assert out.dtype == np.uint16 and out.shape == (h, w, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg12_rgb_roundtrip_and_markers():
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, (16, 13, 3)).astype(np.uint16)
+    b = encode_jpeg(img, quality=100, precision=12)
+    # sequential 12-bit must be SOF1 (extended), never SOF0 baseline
+    assert b"\xff\xc1" in b and b"\xff\xc0" not in b
+    out = decode_jpeg(b)
+    assert out.dtype == np.uint16 and out.shape == (16, 13, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg12_progressive_equals_sequential():
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4096, (24, 17)).astype(np.uint16)
+    seq = decode_jpeg(encode_jpeg(img, quality=100, precision=12))
+    b = encode_jpeg(img, quality=100, precision=12, progressive=True)
+    assert b"\xff\xc2" in b
+    prog = decode_jpeg(b)
+    assert (prog == seq).all()
+
+
+def test_jpeg12_validation_and_malformed_baseline():
+    from open_instrument_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1)
+    with pytest.raises(ValueError, match="uint16"):
+        encode_jpeg(rng.integers(0, 255, (8, 8)).astype(np.uint8),
+                    precision=12)
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg(np.full((8, 8), 5000, dtype=np.uint16), precision=12)
+    with pytest.raises(ValueError, match="precision"):
+        encode_jpeg(rng.integers(0, 255, (8, 8)).astype(np.uint8),
+                    precision=10)
+    # a stream claiming SOF0 + 12-bit is malformed, not unsupported
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint16), precision=12)
+    bad = good.replace(b"\xff\xc1", b"\xff\xc0", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bad)
+    # depths other than 8/12 keep the honest gate
+    sof_at = good.index(b"\xff\xc1")
+    mang = bytearray(good)
+    mang[sof_at + 4] = 16
+    with pytest.raises(NotImplementedError, match="depth 16"):
+        decode_jpeg(bytes(mang))
+
+
+def test_jpeg12_decodes_through_decode_image_dispatch():
+    from open_instrument_spark.operators.imagecodec import decode_pixels
+    from open_instrument_spark.operators.jpegcodec import encode_jpeg
+
+    img = np.random.default_rng(9).integers(
+        0, 4096, (10, 11)).astype(np.uint16)
+    mime, arr = decode_pixels(encode_jpeg(img, quality=100, precision=12))
+    assert mime == "image/jpeg" and arr.dtype == np.uint16
+    assert arr.shape == (10, 11, 1)
