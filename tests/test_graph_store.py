@@ -486,3 +486,48 @@ def test_streaming_ingest_into_multiprobe_store(spark, tmp_path):
     log = spark.read.parquet(dest)
     assert log.count() == 30 * P
     assert log.select("vec_id").distinct().count() == 30
+
+
+def test_tick_dispatches_multiprobe_graph_store(spark, tmp_path):
+    """The tick's graph dispatch is layout-blind: forget + compaction
+    on a MULTI-PROBE store in one cadence leave edges equal to a fresh
+    knn_graph(n_probe=2) over the survivors; replayed tick is a
+    fixpoint."""
+    import datetime as dt
+
+    from open_instrument_spark.operators.retention import PolicyItem
+    from open_instrument_spark.plans.maintenance import maintenance_tick
+
+    store = str(tmp_path / "points")
+    spark.createDataFrame(
+        [("/m/a", {"h": "x"}, dt.datetime(2024, 1, 1), 1.0, None)],
+        "name string, labels map<string,string>, ts timestamp, "
+        "dval double, sval string",
+    ).write.parquet(store)
+    gpath = str(tmp_path / "gstore_mp")
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    build_knn_graph_store(base, gpath, C, k=K, n_probe=P)
+    for e in range(6):
+        batch = emb.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 6 == e))
+        if batch.count():
+            absorb_into_knn_graph_store(gpath, batch, epoch=e)
+    policy = [PolicyItem(("*",), keep=True)]
+    gone = [r["vec_id"] for r in
+            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+            .collect()]
+    _, summary = maintenance_tick(
+        spark, store, policy, dt.datetime(2024, 6, 1),
+        graph_indexes=[gpath], graph_max_epochs=3, forget_vec_ids=gone)
+    assert summary["forget"][gpath]["removed"] > 0
+    assert summary["graph"][gpath]["compacted"]
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    assert _edge_rows(read_knn_graph_edges(spark, gpath)) == \
+        _fresh_edges_mp(survivors)
+    assert _read_graph_meta(spark, gpath)[4] == P  # n_probe survives
+    _, s2 = maintenance_tick(
+        spark, store, policy, dt.datetime(2024, 6, 1),
+        graph_indexes=[gpath], graph_max_epochs=3, forget_vec_ids=gone)
+    assert s2["forget"][gpath]["removed"] == 0
+    assert not s2["graph"][gpath]["compacted"]
