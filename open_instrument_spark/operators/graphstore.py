@@ -75,11 +75,11 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from open_instrument_spark.operators.similarity import (
-    SEMDEDUP_FOLD_MAX_K,
     _cell_assign,
     _cell_assign_multi,
     _knn_edges,
     _knn_edges_multi,
+    _resolve_assign,
     _store_centroids,
 )
 
@@ -247,8 +247,7 @@ def build_knn_graph_store(embeddings: DataFrame, path: str,
     rewrite whole partitions). The store stays pinned EQUAL to a
     fresh ``knn_graph(n_probe=p)`` over its corpus."""
     spark = embeddings.sparkSession
-    if assign == "auto":
-        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    assign = _resolve_assign(assign, len(centroids))
     if n_probe > 1:
         asg = _cell_assign_multi(embeddings, centroids, id_col, vec_col,
                                  n_probe, assign, with_primary=True)
@@ -298,7 +297,7 @@ def absorb_into_knn_graph_store(path: str, new_vectors: DataFrame,
     edges)}."""
     spark = new_vectors.sparkSession
     C = _store_centroids(spark, path)
-    assign = "fold" if len(C) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    assign = _resolve_assign("auto", len(C))
     dim, n_cells, k, nxt, n_probe = _read_graph_meta(spark, path)
     if epoch is None:
         epoch = nxt

@@ -315,6 +315,13 @@ def moore_lewis_select(docs: DataFrame, target_pred, n: int,
             "ml_score",
             F.round(F.col("logp_in") - F.col("logp_out"), 6),
         )
+        # r14 optimization (guide §7.2, duplicated subtrees): the top-n
+        # broadcast side below and the final output BOTH hang off this
+        # frame — un-checkpointed, both bigram fits and both scoring
+        # passes executed twice (once inside the broadcast-build job,
+        # once in the main query). The checkpoint is doc-sized (one
+        # row per doc, five narrow columns), never token-sized.
+        .localCheckpoint(eager=False)
     )
     sel = (
         scored.filter(F.col("ml_score").isNotNull())

@@ -822,22 +822,53 @@ def _lit_vec(c) -> Column:
     return F.array(*[F.lit(float(x)) for x in c])
 
 
+def _seq_dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row×centroid dot products accumulated IN DIMENSION ORDER —
+    D[r, j] = (((x₁c₁ + x₂c₂) + x₃c₃) + …) with one float64 multiply
+    and one float64 add per step, exactly the left-to-right IEEE fold
+    ``dot()`` (aggregate over zip_with) evaluates in the JVM and DuckDB
+    evaluates in ``list_sum(list_transform(list_zip(..)))``. numpy's
+    own ``X @ C.T`` uses pairwise/blocked summation whose last-ulp
+    differences would break the bit-equality the oracle hash gate
+    needs; this loop is vectorized across rows but sequential across
+    dims, so every scalar result is BIT-IDENTICAL to the fold (r14
+    optimization — pinned by tests/test_knn_consumers.py and the
+    existing fold-vs-arrow equality pins)."""
+    n, d = X.shape
+    D = np.zeros((n, C.shape[0]))
+    for i in range(d):
+        D = D + X[:, i:i + 1] * C[None, :, i][0][None, :]
+    return D
+
+
+def _seq_sqnorms(X: np.ndarray) -> np.ndarray:
+    """Σx² accumulated in dimension order — the fold ``dot(v, v)``."""
+    nv2 = np.zeros(len(X))
+    for i in range(X.shape[1]):
+        nv2 = nv2 + X[:, i] * X[:, i]
+    return nv2
+
+
 def _semdedup_assign_arrow(centroids: np.ndarray):
     """Arrow-batched (cell, centroid_sim) for semantic_dedup's scale
-    path: one matmul per batch, argmax by raw dot (the fold-assign
-    semantics), csim = max dot / (|v|·|c|)."""
+    path: sequential-fold dots per batch (bit-identical to the literal
+    fold engine — see :func:`_seq_dots`; r14 change, previously a
+    matmul whose equality was only empirical), argmax by raw dot (the
+    fold-assign semantics), csim = max dot / (|v|·|c|). The centroid
+    norms are the same driver-computed floats the fold engine bakes
+    into its literals."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = centroids.astype(np.float64)
-    cn = np.linalg.norm(C, axis=1)
+    cn = np.array([float(np.sqrt(np.dot(c, c))) for c in C])
 
     def _assign(v):
         X = np.stack(v.values).astype(np.float64)
-        D = X @ C.T
+        D = _seq_dots(X, C)
         cell = D.argmax(axis=1)
         vmax = D[np.arange(len(X)), cell]
-        csim = vmax / (np.linalg.norm(X, axis=1) * cn[cell])
+        csim = vmax / (np.sqrt(_seq_sqnorms(X)) * cn[cell])
         return pd.DataFrame({"cell": cell.astype("int32"), "csim": csim})
 
     _assign.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
@@ -847,6 +878,21 @@ def _semdedup_assign_arrow(centroids: np.ndarray):
 # literal-fold assignment builds a k-term expression per row — fine for
 # the oracled seeded configs, quadratic-ish planning pain beyond this
 SEMDEDUP_FOLD_MAX_K = 64
+
+
+def _resolve_assign(assign: str, n_centroids: int) -> str:
+    """"auto" → "arrow" (r14 optimization). The arrow engine is now
+    bit-identical to the fold BY CONSTRUCTION (sequential-fold dots,
+    :func:`_seq_dots`), so the old "fold below SEMDEDUP_FOLD_MAX_K for
+    oracle replayability" split no longer buys anything — the oracle
+    replays the SQL side regardless of the Spark engine — while the
+    fold's literal expression costs real wall-time at every centroid
+    count: measured at sf0.1 (32 centroids × 64 dims) the literal
+    array inflates the formatted plan to ~340 KB and every stage's
+    task binary to ~1.0 MB, serialized and broadcast per stage per
+    query. "fold" stays available explicitly (the all-JVM path, still
+    pinned equal by pytest)."""
+    return "arrow" if assign == "auto" else assign
 
 
 def _cell_assign(embeddings: DataFrame, centroids: np.ndarray,
@@ -909,7 +955,9 @@ def _cell_assign_multi(embeddings: DataFrame, centroids: np.ndarray,
 
         def _top(vs):
             X = np.stack(vs.values).astype(np.float64)
-            D = X @ C.T
+            # sequential-fold dots (r14): bit-identical to the fold
+            # engine's literal dot array, not merely argsort-equal
+            D = _seq_dots(X, C)
             # argsort of -dot, stable → dot desc with index tie-break,
             # bit-matching the fold engine's (-dot, idx) struct sort.
             top = np.argsort(-D, axis=1, kind="stable")[:, :p]
@@ -936,6 +984,64 @@ def _cell_assign_multi(embeddings: DataFrame, centroids: np.ndarray,
     return out if with_primary else out.drop("pcell")
 
 
+def _cell_pairs_kernel(asgp: DataFrame, carry_primary: bool) -> DataFrame:
+    """All in-cell ordered candidate pairs (src ≠ dst) with their
+    sequential-fold cosine, computed per cell in one vectorized
+    grouped-map pass — the r14 kernel replacement for the pair-
+    exploding self-join whose every candidate paid three interpreted
+    HOF folds (guide §4.2). Emits exactly the rows the join emitted:
+    (src, dst, cell, _cos[, pcell]) with _cos UNROUNDED (rounding
+    stays Spark-side for the HALF_UP contract). Blockwise over src
+    rows so per-task memory is O(block·|cell|)."""
+    import pandas as pd
+
+    cols = "src long, dst long, cell int, _cos double"
+    if carry_primary:
+        cols += ", pcell int"
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        data: dict = {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "cell": pd.Series([], dtype="int32"),
+            "_cos": pd.Series([], dtype="float64")}
+        if carry_primary:
+            data["pcell"] = pd.Series([], dtype="int32")
+        if n < 2:
+            return pd.DataFrame(data)
+        ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        pc = pdf["pcell"].to_numpy() if carry_primary else None
+        X = np.stack(pdf["v"].values).astype(np.float64)
+        nv = np.sqrt(_seq_sqnorms(X))
+        frames = []
+        B = 1024
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            D = np.zeros((s1 - s0, n))
+            for i in range(X.shape[1]):
+                D = D + X[s0:s1, i:i + 1] * X[None, :, i][0][None, :]
+            cos = D / (nv[s0:s1, None] * nv[None, :])
+            mask = np.ones((s1 - s0, n), dtype=bool)
+            mask[np.arange(s1 - s0), np.arange(s0, s1)] = False
+            src_idx, dst_idx = np.nonzero(mask)
+            out = {
+                "src": pd.Series(ids[src_idx + s0], dtype="int64"),
+                "dst": pd.Series(ids[dst_idx], dtype="int64"),
+                "cell": pd.Series(
+                    np.full(len(src_idx), cell, dtype="int32")),
+                "_cos": pd.Series(cos[src_idx, dst_idx],
+                                  dtype="float64")}
+            if carry_primary:
+                out["pcell"] = pd.Series(pc[src_idx + s0].astype("int32"))
+            frames.append(pd.DataFrame(out))
+        return pd.concat(frames, ignore_index=True)
+
+    sel = ["vec_id", "v", "cell"] + (["pcell"] if carry_primary else [])
+    return asgp.select(*sel).groupBy("cell").applyInPandas(_pairs, cols)
+
+
 def _knn_edges_multi(asgp: DataFrame, k: int) -> DataFrame:
     """Edge stage over a multi-probe assignment: the same in-cell
     candidate equi-join as :func:`_knn_edges`, then (src, dst) pairs
@@ -947,17 +1053,7 @@ def _knn_edges_multi(asgp: DataFrame, k: int) -> DataFrame:
     all-pairs); the rank window then shuffles the ≤ N·k·p² deduped
     edge list on src only."""
     carry_primary = "pcell" in asgp.columns
-    a, b = asgp.alias("a"), asgp.alias("b")
-    sel = [
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        F.col("a.cell").alias("cell"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
-    ]
-    if carry_primary:
-        sel.append(F.col("a.pcell").alias("pcell"))
-    cand = a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
-                         F.col("a.vec_id") != F.col("b.vec_id")]).select(*sel)
+    cand = _cell_pairs_kernel(asgp, carry_primary)
     aggs = [F.min("cell").alias("cell"), F.max("_cos").alias("_cos")]
     if carry_primary:
         # constant per src (the primary cell), min is just deterministic
@@ -1009,8 +1105,7 @@ def knn_graph(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
 
     Output: (src, dst, cell, rank, cos rounded 6dp); nodes alone in
     their cell contribute no rows."""
-    if assign == "auto":
-        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    assign = _resolve_assign(assign, len(centroids))
     if n_probe != 1:
         asgp = _cell_assign_multi(embeddings, centroids, id_col, vec_col,
                                   n_probe, assign)
@@ -1019,10 +1114,93 @@ def knn_graph(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
     return _knn_edges(asg, k)
 
 
-def _knn_edges(asg: DataFrame, k: int) -> DataFrame:
+def _knn_edges(asg: DataFrame, k: int, engine: str = "kernel") -> DataFrame:
     """knn_graph's edge stage over a precomputed assignment — shared
     with :func:`knn_density` so one assignment pass feeds both the
-    graph and the node set."""
+    graph and the node set.
+
+    ``engine`` (r14 optimization): "kernel" (default) computes each
+    cell's pairwise cosines and per-src top-k in ONE vectorized
+    grouped-map pass (guide §4.2 — batches handed to numpy instead of
+    a pair-exploding join whose every candidate evaluates three
+    interpreted ``aggregate(zip_with(..))`` HOF folds); "join" is the
+    previous in-cell equi-join + rank-window plan, kept as the
+    all-JVM reference (kernel ≡ join pinned by pytest). The kernel's
+    arithmetic is the sequential fold (:func:`_seq_dots`), so every
+    cosine — and therefore every rank and rounded output — is
+    BIT-IDENTICAL to the join engine and the DuckDB oracles. Plan
+    shape: one Exchange on cell + FlatMapGroupsInPandas replaces
+    join + two WindowGroupLimit passes + an Exchange on src; per-cell
+    memory is bounded by a fixed src-block size, so a cell's cost is
+    O(|cell|²) flops but O(block·|cell|) bytes."""
+    if engine == "join":
+        return _knn_edges_join(asg, k)
+    import pandas as pd
+
+    kk = int(k)
+
+    def _edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "cell": pd.Series([], dtype="int32"),
+            "rank": pd.Series([], dtype="int32"),
+            "_cos": pd.Series([], dtype="float64")})
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        X = np.stack(pdf["v"].values).astype(np.float64)
+        nv = np.sqrt(_seq_sqnorms(X))
+        out_src: list = []
+        out_dst: list = []
+        out_rank: list = []
+        out_cos: list = []
+        lim = min(kk, n - 1)
+        B = 1024  # src rows per block — bounds the cos matrix
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            D = np.zeros((s1 - s0, n))
+            for i in range(X.shape[1]):
+                D = D + X[s0:s1, i:i + 1] * X[None, :, i][0][None, :]
+            cos = D / (nv[s0:s1, None] * nv[None, :])
+            for r in range(s1 - s0):
+                row = cos[r].copy()
+                row[s0 + r] = -np.inf  # never a self-edge
+                # (cos DESC, dst ASC) — row_number's exact order; the
+                # sign flip is safe: cosines here are never NaN (norms
+                # are > 0 for any nonzero vector) and a ±0.0 pair
+                # compares equal either way, falling to the id key
+                order = np.lexsort((ids, -row))[:lim]
+                out_src.extend([ids[s0 + r]] * lim)
+                out_dst.extend(ids[order].tolist())
+                out_rank.extend(range(1, lim + 1))
+                out_cos.extend(cos[r][order].tolist())
+        return pd.DataFrame({
+            "src": pd.Series(out_src, dtype="int64"),
+            "dst": pd.Series(out_dst, dtype="int64"),
+            "cell": pd.Series(np.full(len(out_src), cell, dtype="int32")),
+            "rank": pd.Series(out_rank, dtype="int32"),
+            "_cos": pd.Series(out_cos, dtype="float64")})
+
+    raw = (
+        asg.select("vec_id", "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(_edges, "src long, dst long, cell int, rank int, "
+                               "_cos double")
+    )
+    # rounding stays Spark-side: F.round's HALF_UP on the exact binary
+    # value is the contract the oracles replay; numpy's round is
+    # half-to-even and would diverge on exact-midpoint doubles
+    return raw.select("src", "dst", "cell", "rank",
+                      F.round("_cos", 6).alias("cos"))
+
+
+def _knn_edges_join(asg: DataFrame, k: int) -> DataFrame:
+    """The all-JVM edge stage (pre-r14 default): in-cell equi-join,
+    three HOF folds per candidate pair, rank window. Kept as the
+    reference engine the kernel is pinned against."""
     a, b = asg.alias("a"), asg.alias("b")
     w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst"))
     return (
@@ -1076,9 +1254,18 @@ def mutual_knn_clusters(embeddings: DataFrame, centroids: np.ndarray,
     unused and may be None."""
     from open_instrument_spark.operators.dedup import connected_components
 
-    g = edges if edges is not None else knn_graph(
-        embeddings, centroids, k=k, id_col=id_col,
-        vec_col=vec_col, assign=assign)
+    if edges is None:
+        # checkpoint the internally-built graph: the mutual filter
+        # references the edge list TWICE (e and its reversal are
+        # different projections, so no exchange reuse is possible) and
+        # the r13 plan rebuilt the whole graph once per side (r14
+        # optimization, guide §7.2 "duplicated subtrees"; the edge
+        # list is ≤ k·N rows — the established bounded-checkpoint
+        # pattern, never the corpus)
+        edges = knn_graph(embeddings, centroids, k=k, id_col=id_col,
+                          vec_col=vec_col,
+                          assign=assign).localCheckpoint(eager=False)
+    g = edges
     e = g.select("src", "dst")
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     mutual = (
@@ -1124,9 +1311,7 @@ def knn_density(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
     if (edges is None) != (nodes is None):
         raise ValueError("knn_density: pass both edges and nodes, or neither")
     if edges is None:
-        if assign == "auto":
-            assign = ("fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K
-                      else "arrow")
+        assign = _resolve_assign(assign, len(centroids))
         asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
         g = _knn_edges(asg, k)
         nodes = asg.select("vec_id", "cell")
@@ -1191,9 +1376,7 @@ def knn_coreset(embeddings: DataFrame, centroids: np.ndarray,
     if (edges is None) != (nodes is None):
         raise ValueError("knn_coreset: pass both edges and nodes, or neither")
     if edges is None:
-        if assign == "auto":
-            assign = ("fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K
-                      else "arrow")
+        assign = _resolve_assign(assign, len(centroids))
         asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
         edges = _knn_edges(asg, k).localCheckpoint(eager=False)
         nodes = asg.select("vec_id", "cell")
@@ -1259,9 +1442,7 @@ def knn_label_propagation(embeddings: DataFrame, centroids: np.ndarray,
         raise ValueError(f"knn_label_propagation: rounds must be >= 1, "
                          f"got {rounds}")
     if edges is None:
-        if assign == "auto":
-            assign = ("fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K
-                      else "arrow")
+        assign = _resolve_assign(assign, len(centroids))
         asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
         edges = _knn_edges(asg, k)
     g = edges.select("src", "dst", "cos")
@@ -1306,6 +1487,53 @@ def knn_label_propagation(embeddings: DataFrame, centroids: np.ndarray,
     return pred
 
 
+def _semdedup_losers_kernel(asg: DataFrame, threshold: float) -> DataFrame:
+    """semantic_dedup's pair stage as a per-cell grouped-map kernel:
+    for every unordered in-cell pair (a < b by id) with sequential-fold
+    cosine > ``threshold``, emit the LOSER under the keep-rule (higher
+    csim loses; csim tie → higher id loses). One output column
+    (vec_id), duplicates resolved by the caller's distinct. Blockwise
+    over the cell so memory stays O(block·|cell|)."""
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy()
+        csim = pdf["csim"].to_numpy()
+        X = np.stack(pdf["v"].values).astype(np.float64)
+        nv = np.sqrt(_seq_sqnorms(X))
+        losers: list = []
+        B = 1024
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            D = np.zeros((s1 - s0, n))
+            for i in range(X.shape[1]):
+                D = D + X[s0:s1, i:i + 1] * X[None, :, i][0][None, :]
+            cos = D / (nv[s0:s1, None] * nv[None, :])
+            # keep only a < b (upper triangle relative to global index;
+            # rows are id-sorted, so position order IS id order)
+            cols = np.arange(n)[None, :]
+            rows = np.arange(s0, s1)[:, None]
+            qual = (cols > rows) & (cos > thr)
+            li, lj = np.nonzero(qual)
+            gi = li + s0
+            losers.append(np.where(csim[gi] > csim[lj], ids[gi], ids[lj]))
+        out = (np.concatenate(losers) if losers
+               else np.array([], dtype="int64"))
+        return pd.DataFrame({"vec_id": pd.Series(out, dtype="int64")})
+
+    return (
+        asg.select("vec_id", "v", "cell", "csim")
+        .groupBy("cell")
+        .applyInPandas(_losers, "vec_id long")
+    )
+
+
 def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
                    threshold: float = 0.35,
                    id_col: str = "vec_id", vec_col: str = "embedding",
@@ -1334,29 +1562,42 @@ def semantic_dedup(embeddings: DataFrame, centroids: np.ndarray,
     configuration, but its expression size grows with the centroid
     count; "arrow" is the matmul pandas_udf (the ivf_assign shape) —
     the scale path when k grows ∝ N, same argmax-by-raw-dot semantics
-    (equality pytest-pinned). "auto" (default) selects fold up to
-    ``SEMDEDUP_FOLD_MAX_K`` centroids and arrow above it, so the
-    DEFAULT engine survives the operator's own 100 TB story (the paper
-    grows k ∝ N — at real scale the literal expression would dwarf the
-    plan) while the oracled 32-cell config keeps its replayable fold.
+    (equality pytest-pinned). "auto" (default) now resolves to arrow
+    at EVERY centroid count (r14, :func:`_resolve_assign`): the arrow
+    engine's sequential-fold arithmetic is bit-identical to the fold
+    by construction, so oracle replayability no longer depends on the
+    Spark-side engine, and the fold's literal expression was measured
+    to cost real wall-time (MB-scale task binaries per stage) even at
+    the oracled 32-cell config. On arrow the pair stage also runs as
+    a per-cell grouped-map kernel instead of the self-join.
     """
-    if assign == "auto":
-        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    assign = _resolve_assign(assign, len(centroids))
     asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
-    a, b = asg.alias("a"), asg.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
-                      F.col("a.vec_id") < F.col("b.vec_id")])
-        .where(cosine(F.col("a.v"), F.col("b.v")) > F.lit(float(threshold)))
-        .select(
-            F.when(
-                (F.col("a.csim") > F.col("b.csim"))
-                | ((F.col("a.csim") == F.col("b.csim"))
-                   & (F.col("a.vec_id") > F.col("b.vec_id"))),
-                F.col("a.vec_id"),
-            ).otherwise(F.col("b.vec_id")).alias("vec_id")
+    if assign == "arrow":
+        # r14 kernel pair stage (guide §4.2): per-cell sequential-fold
+        # cosines + the keep-rule, one vectorized grouped-map pass —
+        # replaces the pair-exploding self-join whose every candidate
+        # evaluated three interpreted HOF folds. Bit-identical by
+        # construction (same fold arithmetic, same comparisons);
+        # engine equality is pytest-pinned. The "fold" engine keeps
+        # the all-JVM join below.
+        pairs = _semdedup_losers_kernel(asg, float(threshold))
+    else:
+        a, b = asg.alias("a"), asg.alias("b")
+        pairs = (
+            a.join(b, on=[F.col("a.cell") == F.col("b.cell"),
+                          F.col("a.vec_id") < F.col("b.vec_id")])
+            .where(cosine(F.col("a.v"), F.col("b.v"))
+                   > F.lit(float(threshold)))
+            .select(
+                F.when(
+                    (F.col("a.csim") > F.col("b.csim"))
+                    | ((F.col("a.csim") == F.col("b.csim"))
+                       & (F.col("a.vec_id") > F.col("b.vec_id"))),
+                    F.col("a.vec_id"),
+                ).otherwise(F.col("b.vec_id")).alias("vec_id")
+            )
         )
-    )
     losers = pairs.distinct().withColumn("is_dup", F.lit(True))
     return (
         asg.join(losers, on="vec_id", how="left")
@@ -1382,11 +1623,61 @@ def semantic_probe_pairs(corpus: DataFrame, new: DataFrame,
 
     Output: (new_id, old_id, cell, cos rounded 6dp) for every pair with
     cosine > ``threshold``. The on-disk store twin is
-    :func:`probe_semantic_index`."""
-    if assign == "auto":
-        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    :func:`probe_semantic_index`.
+
+    r14 optimization (guide §4.2): on the arrow engine the NEW×OLD
+    cosines are computed by a per-cell COGROUPED kernel (sequential
+    fold — bit-identical to the HOF join engine, which the explicit
+    "fold" engine keeps), so no candidate pair ever materializes as a
+    join row paying three interpreted HOF folds."""
+    assign = _resolve_assign(assign, len(centroids))
     old_asg = _cell_assign(corpus, centroids, id_col, vec_col, assign)
     new_asg = _cell_assign(new, centroids, id_col, vec_col, assign)
+    if assign == "arrow":
+        import pandas as pd
+
+        thr = float(threshold)
+
+        def _probe(npdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "new_id": pd.Series([], dtype="int64"),
+                "old_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "_cos": pd.Series([], dtype="float64")})
+            if len(npdf) == 0 or len(opdf) == 0:
+                return empty
+            cell = int(npdf["cell"].iloc[0])
+            ids_n = npdf["vec_id"].to_numpy()
+            ids_o = opdf["vec_id"].to_numpy()
+            Xn = np.stack(npdf["v"].values).astype(np.float64)
+            Xo = np.stack(opdf["v"].values).astype(np.float64)
+            nvn = np.sqrt(_seq_sqnorms(Xn))
+            nvo = np.sqrt(_seq_sqnorms(Xo))
+            frames = []
+            B = 1024
+            for s0 in range(0, len(Xn), B):
+                s1 = min(s0 + B, len(Xn))
+                D = np.zeros((s1 - s0, len(Xo)))
+                for i in range(Xn.shape[1]):
+                    D = D + Xn[s0:s1, i:i + 1] * Xo[None, :, i][0][None, :]
+                cos = D / (nvn[s0:s1, None] * nvo[None, :])
+                li, lj = np.nonzero(cos > thr)
+                frames.append(pd.DataFrame({
+                    "new_id": pd.Series(ids_n[li + s0], dtype="int64"),
+                    "old_id": pd.Series(ids_o[lj], dtype="int64"),
+                    "cell": pd.Series(
+                        np.full(len(li), cell, dtype="int32")),
+                    "_cos": pd.Series(cos[li, lj], dtype="float64")}))
+            return pd.concat(frames, ignore_index=True) if frames else empty
+
+        raw = (
+            new_asg.select("vec_id", "v", "cell").groupBy("cell")
+            .cogroup(old_asg.select("vec_id", "v", "cell").groupBy("cell"))
+            .applyInPandas(_probe,
+                           "new_id long, old_id long, cell int, _cos double")
+        )
+        return raw.select("new_id", "old_id", "cell",
+                          F.round("_cos", 6).alias("cos"))
     a, b = new_asg.alias("a"), old_asg.alias("b")
     # project the cosine ONCE, filter on it, round only in the final
     # select — the HOF fold is the dominant per-pair arithmetic, and a
@@ -1522,8 +1813,7 @@ def build_semantic_index(embeddings: DataFrame, path: str,
     if layout not in ("raw", "sq8"):
         raise ValueError(f"layout must be 'raw' or 'sq8', got {layout!r}")
     spark = embeddings.sparkSession
-    if assign == "auto":
-        assign = "fold" if len(centroids) <= SEMDEDUP_FOLD_MAX_K else "arrow"
+    assign = _resolve_assign(assign, len(centroids))
     asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
     asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
         "overwrite").parquet(f"{path}/vectors/epoch=-1")

@@ -271,3 +271,72 @@ def test_multiprobe_validation(spark):
         knn_graph(emb, C, k=2, n_probe=0).collect()
     with _pytest.raises(ValueError):
         knn_graph(emb, C, k=2, n_probe=len(C) + 1).collect()
+
+
+# ---------------------------------------------------------------------------
+# r14 optimization: the grouped-map edge/pair kernels must be EXACTLY
+# the engines they replaced (bit-identical sequential-fold arithmetic)
+# ---------------------------------------------------------------------------
+
+def test_knn_edges_kernel_equals_join_engine(spark):
+    """The per-cell grouped-map edge kernel (r14 default) against the
+    all-JVM join+window engine it replaced, on real parquet vectors:
+    identical (src, dst, cell, rank, cos) row sets — including the
+    6dp-rounded cosines and the (cos desc, dst asc) rank order."""
+    from open_instrument_spark.operators.similarity import (
+        _cell_assign,
+        _knn_edges,
+        seeded_centroids,
+    )
+    from open_instrument_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001").table("embeddings")
+    Cs = seeded_centroids(64, 32, 7)
+    asg = _cell_assign(emb, Cs, "vec_id", "embedding", "fold")
+    kernel = sorted(map(tuple, _knn_edges(asg, 5).collect()))
+    join = sorted(map(tuple, _knn_edges(asg, 5, engine="join").collect()))
+    assert kernel == join
+
+
+def test_semantic_dedup_kernel_equals_fold_engine_exactly(spark):
+    """semantic_dedup's arrow path (kernel pair stage + sequential-fold
+    assignment) against the all-JVM fold engine: full-row equality
+    including the rounded centroid_sim."""
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+    from open_instrument_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001").table("embeddings")
+    Cs = seeded_centroids(64, 32, 7)
+    arrow = sorted(map(tuple,
+                       semantic_dedup(emb, Cs, 0.35,
+                                      assign="arrow").collect()))
+    fold = sorted(map(tuple,
+                      semantic_dedup(emb, Cs, 0.35,
+                                     assign="fold").collect()))
+    assert arrow == fold
+
+
+def test_semantic_probe_cogroup_kernel_equals_fold_engine(spark):
+    """semantic_probe_pairs' cogrouped kernel (arrow) against the
+    all-JVM join engine (fold): identical (new_id, old_id, cell, cos)
+    row sets."""
+    from open_instrument_spark.operators.similarity import (
+        seeded_centroids,
+        semantic_probe_pairs,
+    )
+    from open_instrument_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001").table("embeddings")
+    new = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    Cs = seeded_centroids(64, 32, 7)
+    arrow = sorted(map(tuple,
+                       semantic_probe_pairs(emb, new, Cs, 0.35,
+                                            assign="arrow").collect()))
+    fold = sorted(map(tuple,
+                      semantic_probe_pairs(emb, new, Cs, 0.35,
+                                           assign="fold").collect()))
+    assert arrow == fold

@@ -1628,10 +1628,13 @@ def test_minhash_index_meta_no_full_scan(spark, tmp_path, monkeypatch):
 
 
 def test_semantic_dedup_auto_assign_routes_on_k(spark):
-    """The default assignment engine (r12, judge r11 #1): "auto" keeps
-    the oracle-exact literal fold at the seeded configs (k <= 64 — no
-    Python in the plan) and switches to the Arrow matmul above it (the
-    k ∝ N scale path), visible as an ArrowEvalPython node."""
+    """The default assignment engine after the r14 optimization:
+    "auto" resolves to the arrow engine at EVERY centroid count (the
+    sequential-fold kernel is bit-identical to the literal fold, and
+    the fold's literal expression costs MB-scale task binaries per
+    stage even at small k — measured, see OPTIMIZATION_r14.md), so
+    ArrowEvalPython appears in both the small-k and the large-k plan;
+    and the engines agree exactly on both configs."""
     emb = load_tables(spark, SF_SMOKE).table("embeddings").limit(50)
     small = similarity.seeded_centroids(64, 8, 7)
     big = similarity.seeded_centroids(64, 65, 7)
@@ -1639,14 +1642,16 @@ def test_semantic_dedup_auto_assign_routes_on_k(spark):
         emb, small, 0.3)._jdf.queryExecution().toString()
     plan_big = similarity.semantic_dedup(
         emb, big, 0.3)._jdf.queryExecution().toString()
-    assert "ArrowEvalPython" not in plan_small
+    assert "ArrowEvalPython" in plan_small
     assert "ArrowEvalPython" in plan_big
-    # and the routed engines still agree on the routed config
-    auto = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
-            similarity.semantic_dedup(emb, big, 0.3).collect()}
-    fold = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
-            similarity.semantic_dedup(emb, big, 0.3, assign="fold").collect()}
-    assert auto == fold
+    # and the engines still agree — on the big config AND the small
+    for C in (small, big):
+        auto = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
+                similarity.semantic_dedup(emb, C, 0.3).collect()}
+        fold = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in
+                similarity.semantic_dedup(emb, C, 0.3,
+                                          assign="fold").collect()}
+        assert auto == fold
 
 
 def test_maintenance_compacts_minhash_store(spark, tmp_path):

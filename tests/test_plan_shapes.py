@@ -566,9 +566,12 @@ def test_dsir_broadcast_lambda_and_take_ordered(spark, tables):
 
 
 def test_semantic_dedup_all_jvm_and_cell_join(spark, tables):
-    """SemDeDup's assignment is a literal-array fold (whole-stage
-    codegen, no Python anywhere) and the pair stage is an equi-join on
-    the cell id — never a cross product."""
+    """SemDeDup plan shapes after the r14 kernel optimization: the
+    DEFAULT (arrow) engine runs the assignment as one vectorized
+    ArrowEvalPython and the pair stage as one per-cell grouped-map
+    kernel (FlatMapGroupsInPandas) — never a cross product and never
+    row-at-a-time Python; the explicit "fold" engine keeps the all-JVM
+    literal-fold + cell equi-join plan."""
     from open_instrument_spark.operators.similarity import (
         seeded_centroids,
         semantic_dedup,
@@ -577,8 +580,16 @@ def test_semantic_dedup_all_jvm_and_cell_join(spark, tables):
 
     emb = load_tables(spark, SF_SMOKE).table("embeddings")
     plan = plan_of(semantic_dedup(emb, seeded_centroids(64, 8, 7), 0.3))
-    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python ever
+    assert "FlatMapGroupsInPandas" in plan  # the kernel pair stage
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    fold_plan = plan_of(semantic_dedup(emb, seeded_centroids(64, 8, 7), 0.3,
+                                       assign="fold"))
+    assert "BatchEvalPython" not in fold_plan and "ArrowEval" not in fold_plan
+    assert "FlatMapGroupsInPandas" not in fold_plan
+    assert ("CartesianProduct" not in fold_plan
+            and "BroadcastNestedLoop" not in fold_plan)
 
 
 def test_duplicated_spans_no_python_no_cross(spark, tables):
@@ -714,9 +725,14 @@ def test_retrieval_eval_cost_is_post_retrieval(spark):
 
 
 def test_knn_graph_in_cell_only_no_python(spark, tables):
-    """The kNN graph's candidate stage is the cell equi-join — never a
-    cross product — and the whole pipeline (fold assignment, cosine,
-    rank) stays JVM-side; exactly one window pass ranks the edges."""
+    """kNN graph plan after the r14 kernel optimization: ONE hash
+    exchange on the cell id feeds a single per-cell grouped-map kernel
+    (FlatMapGroupsInPandas computes every in-cell cosine AND the
+    per-src top-k in one vectorized pass) — no join at all, no rank
+    window, no pair-exploding intermediate, and never row-at-a-time
+    Python. The previous all-JVM join+window engine stays available as
+    `_knn_edges(..., engine="join")` and is pinned value-equal in
+    tests/test_knn_consumers.py."""
     from open_instrument_spark.operators.similarity import (
         knn_graph,
         seeded_centroids,
@@ -727,20 +743,20 @@ def test_knn_graph_in_cell_only_no_python(spark, tables):
     plan = plan_of(df)
     assert count_in(plan, "Cartesian") == 0
     assert count_in(plan, "BroadcastNestedLoop") == 0
-    assert count_in(plan, "EvalPython") == 0
-    # ONE ranking window, and the rank<=k cut rewritten into
-    # WindowGroupLimit with a map-side Partial — each task keeps only
-    # its local top-k per src BEFORE the exchange, so the shuffle
-    # carries O(nodes·k) edges, not the full in-cell pair set
-    assert count_in(plan, "+- Window [") == 1
-    assert count_in(plan, "row_number(), 5, Partial") == 1
-    assert count_in(plan, "row_number(), 5, Final") == 1
+    assert count_in(plan, "BatchEvalPython") == 0
+    assert count_in(plan, "FlatMapGroupsInPandas") == 1
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert count_in(plan, "+- Window [") == 0  # rank computed in-kernel
+    assert "Join" not in plan
 
 
 def test_semantic_probe_new_x_old_join_no_python(spark, tables):
-    """The incremental semantic probe joins NEW against OLD on the cell
-    id only — no cross product, no Python, and the threshold rides the
-    join so non-matching in-cell pairs die before any later stage."""
+    """The incremental semantic probe after the r14 kernel
+    optimization: NEW and OLD are cogrouped on the cell id and each
+    cell's NEW×OLD cosines + threshold run in one vectorized kernel
+    (FlatMapCoGroupsInPandas) — no cross product, no row-at-a-time
+    Python, and non-matching pairs never materialize as rows. The
+    explicit "fold" engine keeps the all-JVM cell equi-join."""
     from open_instrument_spark.operators.similarity import (
         seeded_centroids,
         semantic_probe_pairs,
@@ -753,7 +769,15 @@ def test_semantic_probe_new_x_old_join_no_python(spark, tables):
                                         seeded_centroids(64, 32, 7)))
     assert count_in(plan, "Cartesian") == 0
     assert count_in(plan, "BroadcastNestedLoop") == 0
-    assert count_in(plan, "EvalPython") == 0
+    assert count_in(plan, "BatchEvalPython") == 0
+    assert count_in(plan, "FlatMapCoGroupsInPandas") == 1
+    assert "Join" not in plan
+
+    fold_plan = plan_of(semantic_probe_pairs(
+        emb, new, seeded_centroids(64, 32, 7), assign="fold"))
+    assert count_in(fold_plan, "Cartesian") == 0
+    assert count_in(fold_plan, "BroadcastNestedLoop") == 0
+    assert count_in(fold_plan, "EvalPython") == 0
 
 
 def test_cluster_canonical_one_cluster_exchange_for_windows(spark, tables):
