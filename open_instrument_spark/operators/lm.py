@@ -178,6 +178,15 @@ def _lm_score_from_toks(ids: DataFrame, toks_frame: DataFrame,
         ).limit(max_bigrams)
     if max_vocab is not None:
         uni = uni.orderBy(F.col("c1").desc(), "w1").limit(max_vocab)
+    # r14 optimization (guide §7.2, duplicated subtrees): the unigram
+    # table is consumed twice — the V action right below and the
+    # scoring join — and actions don't share work across jobs, so the
+    # tokens→explode→count pass (a full corpus traversal even with the
+    # tokens checkpointed) executed once per consumer. The lazy
+    # checkpoint makes the count() materialize it and the join read it
+    # back. The frame is vocabulary-sized — the model table the plan
+    # already materializes for the join build.
+    uni = uni.localCheckpoint(eager=False)
     v = uni.count()  # (truncated) vocabulary size — one bounded action
     # join type: untruncated SELF-trained tables cover every key, so
     # INNER ≡ LEFT there — keep inner (Catalyst reorders/codegens it
@@ -246,7 +255,14 @@ def ccnet_buckets(docs: DataFrame, head_frac: float = 1 / 3,
 
     Output: (doc_id, n_bigrams, avg_logp, bucket, keep) — keep is the
     CCNet head+middle retention rule."""
-    scored = lm_score(docs, text_col=text_col, **lm_kwargs)
+    # r14 optimization (guide §7.2, duplicated subtrees): the
+    # percentile-threshold aggregate below is a broadcast side, so the
+    # ENTIRE scoring pipeline — both count-table fits included —
+    # executed twice (once in the broadcast-build job, once in the main
+    # query; the before-plan carries two full parquet-scan subtrees).
+    # The checkpoint is doc-sized (three narrow columns per doc).
+    scored = lm_score(docs, text_col=text_col,
+                      **lm_kwargs).localCheckpoint(eager=False)
     q_head = 1.0 - head_frac
     q_mid = 1.0 - head_frac - middle_frac
     th = scored.agg(
