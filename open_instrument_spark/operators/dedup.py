@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 _log = logging.getLogger(__name__)
 
 from open_instrument_spark.operators.text import let, words
-from open_instrument_spark.session import track_persist
+from open_instrument_spark.session import local_df, track_persist
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -473,10 +473,10 @@ def build_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
 
 def _write_minhash_meta(spark, path: str, num_perm: int, bands: int,
                         next_epoch: int) -> None:
-    spark.createDataFrame(
-        [(int(num_perm), int(bands), int(next_epoch))],
+    local_df(
+        spark, [(int(num_perm), int(bands), int(next_epoch))],
         "num_perm int, bands int, next_epoch long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _read_minhash_meta(spark, path: str) -> tuple[int, int, int]:

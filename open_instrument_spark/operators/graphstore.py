@@ -74,6 +74,8 @@ import shutil
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
+from open_instrument_spark.session import local_df
+
 from open_instrument_spark.operators.similarity import (
     _cell_assign,
     _cell_assign_multi,
@@ -88,10 +90,10 @@ EDGE_COLS = ["src", "dst", "cell", "rank", "cos"]
 
 def _write_graph_meta(spark, path: str, dim: int, n_cells: int, k: int,
                       next_epoch: int, n_probe: int = 1) -> None:
-    spark.createDataFrame(
-        [(int(dim), int(n_cells), int(k), int(next_epoch), int(n_probe))],
+    local_df(
+        spark, [(int(dim), int(n_cells), int(k), int(next_epoch), int(n_probe))],
         "dim int, n_cells int, k int, next_epoch long, n_probe int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _read_graph_meta(spark, path: str) -> tuple[int, int, int, int, int]:
@@ -258,8 +260,8 @@ def build_knn_graph_store(embeddings: DataFrame, path: str,
         asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
         asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
             "overwrite").parquet(f"{path}/vectors/epoch=-1")
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+    local_df(
+        spark, [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, c array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     landed = spark.read.parquet(f"{path}/vectors")

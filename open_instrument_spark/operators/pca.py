@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from open_instrument_spark.session import local_df
+
 
 def _partial_moments(dim: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,7 +79,7 @@ def covariance_table(embeddings: DataFrame, vec_col: str = "embedding",
     rows = [
         (i, j, round(float(cov[i, j]), 6)) for i in range(dim) for j in range(dim)
     ]
-    return spark.createDataFrame(rows, "i int, j int, cov double")
+    return local_df(spark, rows, "i int, j int, cov double")
 
 
 def pca(embeddings: DataFrame, k: int = 8, vec_col: str = "embedding",

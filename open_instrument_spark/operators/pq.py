@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_instrument_spark.operators.similarity import as_double
+from open_instrument_spark.session import local_df
 
 __all__ = [
     "pq_codebooks_seeded",
@@ -176,8 +177,8 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             qj = qv[j * dsub:(j + 1) * dsub]
             tab.append([float(((qj - c) ** 2).sum()) for c in B[j]])
         adc_rows.append((r["n_id"], tab))
-    adc = spark.createDataFrame(
-        adc_rows, "q_id long, adc array<array<double>>"
+    adc = local_df(
+        spark, adc_rows, "q_id long, adc array<array<double>>"
     )
 
     scored = (
@@ -203,8 +204,8 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
         )
 
     short = ranked.filter(F.col("rank") <= max(rerank, k)).select("q_id", "n_id")
-    qvs = spark.createDataFrame(
-        [(r["n_id"], [float(x) for x in r["v"]]) for r in qrows],
+    qvs = local_df(
+        spark, [(r["n_id"], [float(x) for x in r["v"]]) for r in qrows],
         "q_id long, qv array<double>",
     )
     exact = (
@@ -298,8 +299,8 @@ def ivfpq_topk(embeddings: DataFrame, query_ids: list[int], k: int = 10,
             probe_rows.append(
                 (r["n_id"], int(c), tab, [float(x) for x in qv])
             )
-    probes = spark.createDataFrame(
-        probe_rows,
+    probes = local_df(
+        spark, probe_rows,
         "q_id long, cell int, adc array<array<double>>, qv array<double>",
     )
     if not rerank:
@@ -444,8 +445,8 @@ def ivfpq_coarse_rerank_topk(embeddings: DataFrame, query_ids: list[int],
         _encode_codes("v", B).alias("code"),
     )
     qrows = base.filter(F.col("n_id").isin(query_ids)).collect()
-    probes = spark.createDataFrame(
-        _probe_rows({r["n_id"]: r["v"] for r in qrows}, C, B, n_probe),
+    probes = local_df(
+        spark, _probe_rows({r["n_id"]: r["v"] for r in qrows}, C, B, n_probe),
         "q_id long, cell int, adc array<array<double>>, qv array<double>",
     )
     cand = index.join(F.broadcast(probes), "cell").filter(
@@ -531,15 +532,15 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
         assigned.select("n_id", "v", "cell").write.partitionBy(
             "cell"
         ).mode("overwrite").parquet(f"{path}/vectors")
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
+    local_df(
+        spark, [(int(i), [float(x) for x in c]) for i, c in enumerate(C)],
         "cell int, c array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(j, cc, [float(x) for x in B[j, cc]])
-         for j in range(B.shape[0]) for cc in range(B.shape[1])],
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    local_df(
+        spark, [(j, cc, [float(x) for x in B[j, cc]])
+                for j in range(B.shape[0]) for cc in range(B.shape[1])],
         "j int, cc int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     return C, B
 
 
@@ -561,8 +562,8 @@ def search_ivfpq_index(spark, path: str, queries: dict[int, list],
     (q_id, n_id, rank, adist)."""
     C, B = _load_index_sides(spark, path)
     probe_rows = _probe_rows(queries, C, B, n_probe)
-    probes = spark.createDataFrame(
-        probe_rows,
+    probes = local_df(
+        spark, probe_rows,
         "q_id long, cell int, adc array<array<double>>, qv array<double>",
     )
     if not rerank:
@@ -633,8 +634,8 @@ def search_ivfpq_coarse_rerank(spark, path: str, queries: dict[int, list],
     squared L2, rounded 6)."""
     C, B = _load_index_sides(spark, path)
     probe_rows = _probe_rows(queries, C, B, n_probe)
-    probes = spark.createDataFrame(
-        probe_rows,
+    probes = local_df(
+        spark, probe_rows,
         "q_id long, cell int, adc array<array<double>>, qv array<double>",
     )
     cells_needed = sorted({c for _, c, *_ in probe_rows})

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_instrument_spark.operators.text import words
+from open_instrument_spark.session import local_df
 
 
 def bm25_scores(docs: DataFrame, query_terms: list[str],
@@ -264,7 +265,7 @@ def _query_frame(spark, queries: dict[int, list[str]]) -> DataFrame:
     for qid, terms in queries.items():
         for t in dict.fromkeys(terms):
             rows.append((int(qid), str(t)))
-    return spark.createDataFrame(rows, "q_id long, term string")
+    return local_df(spark, rows, "q_id long, term string")
 
 
 def _bm25_weight(k1: float, b: float):
@@ -451,10 +452,10 @@ def _write_text_meta(spark, path: str, n_docs: int, sum_dl: int,
                      n_buckets: int, epoch: int) -> None:
     """One meta row for ONE epoch's contribution, landed in its own
     ``epoch=E`` partition (overwrite → replay-idempotent)."""
-    spark.createDataFrame(
-        [(int(n_docs), int(sum_dl), int(n_buckets))],
+    local_df(
+        spark, [(int(n_docs), int(sum_dl), int(n_buckets))],
         "n_docs long, sum_dl long, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta/epoch={int(epoch)}")
+    ).write.mode("overwrite").parquet(f"{path}/meta/epoch={int(epoch)}")
 
 
 def _read_text_meta(spark, path: str) -> tuple[int, int, int, int]:

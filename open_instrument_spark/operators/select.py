@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from open_instrument_spark.functions.match import VariableMatcher
 from open_instrument_spark.model import series_key
 from open_instrument_spark.operators.mutate import SERIES_KEY_COL, _with_key
+from open_instrument_spark.session import local_df
 
 DEFAULT_GET_WINDOW_MS = 86_400_000  # last 1 day, server/store.cc:137-138
 DEFAULT_LIST_MAX_AGE_MS = 86_400_000  # lib/openinstrument.proto:145
@@ -151,7 +152,8 @@ def absent_selectors(points: DataFrame, patterns: list[str]) -> DataFrame:
         .groupBy("_sel")
         .agg(F.count_distinct(F.col(SERIES_KEY_COL)).alias("_n"))
     )
-    sels = points.sparkSession.createDataFrame(
+    sels = local_df(
+        points.sparkSession,
         [(i, p) for i, p in enumerate(patterns)], "_sel int, selector string"
     )
     return (

@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from open_instrument_spark.session import local_df
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -626,8 +628,8 @@ def _ivf_search(base: DataFrame, C: np.ndarray, query_ids: list[int],
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         cells = np.argsort(-(C @ qn))[:n_probe]
         probe_rows.extend((r["n_id"], int(c), [float(x) for x in qv]) for c in cells)
-    probes = spark.createDataFrame(
-        probe_rows, "q_id long, cell int, qv array<double>"
+    probes = local_df(
+        spark, probe_rows, "q_id long, cell int, qv array<double>"
     )
 
     cand = assigned.join(F.broadcast(probes), "cell").filter(
@@ -671,11 +673,12 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_cells: int = 32,
         centroids = _kmeans(train, min(n_cells, len(train)), seed=seed)
     assigned = base.withColumn("cell", ivf_assign("v", centroids))
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
-    cdf = base.sparkSession.createDataFrame(
+    cdf = local_df(
+        base.sparkSession,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, c array<double>",
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cdf.write.mode("overwrite").parquet(f"{path}/centroids")
     return centroids
 
 
@@ -737,8 +740,8 @@ def search_ivf_index(spark, path: str, queries: dict[int, list],
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         for c in np.argsort(-(C @ qn))[:n_probe]:
             probe_rows.append((int(qid), int(c), [float(x) for x in qv]))
-    probes = spark.createDataFrame(
-        probe_rows, "q_id long, cell int, qv array<double>"
+    probes = local_df(
+        spark, probe_rows, "q_id long, cell int, qv array<double>"
     )
     cells_needed = sorted({c for _, c, _ in probe_rows})
     vectors = spark.read.parquet(f"{path}/vectors").filter(
@@ -1312,7 +1315,11 @@ def knn_density(embeddings: DataFrame, centroids: np.ndarray, k: int = 5,
         raise ValueError("knn_density: pass both edges and nodes, or neither")
     if edges is None:
         assign = _resolve_assign(assign, len(centroids))
-        asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
+        # one assignment pass feeds BOTH the edge kernel and the node
+        # set (guide §7.2 duplicated subtrees): un-checkpointed, the
+        # corpus-wide Arrow assignment executed once per consumer
+        asg = _cell_assign(embeddings, centroids, id_col, vec_col,
+                           assign).localCheckpoint(eager=False)
         g = _knn_edges(asg, k)
         nodes = asg.select("vec_id", "cell")
     else:
@@ -1377,7 +1384,10 @@ def knn_coreset(embeddings: DataFrame, centroids: np.ndarray,
         raise ValueError("knn_coreset: pass both edges and nodes, or neither")
     if edges is None:
         assign = _resolve_assign(assign, len(centroids))
-        asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
+        # the assignment feeds the edge build AND the node set — same
+        # §7.2 fix as knn_density: checkpoint so it runs once
+        asg = _cell_assign(embeddings, centroids, id_col, vec_col,
+                           assign).localCheckpoint(eager=False)
         edges = _knn_edges(asg, k).localCheckpoint(eager=False)
         nodes = asg.select("vec_id", "cell")
     clusters = mutual_knn_clusters(None, None, k=k, edges=edges)
@@ -1707,10 +1717,10 @@ def semantic_probe_pairs(corpus: DataFrame, new: DataFrame,
 
 def _write_semantic_meta(spark, path: str, dim: int, n_cells: int,
                          next_epoch: int) -> None:
-    spark.createDataFrame(
-        [(int(dim), int(n_cells), int(next_epoch))],
+    local_df(
+        spark, [(int(dim), int(n_cells), int(next_epoch))],
         "dim int, n_cells int, next_epoch long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _read_semantic_meta(spark, path: str) -> tuple[int, int, int]:
@@ -1761,9 +1771,9 @@ def _write_semantic_codes(assigned: DataFrame, path: str,
         old = spark.read.parquet(bp).first()
         max_err = max(max_err, float(old["max_err"]))
         min_norm = min(min_norm, float(old["min_norm"]))
-    spark.createDataFrame(
-        [(max_err, min_norm)], "max_err double, min_norm double"
-    ).coalesce(1).write.mode("overwrite").parquet(bp)
+    local_df(
+        spark, [(max_err, min_norm)], "max_err double, min_norm double"
+    ).write.mode("overwrite").parquet(bp)
 
 
 def derived_sq_margin(spark, path: str) -> float:
@@ -1817,8 +1827,8 @@ def build_semantic_index(embeddings: DataFrame, path: str,
     asg = _cell_assign(embeddings, centroids, id_col, vec_col, assign)
     asg.select("vec_id", "v", "cell").write.partitionBy("cell").mode(
         "overwrite").parquet(f"{path}/vectors/epoch=-1")
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+    local_df(
+        spark, [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, c array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     if layout == "sq8":

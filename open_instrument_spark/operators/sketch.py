@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from open_instrument_spark.session import local_df
+
 __all__ = [
     "cms_table", "cms_estimate",
     "bloom_bits", "bloom_bitmap", "bloom_hit_expr", "bloom_probe_join",
@@ -88,12 +90,12 @@ def cms_estimate(table: DataFrame, key_col: str, probe_values: list,
     Output: (key_col, value, est)."""
     spark = table.sparkSession
     keys = table.select(key_col).distinct()
-    probes = spark.createDataFrame([(str(v),) for v in probe_values],
-                                   "value string")
+    probes = local_df(spark, [(str(v),) for v in probe_values],
+                      "value string")
     grid = (
         keys.crossJoin(F.broadcast(probes))
         .crossJoin(F.broadcast(
-            spark.createDataFrame([(i,) for i in range(d)], "d int")))
+            local_df(spark, [(i,) for i in range(d)], "d int")))
         .select(key_col, "value", "d",
                 _bucket(F.col("d"), F.col("value"), w).alias("bucket"))
     )

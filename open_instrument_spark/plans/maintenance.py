@@ -34,6 +34,8 @@ import shutil
 
 from pyspark.sql import DataFrame, functions as F
 
+from open_instrument_spark.session import local_df
+
 from open_instrument_spark.operators.retention import (
     PolicyItem,
     retention_report,
@@ -297,8 +299,8 @@ def _forget_split(df: DataFrame, col: str, ids: list[int]):
     if len(ids) <= FORGET_ISIN_MAX:
         return (df.filter(F.col(col).isin(ids)).count(),
                 df.filter(~F.col(col).isin(ids)))
-    idf = df.sparkSession.createDataFrame(
-        [(int(i),) for i in ids], f"{col} long"
+    idf = local_df(
+        df.sparkSession, [(int(i),) for i in ids], f"{col} long"
     )
     gone = F.broadcast(idf.withColumnRenamed(col, "_forget_id"))
     on = df[col] == gone["_forget_id"]
@@ -642,8 +644,8 @@ def forget_from_knn_graph_store(spark, path: str, vec_ids) -> dict:
     if len(ids) <= FORGET_ISIN_MAX:
         hit = vec.filter(F.col("vec_id").isin(ids))
     else:
-        gone = F.broadcast(spark.createDataFrame(
-            [(int(i),) for i in ids], "_forget_id long"))
+        gone = F.broadcast(local_df(
+            spark, [(int(i),) for i in ids], "_forget_id long"))
         hit = vec.join(gone, vec["vec_id"] == gone["_forget_id"],
                        "left_semi")
     cells = sorted({int(r["cell"])
@@ -818,7 +820,7 @@ def maintenance_tick(spark, store_path: str, policy: list[PolicyItem],
     # the caller reads the report AFTER the rewrite — materialize it
     # now so the returned frame reflects tick-START state, not a lazy
     # re-scan of rewritten (or deleted) files
-    report = spark.createDataFrame(report.collect(), report.schema)
+    report = local_df(spark, report.collect(), report.schema)
     run_retention_job(spark, store_path, policy, now, n_buckets=n_buckets)
     summary["compacted_dates"] = compact_dates(
         spark, store_path, n_buckets=n_buckets,

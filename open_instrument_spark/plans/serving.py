@@ -34,6 +34,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import DataFrame, Row
 
 from open_instrument_spark.plans.api import GetRequest, get as api_get
+from open_instrument_spark.session import local_df
 from open_instrument_spark.operators.select import list_series
 from open_instrument_spark.sources.ingest import ingest_batch
 
@@ -219,7 +220,7 @@ def points_from_add_json(spark, obj: dict) -> DataFrame:
                       if v.get("double_value") is not None else None),
                 sval=v.get("string_value"),
             ))
-    return spark.createDataFrame(rows, POINTS_SCHEMA)
+    return local_df(spark, rows, POINTS_SCHEMA)
 
 
 def add_json(spark, obj: dict, sink, source_host: str | None = None) -> dict:

@@ -73,6 +73,27 @@ def prepare(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_df(spark: SparkSession, data, schema, n_slices: int = 1):
+    """``createDataFrame`` for SMALL driver-local lists without the
+    defaultParallelism fan-out.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows into
+    defaultParallelism pickled-Python partitions (32 on this harness);
+    every consumer then pays one Python-runner round PER PARTITION.
+    Under ``coalesce(1)`` — the store meta/centroid write pattern —
+    ONE task drains all 32 runner rounds sequentially: a one-row meta
+    write measured 4.5–7 s at local[32] vs 0.6 s from a single slice
+    (thread-dump-verified: the write task sat in PythonRunner reads,
+    guide §1.2 per-task overhead / §7.3). Engine-built local tables
+    (meta rows, centroids, probe lists, codebooks) are tiny by
+    construction — one slice means one Python round and a one-task
+    stage everywhere downstream."""
+    if not data:
+        return spark.createDataFrame(data, schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, n_slices), schema)
+
+
 _TRACKED_PERSISTS: list = []
 
 
