@@ -34,10 +34,38 @@ def get_spark(app_name: str = "open_instrument_spark", cpus: int | None = None) 
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # r14 (guide §1.2 per-task/driver overhead): PySpark's DataFrame
+        # error-context capture wraps EVERY DataFrame/Column API call
+        # with a getActiveSession + conf.get + PySparkCurrentOrigin
+        # set/clear round plus a Python stack walk — cProfile showed it
+        # TRIPLING the py4j round-trip count of plan construction
+        # (12,329 → 4,309 socket calls on one collector build; ~3 s of
+        # a 4.5 s build). It only enriches error messages with call
+        # sites; results are unaffected on any deployment.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
+    _disable_dataframe_debugging(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def _disable_dataframe_debugging(spark: SparkSession) -> None:
+    """Make the dataFrameDebugging=false conf actually take effect.
+
+    pyspark caches the enablement decision in a process-global on the
+    FIRST wrapped API call (``pyspark.errors.utils._enable_debugging_cache``),
+    so a session that ran any DataFrame op before ``prepare()`` (the
+    verify driver's) would keep paying the per-call overhead even after
+    the conf is set. The conf is set for transparency and the cache is
+    pinned False to cover the already-populated case."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+        from pyspark.errors import utils as _errutils
+
+        _errutils._enable_debugging_cache = False
+    except Exception:
+        pass
 
 
 def prepare(spark: SparkSession) -> SparkSession:
@@ -63,6 +91,9 @@ def prepare(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    # per-call error-context capture off (see get_spark) — plan
+    # construction is part of every driver-timed query invocation
+    _disable_dataframe_debugging(spark)
     # Drop intermediates persisted by a PREVIOUS query (e.g. the LSH
     # shingle cache): prepare() runs at the start of each query build, so
     # this bounds cache memory across a long sequence of driver runs.
