@@ -179,15 +179,20 @@ def _lm_score_from_toks(ids: DataFrame, toks_frame: DataFrame,
     if max_vocab is not None:
         uni = uni.orderBy(F.col("c1").desc(), "w1").limit(max_vocab)
     # r14 optimization (guide §7.2, duplicated subtrees): the unigram
-    # table is consumed twice — the V action right below and the
-    # scoring join — and actions don't share work across jobs, so the
-    # tokens→explode→count pass (a full corpus traversal even with the
-    # tokens checkpointed) executed once per consumer. The lazy
-    # checkpoint makes the count() materialize it and the join read it
-    # back. The frame is vocabulary-sized — the model table the plan
-    # already materializes for the join build.
+    # table is consumed twice — the vocabulary size and the scoring
+    # join — so the checkpoint makes both consumers read one
+    # materialization. The frame is vocabulary-sized — the model table
+    # the plan already materializes for the join build.
     uni = uni.localCheckpoint(eager=False)
-    v = uni.count()  # (truncated) vocabulary size — one bounded action
+    # (truncated) vocabulary size, IN-PLAN (r14, guide §5 driver): the
+    # previous v = uni.count() was a BLOCKING driver action per
+    # invocation whose job ran the tokenize→explode→count chain ahead
+    # of the main query; a broadcast ONE-ROW count of the same
+    # checkpointed table (the SQ-stats crossJoin pattern — the build
+    # side is provably a single aggregate row) folds it into the
+    # scoring job. α·V arithmetic is unchanged: one IEEE double
+    # multiply either way.
+    vfr = uni.agg(F.count(F.lit(1)).cast("double").alias("_v"))
     # join type: untruncated SELF-trained tables cover every key, so
     # INNER ≡ LEFT there — keep inner (Catalyst reorders/codegens it
     # better); capped or cross-trained tables genuinely miss keys and
@@ -205,11 +210,12 @@ def _lm_score_from_toks(ids: DataFrame, toks_frame: DataFrame,
             "w1",
             "left" if oov_uni else "inner",
         )
+        .crossJoin(F.broadcast(vfr))
         .withColumn(
             "_logp",
             F.log(
                 (F.coalesce("c12", F.lit(0)) + F.lit(alpha))
-                / (F.coalesce("c1", F.lit(0)) + F.lit(alpha * v))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(alpha) * F.col("_v"))
             ),
         )
         .groupBy("doc_id")
@@ -303,38 +309,92 @@ def moore_lewis_select(docs: DataFrame, target_pred, n: int,
     replays bit-identically in SQL.
 
     100 TB shape: the corpus is TOKENIZED ONCE (a shared lazy
-    localCheckpoint feeds both model fits and both scoring passes —
-    the in-domain count tables come from filtering the tokenized
-    frame to the target slice, never a re-tokenize); the top-n cut
-    is a distributed sort+limit (TakeOrderedAndProject — per-partition
-    top-n then a driver merge of n·partitions rows, NO single-task
-    global sort), and the n-row selection broadcasts back onto the
-    scored frame. With the web-scale guard needs, pass the capped
-    tables through lm_score the same way text_lm_score_topk does."""
+    localCheckpoint feeds both model fits and the scoring pass — the
+    in-domain count tables come from filtering the tokenized frame to
+    the target slice, never a re-tokenize), and BOTH models score in
+    ONE pass over the bigram frame (r14, guide §2.3/§7.2: the r13
+    shape ran two independent scoring pipelines — two corpus-sized
+    (w1, w2) shuffles, two unigram joins, two per-doc aggregates, then
+    a doc_id join to zip them; the merged pass joins the out-model
+    tables inner and the in-model tables left onto the SAME bigram
+    rows and folds both log-likelihood means in a single per-doc
+    aggregate — the 0-ReusedExchange plan's 10 SortMergeJoins drop to
+    ~half, and the corpus-sized frame crosses the network once). The
+    top-n cut is a distributed sort+limit (TakeOrderedAndProject —
+    per-partition top-n then a driver merge of n·partitions rows, NO
+    single-task global sort), and the n-row selection broadcasts back
+    onto the scored frame. With the web-scale guard needs, pass the
+    capped tables through lm_score the same way text_lm_score_topk
+    does."""
     toks = docs.select(
         "doc_id", words(F.col(text_col)).alias("_toks")
     ).localCheckpoint(eager=False)
     target_ids = docs.filter(target_pred).select("doc_id")
     train_toks = toks.join(target_ids, "doc_id")
     ids = docs.select("doc_id")
-    s_in = _lm_score_from_toks(ids, toks, train_toks, alpha, None, None)
-    s_out = _lm_score_from_toks(ids, toks, None, alpha, None, None)
-    scored = (
-        s_out.select(
-            "doc_id", "n_bigrams", F.col("avg_logp").alias("logp_out")
+    # count tables: out = self-trained on the full corpus (inner joins
+    # below — every scoring key is present by construction), in =
+    # fit on the target slice (left joins; OOV keys smooth to count 0,
+    # the same path _lm_score_from_toks takes for cross models)
+    bg = _doc_bigrams(toks)
+    out_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12o"))
+    out_uni = (
+        toks.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1o"))
+    ).localCheckpoint(eager=False)
+    in_bg = (
+        _doc_bigrams(train_toks)
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12i"))
+    )
+    in_uni = (
+        train_toks.select(F.explode("_toks").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1i"))
+    ).localCheckpoint(eager=False)
+    # the two vocabulary sizes, IN-PLAN (the _lm_score_from_toks
+    # pattern): broadcast one-row counts of the checkpointed unigram
+    # tables on a constant key — no blocking driver actions per
+    # invocation; the checkpoints make the count branch and the join
+    # build read one materialization each
+    vfr = (
+        out_uni.agg(F.count(F.lit(1)).cast("double").alias("_vo"))
+        .crossJoin(F.broadcast(
+            in_uni.agg(F.count(F.lit(1)).cast("double").alias("_vi"))))
+    )
+    logp_out = F.log(
+        (F.col("_c12o") + F.lit(alpha))
+        / (F.col("_c1o") + F.lit(alpha) * F.col("_vo"))
+    )
+    logp_in = F.log(
+        (F.coalesce("_c12i", F.lit(0)) + F.lit(alpha))
+        / (F.coalesce("_c1i", F.lit(0)) + F.lit(alpha) * F.col("_vi"))
+    )
+    per_doc = (
+        bg.join(out_bg, ["w1", "w2"], "inner")
+        .join(in_bg, ["w1", "w2"], "left")
+        .join(out_uni, "w1", "inner")
+        .join(in_uni, "w1", "left")
+        .crossJoin(F.broadcast(vfr))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp_out), 6).alias("logp_out"),
+            F.round(F.avg(logp_in), 6).alias("logp_in"),
         )
-        .join(
-            s_in.select("doc_id", F.col("avg_logp").alias("logp_in")),
+    )
+    scored = (
+        ids.join(per_doc, "doc_id", "left")
+        .select(
             "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+            "logp_out", "logp_in",
         )
         .withColumn(
             "ml_score",
             F.round(F.col("logp_in") - F.col("logp_out"), 6),
         )
-        # r14 optimization (guide §7.2, duplicated subtrees): the top-n
-        # broadcast side below and the final output BOTH hang off this
-        # frame — un-checkpointed, both bigram fits and both scoring
-        # passes executed twice (once inside the broadcast-build job,
+        # the top-n broadcast side below and the final output BOTH hang
+        # off this frame — un-checkpointed, the whole scoring pipeline
+        # would execute twice (once inside the broadcast-build job,
         # once in the main query). The checkpoint is doc-sized (one
         # row per doc, five narrow columns), never token-sized.
         .localCheckpoint(eager=False)

@@ -310,14 +310,20 @@ def test_zscore_is_one_exchange_one_window(spark, tables):
 
 def test_lm_and_tfidf_have_no_cartesian_and_bounded_exchanges(spark, tables):
     """The statistical text ops must stay equi-join shaped: no
-    nested-loop/cartesian anywhere, shuffles bounded by the count-table
-    aggregations + joins."""
+    cartesian products, at most the ONE deliberate one-row broadcast
+    nested-loop join (r14: the vocabulary size rides the plan as a
+    broadcast one-row count of the checkpointed unigram table — the
+    scalar-subquery shape, the SQ-stats crossJoin precedent — instead
+    of a blocking per-invocation driver count() action; the optimizer
+    constant-folds the attach key, so it surfaces as a BNLJ whose
+    build side is provably a single aggregate row), shuffles bounded
+    by the count-table aggregations + joins."""
     from open_instrument_spark import registry
 
     for name, cap in [("text_lm_score", 8), ("text_tfidf_top", 6)]:
         plan = plan_of(registry.QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert count_in(plan, "BroadcastNestedLoopJoin") <= 1, name
         assert count_in(plan, "Exchange hashpartitioning") <= cap, name
 
 
