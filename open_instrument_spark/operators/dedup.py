@@ -265,7 +265,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
     # session.release_tracked_caches() (or the next prepare()) frees it —
     # library callers composing several dedup calls call it explicitly.
     sh = track_persist(docs.select("doc_id", shingles(F.col(text_col), k).alias("sh")))
+    # r14 (guide §7.2 duplicated subtrees): the band-key frame feeds BOTH
+    # sides of the candidate self-join as different aliases — no
+    # ReusedExchange — so the signature aggregation (explode + num_perm
+    # hash-mins over every shingle; a SortAggregate in the portable md5
+    # grammar, whose string min buffers fall out of hash aggregation)
+    # executed twice. The checkpoint is band-key-sized (bands rows per
+    # doc, two narrow columns) — the established bounded pattern.
     banded = _banded_from_shingles(sh, num_perm, bands, portable)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -356,6 +364,10 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3,
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    # r14 (guide §7.2): same duplicated-subtree shape as
+    # minhash_lsh_pairs — the self-join's two aliases otherwise run the
+    # n_bits-aggregate fingerprint pass twice. 4 rows per doc.
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -478,7 +478,19 @@ def _dsir_bucket_counts(docs: DataFrame, text_col: str, id_col: str,
     this shape re-benched at roughly half that)."""
     if n_buckets > 256:
         raise ValueError("dsir supports at most 256 buckets")
-    toks = words(F.col(text_col))
+    # r14 (guide §1.2 per-task work): materialize the token array as a
+    # COLUMN before the bigram transform. Inlined as an expression, the
+    # element_at(toks, i) calls inside the transform lambda re-evaluated
+    # the whole lower→regexp_replace→split→filter tokenize chain per
+    # bigram index — O(|text|·n_tokens) per doc (the r14b plan capture
+    # shows the chain repeated six times inside one Generate). As a
+    # projected column it evaluates once per doc; features identical.
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"),
+        "is_target",
+        words(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     # Spark's sequence(1, 0) yields descending [1, 0] (DuckDB's
     # generate_series(1, 0) is empty), so a <2-word doc would evaluate
     # element_at(toks, 0) and throw — guard like _doc_bigrams above.
@@ -490,8 +502,8 @@ def _dsir_bucket_counts(docs: DataFrame, text_col: str, id_col: str,
                                F.element_at(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feat = docs.select(
-        F.col(id_col).alias("doc_id"),
+    feat = tokd.select(
+        "doc_id",
         "is_target",
         F.explode(F.concat(toks, bigrams)).alias("t"),
     )

@@ -415,7 +415,17 @@ def parse_snmp_hoststats(
     walk: DataFrame, srchost: Column | str | None = None
 ) -> DataFrame:
     """One collection pass, all three collectors — the reference's
-    ``Run()`` order (system, interface, filesystem; :348-359)."""
+    ``Run()`` order (system, interface, filesystem; :348-359).
+
+    The walk feeds SEVEN-plus union branches across the three
+    collectors (two interface pivots, two hrStorage pivots, the
+    hrSystem pivot's four scalar projections); un-checkpointed, every
+    branch re-executes the caller's walk lineage — for the synthesized
+    collector queries that is one corpus scan + aggregate PER BRANCH.
+    The checkpoint is walk-sized (one row per binding per host —
+    fleet-scale, never corpus-scale), so each branch reads one
+    materialization (guide §7.2 duplicated subtrees)."""
+    walk = walk.localCheckpoint(eager=False)
     return (
         parse_snmp_system_stats(walk, srchost)
         .unionByName(parse_snmp_interface_stats(walk, srchost))
