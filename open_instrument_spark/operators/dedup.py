@@ -846,12 +846,18 @@ def redact_duplicated_spans(docs: DataFrame, width: int = 8,
     single-space re-join) replay in SQL — the ``dedup_spans_redact``
     hash gate covers the cleaned TEXT itself."""
     toks = F.split(F.col(text_col), " ")
-    base = docs.select(
+    # r14 (guide §7.2): base feeds THREE consumers (spans, the token
+    # rows, the final per-doc join) and spans feeds TWO (the duplicate
+    # set and the covered positions) — un-persisted, the scan+split ran
+    # 3× and the window-hash explode 2×. Both are the ~linear-size
+    # intermediates the minhash `sh` persist precedent covers (base is
+    # doc-scale with token arrays; spans is token-scale but narrow).
+    base = track_persist(docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("toks"),
         F.size(toks).alias("n"),
-    )
-    spans = (
+    ))
+    spans = track_persist(
         base.where(F.col("n") >= width)
         .select(
             "doc_id",
@@ -934,7 +940,10 @@ def duplicated_spans(docs: DataFrame, width: int = 8,
         toks.alias("toks"),
         F.size(toks).alias("n"),
     )
-    spans = (
+    # r14 (guide §7.2): spans feeds THREE consumers (dup set, per-doc
+    # totals, per-doc dup counts) — un-persisted, the window-hash
+    # explode ran 3×. Token-scale but two narrow columns.
+    spans = track_persist(
         base.where(F.col("n") >= width)
         .select(
             "doc_id",

@@ -70,7 +70,9 @@ def collector_mysql_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir).table("events")
     per_type = ev.groupBy(
         (F.col("user_id") % 4).alias("h"), "event_type"
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
+    # (r14, guide §7.2) host×type-sized; feeds the Com_* lines AND the
+    # planted-total branch — un-checkpointed, two events scans.
     lines_t = per_type.select(
         "h",
         F.concat(
@@ -303,7 +305,7 @@ def collector_http_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir).table("events")
     a = ev.groupBy((F.col("user_id") % 2).alias("h")).agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint(eager=False)  # 2 rows, feeds both fetch branches
     hs = F.col("h").cast("string")
     fa = a.select(
         F.concat(F.lit("probe"), hs).alias("hostname"),
@@ -560,7 +562,9 @@ def collector_system_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n % 65536 + 1).alias("i1"), (n % 30000).alias("i2"),
         (n % 20000).alias("i3"),
         (n % 3000).alias("nd"), (n % 2000).alias("no"), (n % 500).alias("nj"),
-    )
+    ).localCheckpoint(eager=False)  # 2 rows; feeds FIVE union branches
+    # (r14, guide §7.2): un-checkpointed, every parser branch re-ran the
+    # events scan + aggregate.
 
     def cat(*parts):
         return F.concat(*[

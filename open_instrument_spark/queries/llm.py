@@ -4440,7 +4440,11 @@ def embed_kmeans_iterate2(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = load_tables(spark, sf_dir).table("embeddings")
     c0 = corpus_seed_centroids(emb, _KMEANS_SEED_IDS)
+    # (r14, guide §7.2) cell-sized; feeds the round-1 output branch AND
+    # round 2's centroid derivation — un-checkpointed, the round-1
+    # Lloyd pass over the embeddings executed twice.
     s1 = kmeans_lloyd_step_from(emb, c0, emit_inertia=True)
+    s1 = s1.localCheckpoint(eager=False)
     c1 = lloyd_means_as_centroids(s1)
     s2 = kmeans_lloyd_step_from(emb, c1, emit_inertia=True)
     tag = lambda df, r: df.select(  # noqa: E731
