@@ -161,6 +161,12 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", k: int = 5,
             freq = _observe_dropped(freq, max_bucket)
         freq = track_persist(freq)
         ds = ds.join(freq.filter(F.col("_n") <= max_bucket), "shingle", "left_semi")
+    # Examined r14 and deliberately NOT persisted: ds feeds both sides
+    # of the candidate self-join, but the duplicated explode+semi-join
+    # runs from the sh/freq CACHES — an A/B measured persisting ds
+    # consistently ~15% slower end-to-end (materializing the
+    # token-scale rows costs more than recomputing the explode; the
+    # upstream tokenize/shingle work is already persisted once).
     a = ds.alias("a")
     b = ds.alias("b")
     cand = (
