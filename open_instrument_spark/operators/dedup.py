@@ -766,23 +766,36 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    label_type = dict(labels.dtypes)["label"]
+
     def _hop(cur: DataFrame) -> DataFrame:
         """One propagate+jump hop over (id, _old, label); _old rides
-        through untouched for the round's convergence test."""
-        neigh = (
-            edges.join(cur.select(F.col("id").alias("src"), "label"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("_nlabel"))
-            .withColumnRenamed("dst", "id")
-        )
-        upd = cur.join(neigh, "id", "left").select(
-            "id",
-            "_old",
-            F.least(F.col("label"), F.coalesce("_nlabel", "label")).alias("_l1"),
+        through untouched for the round's convergence test.
+
+        Propagate-min is ONE shuffle join + ONE aggregate (r14
+        optimization, guide §2.4): the node's own label rides the same
+        groupBy as the incoming neighbor labels via a union, replacing
+        the former join(edges)+groupBy+join(cur) three-exchange shape —
+        min(own ∪ incoming) ≡ least(own, min(incoming)), so the label
+        frame after every hop is IDENTICAL to the old formulation (the
+        per-round n_changed trajectory was pinned equal on the mutual-
+        kNN and ngram graphs before the switch). Every id appears
+        exactly once in ``cur`` and prop ids ⊆ node set, so
+        max(_old) just recovers each node's own _old (prop rows carry
+        null)."""
+        prop = edges.join(
+            cur.select(F.col("id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        l1 = (
+            cur.select("id", "_old", "label")
+            .unionByName(prop.select(
+                "id", F.lit(None).cast(label_type).alias("_old"), "label"))
+            .groupBy("id")
+            .agg(F.max("_old").alias("_old"), F.min("label").alias("_l1"))
         )
         # pointer jumping: follow the label's own label one hop
-        hop = upd.select(F.col("id").alias("_lid"), F.col("_l1").alias("_llabel"))
-        return upd.join(hop, upd["_l1"] == hop["_lid"], "left").select(
+        hop = l1.select(F.col("id").alias("_lid"), F.col("_l1").alias("_llabel"))
+        return l1.join(hop, l1["_l1"] == hop["_lid"], "left").select(
             "id", "_old", F.coalesce("_llabel", "_l1").alias("label")
         )
 
