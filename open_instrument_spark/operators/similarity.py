@@ -386,9 +386,15 @@ def near_dup_candidates(embeddings: DataFrame, n_planes: int | None = None,
         tables = [
             _planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
         ]
+    # Checkpoint the bucket keys: they feed BOTH sides of the candidate
+    # self-join (and the multiprobe expansion) as different aliases — no
+    # ReusedExchange — so un-checkpointed the Arrow bucket pass over the
+    # vectors ran once per side (2 ArrowEvalPython nodes in the r14
+    # embed_near_dup plan). N×n_tables rows, three narrow columns — the
+    # minhash band-key bounded-checkpoint pattern (guide §7.2).
     bucketed = base.select(
         "id", F.posexplode(lsh_buckets_all("v", tables)).alias("table", "bucket")
-    )
+    ).localCheckpoint(eager=False)
     probe_side = bucketed
     if multiprobe:
         # with ragged (calibrated) tables, flips beyond a coarser
