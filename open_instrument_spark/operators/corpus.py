@@ -272,8 +272,15 @@ def source_stats(docs: DataFrame, text_col: str = "text",
         F.round(quality_score(F.col(text_col)), 6).alias("q"),
         fingerprint(F.col(text_col)).alias("fp"),
     )
-    counts = per.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
-    joined = per.join(counts, "fp")
+    # Corpus-wide fingerprint multiplicity as a COUNT WINDOW over fp
+    # (r14 optimization, guide §2.4): the former groupBy(fp) + join(fp)
+    # referenced ``per`` from two branches, so the fingerprint pass —
+    # md5 over every word 3-gram, the dominant per-doc cost — executed
+    # once per branch (two parquet scans in the plan). The window keeps
+    # one pipeline (one scan, one Exchange on fp) and counts the same
+    # partition the join's build side aggregated — ``c`` is identical.
+    joined = per.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
