@@ -32,15 +32,20 @@ from open_instrument_spark.session import local_df, track_persist
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash; representative = min doc_id.
     Output: (doc_id, rep_id, is_dup)."""
+    from pyspark.sql import Window
+
+    # Representative + group size as windows over the hash partition
+    # (r14 optimization, guide §2.4): the former groupBy(_h) + join(_h)
+    # referenced the hashed-docs frame from two branches, so the corpus
+    # md5 pass ran once per branch (two scans in the dedup_exact plan).
+    # One pipeline now: one scan, one Exchange on _h; min/count over
+    # the _h partition equal the join's aggregated values exactly.
+    w = Window.partitionBy("_h")
     h = F.md5(F.col(text_col))
-    reps = (
-        docs.select(F.col("doc_id"), h.alias("_h"))
-        .groupBy("_h")
-        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("group_size"))
-    )
     return (
         docs.select("doc_id", h.alias("_h"))
-        .join(reps, "_h")
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
         .select(
             "doc_id",
             "rep_id",

@@ -84,9 +84,23 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
         .join(per_doc, "doc_id", "left")
         .fillna(0, subset=["dl"] + [f"_tf{i}" for i in range(len(terms))])
     )
+    # ONE one-row broadcast aggregate carries N, avgdl AND every
+    # term's df (r14 optimization, guide §2.3/§7.2): df(t) = #docs
+    # with _tft > 0, countable in the SAME pass as the corpus stats —
+    # the former separate dfreq aggregate was a third branch off the
+    # un-persisted per_doc frame, so the tokenize/explode corpus pass
+    # ran once more for it (and a measured localCheckpoint barrier on
+    # per_doc was SLOWER than the duplicated branches — restructuring
+    # beats materializing here). df rides to the unpivoted rows as a
+    # literal-keyed map lookup; values are the identical longs the
+    # dfreq join delivered.
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
     pairs = ", ".join(
         f"'{t}', _tf{i}" for i, t in enumerate(terms)
@@ -94,9 +108,12 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     unpiv = per_doc.selectExpr(
         "doc_id", "dl", f"stack({len(terms)}, {pairs}) AS (term, tf)"
     ).where(F.col("tf") > 0)
-    dfreq = unpiv.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_map = F.create_map(*[
+        c for i, t in enumerate(terms) for c in (F.lit(t), F.col(f"_df{i}"))
+    ])
+    dfc = F.element_at(df_map, F.col("term"))
     idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        F.lit(1.0) + (F.col("n") - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
     )
     w_t = (
         idf * (F.col("tf") * F.lit(k1 + 1.0))
@@ -106,8 +123,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
         )
     )
     return (
-        unpiv.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        unpiv.crossJoin(F.broadcast(stats))
         .groupBy("doc_id", "dl")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_hit_terms"),
@@ -302,22 +318,26 @@ def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         F.explode(words(F.col(text_col))).alias("term"),
     )
+    # dl as a SUM WINDOW over the doc_id partition (r14 optimization,
+    # guide §2.4): the former groupBy(doc_id) + join back referenced
+    # per_pair from two branches, so the tokenize/explode pass ran
+    # once per branch. The window rides the exchange per_pair's own
+    # aggregate already established on the doc_id-prefixed key; only
+    # the zero-word sentinel completion still touches the (cheap,
+    # id-only) docs scan.
     per_pair = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
-    dl = per_pair.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dl_all = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(dl, "doc_id", "left")
-        .fillna(0, subset=["dl"])
+    ).withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
     return (
-        per_pair.join(dl_all, "doc_id", "right")
+        per_pair.join(
+            docs.select(F.col(id_col).alias("doc_id")), "doc_id", "right")
         .select(
             "doc_id",
             "term",
             F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
-            "dl",
+            F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
         )
     )
 
