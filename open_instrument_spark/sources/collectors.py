@@ -431,9 +431,18 @@ def parse_proc_stat(scrapes: DataFrame, hz: float = 100.0) -> DataFrame:
     ``softirq`` emit their totals (plus per-index softirq counters);
     ``btime`` becomes ``/system/stats/uptime`` = scrape time − boot
     time (gauge); processes/procs_* map per the reference."""
+    # Checkpoint the split-lines frame: it feeds NINE parser branches
+    # (cpu, intr, ctxt, btime, three process counters, softirq total +
+    # per-index), each of which re-executed the scrape scan + line
+    # split + field split (9 parquet scans in the collector_proc_stat
+    # plan). One walk-sized materialization feeds all branches — the
+    # snmp-walk / collector-aggregate checkpoint pattern (r14 #8/#11,
+    # guide §7.2); lines-per-scrape is fleet-scale, never corpus-scale.
     rows = _lines(scrapes).select(
         "hostname", "ts", _fields(F.col("line")).alias("f")
-    ).where(F.size("f") >= 2).withColumn("key", F.col("f").getItem(0))
+    ).where(F.size("f") >= 2).withColumn(
+        "key", F.col("f").getItem(0)
+    ).localCheckpoint(eager=False)
 
     cpu = rows.where(
         F.col("key").rlike("^cpu") & (F.size("f") >= 8)
