@@ -2431,25 +2431,30 @@ def triplet_mining(embeddings: DataFrame, query_ids: list[int],
         .select("q_id", "label", "n_id", "n_label",
                 F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"))
     )
-    pos = (
-        pairs.where(F.col("n_label") == F.col("label"))
-        .groupBy("q_id")
-        .agg(F.max(F.struct(F.col("cos").alias("c"),
-                            (-F.col("n_id")).alias("ni"))).alias("m"))
-        .select("q_id", (-F.col("m.ni")).alias("pos_id"),
-                F.col("m.c").alias("pos_cos"))
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("cos").desc(), F.col("n_id").asc()
-    )
-    negs = (
-        pairs.where(F.col("n_label") != F.col("label"))
+    # The hardest-positive max rides a WINDOW over the same q_id
+    # partition the negative rank uses (r14 optimization, guide §2.4):
+    # the former groupBy + broadcast join referenced ``pairs`` — the
+    # |Q|·N cosine pass, THE cost of this operator — from two branches,
+    # so every query-anchor cosine was computed twice (4 scans in the
+    # embed_triplet_mining plan, now 2: the base and anchor subtrees).
+    # Same-label rows contribute the same (cos, -n_id) structs the
+    # aggregate maxed; max ignores the NULLs on negative rows; anchors
+    # without a positive keep m NULL and are dropped exactly as the
+    # inner join dropped them. One Exchange(q_id) serves both windows.
+    wq = Window.partitionBy("q_id")
+    w = wq.orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    same = F.col("n_label") == F.col("label")
+    m = F.max(
+        F.when(same, F.struct(F.col("cos").alias("c"),
+                              (-F.col("n_id")).alias("ni")))
+    ).over(wq)
+    return (
+        pairs.withColumn("m", m)
+        .where(~same & F.col("m").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-    )
-    return (
-        negs.join(F.broadcast(pos), "q_id")
-        .select("q_id", "label", "pos_id", "pos_cos",
+        .select("q_id", "label", (-F.col("m.ni")).alias("pos_id"),
+                F.col("m.c").alias("pos_cos"),
                 F.col("n_id").alias("neg_id"), "rank",
                 F.col("cos").alias("neg_cos"))
     )
