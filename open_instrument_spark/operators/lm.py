@@ -329,36 +329,37 @@ def moore_lewis_select(docs: DataFrame, target_pred, n: int,
     toks = docs.select(
         "doc_id", words(F.col(text_col)).alias("_toks")
     ).localCheckpoint(eager=False)
-    target_ids = docs.filter(target_pred).select("doc_id")
-    train_toks = toks.join(target_ids, "doc_id")
     ids = docs.select("doc_id")
-    # count tables: out = self-trained on the full corpus (inner joins
-    # below — every scoring key is present by construction), in =
-    # fit on the target slice (left joins; OOV keys smooth to count 0,
-    # the same path _lm_score_from_toks takes for cross models)
+    # BOTH count tables from ONE conditional aggregation each (r14 —
+    # the same pass-merge the scorer got earlier this round): a
+    # per-doc target tag rides the tokenized rows, the out-model count
+    # is count(*) and the in-model count is sum(tag) of the SAME
+    # grouped rows — integer-identical to the former separate fits on
+    # the filtered slice, with the in-model's OOV-smoothing zeros now
+    # arriving as literal 0 counts instead of left-join NULLs. Kills
+    # the second bigram aggregation, the second unigram aggregation
+    # and two of the four scoring joins.
+    tag = docs.select(
+        "doc_id", F.when(target_pred, 1).otherwise(0).alias("_t"))
     bg = _doc_bigrams(toks)
-    out_bg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12o"))
-    out_uni = (
-        toks.select(F.explode("_toks").alias("w1"))
-        .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1o"))
-    ).localCheckpoint(eager=False)
-    in_bg = (
-        _doc_bigrams(train_toks)
-        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12i"))
+    bg_tab = (
+        bg.join(tag, "doc_id")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12o"), F.sum("_t").alias("_c12i"))
     )
-    in_uni = (
-        train_toks.select(F.explode("_toks").alias("w1"))
-        .groupBy("w1").agg(F.count(F.lit(1)).alias("_c1i"))
+    uni_tab = (
+        toks.join(tag, "doc_id")
+        .select("_t", F.explode("_toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1o"), F.sum("_t").alias("_c1i"))
     ).localCheckpoint(eager=False)
     # the two vocabulary sizes, IN-PLAN (the _lm_score_from_toks
-    # pattern): broadcast one-row counts of the checkpointed unigram
-    # tables on a constant key — no blocking driver actions per
-    # invocation; the checkpoints make the count branch and the join
-    # build read one materialization each
-    vfr = (
-        out_uni.agg(F.count(F.lit(1)).cast("double").alias("_vo"))
-        .crossJoin(F.broadcast(
-            in_uni.agg(F.count(F.lit(1)).cast("double").alias("_vi"))))
+    # pattern): ONE broadcast one-row aggregate of the checkpointed
+    # unigram table — _vo = all keys, _vi = keys the target slice
+    # actually carries (the exact row count of the former in_uni)
+    vfr = uni_tab.agg(
+        F.count(F.lit(1)).cast("double").alias("_vo"),
+        F.sum((F.col("_c1i") > 0).cast("int")).cast("double").alias("_vi"),
     )
     logp_out = F.log(
         (F.col("_c12o") + F.lit(alpha))
@@ -369,10 +370,8 @@ def moore_lewis_select(docs: DataFrame, target_pred, n: int,
         / (F.coalesce("_c1i", F.lit(0)) + F.lit(alpha) * F.col("_vi"))
     )
     per_doc = (
-        bg.join(out_bg, ["w1", "w2"], "inner")
-        .join(in_bg, ["w1", "w2"], "left")
-        .join(out_uni, "w1", "inner")
-        .join(in_uni, "w1", "left")
+        bg.join(bg_tab, ["w1", "w2"], "inner")
+        .join(uni_tab, "w1", "inner")
         .crossJoin(F.broadcast(vfr))
         .groupBy("doc_id")
         .agg(
