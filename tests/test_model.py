@@ -67,3 +67,53 @@ def test_driver_label_values_never_need_quoting(spark):
             "by the canonical grammar — plain-concat oracle series_key "
             "rendering no longer matches; update the oracle SQL"
         )
+
+
+def test_events_to_points_labels_drop_nulls_every_pattern(spark):
+    """The branched label-map build (r14 — map_filter HOF replaced by
+    literal-map branches) must drop null-valued entries exactly like
+    map_filter did, for every null pattern of (k, user_id): both
+    present, only one, neither. Entry ORDER matters too — the map
+    feeds series_key and the driver hash."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from open_instrument_spark.model import events_to_points
+
+    rows = [
+        ("both", 7, '{"k":"5"}'),     # k kept (5 % 3 != 0), uid kept
+        ("kdrop", 7, '{"k":"6"}'),    # k dropped (6 % 3 == 0)
+        ("nouid", None, '{"k":"5"}'),
+        ("none", None, None),
+        ("nok", 9, None),
+    ]
+    df = spark.createDataFrame(
+        [(t, u, datetime.datetime(2024, 1, 1), p, 1.0) for t, u, p in rows],
+        "event_type string, user_id long, ts timestamp, props string, "
+        "value double",
+    )
+    got = {
+        r["name"]: r["labels"]
+        for r in events_to_points(df).select("name", "labels").collect()
+    }
+    assert got["/events/both"] == {"k": "5", "user_id": "7"}
+    assert got["/events/kdrop"] == {"user_id": "7"}
+    assert got["/events/nouid"] == {"k": "5"}
+    assert got["/events/none"] == {}
+    assert got["/events/nok"] == {"user_id": "9"}
+    # map_filter twin on the same input — entry-for-entry equality
+    staged = df.withColumn("_kv", F.get_json_object("props", "$.k"))
+    kv = F.col("_kv")
+    twin = staged.select(
+        F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
+        F.map_filter(
+            F.create_map(
+                F.lit("k"), F.when(kv.cast("int") % 3 != 0, kv),
+                F.lit("user_id"), F.col("user_id").cast("string"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("labels"),
+    )
+    want = {r["name"]: r["labels"] for r in twin.collect()}
+    assert got == want
