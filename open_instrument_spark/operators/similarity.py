@@ -1276,10 +1276,18 @@ def mutual_knn_clusters(embeddings: DataFrame, centroids: np.ndarray,
                           assign=assign).localCheckpoint(eager=False)
     g = edges
     e = g.select("src", "dst")
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Mutual detection as ONE groupBy on the direction-normalized pair
+    # key (r14 optimization, guide §2.4): a src's top-k dsts are
+    # distinct, so each direction contributes exactly one row and a
+    # pair is mutual iff its (least, greatest) key appears twice —
+    # identical pairs to the former self semi-join, which shuffled the
+    # edge list on BOTH sides (probe + reversed build).
     mutual = (
-        e.join(rev, on=["src", "dst"], how="left_semi")
-        .where(F.col("src") < F.col("dst"))
+        e.select(F.least("src", "dst").alias("_a"),
+                 F.greatest("src", "dst").alias("_b"))
+        .groupBy("_a", "_b").count()
+        .where(F.col("count") == 2)
+        .select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
     )
     return connected_components(
         mutual.select(F.col("src").alias("a_id"),
