@@ -97,11 +97,24 @@ class VariableMatcher:
             return c.startswith(self.name[:-1])
         return c == F.lit(self.name)  # F1
 
-    def label_predicate(self, labels_col: Column | str = "labels") -> Column:
-        lc = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+    def label_predicate(self, labels_col: Column | str = "labels",
+                        staged_cols: dict[str, str] | None = None) -> Column:
+        """``staged_cols`` (r15): {label key → column name} of staged
+        per-label scalar columns (``model.STAGED_LABEL_PREFIX``) carried
+        by the frame being filtered. When a matched key is staged, the
+        predicate references the plain attribute instead of the map
+        lookup — pinned bit-identical by construction (the staged column
+        IS ``labels[key]``), and crucially the pushed-down filter then
+        compiles to a scan-level column test instead of re-inlining the
+        whole map-construction expression (guide §1.2; measured on the
+        label-presence selects at sf0.1)."""
         pred = F.lit(True)
         for key, spec in self.labels.items():
-            v = lc.getItem(key)
+            if staged_cols and key in staged_cols:
+                v = F.col(staged_cols[key])
+            else:
+                lc = F.col(labels_col) if isinstance(labels_col, str) else labels_col
+                v = lc.getItem(key)
             if spec.op is LabelOp.EQ:  # F3, lib/variable.cc:125-127
                 p = v == F.lit(spec.value)
             elif spec.op is LabelOp.PRESENT:  # F4, non-empty per variable.go:142-150
@@ -114,9 +127,11 @@ class VariableMatcher:
         return pred
 
     def predicate(
-        self, name_col: Column | str = "name", labels_col: Column | str = "labels"
+        self, name_col: Column | str = "name", labels_col: Column | str = "labels",
+        staged_cols: dict[str, str] | None = None,
     ) -> Column:
-        return self.name_predicate(name_col) & self.label_predicate(labels_col)
+        return self.name_predicate(name_col) & self.label_predicate(
+            labels_col, staged_cols)
 
     # ---- Python twin (driver-side policy matching & golden tests) ----
 

@@ -49,6 +49,48 @@ from open_instrument_spark.canonical import (  # noqa: E402
     quote_label_value as quoted_label_value,  # noqa: F401 (re-export)
 )
 
+SERIES_KEY_COL = "series_key"
+
+# Staged per-label scalar columns (r15, guide §1.2/§2.3 "project early"):
+# a source adapter that KNOWS its label shape may attach
+# ``_label_<key>`` columns holding exactly ``labels[<key>]`` for each
+# key it ever emits. Operators that read a label value
+# (:func:`label_value`, the matcher) then reference a plain attribute
+# instead of rebuilding the label map — which matters because a filter
+# on ``labels[k]`` is pushed below the projection by substituting the
+# WHOLE map-construction expression into the predicate (measured at
+# sf0.1: the user-label bucket pass dropped 1.66 s → 0.10 s once the
+# filter compiled to ``isnotnull(user_id)`` against the scan).
+STAGED_LABEL_PREFIX = "_label_"
+
+
+def label_value(points: DataFrame, label: str) -> Column:
+    """``labels[label]`` — via the staged ``_label_<label>`` column when
+    the frame carries one (bit-identical by construction; pinned in
+    tests/test_model.py), else the map lookup."""
+    staged = STAGED_LABEL_PREFIX + label
+    if staged in points.columns:
+        return F.col(staged)
+    return F.col("labels").getItem(label)
+
+
+def staged_label_columns(columns) -> dict[str, str]:
+    """{label key: staged column name} for a frame's column list."""
+    return {
+        c[len(STAGED_LABEL_PREFIX):]: c
+        for c in columns
+        if c.startswith(STAGED_LABEL_PREFIX)
+    }
+
+
+def drop_staged_columns(points: DataFrame) -> DataFrame:
+    """Drop the precomputed series_key and ``_label_*`` columns — REQUIRED
+    before (or after) any operator that rewrites the ``labels`` map, or a
+    downstream reuse would read a key/value rendered from the OLD labels."""
+    stale = [c for c in points.columns
+             if c == SERIES_KEY_COL or c.startswith(STAGED_LABEL_PREFIX)]
+    return points.drop(*stale) if stale else points
+
 
 def series_key(name: Column | str = "name", labels: Column | str = "labels") -> Column:
     """Canonical series string: ``name{k1=v1,k2=v2}`` with keys sorted.
@@ -70,6 +112,14 @@ def series_key(name: Column | str = "name", labels: Column | str = "labels") -> 
 
 
 def with_series_key(points: DataFrame, col_name: str = "series_key") -> DataFrame:
+    """Attach the canonical key — reusing a precomputed ``series_key``
+    column (the events adapter ships one rendered from staged scalars;
+    bit-equality with the HOF render is pytest-pinned) instead of paying
+    the per-row map_entries/sort/filter/transform render again."""
+    if col_name in points.columns:
+        return points
+    if col_name != SERIES_KEY_COL and SERIES_KEY_COL in points.columns:
+        return points.withColumn(col_name, F.col(SERIES_KEY_COL))
     return points.withColumn(col_name, series_key())
 
 
@@ -98,13 +148,27 @@ def events_to_points(events: DataFrame) -> DataFrame:
     reference's partially-labeled series (e.g. not every series carries
     ``interface=``, config.txt:32-35).
     """
-    # Stage the JSON extraction: referenced twice below, it would
-    # otherwise parse props twice per row — CollapseProject keeps
-    # multi-referenced non-cheap aliases staged.
-    staged = events.withColumn("_kv", F.get_json_object("props", "$.k"))
-    kv = F.col("_kv")
-    uid = F.col("user_id").cast("string")
-    k_val = F.when(kv.cast("int") % 3 != 0, kv)
+    # Stage the JSON extraction AND the two label scalars as real
+    # projection columns (r15, guide §1.2/§2.3): every downstream
+    # reference — the label map, the canonical key, a label filter — then
+    # reads a plain attribute. Staging matters twice over: (a) the value
+    # is computed once per row instead of once per referencing
+    # expression, and (b) a filter on a derived column is pushed below
+    # the projection by SUBSTITUTING the full defining expression into
+    # the predicate — with the map built from staged attributes the
+    # pushed predicate collapses to a scan-level column test (measured:
+    # the user-label bucket pass 1.66 s → 0.10 s at sf0.1, the pushed
+    # filter's 12 get_json_object calls gone).
+    staged = events.withColumn(
+        "_kv", F.get_json_object("props", "$.k")
+    ).withColumns({
+        STAGED_LABEL_PREFIX + "k": F.when(
+            F.col("_kv").cast("int") % 3 != 0, F.col("_kv")
+        ),
+        STAGED_LABEL_PREFIX + "user_id": F.col("user_id").cast("string"),
+    })
+    k_val = F.col(STAGED_LABEL_PREFIX + "k")
+    uid = F.col(STAGED_LABEL_PREFIX + "user_id")
     k_ok = k_val.isNotNull()
     u_ok = uid.isNotNull()
     # Null labels dropped by BRANCHING between literal maps instead of
@@ -120,10 +184,36 @@ def events_to_points(events: DataFrame) -> DataFrame:
         .when(u_ok, F.create_map(F.lit("user_id"), uid))
         .otherwise(F.create_map().cast("map<string,string>"))
     )
+    name = F.concat(F.lit("/events/"), F.col("event_type"))
+    # Canonical key rendered as a 4-way branch of plain concats — zero
+    # interpreted HOFs (the generic render is map_entries → array_sort →
+    # filter → transform → array_join; only the first two codegen). Keys
+    # pre-sorted ('k' < 'user_id'); empty-valued entries cannot occur
+    # (k is null unless it casts to a nonzero-mod int, user_id stringifies
+    # a number), so the generic render's empty-drop filter is vacuous
+    # here; quoting goes through THE shared quote kernel. Bit-equality
+    # with canonical_variable is pinned over adversarial label values in
+    # tests/test_model.py and over the full sf0.01/sf0.1 frames.
+    qk = quoted_label_value(k_val)
+    qu = quoted_label_value(uid)
+    sk = (
+        F.when(k_ok & u_ok, F.concat(
+            name, F.lit("{k="), qk, F.lit(",user_id="), qu, F.lit("}")))
+        .when(k_ok, F.concat(name, F.lit("{k="), qk, F.lit("}")))
+        .when(u_ok, F.concat(name, F.lit("{user_id="), qu, F.lit("}")))
+        .otherwise(name)
+    )
+    # The three appended columns (series_key + the staged label scalars)
+    # are an internal fast path: Catalyst prunes them wherever unused,
+    # operators reuse them via mutate._with_key / model.label_value, and
+    # every label-REWRITING operator drops them (drop_staged_columns).
     return staged.select(
-        F.concat(F.lit("/events/"), F.col("event_type")).alias("name"),
+        name.alias("name"),
         labels.alias("labels"),
         F.col("ts").cast("timestamp").alias("ts"),
         F.col("value").cast("double").alias("dval"),
         F.lit(None).cast("string").alias("sval"),
+        sk.alias(SERIES_KEY_COL),
+        STAGED_LABEL_PREFIX + "k",
+        STAGED_LABEL_PREFIX + "user_id",
     )

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from open_instrument_spark.functions.durations import parse_duration_ms
+from open_instrument_spark.model import label_value
 from open_instrument_spark.operators.mutate import _bucket_start
 
 DEFAULT_SAMPLE_INTERVAL_MS = 30_000  # lib/openinstrument.proto:69
@@ -187,7 +188,12 @@ def aggregate_by_label(points: DataFrame, agg_type: str, label: str,
     join back; no per-group driver loop.
     """
     interval_ms = parse_duration_ms(sample_interval)
-    lv = F.col("labels").getItem(label)
+    # staged-scalar fast path (model.label_value): on frames whose source
+    # adapter staged the label, the drop_missing filter below pushes to
+    # the scan as a plain column test instead of re-inlining the label
+    # map build into the predicate (r15; measured 7× on the user-label
+    # aggregation at sf0.1).
+    lv = label_value(points, label)
     pts = points.withColumn("label_value", lv)
     if drop_missing:
         pts = pts.filter(F.col("label_value").isNotNull() & (F.col("label_value") != ""))
@@ -422,17 +428,19 @@ def aggregate_anchored(points: DataFrame, agg_type: str,
     calc = _drift_calc_fns()[agg_type.lower()]
     interval_us = parse_duration_ms(sample_interval) * 1000
 
-    from open_instrument_spark.model import series_key
+    from open_instrument_spark.operators.mutate import _with_key
 
     keys = ["name"] + (["label_value"] if by_label is not None else [])
     # unix_micros, not epoch_seconds*1e6: double seconds lose exact µs
     # above 2^22 s and the truncating cast can land 1 µs low — the
     # recursive-CTE oracle computes epoch_us exactly, so we must too.
-    pts = points.withColumn("_sk", series_key()).select(
+    # Key + label come through the staged fast paths when available
+    # (r15): the precomputed series_key column and model.label_value.
+    pts = _with_key(points).select(
         "name",
-        *([F.col("labels").getItem(by_label).alias("label_value")]
+        *([label_value(points, by_label).alias("label_value")]
           if by_label is not None else []),
-        "_sk",
+        F.col("series_key").alias("_sk"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("_t"),
         "dval",
     )

@@ -278,7 +278,15 @@ def source_stats(docs: DataFrame, text_col: str = "text",
     # md5 over every word 3-gram, the dominant per-doc cost — executed
     # once per branch (two parquet scans in the plan). The window keeps
     # one pipeline (one scan, one Exchange on fp) and counts the same
-    # partition the join's build side aggregated — ``c`` is identical.
+    # partition the join's build side aggregated — ``c`` is identical
+    # per non-null fp. Null-text semantics (advisor r14, deliberate):
+    # fingerprint(NULL) is NULL, and the NULL partition groups
+    # together, so null-text docs now COUNT toward n_docs/avg_chars and
+    # read as corpus-wide duplicates of each other when >=2 exist —
+    # the old inner join excluded them from the report entirely. A
+    # source shipping null bodies SHOULD look unhealthy on the dup_frac
+    # health bar; driver corpora carry no null text, so the oracle gate
+    # sees no difference.
     joined = per.withColumn(
         "c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
     return joined.groupBy("source").agg(

@@ -31,7 +31,16 @@ from open_instrument_spark.session import local_df, track_persist
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash; representative = min doc_id.
-    Output: (doc_id, rep_id, is_dup)."""
+    Output: (doc_id, rep_id, is_dup).
+
+    Null-text semantics (advisor r14, deliberate): ``md5(NULL)`` is
+    NULL and ``Window.partitionBy`` groups the NULL hashes together, so
+    null-text docs form ONE duplicate group (rep = their min doc_id).
+    The pre-r14 inner join silently DROPPED null-text docs from the
+    output instead; surfacing them as mutual duplicates is the safer
+    corpus-hygiene default (a corpus with null bodies should look
+    duplicated, not shrink), and the driver's corpora carry no null
+    text so the oracle gate is unaffected either way."""
     from pyspark.sql import Window
 
     # Representative + group size as windows over the hash partition

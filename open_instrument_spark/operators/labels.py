@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from open_instrument_spark.model import drop_staged_columns, label_value
+
 
 def _set_label(labels: Column, dst: str, value: Column) -> Column:
     """labels with ``dst`` set to ``value`` (removed when value='')."""
@@ -51,13 +53,16 @@ def label_replace(points: DataFrame, dst: str, replacement: str,
     wrapped in an anchored non-capturing group so user group numbering
     survives."""
     anchored = f"^(?:{regex})$"
-    src_val = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+    # read through the staged scalar when present (bit-identical), and
+    # DROP the staged key/label columns afterwards: they were rendered
+    # from the pre-rewrite labels (r15, model.drop_staged_columns).
+    src_val = F.coalesce(label_value(points, src), F.lit(""))
     matches = src_val.rlike(anchored)
     new_val = F.regexp_replace(src_val, anchored, replacement)
     new_labels = F.when(matches,
                         _set_label(F.col("labels"), dst, new_val)) \
                   .otherwise(F.col("labels"))
-    return points.withColumn("labels", new_labels)
+    return drop_staged_columns(points.withColumn("labels", new_labels))
 
 
 def label_join(points: DataFrame, dst: str, sep: str,
@@ -67,8 +72,8 @@ def label_join(points: DataFrame, dst: str, sep: str,
     (PromQL's rule — note two empty srcs under a non-empty sep join to
     the sep itself, which is non-empty and therefore kept, exactly as
     Go's strings.Join behaves)."""
-    vals = [F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]
+    vals = [F.coalesce(label_value(points, s), F.lit("")) for s in srcs]
     joined = F.concat_ws(sep, *vals) if vals else F.lit("")
-    return points.withColumn(
+    return drop_staged_columns(points.withColumn(
         "labels", _set_label(F.col("labels"), dst, joined)
-    )
+    ))

@@ -48,10 +48,11 @@ class PolicyItem:
         return None if self.max_age is None else parse_duration_ms(self.max_age)
 
 
-def _item_predicate(item: PolicyItem, age_ms: Column) -> Column:
+def _item_predicate(item: PolicyItem, age_ms: Column,
+                    staged_cols: dict[str, str] | None = None) -> Column:
     var_pred = None
     for pat in item.variables:
-        p = VariableMatcher.from_string(pat).predicate()
+        p = VariableMatcher.from_string(pat).predicate(staged_cols=staged_cols)
         var_pred = p if var_pred is None else (var_pred | p)
     pred = var_pred if var_pred is not None else F.lit(True)
     if item.min_age_ms:
@@ -63,10 +64,13 @@ def _item_predicate(item: PolicyItem, age_ms: Column) -> Column:
 
 def policy_index(points: DataFrame, policy: list[PolicyItem], now) -> Column:
     """First-match policy index per row (-1 = no match ⇒ default DROP)."""
+    from open_instrument_spark.model import staged_label_columns
+
     age_ms = (F.lit(now).cast("timestamp").cast("double") - F.col("ts").cast("double")) * 1000.0
+    staged = staged_label_columns(points.columns)
     expr = F.lit(-1)
     for idx in range(len(policy) - 1, -1, -1):
-        expr = F.when(_item_predicate(policy[idx], age_ms), idx).otherwise(expr)
+        expr = F.when(_item_predicate(policy[idx], age_ms, staged), idx).otherwise(expr)
     return expr
 
 
@@ -90,8 +94,14 @@ def apply_retention(points: DataFrame, policy: list[PolicyItem], now) -> DataFra
         outs.append(_mutate.pipeline(band, list(item.mutations)))
     if not outs:
         return points.limit(0)
-    # normalize to the base points schema (mutations may add series_key)
-    cols = [c for c in points.columns if c != "_policy"]
+    # normalize to the base points schema (mutations may add series_key;
+    # staged _label_* scalars are an input-side fast path that bucketed
+    # resample bands legitimately drop — exclude them from the union
+    # schema rather than requiring every band to carry them)
+    from open_instrument_spark.model import STAGED_LABEL_PREFIX
+
+    cols = [c for c in points.columns
+            if c != "_policy" and not c.startswith(STAGED_LABEL_PREFIX)]
     outs = [o.select(*cols) for o in outs]
     result = outs[0]
     for o in outs[1:]:
@@ -115,11 +125,14 @@ def retention_report(points: DataFrame, policy: list[PolicyItem], now) -> DataFr
         a = ("downsample" if item.keep and item.mutations
              else "keep" if item.keep else "drop")
         action = F.when(F.col("_policy") == i, a).otherwise(action)
-    from open_instrument_spark.model import series_key
+    from open_instrument_spark.model import SERIES_KEY_COL, series_key
 
+    # precomputed key reused when the frame carries one (r15 staged path)
+    key = (F.col(SERIES_KEY_COL) if SERIES_KEY_COL in points.columns
+           else series_key())
     return (
         tagged.withColumn("_action", action)
-        .withColumn("_sk", series_key())
+        .withColumn("_sk", key)
         .groupBy(F.col("_policy").alias("policy_idx"), F.col("_action").alias("action"))
         .agg(
             F.count(F.lit(1)).alias("n_samples"),

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from open_instrument_spark.functions.match import VariableMatcher
-from open_instrument_spark.model import series_key
+from open_instrument_spark.model import staged_label_columns
 from open_instrument_spark.operators.mutate import SERIES_KEY_COL, _with_key
 from open_instrument_spark.session import local_df
 
@@ -35,9 +35,14 @@ def time_range(points: DataFrame, min_ts=None, max_ts=None) -> DataFrame:
 
 
 def match_variables(points: DataFrame, pattern: str | VariableMatcher) -> DataFrame:
-    """F1-F6 matcher applied to a points table."""
+    """F1-F6 matcher applied to a points table. Label tests resolve
+    through staged ``_label_*`` scalar columns when the frame carries
+    them (r15 — see model.STAGED_LABEL_PREFIX) so the pushed filter
+    stays a scan-level column test."""
     m = VariableMatcher.from_string(pattern) if isinstance(pattern, str) else pattern
-    return points.filter(m.predicate())
+    return points.filter(
+        m.predicate(staged_cols=staged_label_columns(points.columns))
+    )
 
 
 def last_n_per_series(points: DataFrame, n: int) -> DataFrame:
@@ -97,7 +102,7 @@ def list_series(points: DataFrame, pattern: str | None = None,
     if pattern:
         pts = match_variables(pts, pattern)
     grouped = (
-        pts.withColumn(SERIES_KEY_COL, series_key())
+        _with_key(pts)
         .groupBy("name", SERIES_KEY_COL)
         .agg(F.first("labels").alias("labels"), F.max("ts").alias("last_ts"))
     )
@@ -142,9 +147,11 @@ def absent_selectors(points: DataFrame, patterns: list[str]) -> DataFrame:
         # an empty selector table would fail opaquely downstream — name
         # the argument instead
         raise ValueError("absent_selectors: patterns must be non-empty")
-    keyed = points.withColumn(SERIES_KEY_COL, series_key())
+    keyed = _with_key(points)
+    _staged = staged_label_columns(points.columns)
     hits = F.array_compact(F.array(*[
-        F.when(VariableMatcher.from_string(p).predicate(), F.lit(i))
+        F.when(VariableMatcher.from_string(p).predicate(staged_cols=_staged),
+               F.lit(i))
         for i, p in enumerate(patterns)
     ]))
     counts = (
@@ -276,7 +283,7 @@ def stale_series(points: DataFrame, now, max_age_ms: int = 259_200_000,
         pts = match_variables(pts, pattern)
     now_expr = F.lit(now).cast("timestamp")
     grouped = (
-        pts.withColumn(SERIES_KEY_COL, series_key())
+        _with_key(pts)
         .groupBy("name", SERIES_KEY_COL)
         .agg(F.max("ts").alias("last_ts"))
     )

@@ -1277,16 +1277,21 @@ def mutual_knn_clusters(embeddings: DataFrame, centroids: np.ndarray,
     g = edges
     e = g.select("src", "dst")
     # Mutual detection as ONE groupBy on the direction-normalized pair
-    # key (r14 optimization, guide §2.4): a src's top-k dsts are
-    # distinct, so each direction contributes exactly one row and a
-    # pair is mutual iff its (least, greatest) key appears twice —
-    # identical pairs to the former self semi-join, which shuffled the
-    # edge list on BOTH sides (probe + reversed build).
+    # key (r14 optimization, guide §2.4): a pair is mutual iff both
+    # directions appear — counted as DISTINCT src endpoints per
+    # normalized pair (r15, advisor r14: a caller-provided ``edges``
+    # frame may carry duplicate one-way edges, which the former
+    # count(*)==2 test miscounted as mutual and which could mask a
+    # genuine reversal at count==3; distinct-src counting is
+    # duplicate-tolerant — exactly the old self-semi-join's semantics —
+    # and folds into the SAME single exchange). In-repo builds emit
+    # distinct pairs, so the plan change is belt-and-braces there.
     mutual = (
         e.select(F.least("src", "dst").alias("_a"),
-                 F.greatest("src", "dst").alias("_b"))
-        .groupBy("_a", "_b").count()
-        .where(F.col("count") == 2)
+                 F.greatest("src", "dst").alias("_b"), "src")
+        .groupBy("_a", "_b")
+        .agg(F.count_distinct("src").alias("_n"))
+        .where(F.col("_n") == 2)
         .select(F.col("_a").alias("src"), F.col("_b").alias("dst"))
     )
     return connected_components(

@@ -567,9 +567,10 @@ def agg_anchored_median_user0(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper-median fold. Restricted to user_id % 5 == 0 to keep the
     single-threaded SQL recursion inside test budget — the kernel is
     the same code path the full-corpus ``agg_anchored_sum`` runs."""
-    pts = _pts(spark, sf_dir).filter(
-        F.col("labels").getItem("user_id").cast("long") % 5 == 0
-    )
+    from open_instrument_spark.model import label_value
+
+    raw = _pts(spark, sf_dir)
+    pts = raw.filter(label_value(raw, "user_id").cast("long") % 5 == 0)
     out = agg_ops.aggregate_anchored(pts, "median", "1h")
     return out.select("name", "ts", F.round("value", 6).alias("value"))
 
@@ -1912,8 +1913,10 @@ def ingest_hostname_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     h<user_id%3>)."""
     from open_instrument_spark.sources.ingest import default_hostname
 
+    from open_instrument_spark.model import label_value
+
     pts = _pts(spark, sf_dir)
-    host = F.concat(F.lit("h"), (F.col("labels").getItem("user_id").cast("long") % 3).cast("string"))
+    host = F.concat(F.lit("h"), (label_value(pts, "user_id").cast("long") % 3).cast("string"))
     out = default_hostname(pts, host)
     from open_instrument_spark.model import series_key as _sk
 

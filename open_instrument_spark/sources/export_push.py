@@ -45,7 +45,9 @@ def with_extra_labels(points: DataFrame, extra_labels: dict[str, str]) -> DataFr
             F.map_filter(labels, lambda key, _v: key != F.lit(k)),
             F.create_map(F.lit(k), F.lit(v)),
         )
-    return points.withColumn("labels", labels)
+    # labels rewritten → precomputed series_key/_label_* would be stale
+    from open_instrument_spark.model import drop_staged_columns
+    return drop_staged_columns(points.withColumn("labels", labels))
 
 
 def push_exported(snapshot_fn, store_path: str,

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from open_instrument_spark.model import series_key
+from open_instrument_spark.model import drop_staged_columns, series_key
 
 NAME_RE = r"^/\S+$"  # starts with /, no whitespace, len>=2 (store.cc:414-417)
 
@@ -35,6 +35,13 @@ STRICT_NAME_RE = r"^/[A-Za-z0-9._\-/*,]+$"
 STRICT_LABEL_KEY_RE = r"^[A-Za-z0-9._\-/*]+$"
 
 
+def _key_expr(points: DataFrame):
+    """Canonical key expression — the frame's precomputed ``series_key``
+    column when it carries one (r15 staged fast path), else the render."""
+    return (F.col("series_key") if "series_key" in points.columns
+            else series_key())
+
+
 def default_hostname(points: DataFrame, source_host) -> DataFrame:
     """S2: force a ``hostname`` label when absent (server/store.cc:405-409).
     ``source_host`` may be a literal or a Column."""
@@ -43,7 +50,9 @@ def default_hostname(points: DataFrame, source_host) -> DataFrame:
     labels = F.when(has, F.col("labels")).otherwise(
         F.map_concat(F.coalesce(F.col("labels"), F.create_map()), F.create_map(F.lit("hostname"), host))
     )
-    return points.withColumn("labels", labels)
+    # the labels map changes → any precomputed series_key/_label_* column
+    # would be stale (r15, model.drop_staged_columns)
+    return drop_staged_columns(points.withColumn("labels", labels))
 
 
 def _valid_predicate(now=None, max_future_s: int = 1, strict: bool = False):
@@ -114,7 +123,7 @@ def dedup(points: DataFrame) -> DataFrame:
     would keep an arbitrary row, which both varies run-to-run and can
     disagree with a SQL oracle.
     """
-    pts = points.withColumn("_sk", series_key())
+    pts = points.withColumn("_sk", _key_expr(points))
     w = Window.partitionBy("_sk", "ts").orderBy(
         F.col("dval").desc_nulls_last(), F.col("sval").desc_nulls_last()
     )
@@ -152,7 +161,7 @@ def write_points(points: DataFrame, path: str, n_buckets: int = 16,
     dates x name_buckets x n_buckets — when enabling name_buckets, size
     n_buckets down so the product stays at the intended file count.
     """
-    pts = points.withColumn("_sk", series_key()).withColumn(
+    pts = points.withColumn("_sk", _key_expr(points)).withColumn(
         "dt", F.to_date("ts")
     ).withColumn("bucket", F.pmod(F.hash("_sk"), F.lit(n_buckets)))
     part_cols = ["dt", "bucket"]
@@ -161,10 +170,20 @@ def write_points(points: DataFrame, path: str, n_buckets: int = 16,
             "name_bucket", F.pmod(F.hash("name"), F.lit(name_buckets))
         )
         part_cols = ["dt", "name_bucket", "bucket"]
+    # The staged series_key/_label_* columns are an IN-SESSION fast path
+    # (model.STAGED_LABEL_PREFIX) — they are derivable, so persisting
+    # them would bloat every store file and change the on-disk points
+    # schema the readers contract on. _key_expr above still reuses the
+    # staged key for bucketing/sorting before the drop.
+    from open_instrument_spark.model import STAGED_LABEL_PREFIX
+
+    stale = ["_sk", "series_key"] + [
+        c for c in points.columns if c.startswith(STAGED_LABEL_PREFIX)
+    ]
     (
         pts.repartition(*part_cols)
         .sortWithinPartitions("_sk", "ts")
-        .drop("_sk")
+        .drop(*stale)
         .write.mode(mode)
         .partitionBy(*part_cols)
         .parquet(path)
