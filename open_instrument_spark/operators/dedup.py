@@ -734,28 +734,91 @@ def contamination(docs: DataFrame, benchmark: DataFrame,
 
 
 # ---- near-dup cluster formation --------------------------------------------
+def _cc_driver_union_find(edges: DataFrame, id_type: str) -> DataFrame:
+    """Bounded fast path of :func:`connected_components`: union-find
+    over a collected metadata-scale edge list (size-gated by the
+    caller). Same contract — one (doc_id, cluster_id = min id in
+    component) row per distinct endpoint. The symmetric edge list
+    contains both directions, so every endpoint appears as ``src``."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        s, d = row[0], row[1]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    roots: dict = {}
+    for node in parent:
+        r = find(node)
+        m = roots.get(r)
+        if m is None or node < m:
+            roots[r] = node
+    out = [(node, roots[find(node)]) for node in parent]
+    out.sort()
+    return local_df(
+        edges.sparkSession, out,
+        f"doc_id {id_type}, cluster_id {id_type}",
+        # metadata-scale but not one-row-scale: a handful of slices
+        # keeps downstream consumers (joins back to the corpus) off a
+        # single task without the 32-partition pickled fan-out local_df
+        # exists to avoid
+        n_slices=max(1, min(8, len(out) // 4096)),
+    )
+
+
 def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_max_edges: int = 100_000) -> DataFrame:
     """Connected components over an undirected pair list — the cluster
     step after any pair-producing dedup stage (keep one doc per
     cluster). Output: (doc_id, cluster_id) for every endpoint, with
     ``cluster_id`` = min doc_id in the component.
 
-    Iterative min-label propagation with pointer jumping (label :=
-    label-of-label each hop), so convergence is O(log diameter) hops,
-    not O(diameter) — a chain of 1M pairwise near-dups resolves in ~20
-    hops. Each round runs TWO propagate+jump hops before the single
-    persist + scalar count action, halving the Spark-job overhead that
-    dominates wall-clock on small/interactive runs (the r6 profile:
-    fixed per-job launch cost, flat in data). The convergence test
-    counts changes of the round's SECOND hop only — exact, not
-    approximate: labels are monotone non-increasing (``F.least`` with
-    the old label; the jump follows a node whose label ≤ its id), so a
-    no-op hop means the propagation operator is at its fixpoint even
-    when the hop before it changed labels — the common
-    converge-on-hop-2 case stops without paying a confirm round.
-    Raises after ``max_iter`` rounds (2·max_iter hops) without a
-    fixpoint rather than returning half-merged clusters.
+    Size-adaptive strategy (r15, guide §1.2/§3.1 precedent — the same
+    decision a broadcast join makes): the deduped symmetric edge list
+    is materialized (eager localCheckpoint, unchanged from r14) and its
+    COUNT taken from the cached blocks. At or below
+    ``driver_max_edges`` (default 100k edges — single-digit MB, i.e.
+    broadcast-scale metadata) the components are computed with one
+    driver-side union-find over the collected pairs: exact same
+    (doc_id, min-id cluster) output, ZERO iterative rounds — where the
+    distributed fixpoint pays ~0.4–0.6 s of per-round job-launch +
+    tiny-shuffle overhead at interactive scale (the r6/r14 profiles:
+    fixed per-round cost, flat in data). Numeric-id graphs only (int /
+    bigint / smallint): Python's integer ordering is the same as
+    Spark's, so min-per-component is bit-identical; string ids always
+    take the distributed path (UTF-8-byte vs code-point ordering could
+    diverge on non-ASCII ids). Above the gate — the 100 TB shape,
+    where a banded near-dup pair list is billions of rows — the
+    distributed path below runs unchanged; both paths are pinned equal
+    on random graphs in tests/test_llm_ops.py.
+
+    Distributed path: iterative min-label propagation with pointer
+    jumping (label := label-of-label each hop), so convergence is
+    O(log diameter) hops, not O(diameter) — a chain of 1M pairwise
+    near-dups resolves in ~20 hops. Each round runs TWO propagate+jump
+    hops before the single persist + scalar count action, halving the
+    Spark-job overhead that dominates wall-clock on small/interactive
+    runs. The convergence test counts changes of the round's SECOND
+    hop only — exact, not approximate: labels are monotone
+    non-increasing (``F.least`` with the old label; the jump follows a
+    node whose label ≤ its id), so a no-op hop means the propagation
+    operator is at its fixpoint even when the hop before it changed
+    labels — the common converge-on-hop-2 case stops without paying a
+    confirm round. Raises after ``max_iter`` rounds (2·max_iter hops)
+    without a fixpoint rather than returning half-merged clusters.
     """
     # Persist the directed pair list FIRST: the symmetric union below
     # reads it twice, and without the persist the whole upstream pair
@@ -775,6 +838,13 @@ def connected_components(pairs: DataFrame, a: str = "a_id", b: str = "b_id",
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
     directed.unpersist()
+    src_type = dict(edges.dtypes)["src"]
+    if src_type in ("smallint", "int", "bigint"):
+        # the count scans the just-checkpointed blocks — cheap at any
+        # scale, and it buys the whole strategy decision
+        n_edges = edges.count()
+        if n_edges <= driver_max_edges:
+            return _cc_driver_union_find(edges, src_type)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

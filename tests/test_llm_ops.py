@@ -544,8 +544,11 @@ def test_connected_components_raises_without_convergence(spark):
 
     df = spark.createDataFrame([(i, i + 1) for i in range(0, 40)],
                                "a_id long, b_id long")
+    # driver_max_edges=0 forces the distributed fixpoint (the r15
+    # size-adaptive fast path would otherwise resolve this chain
+    # without iterating at all)
     with _pytest.raises(ValueError, match="did not converge"):
-        dedup.connected_components(df, max_iter=1)
+        dedup.connected_components(df, max_iter=1, driver_max_edges=0)
 
 
 def test_contamination_flags_prefix_overlap(spark):
@@ -726,10 +729,19 @@ def test_connected_components_random_graphs_match_union_find(spark):
             a, b = rng.sample(range(n_nodes), 2)
             pairs.append((min(a, b), max(a, b)))
         df = spark.createDataFrame(pairs, "a_id long, b_id long")
-        got = {r["doc_id"]: r["cluster_id"]
-               for r in dedup.connected_components(df).collect()}
+        # r15: BOTH strategies must match the reference — the default
+        # call takes the driver union-find fast path (edge count under
+        # the gate); driver_max_edges=0 forces the distributed
+        # pointer-jumping fixpoint. Equal output = the size-adaptive
+        # dispatch is invisible to callers.
+        got_fast = {r["doc_id"]: r["cluster_id"]
+                    for r in dedup.connected_components(df).collect()}
+        got_dist = {r["doc_id"]: r["cluster_id"]
+                    for r in dedup.connected_components(
+                        df, driver_max_edges=0).collect()}
         want = union_find_cc(pairs)
-        assert got == want, (trial, sorted(pairs)[:10])
+        assert got_fast == want, (trial, sorted(pairs)[:10])
+        assert got_dist == want, (trial, sorted(pairs)[:10])
 
 
 def test_video_frames_pixel_fidelity(spark, docs):
